@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect, no output I/O skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "j6_fuzzy_name_pairs",     # blocked levenshtein join (the signature op)
+    "j8_range_join",           # interval join
+    "qa_roster_filters",       # QA-flag engine composite
+    "w1_dedup_first",          # window dedup
+    "w4_argmin_per_group",     # per-group argmin
+    "a4_share_of_total",       # agg + window share
+    "a6_pivot_counts",         # pivot
+    "f13_date_window_flag",    # join + date window flags
+    "f12_multiformat_dates",   # multi-format date parse
+    "t4_snapshot_diff",        # CDC exceptAll
+    "dedup_exact_content_hash",  # content-hash dedup
+    "text_token_stats",        # text analysis
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from sequencing_integration_pipeline1_0_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers once with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({"metric": "headline_total", "value": total,
+                      "unit": "sec", "queries": times, "sf": sf}))
+
+
+if __name__ == "__main__":
+    main()

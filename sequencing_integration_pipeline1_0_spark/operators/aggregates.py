@@ -1,0 +1,87 @@
+"""Aggregation patterns (SURVEY §2.4 A1-A10).
+
+All single-pass groupBy/pivot/window shapes — partial (map-side)
+aggregation comes free from Catalyst; share-of-total uses a window over
+the grouped result (small) rather than a self-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, keys: Sequence[str], out: str = "n") -> DataFrame:
+    """A1: count(a, b) (gap_data.Rmd:594-600)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def distinct_count_per_group(df: DataFrame, keys: Sequence[str], col: str,
+                             out: str = "n_distinct") -> DataFrame:
+    """A2: n_distinct per group (fuzzy.Rmd:884-891)."""
+    return df.groupBy(*keys).agg(F.countDistinct(col).alias(out))
+
+
+def share_of_total(df: DataFrame, keys: Sequence[str], part: Sequence[str],
+                   out_n: str = "n", out_total: str = "total",
+                   out_pct: str = "pct") -> DataFrame:
+    """A4: per-group count + share of the partition total
+    (missing_sequence_reason.Rmd:70-77). Window over the aggregated
+    (small) frame — no second shuffle over raw data."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_n))
+    w = Window.partitionBy(*part)
+    return (counts
+            .withColumn(out_total, F.sum(out_n).over(w))
+            .withColumn(out_pct, F.col(out_n) / F.col(out_total)))
+
+
+def counts_with_total_row(df: DataFrame, key: str, out: str = "n",
+                          total_label: str = "Total") -> DataFrame:
+    """A5: group counts + appended grand-total row (gap_data.Rmd:622-644)
+    via GROUPING SETS (rollup) — one pass, no union of a second agg."""
+    return (df.rollup(key)
+              .agg(F.count(F.lit(1)).alias(out))
+              .withColumn(key, F.coalesce(F.col(key), F.lit(total_label))))
+
+
+def pivot_counts(df: DataFrame, row_key: str, pivot_key: str,
+                 pivot_values: Sequence[str] | None = None,
+                 pct_of_grand_total: bool = False) -> DataFrame:
+    """A6: group -> count -> pivot_wider(values_fill=0)
+    (gap_data.Rmd:590-692). Passing pivot_values pins the output schema
+    (and skips Spark's extra distinct-values job)."""
+    counts = df.groupBy(row_key, pivot_key).agg(F.count(F.lit(1)).alias("__n"))
+    if pct_of_grand_total:
+        total = Window.partitionBy()
+        counts = counts.withColumn("__n", F.col("__n") / F.sum("__n").over(total))
+    p = counts.groupBy(row_key).pivot(pivot_key, list(pivot_values) if pivot_values else None)
+    out = p.agg(F.first("__n"))
+    return out.na.fill(0, [c for c in out.columns if c != row_key])
+
+
+def melt_count_pivot(df: DataFrame, id_col: str, value_cols: Sequence[str],
+                     var_name: str = "variable") -> DataFrame:
+    """A10: gather flag columns -> count by id -> re-widen
+    (wdrs_qa_main.R:303-340). Uses the built-in unpivot/melt."""
+    melted = df.unpivot(id_col, list(value_cols), var_name, "__value")
+    return (melted.filter(F.col("__value").isNotNull())
+                  .groupBy(var_name)
+                  .pivot(id_col)
+                  .agg(F.count(F.lit(1)))
+                  .na.fill(0))
+
+
+def with_missing_level(df: DataFrame, col: str,
+                       label: str = "(Missing)") -> DataFrame:
+    """A8: missing-as-level before counting (pipeline_counts.qmd:243-250)."""
+    return df.withColumn(col, F.coalesce(F.col(col), F.lit(label)))
+
+
+def latest_per_group(df: DataFrame, keys: Sequence[str], ts: str) -> DataFrame:
+    """A9/S7: latest-by-timestamp row per group (max mtime per dir,
+    phl.Rmd:116-133) — window argmax with deterministic tiebreak."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts).desc(), *[F.col(k) for k in keys])
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))

@@ -1,0 +1,140 @@
+"""Blocked fuzzy-matching join + banded routing (SURVEY §2.3 J6/J7/J8,
+§3.2; reference: scripts/Roster_scripts/fuzzy_matching_functions.R:2-50,
+docs/notebooks/fuzzy.Rmd:556-1067).
+
+Reference algorithm: block both sides on year(DOB), per-block
+stringdist join on normalized FIRST_LAST name with OSA (restricted
+Damerau-Levenshtein) distance <= 3, plus a flipped-name (LAST_FIRST)
+inner variant at <= 2; union, dedup; then exact-DOB filter, ±14-day
+collection-date window with only-match rescue, ambiguous-key demotion,
+and sequential banding by distance (0,1 -> auto; 2,3 -> review;
+no-match -> did_not_match).
+
+Spark-first rewrite: the block key becomes an equi-join key, so
+Catalyst plans a shuffled hash/sort-merge join with the Levenshtein
+predicate as a post-filter — NOT a BroadcastNestedLoopJoin (SURVEY §4).
+Skewed blocks (dense birth years) are handled by AQE skew-join.
+Banding is a single min-distance window + `when` cascade instead of the
+reference's sequential subtract-and-reroute, with identical semantics
+because each rowid routes by its BEST distance.
+
+OSA-vs-Levenshtein: Spark ships levenshtein() (no transposition move);
+a transposed pair costs 2 (sub+sub counted) vs OSA's 1. We compensate
+the common transposition case via the flipped-name pass and document
+the delta (SURVEY §7 phase-4 acceptance note).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_distance_join(left: DataFrame, right: DataFrame, *,
+                          left_key: str, right_key: str,
+                          block_keys: Sequence[str],
+                          max_dist: int = 3,
+                          how: str = "inner",
+                          dist_col: str = "distance") -> DataFrame:
+    """Equi-join on block keys + levenshtein(left_key, right_key) <= k.
+
+    Both frames must carry the block columns with identical names.
+    Returns left cols + right cols (right's block cols dropped) + dist.
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = None
+    for b in block_keys:
+        c = F.col(f"l.{b}") == F.col(f"r.{b}")
+        cond = c if cond is None else cond & c
+    dist = F.levenshtein(F.col(f"l.{left_key}"), F.col(f"r.{right_key}"))
+    cond = (dist <= max_dist) if cond is None else cond & (dist <= max_dist)
+    joined = l.join(r, cond, how)
+    keep_r = [c for c in right.columns if c not in set(block_keys)]
+    return joined.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}") for c in keep_r],
+        dist.alias(dist_col),
+    )
+
+
+def fuzzy_name_join(left: DataFrame, right: DataFrame, *,
+                    left_name: str = "name_norm", right_name: str = "name_norm_r",
+                    left_flip: str | None = None, right_flip: str | None = None,
+                    block_keys: Sequence[str] = ("dob_year",),
+                    max_dist: int = 3, flip_max_dist: int = 2,
+                    dist_col: str = "distance") -> DataFrame:
+    """J6+J7+J11: straight-name join at <=max_dist UNION a flipped-name
+    variant at <=flip_max_dist, dropDuplicates
+    (fuzzy_matching_functions.R:16-50). The flip pass compares the
+    left STRAIGHT name to the right FLIPPED name — the reference flips
+    exactly one side (fuzzy.Rmd:575-576). Returns matched pairs only
+    (how='inner'); the caller re-attaches non-matches via left_anti
+    for the did_not_match band."""
+    straight = blocked_distance_join(
+        left, right, left_key=left_name, right_key=right_name,
+        block_keys=block_keys, max_dist=max_dist, dist_col=dist_col)
+    if right_flip:
+        flipped = blocked_distance_join(
+            left, right, left_key=left_name, right_key=right_flip,
+            block_keys=block_keys, max_dist=flip_max_dist, dist_col=dist_col)
+        straight = straight.unionByName(flipped).dropDuplicates(
+            [c for c in straight.columns if c != dist_col])
+    return straight
+
+
+def band_by_distance(matches: DataFrame, *, rowid: str = "rowid",
+                     dist_col: str = "distance",
+                     band_col: str = "band") -> DataFrame:
+    """§3.2 step 6: each rowid routes once, by its minimum distance —
+    replaces the reference's sequential band-removal loop
+    (fuzzy.Rmd:925-1067) with one window + when cascade."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(rowid)
+    best = F.min(F.col(dist_col)).over(w)
+    kept = matches.withColumn("__best", best).filter(F.col(dist_col) == F.col("__best"))
+    return kept.withColumn(
+        band_col,
+        F.when(F.col(dist_col) == 0, F.lit("roster_exact"))
+         .when(F.col(dist_col) == 1, F.lit("roster_near"))
+         .otherwise(F.lit("review")),
+    ).drop("__best")
+
+
+def range_join(left: DataFrame, right: DataFrame, *,
+               equi: Sequence[tuple[str, str]],
+               point: str, lo: str, hi: str,
+               how: str = "inner") -> DataFrame:
+    """J8: interval join — equal keys AND lo < point < hi
+    (Review_Collection_Date_Mismatch.Rmd:260-295 fuzzy_inner_join with
+    match_fun list(==,==,>,<))."""
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = None
+    for lk, rk in equi:
+        c = F.col(f"l.{lk}") == F.col(f"r.{rk}")
+        cond = c if cond is None else cond & c
+    rng = (F.col(f"l.{point}") > F.col(f"r.{lo}")) & (F.col(f"l.{point}") < F.col(f"r.{hi}"))
+    cond = rng if cond is None else cond & rng
+    dup = [c for c in right.columns if c in set(left.columns)]
+    return l.join(r, cond, how).select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"r_{c}" if c in dup else c) for c in right.columns],
+    )
+
+
+def only_match_rescue(matches: DataFrame, *, rowid: str = "rowid",
+                      in_window: Column, dist_col: str = "distance") -> DataFrame:
+    """fuzzy.Rmd:866-878: keep in-window matches; a rowid whose matches
+    are ALL out-of-window keeps them anyway when it has exactly one
+    candidate ("only match" rescue)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(rowid)
+    n_in = F.sum(F.when(in_window, 1).otherwise(0)).over(w)
+    n_all = F.count(F.lit(1)).over(w)
+    return (matches
+            .withColumn("__in", in_window)
+            .withColumn("__keep", F.col("__in") | ((n_in == 0) & (n_all == 1)))
+            .filter(F.col("__keep")).drop("__in", "__keep"))

