@@ -37,20 +37,39 @@ def blocked_distance_join(left: DataFrame, right: DataFrame, *,
                           block_keys: Sequence[str],
                           max_dist: int = 3,
                           how: str = "inner",
-                          dist_col: str = "distance") -> DataFrame:
+                          dist_col: str = "distance",
+                          spread: bool = True) -> DataFrame:
     """Equi-join on block keys + levenshtein(left_key, right_key) <= k.
 
     Both frames must carry the block columns with identical names.
     Returns left cols + right cols (right's block cols dropped) + dist.
+
+    spread=True round-robin-repartitions the probe side to the session
+    default parallelism when the source collapses to few partitions
+    (a small parquet scan is 1 partition -> 1 task doing every
+    levenshtein; the distance predicate is the cost, not the shuffle).
+    At cluster scale with a large probe side the input already has
+    enough partitions and this is a no-op.
     """
+    if spread:
+        target = left.sparkSession.sparkContext.defaultParallelism
+        if left.rdd.getNumPartitions() < target:
+            left = left.repartition(target)
     l = left.alias("l")
     r = right.alias("r")
     cond = None
     for b in block_keys:
         c = F.col(f"l.{b}") == F.col(f"r.{b}")
         cond = c if cond is None else cond & c
-    dist = F.levenshtein(F.col(f"l.{left_key}"), F.col(f"r.{right_key}"))
-    cond = (dist <= max_dist) if cond is None else cond & (dist <= max_dist)
+    lk, rk = F.col(f"l.{left_key}"), F.col(f"r.{right_key}")
+    # cheap prefilter: |len(a)-len(b)| > k implies distance > k, so the
+    # expensive edit-distance never runs on hopeless pairs; the bounded
+    # 3-arg levenshtein then early-exits at k (returns -1 above bound)
+    len_ok = F.abs(F.length(lk) - F.length(rk)) <= max_dist
+    bounded = F.levenshtein(lk, rk, max_dist)
+    dist_ok = len_ok & (bounded >= 0)
+    cond = dist_ok if cond is None else cond & dist_ok
+    dist = bounded
     joined = l.join(r, cond, how)
     keep_r = [c for c in right.columns if c not in set(block_keys)]
     return joined.select(
