@@ -1,0 +1,157 @@
+"""Large-scale deduplication operators: exact, MinHash+LSH, n-gram
+Jaccard, SimHash (SURVEY §7 phase 6 — generalizations of the
+reference's by-hand patterns: J6 similarity join, U3/U7 dedup, F1
+normalization).
+
+Design for 100 TB:
+  - everything is expression-level (codegen) or one explode+shuffle;
+    no driver-side state, no collect
+  - MinHash signatures are computed per-row (map-only); LSH banding
+    turns near-dup detection into an equi-join on (band_idx, band_key)
+    — the same "block key turns a theta-join into a hash join" move as
+    the reference's DOB-year blocking (fuzzy.Rmd:560-603)
+  - hashes use md5 (stable across engines/runs; NOT xxhash64, whose
+    values differ between Spark and the DuckDB oracle)
+
+Determinism note: a md5-lexicographic-min is a valid MinHash family
+(min over a random permutation of shingle space); k independent
+functions come from salting the shingle with the function index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct). n=1 -> distinct words."""
+    w = words(col)
+    if n == 1:
+        return F.array_distinct(w)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[
+        F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]))
+    return F.array_distinct(
+        F.when(F.size(w) >= n, sh).otherwise(F.array(F.concat_ws(" ", w))))
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> Column:
+    """k-wide MinHash signature: for each salt i, min over shingles of
+    md5(i || '|' || shingle). Returns array<string> length k."""
+    def salted(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    return F.array(*[F.array_min(F.transform(shingles, salted(i)))
+                     for i in range(k)])
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_idx, band_key) structs where
+    band_key = md5 of the band's slice — docs agreeing on ANY band are
+    candidate pairs (standard LSH banding)."""
+    out = []
+    for b in range(bands):
+        sl = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        out.append(F.struct(F.lit(b).alias("band_idx"),
+                            F.md5(F.concat_ws("|", sl)).alias("band_key")))
+    return F.array(*out)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
+                           shingle_n: int = 1, k: int = 8,
+                           bands: int = 4) -> DataFrame:
+    """End-to-end LSH candidate pairs: shingle -> minhash -> band ->
+    explode -> self-equi-join on band -> distinct (id_a < id_b) pairs.
+
+    The self-join shuffles on the band key only — at 100 TB this is the
+    scalable path; the quadratic jaccard verify runs only on candidates."""
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    banded = sig.select(
+        "id", "sh",
+        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                      F.col("b").alias("ba"))
+    bd = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                       F.col("b").alias("bb"))
+    pairs = (a.join(bd, (a.ba == bd.bb) & (a.id_a < bd.id_b))
+              .select("id_a", "id_b", "sh_a", "sh_b")
+              .dropDuplicates(["id_a", "id_b"]))
+    return pairs
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays — single
+    int/int division, cross-engine deterministic."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union
+
+
+def minhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
+                      shingle_n: int = 1, k: int = 8, bands: int = 4,
+                      threshold: float = 0.7) -> DataFrame:
+    """MinHash LSH candidates verified with true Jaccard >= threshold.
+    Returns (id_a, id_b, jaccard)."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col,
+                                   shingle_n=shingle_n, k=k, bands=bands)
+    return (pairs
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_join(df: DataFrame, id_col: str, text_col: str,
+                       block_col: str, *, n: int = 3,
+                       threshold: float = 0.1) -> DataFrame:
+    """Exact n-gram Jaccard similarity join within blocks (the
+    brute-force verifier; LSH above is the scale path). Returns
+    (id_a, id_b, jaccard >= threshold)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(block_col).alias("blk"),
+                     word_shingles(text_col, n).alias("sh"))
+    a = base.select(F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
+                    F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
+                    F.col("sh").alias("sh_b"))
+    return (a.join(b, (a.blk_a == b.blk_b) & (a.id_a < b.id_b))
+             .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over words: per-word 16-bit hash from md5 hex
+    prefix; each bit contributes +1/-1; sign of the sum is the output
+    bit. Near-dups differ in few bits (hamming distance)."""
+    w = words(col)
+    h = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10)
+                    .cast("long"))
+    def bit_contrib(mask: int):
+        return lambda acc, v: acc + F.when(v.bitwiseAND(F.lit(mask)) > 0,
+                                           F.lit(1)).otherwise(F.lit(-1))
+
+    bits = []
+    for j in range(16):
+        mask = 1 << j
+        contrib = F.aggregate(h, F.lit(0), bit_contrib(mask))
+        bits.append(F.when(contrib > 0, F.lit(mask)).otherwise(F.lit(0)))
+    total = bits[0]
+    for bcol in bits[1:]:
+        total = total + bcol
+    return total
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit simhashes (popcount of XOR
+    via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (SURVEY north-star
+extension; generalizes the reference's J6 nearest-match selection,
+SGTF_template_matching.Rmd:449-466 argmin pattern).
+
+Two paths:
+  - brute-force cosine top-k: exact baseline; O(n^2) within the join,
+    expression-only (zip_with/aggregate in doubles — JVM codegen, no
+    Python UDF)
+  - sign-LSH bucketed top-k: axis-sign bucket key turns the cross
+    join into an equi-join on bucket — the 100 TB path (same blocking
+    move as the fuzzy join); recall < 1 by construction, measured by
+    the overlap query in the catalog
+
+All dot products fold left-to-right over the array after casting
+elements to double, so the floating-point result is reproducible
+bit-for-bit for a given array order (and matches an oracle that folds
+in the same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(df: DataFrame, id_col: str, vec_col: str, *,
+                     k: int = 5, round_to: int = 6,
+                     spread: bool = True) -> DataFrame:
+    """Exact cosine top-k neighbors for every vector (self-join).
+    Cosine is rounded (default 1e-6) so ranking ties break on id —
+    deterministic across engines. Returns (id, neighbor_id, cos_sim,
+    rank)."""
+    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
+    if spread:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if a.rdd.getNumPartitions() < target:
+            a = a.repartition(target)
+    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    pairs = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
+              .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")),
+                                             round_to)))
+    w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(),
+                                         F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("id", "neighbor_id", "cos_sim", "rank"))
+
+
+def sign_bucket(vec: Column, dims: int = 8) -> Column:
+    """Axis-sign LSH bucket key: concatenated sign bits of the first
+    `dims` components. Vectors in the same orthant-prefix bucket are
+    the candidate set."""
+    bits = [F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(dims)]
+    return F.concat(*bits)
+
+
+def lsh_topk(df: DataFrame, id_col: str, vec_col: str, *,
+             k: int = 5, bucket_dims: int = 8, round_to: int = 6) -> DataFrame:
+    """Approximate top-k: candidates restricted to the same sign
+    bucket (equi-join, shuffle on bucket key — scales linearly in
+    candidates rather than n^2). Returns (id, neighbor_id, cos_sim,
+    rank)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+             .withColumn("bucket", sign_bucket(F.col("v"), bucket_dims))
+    a = base.select(F.col("id"), F.col("v").alias("va"), "bucket")
+    b = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"),
+                    F.col("bucket").alias("bucket_b"))
+    pairs = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                    & (F.col("id") != F.col("neighbor_id")))
+              .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")),
+                                             round_to)))
+    w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(),
+                                         F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("id", "neighbor_id", "cos_sim", "rank"))

@@ -1,0 +1,95 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting (SURVEY north-star extension;
+generalizes the reference's free-text extraction F7 elr.Rmd:409-442
+and str_count checks F16 wdrs_qa_functions.R:154-167).
+
+All pure column expressions (codegen, no UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedupe_scale import words
+
+#: tiny per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic (public-knowledge common words)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "is"],
+    "es": ["el", "la", "de", "los", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish upper bound: count of word/number/punct fragments
+    produced by a GPT-2-style pre-tokenizer regex approximation."""
+    c = F.col(col) if isinstance(col, str) else col
+    frags = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), 1)
+    return F.size(frags)
+
+
+def marker_hits(col: Column | str, markers: list[str]) -> Column:
+    """How many tokens of the text are in the marker set."""
+    w = words(col)
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(w, lambda x: F.array_contains(arr, F.lower(x))))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-marker language ID: argmax language by marker hits,
+    'und' (undetermined) when nothing matches. Deterministic tie-break
+    by language-code order."""
+    hits = {lang: marker_hits(col, ms) for lang, ms in LANG_MARKERS.items()}
+    best = None
+    for lang in sorted(hits):
+        h = hits[lang]
+        if best is None:
+            best = F.struct(h.alias("h"), F.lit(lang).alias("lang"))
+        else:
+            # strictly-greater keeps the earlier (alphabetical) language on ties
+            best = F.when(h > best.getField("h"),
+                          F.struct(h.alias("h"), F.lit(lang).alias("lang"))
+                          ).otherwise(best)
+    return F.when(best.getField("h") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def unique_token_ratio(col: Column | str) -> Column:
+    w = words(col)
+    return F.size(F.array_distinct(w)).cast("double") / F.size(w)
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Share of characters that are alphabetic or whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.length(F.regexp_replace(c, r"[^A-Za-z\s]", ""))
+    return kept.cast("double") / F.length(c)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0-1 quality score: length saturation, lexical
+    diversity, character cleanliness (the standard pretraining-filter
+    trio). Fixed evaluation order for cross-engine reproducibility."""
+    toks = token_count(col).cast("double")
+    length_part = F.least(toks / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+    diversity_part = unique_token_ratio(col) * F.lit(0.3)
+    clean_part = alpha_ratio(col) * F.lit(0.3)
+    return F.round(length_part + diversity_part + clean_part, 6)
+
+
+def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling-hash document fingerprint over token lengths
+    + first-char codes: acc = (acc*31 + tok_code) % mod, left fold —
+    order-sensitive (two docs with same words in different order get
+    different prints), cheap, cross-engine expressible."""
+    w = words(col)
+    codes = F.transform(w, lambda x: (F.length(x) * 131
+                                      + F.ascii(F.substring(x, 1, 1))).cast("long"))
+    return F.aggregate(codes, F.lit(0).cast("long"),
+                       lambda acc, v: (acc * 31 + v) % mod)

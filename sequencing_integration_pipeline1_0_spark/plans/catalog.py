@@ -639,3 +639,267 @@ def entry_flagship(spark: SparkSession) -> DataFrame:
     return (routed.groupBy("route", "o_orderstatus")
                   .agg(F.count(F.lit(1)).alias("n"))
                   .orderBy("route", "o_orderstatus"))
+
+
+# ----------------------------------------------------------------------
+# training-data ops wave 2: minhash/LSH, ngram jaccard, simhash,
+# embedding ANN, language-ID/quality/fingerprint, multimodal plumbing
+# ----------------------------------------------------------------------
+
+from ..operators import dedupe_scale, multimodal, similarity, textstats  # noqa: E402
+
+
+def _minhash_sig_sql(k: int = 8) -> str:
+    cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS s{i}"
+        for i in range(k))
+    return f"SELECT id, sh, [{', '.join(f's{i}' for i in range(k))}] AS sig " \
+           f"FROM (SELECT id, sh, {cols} FROM base)"
+
+
+_MINHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS sh
+  FROM documents),
+sig AS ({_minhash_sig_sql(8)}),
+banded AS (
+  SELECT id, b AS band_idx,
+         md5(array_to_string(list_slice(sig, b*2+1, b*2+2), '|')) AS band_key
+  FROM sig, unnest([0,1,2,3]) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM banded a JOIN banded c
+    ON a.band_idx = c.band_idx AND a.band_key = c.band_key AND a.id < c.id),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+  FROM cand p JOIN base x ON p.id_a = x.id JOIN base y ON p.id_b = y.id)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup dedup: shingle -> k=8 md5-minhash -> 4
+    bands -> band-bucket equi-join -> true-Jaccard verify >= 0.7
+    (scale generalization of the reference's blocked similarity join,
+    fuzzy.Rmd:560-603; LSH per Broder/MMDS)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedupe_scale.minhash_near_dups(
+        d, "doc_id", "text", shingle_n=1, k=8, bands=4, threshold=0.7)
+
+
+_NGRAM_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, lang AS blk,
+         list_distinct(list_transform(
+           range(0, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+           i -> concat_ws(' ',
+                regexp_split_to_array(trim(text), '\\s+')[i+1],
+                regexp_split_to_array(trim(text), '\\s+')[i+2],
+                regexp_split_to_array(trim(text), '\\s+')[i+3]))) AS sh
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard similarity join, blocked by lang
+    (brute-force verifier for the LSH path; blocking per
+    fuzzy_matching_functions.R:20-22)."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.size(dedupe_scale.words("text")) >= 3))
+    return dedupe_scale.ngram_jaccard_join(
+        d, "doc_id", "text", "lang", n=3, threshold=0.05)
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for j in range(16):
+        mask = 1 << j
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(ws, w -> CASE WHEN "
+            f"(CAST(('0x' || substr(md5(w),1,4)) AS INT) & {mask}) > 0 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {mask} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM base
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints (Charikar); near-dups have small
+    hamming distance between fingerprints."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    dedupe_scale.simhash16("text").cast("bigint").alias("simhash"))
+
+
+_COS_EXPR = """round(
+  list_reduce(list_transform(range(1, len(a.embedding)+1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y))), 6)"""
+
+_ANN_BRUTE_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id, {_COS_EXPR} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+ranked AS (
+  SELECT id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_brute_force_topk", _ANN_BRUTE_SQL)
+def ann_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-5 neighbors per embedding — the ANN baseline
+    (double-precision sequential fold, rounded 1e-6, id tie-break;
+    generalizes the argmin-match selection W4)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, "vec_id", "embedding", k=5)
+
+
+_ANN_LSH_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+    {" || ".join(f"(CASE WHEN embedding[{i+1}] >= 0 THEN '1' ELSE '0' END)"
+                 for i in range(8))} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id, {_COS_EXPR} AS cos_sim
+  FROM base a JOIN base b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+ranked AS (
+  SELECT id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_bucket_topk", _ANN_LSH_SQL)
+def ann_lsh_bucket_topk(spark, sf_dir):
+    """Approximate top-5 via sign-LSH bucketing: candidates share the
+    8-dim sign-bit bucket, turning the n^2 cross join into an
+    equi-join on the bucket key (the 100 TB path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, "vec_id", "embedding", k=5, bucket_dims=8)
+
+
+def _lang_id_sql() -> str:
+    markers = {
+        "de": "['der','die','das','und','ist']",
+        "en": "['the','and','of','a','is']",
+        "es": "['el','la','de','los','es']",
+        "fr": "['le','la','les','et','est']",
+    }
+    hits = ", ".join(
+        f"len(list_filter(ws, w -> list_contains({arr}, lower(w)))) AS h_{lang}"
+        for lang, arr in markers.items())
+    # fold in alphabetical order with strictly-greater replacement
+    best_h, best_l = "h_de", "'de'"
+    for lang in ["en", "es", "fr"]:
+        best_l = f"CASE WHEN h_{lang} > {best_h} THEN '{lang}' ELSE {best_l} END"
+        best_h = f"CASE WHEN h_{lang} > {best_h} THEN h_{lang} ELSE {best_h} END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+hits AS (SELECT doc_id, text, ws, {hits} FROM base)
+SELECT doc_id,
+  CASE WHEN {best_h} > 0 THEN {best_l} ELSE 'und' END AS lang_pred,
+  CAST(len(ws) AS INT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])', 1)) AS INT)
+    AS bpe_tokens,
+  round(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+        + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
+        + (CAST(length(regexp_replace(text, '[^A-Za-z \\t\\n]', '', 'g')) AS DOUBLE)
+           / length(text)) * 0.3, 6) AS quality,
+  list_reduce(list_transform(ws, w -> CAST(length(w)*131 + ascii(substr(w,1,1)) AS BIGINT)),
+              (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+FROM hits
+"""
+
+
+@register("text_lang_quality_fingerprint", _lang_id_sql())
+def text_lang_quality_fingerprint(spark, sf_dir):
+    """Language-ID (stopword-marker heuristic), whitespace + BPE-ish
+    token counts, composite quality score, rolling-hash fingerprint —
+    the text-analysis battery over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.lang_id("text").alias("lang_pred"),
+        textstats.token_count("text").alias("n_tokens"),
+        textstats.bpe_ish_token_count("text").alias("bpe_tokens"),
+        textstats.quality_score("text").alias("quality"),
+        textstats.fingerprint("text").alias("fingerprint"),
+    )
+
+
+_MM_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS INT) AS fake_width,
+       CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS INT) AS fake_height
+FROM documents
+"""
+
+
+@register("mm_decode_stub", _MM_SQL)
+def mm_decode_stub(spark, sf_dir):
+    """Multimodal decode plumbing: binary payload column -> Arrow
+    batches -> mapInPandas stub decoder (deterministic fake features).
+    The oracle checks the REAL plumbing (byte counts + md5 through the
+    Python worker); the decode itself is stubbed — no image libs in
+    this container (see operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(d, "text")
+    return multimodal.decode_stub(payload, "doc_id", "payload")
+
+
+_FRAME_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) // 64 AS INT) + 1 AS n_frames
+  FROM documents)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       md5(text || CAST(f AS VARCHAR)) AS frame_md5
+FROM base, unnest(range(0, n_frames)) AS t(f)
+"""
+
+
+@register("mm_frame_sample", _FRAME_SQL)
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling shape: 1 payload row -> N frame rows (explode on
+    byte windows), frame ids fingerprinted — the video-sampling
+    pattern with the decode stubbed."""
+    d = _t(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(d, "text")
+    return multimodal.frame_sample(payload, "doc_id", "payload", 64)
