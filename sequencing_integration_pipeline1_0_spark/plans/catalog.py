@@ -903,3 +903,661 @@ def mm_frame_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(d, "text")
     return multimodal.frame_sample(payload, "doc_id", "payload", 64)
+
+
+# ----------------------------------------------------------------------
+# wave 3: long-tail SURVEY §2 coverage — joins J2/J3/J9-J13, windows
+# W7-W9, aggregations A7/A8/A10, set ops U4/U5/U7, filters P4/P5/P7,
+# scalars F2/F5/F7/F10/F11/F14/F16/F17/F19/F20, state T3/T6, sink S11
+# ----------------------------------------------------------------------
+
+
+@register("j2_inner_exact", """
+SELECT o.o_orderkey, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'MACHINERY'
+""")
+def j2_inner_exact(spark, sf_dir):
+    """J2: inner equi-join (exact demographic match,
+    ref: S_Dropout_Records.Rmd:308)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner") \
+        .select("o_orderkey", "c_name")
+
+
+@register("j3_full_outer", """
+SELECT o.o_orderkey, c.c_custkey,
+  CASE WHEN o.o_orderkey IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'
+       WHEN o.o_orderkey IS NOT NULL THEN 'left_only'
+       ELSE 'right_only' END AS presence
+FROM (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+FULL OUTER JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
+  ON o.o_custkey = c.c_custkey
+""")
+def j3_full_outer(spark, sf_dir):
+    """J3: full outer join combining two partial universes
+    (ref: phl.Rmd:497-506)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000) \
+        .select("c_custkey")
+    j = o.join(c, o.o_custkey == c.c_custkey, "outer")
+    return j.select(
+        "o_orderkey", "c_custkey",
+        F.when(F.col("o_orderkey").isNotNull() & F.col("c_custkey").isNotNull(), "both")
+         .when(F.col("o_orderkey").isNotNull(), "left_only")
+         .otherwise("right_only").alias("presence"))
+
+
+@register("j9_coalesce_fill", """
+SELECT o.o_orderkey,
+  COALESCE(CASE WHEN o.o_orderkey % 7 = 0 THEN NULL ELSE o.o_orderpriority END,
+           c.c_mktsegment) AS priority_filled
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def j9_coalesce_fill(spark, sf_dir):
+    """J9: join + multi-source coalesce backfill (fill missing from the
+    joined side, ref: phl.Rmd:580-592, fuzzy.Rmd:322-339)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    holey = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)) \
+             .otherwise(F.col("o_orderpriority"))
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+             .select("o_orderkey",
+                     F.coalesce(holey, F.col("c_mktsegment")).alias("priority_filled")))
+
+
+@register("j10_suffix_compare", """
+SELECT x.o_custkey, x.o_orderkey AS ok_x, y.o_orderkey AS ok_y,
+       x.o_orderstatus AS status_x, y.o_orderstatus AS status_y
+FROM orders x JOIN orders y
+  ON x.o_custkey = y.o_custkey AND x.o_orderkey < y.o_orderkey
+ AND x.o_orderstatus <> y.o_orderstatus
+""")
+def j10_suffix_compare(spark, sf_dir):
+    """J10: self-join with suffix disambiguation + cross-column
+    comparison (ref: QA_DUPLICATES.Rmd:265-270)."""
+    o = _t(spark, sf_dir, "orders")
+    x = o.alias("x")
+    y = o.alias("y")
+    return (x.join(y, (F.col("x.o_custkey") == F.col("y.o_custkey"))
+                   & (F.col("x.o_orderkey") < F.col("y.o_orderkey"))
+                   & (F.col("x.o_orderstatus") != F.col("y.o_orderstatus")))
+             .select(F.col("x.o_custkey").alias("o_custkey"),
+                     F.col("x.o_orderkey").alias("ok_x"),
+                     F.col("y.o_orderkey").alias("ok_y"),
+                     F.col("x.o_orderstatus").alias("status_x"),
+                     F.col("y.o_orderstatus").alias("status_y")))
+
+
+@register("j11_variant_expansion", """
+WITH expanded AS (
+  SELECT c_custkey, v AS name_variant
+  FROM customer, unnest([c_name, replace(c_name, 'Customer', 'CUST')]) AS t(v)),
+target AS (
+  SELECT CASE WHEN c_custkey % 2 = 0
+              THEN replace(c_name, 'Customer', 'CUST') ELSE c_name END AS name_seen,
+         c_custkey AS target_key
+  FROM customer)
+SELECT e.c_custkey, t.target_key, e.name_variant
+FROM expanded e JOIN target t ON e.name_variant = t.name_seen
+""")
+def j11_variant_expansion(spark, sf_dir):
+    """J11: alternate-key row expansion before matching — explode an
+    array of name variants so the join can hit either spelling
+    (ref: fuzzy.Rmd:252-265, SGTF_template_matching.Rmd:215-246)."""
+    c = _t(spark, sf_dir, "customer")
+    expanded = c.select(
+        "c_custkey",
+        F.explode(F.array(
+            F.col("c_name"),
+            F.regexp_replace("c_name", "Customer", "CUST"))).alias("name_variant"))
+    target = c.select(
+        F.when(F.col("c_custkey") % 2 == 0,
+               F.regexp_replace("c_name", "Customer", "CUST"))
+         .otherwise(F.col("c_name")).alias("name_seen"),
+        F.col("c_custkey").alias("target_key"))
+    return expanded.join(target,
+                         expanded.name_variant == target.name_seen, "inner") \
+        .select("c_custkey", "target_key", "name_variant")
+
+
+@register("j13_precedence_backfill", """
+SELECT o.o_orderkey,
+  CASE WHEN o.o_orderstatus = 'F' AND c.c_mktsegment IS NOT NULL
+         THEN 'final_known_segment'
+       WHEN o.o_orderstatus = 'F' THEN 'final_unknown'
+       WHEN c.c_mktsegment IS NOT NULL THEN c.c_mktsegment
+       ELSE 'unmatched' END AS epi_isl_backfill
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 2000) c
+  ON o.o_custkey = c.c_custkey
+""")
+def j13_precedence_backfill(spark, sf_dir):
+    """J13: enrichment left join + 4-case precedence when-chain
+    backfill (EPI_ISL pattern, ref: ROSTER_COMPILE.Rmd:227-245)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 2000) \
+        .select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return j.select(
+        "o_orderkey",
+        F.when((F.col("o_orderstatus") == "F") & F.col("c_mktsegment").isNotNull(),
+               "final_known_segment")
+         .when(F.col("o_orderstatus") == "F", "final_unknown")
+         .when(F.col("c_mktsegment").isNotNull(), F.col("c_mktsegment"))
+         .otherwise("unmatched").alias("epi_isl_backfill"))
+
+
+@register("w7_custom_order_dedup", """
+SELECT user_id, event_id, event_type FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id
+  ORDER BY CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+           epoch_us(ts), event_id) = 1
+""")
+def w7_custom_order_dedup(spark, sf_dir):
+    """W7: grouped custom-priority ordering before positional dedup
+    (preferred observation first, ref: elr.Rmd:494-502)."""
+    e = _t(spark, sf_dir, "events")
+    return dedup.dedup_first(
+        e, ["user_id"],
+        [F.when(F.col("event_type") == "signup", 0).otherwise(1),
+         F.col("ts_us"), F.col("event_id")],
+    ).select("user_id", "event_id", "event_type")
+
+
+@register("w8_cascade_dup_flags", """
+SELECT o_orderkey,
+  CASE WHEN cnt3 > 1 THEN 1 END AS dup_tier1,
+  CASE WHEN cnt2 > 1 AND NOT cnt3 > 1 THEN 1 END AS dup_tier2,
+  CASE WHEN cnt1 > 1 AND NOT cnt3 > 1 AND NOT cnt2 > 1 THEN 1 END AS dup_tier3
+FROM (
+  SELECT o_orderkey,
+    count(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE), o_orderpriority) AS cnt3,
+    count(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) AS cnt2,
+    count(*) OVER (PARTITION BY o_custkey) AS cnt1
+  FROM orders)
+""")
+def w8_cascade_dup_flags(spark, sf_dir):
+    """W8: layered dedup-window flags with lower-tier suppression
+    (ref: wdrs_qa_functions.R:196-225)."""
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("od", F.col("o_orderdate").cast("date")))
+    out = dedup.cascade_dup_flags(
+        o, [["o_custkey", "od", "o_orderpriority"],
+            ["o_custkey", "od"], ["o_custkey"]])
+    return out.select("o_orderkey", "dup_tier1", "dup_tier2", "dup_tier3")
+
+
+@register("w9_group_id", """
+SELECT o_orderkey,
+       CAST(dense_rank() OVER (ORDER BY year(o_orderdate)) AS INT) AS block_id
+FROM orders
+""")
+def w9_group_id(spark, sf_dir):
+    """W9: cur_group_id() per block (ref: fuzzy.Rmd:569-571) —
+    dense_rank over the block key."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.dense_rank().over(Window.orderBy(F.year("o_orderdate"))).alias("block_id"))
+
+
+@register("a7_formatted_matrix", """
+WITH counts AS (
+  SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS n
+  FROM orders GROUP BY 1, 2),
+tot AS (
+  SELECT yr, o_orderstatus, n,
+         CAST(sum(n) OVER (PARTITION BY yr) AS BIGINT) AS yr_total
+  FROM counts)
+SELECT yr, o_orderstatus,
+       printf('%d (%.2f%%)', n, n * 100.0 / yr_total) AS n_pct
+FROM tot
+""")
+def a7_formatted_matrix(spark, sf_dir):
+    """A7: count matrix with per-year percent string formatting
+    "n (x.xx%)" (ref: gap_data.Rmd:408-462)."""
+    o = _t(spark, sf_dir, "orders")
+    counts = (o.groupBy(F.year("o_orderdate").alias("yr"), "o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("yr")
+    return (counts.withColumn("yr_total", F.sum("n").over(w))
+            .select("yr", "o_orderstatus",
+                    F.format_string("%d (%.2f%%)", F.col("n"),
+                                    F.col("n") * 100.0 / F.col("yr_total"))
+                     .alias("n_pct")))
+
+
+@register("a8_missing_level", """
+SELECT COALESCE(CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END,
+                '(Missing)') AS priority, count(*) AS n
+FROM orders GROUP BY 1
+""")
+def a8_missing_level(spark, sf_dir):
+    """A8: missing-as-level frequency summary (fct_explicit_na,
+    ref: pipeline_counts.qmd:243-250)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "priority", F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+                     .otherwise(F.col("o_orderpriority")))
+    out = agg.with_missing_level(o, "priority")
+    return out.groupBy("priority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("a10_melt_count_pivot", """
+WITH flags AS (
+  SELECT year(o_orderdate) AS yr,
+    CASE WHEN o_totalprice > 250000 THEN 1 END AS QA_PRICE,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END AS QA_URGENT,
+    CASE WHEN o_orderstatus = 'F' THEN 1 END AS QA_FINAL
+  FROM orders)
+SELECT variable,
+  CAST(sum(CASE WHEN yr = 1995 THEN v END) AS BIGINT) AS y1995,
+  CAST(sum(CASE WHEN yr = 1996 THEN v END) AS BIGINT) AS y1996,
+  CAST(sum(CASE WHEN yr = 1997 THEN v END) AS BIGINT) AS y1997
+FROM (
+  SELECT yr, 'QA_PRICE' AS variable, QA_PRICE AS v FROM flags
+  UNION ALL SELECT yr, 'QA_URGENT', QA_URGENT FROM flags
+  UNION ALL SELECT yr, 'QA_FINAL', QA_FINAL FROM flags)
+WHERE v IS NOT NULL AND yr IN (1995, 1996, 1997)
+GROUP BY variable
+""")
+def a10_melt_count_pivot(spark, sf_dir):
+    """A10: gather flag columns -> count by year -> re-widen
+    (ref: wdrs_qa_main.R:303-340) using built-in unpivot + pivot."""
+    o = _t(spark, sf_dir, "orders")
+    flagged = qa.apply_flag_exprs(o, {
+        "QA_PRICE": F.col("o_totalprice") > 250000,
+        "QA_URGENT": F.col("o_orderpriority") == "1-URGENT",
+        "QA_FINAL": F.col("o_orderstatus") == "F",
+    }).withColumn("yr", F.year("o_orderdate"))
+    melted = flagged.unpivot("yr", ["QA_PRICE", "QA_URGENT", "QA_FINAL"],
+                             "variable", "v")
+    out = (melted.filter(F.col("v").isNotNull() & F.col("yr").isin(1995, 1996, 1997))
+           .groupBy("variable").pivot("yr", [1995, 1996, 1997])
+           .agg(F.sum("v")))
+    return out.select("variable",
+                      F.col("1995").cast("bigint").alias("y1995"),
+                      F.col("1996").cast("bigint").alias("y1996"),
+                      F.col("1997").cast("bigint").alias("y1997"))
+
+
+@register("u4_dedup_ignoring", """
+SELECT o_custkey, o_orderdate, o_orderkey FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                           ORDER BY o_orderkey) = 1
+""")
+def u4_dedup_ignoring(spark, sf_dir):
+    """U4: distinct across all columns except the ignored ones, keeping
+    a deterministic survivor (ref: fuzzy.Rmd:752-753,907)."""
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("od", F.col("o_orderdate").cast("date"))
+         .select("o_custkey", "od", "o_orderdate", "o_orderkey"))
+    out = dedup.dedup_first(o, ["o_custkey", "od"], ["o_orderkey"])
+    return out.select("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register("u5_setdiff_assert", """
+SELECT o_orderkey FROM orders
+EXCEPT ALL
+SELECT l_orderkey FROM lineitem
+""")
+def u5_setdiff_assert(spark, sf_dir):
+    """U5: setdiff diagnostics (orders that never shipped a line item;
+    the reference asserts such diffs are empty,
+    ref: Review Missing Lineages.Rmd:155-167)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"))
+    return o.exceptAll(li)
+
+
+@register("u7_priority_dedup", """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events)
+WHERE event_type <> 'click' OR rn = 1
+""")
+def u7_priority_dedup(spark, sf_dir):
+    """U7: conditional source-priority dedup — keep ONE 'click' copy
+    per user but ALL other event copies (one-PHL-copy-per-GISAID_ID
+    pattern, ref: read_all_data.Rmd:333-346)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type") \
+              .orderBy(F.col("ts_us"), F.col("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+             .filter((F.col("event_type") != "click") | (F.col("rn") == 1))
+             .select("user_id", "event_id", "event_type"))
+
+
+@register("p4_anti_membership_ci", """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE lower(o_orderpriority) NOT IN (
+  SELECT DISTINCT lower(o_orderpriority) FROM orders WHERE o_orderstatus = 'P'
+  AND o_totalprice > 290000 AND o_orderpriority LIKE '%-%E%')
+""")
+def p4_anti_membership_ci(spark, sf_dir):
+    """P4: case-insensitive anti-membership filter against a pulled
+    value set (ref: gap_data.Rmd:180 tolower-both-sides; phl.Rmd:541)
+    — left_anti join, scales past the in-memory %in% vector."""
+    o = _t(spark, sf_dir, "orders")
+    seen = (o.filter((F.col("o_orderstatus") == "P")
+                     & (F.col("o_totalprice") > 290000)
+                     & F.col("o_orderpriority").like("%-%E%"))
+             .select(F.lower("o_orderpriority").alias("k")).distinct())
+    return (o.withColumn("k", F.lower("o_orderpriority"))
+             .join(F.broadcast(seen), "k", "left_anti")
+             .select("o_orderkey", "o_orderpriority"))
+
+
+@register("p5_empty_row_drop", """
+WITH holey AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS a,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS b
+  FROM orders)
+SELECT o_orderkey, a, b FROM holey
+WHERE NOT (a IS NULL AND b IS NULL)
+""")
+def p5_empty_row_drop(spark, sf_dir):
+    """P5: all-NA row elimination (rowSums(!is.na)>0,
+    ref: template_submitters.Rmd:253-276)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+         .otherwise(F.col("o_orderstatus")).alias("a"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+         .otherwise(F.col("o_orderpriority")).alias("b"))
+    return o.na.drop(how="all", subset=["a", "b"])
+
+
+@register("p7_sentinel_scan", """
+WITH rows_ AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 13 = 0 THEN 'QA CHECK FAIL: bad row'
+         ELSE 'ok' END AS note
+  FROM orders)
+SELECT o_orderkey,
+  (o_orderstatus LIKE '%QA CHECK FAIL%' OR note LIKE '%QA CHECK FAIL%')
+    AS has_sentinel
+FROM rows_
+""")
+def p7_sentinel_scan(spark, sf_dir):
+    """P7: row-scan for sentinel strings across all columns
+    (ref: elr.Rmd:560-579) via exists() over array of columns."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("QA CHECK FAIL: bad row"))
+         .otherwise(F.lit("ok")).alias("note"))
+    out = qa.sentinel_row_scan(o, cols=["o_orderstatus", "note"])
+    return out.select("o_orderkey", "has_sentinel")
+
+
+@register("f2_name_concat_flip", """
+SELECT c_custkey,
+  concat_ws('_', regexp_extract(c_name, '^([^#]+)#', 1),
+                 regexp_extract(c_name, '#(.*)$', 1)) AS first_last,
+  concat_ws('_', regexp_extract(c_name, '#(.*)$', 1),
+                 regexp_extract(c_name, '^([^#]+)#', 1)) AS last_first
+FROM customer
+""")
+def f2_name_concat_flip(spark, sf_dir):
+    """F2: NA-safe name concat + flipped variant
+    (ref: fuzzy.Rmd:525-528,575-576)."""
+    c = _t(spark, sf_dir, "customer")
+    first = F.regexp_extract("c_name", r"^([^#]+)#", 1)
+    last = F.regexp_extract("c_name", r"#(.*)$", 1)
+    return c.select("c_custkey",
+                    cleaning.name_concat(first, last).alias("first_last"),
+                    cleaning.name_flip(first, last).alias("last_first"))
+
+
+@register("f5_accession_decompose", """
+WITH synth AS (
+  SELECT o_orderkey,
+    'hCoV-19/USA/WA-CDC-' || CAST(o_custkey AS VARCHAR) || '/' ||
+       CAST(year(o_orderdate) AS VARCHAR) AS acc
+  FROM orders)
+SELECT o_orderkey,
+  regexp_replace(acc, '^hCoV-19/', '') AS acc_no_prefix,
+  regexp_extract(regexp_replace(acc, '^hCoV-19/', ''), '^USA/([A-Z]{2})-', 1) AS acc_state,
+  regexp_extract(regexp_replace(acc, '^hCoV-19/', ''), '/([0-9]{4})$', 1) AS acc_year,
+  regexp_extract(regexp_replace(acc, '^hCoV-19/', ''),
+                 '^USA/[A-Z]{2}-(.*)/[0-9]{4}$', 1) AS acc_middle,
+  regexp_replace(regexp_replace(acc, '^hCoV-19/', ''), '[^A-Za-z0-9]', '', 'g')
+    AS acc_no_punct
+FROM synth
+""")
+def f5_accession_decompose(spark, sf_dir):
+    """F5: GISAID-ID decomposition bundle (table-in/table-out as plain
+    withColumns, ref: wdrs_qa_functions.R:289-332)."""
+    o = _t(spark, sf_dir, "orders")
+    synth = o.select(
+        "o_orderkey",
+        F.concat(F.lit("hCoV-19/USA/WA-CDC-"),
+                 F.col("o_custkey").cast("string"), F.lit("/"),
+                 F.year("o_orderdate").cast("string")).alias("acc"))
+    parts = acc.split_gisaid_id("acc")
+    return synth.withColumns(parts).select(
+        "o_orderkey", "acc_no_prefix", "acc_state", "acc_year",
+        "acc_middle", "acc_no_punct")
+
+
+@register("f7_text_extraction", """
+SELECT event_id,
+  regexp_extract(props, '"k": ([0-9]+)', 1) AS k_value,
+  CASE WHEN regexp_matches(props, '"k": ([0-9]+)')
+            AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) >= 50
+       THEN 'high' ELSE 'low' END AS k_band
+FROM events
+""")
+def f7_text_extraction(spark, sf_dir):
+    """F7: regex extraction from free text + vocab banding
+    (lineage-from-TEST__RESULT pattern, ref: elr.Rmd:409-442)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1)
+    return e.select(
+        "event_id", k.alias("k_value"),
+        F.when((k != "") & (k.try_cast("int") >= 50), "high")
+         .otherwise("low").alias("k_band"))
+
+
+@register("f10_status_remap", """
+SELECT o_orderkey,
+  CASE upper(trim(o_orderstatus))
+    WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINAL' WHEN 'P' THEN 'PENDING'
+    ELSE o_orderstatus END AS status_norm
+FROM orders
+""")
+def f10_status_remap(spark, sf_dir):
+    """F10: status vocabulary normalization via exact remap
+    (ref: phl.Rmd:519-537 'COMPLETED {1822}'->'COMPLETE')."""
+    from ..functions import vocab
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey",
+                    vocab.remap_exact("o_orderstatus",
+                                      {"O": "OPEN", "F": "FINAL", "P": "PENDING"})
+                    .alias("status_norm"))
+
+
+@register("f11_notes_template", """
+SELECT o_orderkey,
+  'Lineage identified as ' || o_orderpriority || ' on 2023-01-15. ' ||
+  'Lineage assignments may change over time.' AS notes
+FROM orders WHERE o_orderstatus = 'F'
+""")
+def f11_notes_template(spark, sf_dir):
+    """F11: SEQUENCE_NOTES templating
+    (ref: template_submitters.Rmd:778-786)."""
+    from ..functions import vocab
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return o.select(
+        "o_orderkey",
+        vocab.notes_template("o_orderpriority",
+                             F.lit("2023-01-15").cast("date")).alias("notes"))
+
+
+@register("f14_conditional_bundle", """
+SELECT o_orderkey,
+  CASE WHEN o_totalprice > 300000 THEN 'jumbo'
+       WHEN o_totalprice > 200000 THEN 'large'
+       WHEN o_totalprice > 100000 THEN 'medium'
+       WHEN o_totalprice > 50000 THEN 'small'
+       ELSE 'tiny' END AS size_band,
+  NULLIF(o_orderstatus, 'P') AS status_nullified,
+  COALESCE(NULLIF(o_orderstatus, 'P'), o_orderpriority, 'unknown') AS first_known,
+  COALESCE(NULLIF(o_orderstatus, 'P'), '(none)') AS status_filled
+FROM orders
+""")
+def f14_conditional_bundle(spark, sf_dir):
+    """F14: the conditional-expression family — case_when tower,
+    na_if, n-ary coalesce, replace_na
+    (ref: ROSTER_COMPILE.Rmd:230-238, elr.Rmd:524)."""
+    o = _t(spark, sf_dir, "orders")
+    nullified = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "jumbo")
+         .when(F.col("o_totalprice") > 200000, "large")
+         .when(F.col("o_totalprice") > 100000, "medium")
+         .when(F.col("o_totalprice") > 50000, "small")
+         .otherwise("tiny").alias("size_band"),
+        nullified.alias("status_nullified"),
+        F.coalesce(nullified, F.col("o_orderpriority"), F.lit("unknown"))
+         .alias("first_known"),
+        F.coalesce(nullified, F.lit("(none)")).alias("status_filled"))
+
+
+@register("f16_char_counts", """
+SELECT doc_id,
+  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+  (text LIKE '%spark%') AS mentions_spark,
+  regexp_matches(text, '[0-9]') AS has_digit
+FROM documents
+""")
+def f16_char_counts(spark, sf_dir):
+    """F16: str_count-style character accounting + contains/rlike
+    checks (ref: wdrs_qa_functions.R:154-167)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        acc.space_count("text").cast("int").alias("n_spaces"),
+        F.col("text").contains("spark").alias("mentions_spark"),
+        F.col("text").rlike("[0-9]").alias("has_digit"))
+
+
+@register("f17_warning_concat", """
+WITH w AS (
+  SELECT o_orderkey,
+    CASE WHEN o_totalprice > 300000 THEN 'Warning: jumbo order' END AS w1,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 'Warning: urgent' END AS w2,
+    CASE WHEN o_orderstatus = 'P' THEN 'Warning: pending' END AS w3
+  FROM orders)
+SELECT o_orderkey, concat_ws('|', w1, w2, w3) AS flag
+FROM w
+WHERE concat_ws('|', w1, w2, w3) LIKE '%Warning%'
+""")
+def f17_warning_concat(spark, sf_dir):
+    """F17: human-readable warning-string flags united into one
+    pipe-delimited column, filter on detection
+    (ref: wdrs_qa_functions.R:65-191, wdrs_qa_main.R:256-268)."""
+    o = _t(spark, sf_dir, "orders")
+    w1 = F.when(F.col("o_totalprice") > 300000, "Warning: jumbo order")
+    w2 = F.when(F.col("o_orderpriority") == "1-URGENT", "Warning: urgent")
+    w3 = F.when(F.col("o_orderstatus") == "P", "Warning: pending")
+    flag = F.concat_ws("|", w1, w2, w3)
+    return (o.select("o_orderkey", flag.alias("flag"))
+             .filter(F.col("flag").contains("Warning")))
+
+
+@register("f19_initials", """
+SELECT p_partkey,
+  array_to_string(list_transform(regexp_split_to_array(substr(p_name, 1, 20), ' '),
+                                 w -> substr(w, 1, 1)), '') AS initials
+FROM part
+""")
+def f19_initials(spark, sf_dir):
+    """F19: makeInitials abbreviation generator (truncate 20, split on
+    space, first letters; ref: wdrs_qa_functions.R:342-347)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.array_join(
+            F.transform(F.split(F.substring("p_name", 1, 20), " "),
+                        lambda w: F.substring(w, 1, 1)), "").alias("initials"))
+
+
+@register("f20_to_json", """
+SELECT o_orderkey,
+  to_json({'o_orderkey': o_orderkey, 'o_orderstatus': o_orderstatus,
+           'o_orderpriority': o_orderpriority}) AS row_json
+FROM orders
+""")
+def f20_to_json(spark, sf_dir):
+    """F20: JSON row serialization for raw-submission archival
+    (ref: functions.R:229-236)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_orderpriority"))
+         .alias("row_json"))
+
+
+@register("t3_ttl_expiry", """
+WITH aged AS (
+  SELECT event_id, user_id, value,
+         CAST(to_timestamp(epoch_us(ts) / 1000000.0) AS DATE) AS d
+  FROM events)
+SELECT event_id, user_id,
+  concat_ws(';',
+    CASE WHEN d < DATE '2024-03-01' - INTERVAL 60 DAY THEN 'expired_60d' END,
+    CASE WHEN value < 1.0 THEN 'low_value' END) AS delete_reason
+FROM aged
+WHERE d < DATE '2024-03-01' - INTERVAL 60 DAY OR value < 1.0
+""")
+def t3_ttl_expiry(spark, sf_dir):
+    """T3: retry-queue TTL expiry with united reason annotation
+    (keep_na 60-day retention, ref: KEEP_NA...Rmd:699-763)."""
+    e = _t(spark, sf_dir, "events")
+    d = F.timestamp_micros(F.col("ts_us")).cast("date")
+    expired = d < F.date_sub(F.lit("2024-03-01").cast("date"), 60)
+    low = F.col("value") < 1.0
+    return (e.select("event_id", "user_id",
+                     F.concat_ws(";",
+                                 F.when(expired, "expired_60d"),
+                                 F.when(low, "low_value")).alias("delete_reason"),
+                     expired.alias("__e"), low.alias("__l"))
+             .filter(F.col("__e") | F.col("__l"))
+             .drop("__e", "__l"))
+
+
+@register("t6_loss_prevention", """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+  UNION SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+""")
+def t6_loss_prevention(spark, sf_dir):
+    """T6: rows_printed accounting — inputs minus union of routed
+    outputs = carryover (ref: fuzzy.Rmd:1079-1085 saved_rows)."""
+    o = _t(spark, sf_dir, "orders")
+    out_a = o.filter(F.col("o_orderstatus") == "O")
+    out_b = o.filter(F.col("o_orderstatus") == "F")
+    return cdc.loss_prevention(o, [out_a, out_b], "o_orderkey") \
+        .select("o_orderkey", "o_orderstatus")
+
+
+@register("s11_chunk_assignment", """
+SELECT o_orderkey,
+  CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 500 AS INT) AS chunk
+FROM orders
+""")
+def s11_chunk_assignment(spark, sf_dir):
+    """S11: chunked-sink row assignment — <=500-row upload chunks
+    (ref: ROSTER_COMPILE.Rmd:386-398)."""
+    from ..sources import sinks
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return sinks.add_chunk_id(o, ["o_orderkey"], 500)
