@@ -1561,3 +1561,525 @@ def s11_chunk_assignment(spark, sf_dir):
     from ..sources import sinks
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
     return sinks.add_chunk_id(o, ["o_orderkey"], 500)
+
+
+# ----------------------------------------------------------------------
+# wave 4: checklist completion — P1/P2, A3, W3/W5, U1/U3/U6, J12,
+# F3/F6/F8/F9/F15/F18, T5, S1 NA-normalization, packed co-explosion
+# (§1.2), and the §3.2 fuzzy band-routing composite
+# ----------------------------------------------------------------------
+
+from ..functions import vocab  # noqa: E402
+from ..operators import packed  # noqa: E402
+from ..functions.cleaning import NA_STRINGS, normalize_na, strip_prefix  # noqa: E402
+
+
+@register("p1_select_contract", """
+SELECT o_orderkey AS CASE_ID,
+       o_orderstatus AS SEQUENCE_STATUS,
+       strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y')
+         AS SEQUENCE_SPECIMEN_COLLECTION_DATE
+FROM orders
+""")
+def p1_select_contract(spark, sf_dir):
+    """P1: positional select/rename contract — the 17-col roster shape
+    (ref: ROSTER_COMPILE.Rmd:175-213)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("CASE_ID"),
+        F.col("o_orderstatus").alias("SEQUENCE_STATUS"),
+        dates.render_mdY(F.col("o_orderdate").cast("date"))
+            .alias("SEQUENCE_SPECIMEN_COLLECTION_DATE"))
+
+
+@register("p2_drop_regex", """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, l_tax
+FROM lineitem
+""")
+def p2_drop_regex(spark, sf_dir):
+    """P2: negative select by regex — drop matching columns
+    (ref: ROSTER_COMPILE.Rmd:165 select(-matches(...)))."""
+    import re as _re
+    li = _t(spark, sf_dir, "lineitem")
+    pat = _re.compile(r"^(l_returnflag|l_linestatus|l_ship.*)$")
+    return li.drop(*[c for c in li.columns if pat.match(c)])
+
+
+@register("a3_flag_colsums", """
+SELECT CAST(sum(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS BIGINT) AS QA_BIGQTY,
+       CAST(sum(CASE WHEN l_discount >= 0.09 THEN 1 ELSE 0 END) AS BIGINT) AS QA_DEEPDISC,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS QA_RETURNED,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+""")
+def a3_flag_colsums(spark, sf_dir):
+    """A3: column sums of flag columns — the printed QA summary table
+    (ref: quality_filters.R:195-199, fuzzy.Rmd:456-460)."""
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = qa.apply_flag_exprs(li, {
+        "QA_BIGQTY": F.col("l_quantity") >= 45,
+        "QA_DEEPDISC": F.col("l_discount") >= 0.09,
+        "QA_RETURNED": F.col("l_returnflag") == "R",
+    })
+    return qa.qa_summary(flagged, ["QA_BIGQTY", "QA_DEEPDISC", "QA_RETURNED"])
+
+
+@register("w3_group_size_split", """
+SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+QUALIFY count(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) > 1
+""")
+def w3_group_size_split(spark, sf_dir):
+    """W3: group-size predicate filter — the duplicate-triage n()>1
+    branch (ref: QA_for_review.Rmd:266-307)."""
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("od", F.col("o_orderdate").cast("date")))
+    out = dedup.group_size_filter(o, ["o_custkey", "od"], lambda n: n > 1)
+    return out.select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+@register("w5_multiple_match_flag", """
+SELECT o.o_orderkey,
+  CASE WHEN count(*) OVER (PARTITION BY o.o_orderkey) > 1 THEN 1 END
+    AS QA_MULTIPLE_MATCH
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity >= 48
+""")
+def w5_multiple_match_flag(spark, sf_dir):
+    """W5: QA_MULTIPLE_MATCH — flag probe rows that matched more than
+    one candidate after a link join (ref: fuzzy.Rmd:929,969)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") >= 48).select("l_orderkey"))
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "inner").select("o_orderkey")
+    return dedup.dup_flag(j, ["o_orderkey"], "QA_MULTIPLE_MATCH")
+
+
+@register("u1_union_provenance", """
+SELECT l_orderkey, l_linenumber, 'file_a' AS src FROM lineitem WHERE l_linenumber <= 2
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'file_b' AS src FROM lineitem WHERE l_linenumber > 2
+""")
+def u1_union_provenance(spark, sf_dir):
+    """U1: same-schema union of many sources with a provenance id
+    column (ref: ROSTER_COMPILE.Rmd:135-157 map_df(.id='index'))."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a = li.filter(F.col("l_linenumber") <= 2).withColumn("src", F.lit("file_a"))
+    b = li.filter(F.col("l_linenumber") > 2).withColumn("src", F.lit("file_b"))
+    return a.unionByName(b)
+
+
+@register("u3_distinct_rows", """
+SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty
+FROM lineitem
+""")
+def u3_distinct_rows(spark, sf_dir):
+    """U3: exact-duplicate removal via distinct()
+    (ref: ROSTER_COMPILE.Rmd:243, KEEP_NA...Rmd:359-365)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_returnflag", "l_linestatus",
+                      F.col("l_quantity").cast("int").alias("qty"))
+              .dropDuplicates())
+
+
+@register("u6_review_union_running", """
+WITH unioned AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY event_id ORDER BY epoch_us(ts), user_id) AS rn
+  FROM (
+    SELECT * FROM events WHERE epoch_us(ts) < epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+    UNION ALL
+    SELECT * FROM events WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-15 00:00:00')))
+SELECT event_id, user_id,
+       (event_type = 'purchase') AS completed
+FROM unioned WHERE rn = 1
+""")
+def u6_review_union_running(spark, sf_dir):
+    """U6: union of review streams into a running list (overlapping
+    batches), distinct on the key, completion flagging
+    (ref: fuzzy.Rmd:1189-1195, QA_for_review.Rmd:1027-1055)."""
+    e = _t(spark, sf_dir, "events")
+    running = e.filter(F.col("ts_us") < 1706745600000000)   # < 2024-02-01
+    incoming = e.filter(F.col("ts_us") >= 1705276800000000)  # >= 2024-01-15
+    unioned = running.unionByName(incoming)
+    deduped = dedup.dedup_first(unioned, ["event_id"], ["ts_us", "user_id"])
+    return deduped.select(
+        "event_id", "user_id",
+        (F.col("event_type") == "purchase").alias("completed"))
+
+
+@register("j12_dim_lookup", """
+SELECT c.c_custkey, n.n_name AS nation_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+""")
+def j12_dim_lookup(spark, sf_dir):
+    """J12: broadcast dimension-lookup join (positional vocab remap at
+    scale, ref: phl.Rmd:700-705)."""
+    c = _t(spark, sf_dir, "customer")
+    n = (_t(spark, sf_dir, "nation")
+         .select(F.col("n_nationkey").alias("c_nationkey"),
+                 F.col("n_name").alias("nation_name")))
+    return vocab.lookup_join(c, n, "c_nationkey").select("c_custkey", "nation_name")
+
+
+@register("f3_prefix_strip", """
+WITH raw AS (
+  SELECT p_partkey,
+    CASE WHEN p_partkey % 3 = 0 THEN 'hCoV-19/' || p_name
+         WHEN p_partkey % 3 = 1 THEN '  ' || p_name || '  '
+         ELSE p_name END AS acc
+  FROM part)
+SELECT p_partkey, trim(regexp_replace(acc, '^hCoV-19/', '')) AS acc_clean
+FROM raw
+WHERE trim(regexp_replace(acc, '^hCoV-19/', '')) <> ''
+""")
+def f3_prefix_strip(spark, sf_dir):
+    """F3: literal-prefix strip + trim + empty-string drop
+    (ref: ROSTER_COMPILE.Rmd:91-98)."""
+    p = _t(spark, sf_dir, "part")
+    raw = (F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("hCoV-19/"), F.col("p_name")))
+            .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit("  "), F.col("p_name"), F.lit("  ")))
+            .otherwise(F.col("p_name")))
+    cleaned = strip_prefix(raw)
+    return (p.select("p_partkey", cleaned.alias("acc_clean"))
+             .filter(F.col("acc_clean") != ""))
+
+
+@register("f6_length_keyed_rewrite", """
+WITH raw AS (
+  SELECT o_orderkey, 'UW-' || CAST(o_custkey AS VARCHAR) AS acc,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders)
+SELECT o_orderkey,
+  CASE WHEN length(acc) = 7
+       THEN regexp_replace(acc, '^UW-(.*)$', 'UW-' || strftime(d, '%y%m') || '-\\1')
+       ELSE acc END AS acc_rewritten
+FROM raw
+""")
+def f6_length_keyed_rewrite(spark, sf_dir):
+    """F6: UW alternate-accession synthesis — length-keyed rewrite
+    inserting %y%m from the collection date via back-reference gsub
+    (ref: gap_data.Rmd:184-196)."""
+    o = _t(spark, sf_dir, "orders")
+    acc_raw = F.concat(F.lit("UW-"), F.col("o_custkey").cast("string"))
+    d = F.col("o_orderdate").cast("date")
+    rewritten = F.when(
+        F.length(acc_raw) == 7,
+        F.regexp_replace(acc_raw, F.lit(r"^UW-(.*)$"),
+                         F.concat(F.lit("UW-"), F.date_format(d, "yyMM"), F.lit("-$1")))
+    ).otherwise(acc_raw)
+    return o.select("o_orderkey", rewritten.alias("acc_rewritten"))
+
+
+_F8_KEYS = list(vocab.LAB_ALIASES)
+_F8_POOL = _F8_KEYS + ["SOME RANDOM LAB"]
+
+
+def _f8_sql() -> str:
+    pool = ", ".join(f"'{k.lower()}'" for k in _F8_POOL)
+    branches = "\n".join(
+        f"    WHEN upper(raw) LIKE '%{k}%' THEN '{v}'"
+        for k, v in vocab.LAB_ALIASES.items())
+    return f"""
+WITH raw_t AS (
+  SELECT c_custkey,
+    'submitted by ' || [{pool}][(c_custkey % {len(_F8_POOL)}) + 1] || ' facility' AS raw
+  FROM customer)
+SELECT c_custkey, raw,
+  CASE
+{branches}
+    ELSE raw END AS lab_std
+FROM raw_t
+"""
+
+
+@register("f8_lab_standardize", _f8_sql())
+def f8_lab_standardize(spark, sf_dir):
+    """F8: lab-name standardization — ~30-branch containment case_when
+    kept as DATA (vocab.LAB_ALIASES) not code
+    (ref: template_submitters.Rmd:732-750, wdrs_qa_functions.R:240-279)."""
+    c = _t(spark, sf_dir, "customer")
+    pool = F.array(*[F.lit(k.lower()) for k in _F8_POOL])
+    raw = F.concat(F.lit("submitted by "),
+                   F.element_at(pool, (F.col("c_custkey") % len(_F8_POOL) + 1).cast("int")),
+                   F.lit(" facility"))
+    out = c.select("c_custkey", raw.alias("raw"))
+    return out.withColumn("lab_std", vocab.standardize_by_contains("raw"))
+
+
+@register("f9_reason_normalize", """
+WITH raw_t AS (
+  SELECT o_orderkey,
+    CASE o_orderpriority
+      WHEN '1-URGENT' THEN 'PHL DIAGNOSTIC'
+      WHEN '2-HIGH' THEN 'OUTBREAK INVESTIGATION'
+      WHEN '3-MEDIUM' THEN NULL
+      WHEN '4-NOT SPECIFIED' THEN 'Sentinel Surveillance'
+      ELSE 'pt exercise' END AS reason_raw,
+    CASE o_orderstatus WHEN 'O' THEN 'cdc' WHEN 'F' THEN 'non-cdc'
+      ELSE 'phl' END AS lab_class
+  FROM orders),
+mapped AS (
+  SELECT o_orderkey, lab_class,
+    CASE upper(trim(reason_raw))
+      WHEN 'PHL DIAGNOSTIC' THEN 'SENTINEL SURVEILLANCE'
+      WHEN 'OUTBREAK INVESTIGATION' THEN 'OUTBREAK'
+      WHEN 'SUSPECTED REINFECTION' THEN 'SUSPECTED REINFECTION'
+      WHEN 'SUSPECTED VACCINE BREAKTHROUGH' THEN 'SUSPECTED VACCINE BREAKTHROUGH'
+      WHEN 'SENTINEL SURVEILLANCE' THEN 'SENTINEL SURVEILLANCE'
+      WHEN 'S-DROPOUT' THEN 'S-DROPOUT'
+      WHEN 'TRAVEL ASSOCIATED' THEN 'TRAVEL ASSOCIATED'
+      WHEN 'OTHER' THEN 'OTHER'
+      ELSE reason_raw END AS mapped
+  FROM raw_t)
+SELECT o_orderkey,
+  COALESCE(mapped, CASE lab_class WHEN 'cdc' THEN 'OTHER'
+                                  WHEN 'phl' THEN 'SENTINEL SURVEILLANCE'
+                                  ELSE 'MISSING' END) AS reason_norm,
+  COALESCE(mapped, CASE lab_class WHEN 'cdc' THEN 'OTHER'
+                                  WHEN 'phl' THEN 'SENTINEL SURVEILLANCE'
+                                  ELSE 'MISSING' END)
+    IN ('SENTINEL SURVEILLANCE','OUTBREAK','OTHER','S-DROPOUT',
+        'TRAVEL ASSOCIATED','SUSPECTED REINFECTION',
+        'SUSPECTED VACCINE BREAKTHROUGH') AS in_vocab
+FROM mapped
+""")
+def f9_reason_normalize(spark, sf_dir):
+    """F9: SEQUENCE_REASON normalization — alias remap + per-lab-class
+    default for missing + vocab membership
+    (ref: ROSTER_COMPILE.Rmd:265-274, phl.Rmd:700-705,781-784;
+    vocab from write_lab_variables.R:32-128)."""
+    o = _t(spark, sf_dir, "orders")
+    reason_raw = (F.when(F.col("o_orderpriority") == "1-URGENT", "PHL DIAGNOSTIC")
+                   .when(F.col("o_orderpriority") == "2-HIGH", "OUTBREAK INVESTIGATION")
+                   .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit(None))
+                   .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "Sentinel Surveillance")
+                   .otherwise(F.lit("pt exercise")))
+    lab_class = (F.when(F.col("o_orderstatus") == "O", "cdc")
+                  .when(F.col("o_orderstatus") == "F", "non-cdc")
+                  .otherwise("phl"))
+    mapped = vocab.remap_exact(reason_raw, vocab.REASON_ALIASES)
+    default = (F.when(lab_class == "cdc", "OTHER")
+                .when(lab_class == "phl", "SENTINEL SURVEILLANCE")
+                .otherwise("MISSING"))
+    final = F.coalesce(mapped, default)
+    allowed = ["SENTINEL SURVEILLANCE", "OUTBREAK", "OTHER", "S-DROPOUT",
+               "TRAVEL ASSOCIATED", "SUSPECTED REINFECTION",
+               "SUSPECTED VACCINE BREAKTHROUGH"]
+    return o.select("o_orderkey", final.alias("reason_norm"),
+                    final.isin(allowed).alias("in_vocab"))
+
+
+@register("f15_validation_battery", """
+WITH synth AS (
+  SELECT o_orderkey,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN 'USA/WA-CDC-' || CAST(o_custkey AS VARCHAR) || '/2021'
+      WHEN 1 THEN 'hCoV-19/USA/WA-S' || CAST(o_custkey AS VARCHAR) || '/2022'
+      WHEN 2 THEN 'ASC' || CAST(o_custkey AS VARCHAR) || '-B7'
+      ELSE 'LC' || CAST(o_custkey AS VARCHAR) END AS sa,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'bad lineage!'
+         ELSE 'B.1.' || CAST(CAST(o_custkey % 50 AS INT) AS VARCHAR) END AS lineage,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'X' || CAST(o_orderkey AS VARCHAR)
+         ELSE CAST(o_orderkey AS VARCHAR) END AS case_id
+  FROM orders)
+SELECT o_orderkey,
+  regexp_matches(sa, '^(hCoV-19/)?USA/WA-.*/[0-9]{4}$') AS valid_sa,
+  regexp_matches(sa, '^ASC[0-9]*-B.*') AS valid_aegis,
+  regexp_matches(sa, '^LC[0-9]*$') AS valid_labcorp,
+  regexp_matches(lineage, '^[A-Z]+(\\.[0-9]+)*$') AS valid_lineage,
+  regexp_matches(case_id, '^[0-9]+$') AS valid_case_id,
+  regexp_matches(sa, '(2020|2021|2022|2023)$') AS valid_year_suffix
+FROM synth
+""")
+def f15_validation_battery(spark, sf_dir):
+    """F15: validation-predicate battery — accession format (general +
+    per-lab Aegis/Labcorp), lineage master regex, all-numeric CASE_ID,
+    valid-year suffix (ref: template_submitters.Rmd:427-494,
+    quality_filters.R:18,30-32,153-163)."""
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey").cast("string")
+    sa = (F.when(k % 4 == 0, F.concat(F.lit("USA/WA-CDC-"), ck, F.lit("/2021")))
+           .when(k % 4 == 1, F.concat(F.lit("hCoV-19/USA/WA-S"), ck, F.lit("/2022")))
+           .when(k % 4 == 2, F.concat(F.lit("ASC"), ck, F.lit("-B7")))
+           .otherwise(F.concat(F.lit("LC"), ck)))
+    lineage = (F.when(k % 7 == 0, F.lit("bad lineage!"))
+                .otherwise(F.concat(F.lit("B.1."), (F.col("o_custkey") % 50).cast("int").cast("string"))))
+    case_id = (F.when(k % 5 == 0, F.concat(F.lit("X"), k.cast("string")))
+                .otherwise(k.cast("string")))
+    return o.select(
+        "o_orderkey",
+        sa.rlike(acc.RE_SEQUENCE_ACCESSION).alias("valid_sa"),
+        sa.rlike(r"^ASC[0-9]*-B.*").alias("valid_aegis"),
+        sa.rlike(r"^LC[0-9]*$").alias("valid_labcorp"),
+        lineage.rlike(r"^[A-Z]+(\.[0-9]+)*$").alias("valid_lineage"),
+        case_id.rlike(r"^[0-9]+$").alias("valid_case_id"),
+        sa.rlike(r"(2020|2021|2022|2023)$").alias("valid_year_suffix"))
+
+
+@register("f18_lineage_list_hygiene", """
+WITH raw_t AS (
+  SELECT CASE WHEN p_partkey % 7 = 0 THEN '*' || p_name ELSE p_name END AS raw,
+         CASE WHEN p_partkey % 5 = 0 THEN 'Withdrawn' ELSE 'Active' END AS status
+  FROM part),
+tokens AS (
+  SELECT regexp_split_to_array(regexp_replace(raw, '^\\*', ''), ' ')[1] AS token,
+         status
+  FROM raw_t),
+dist AS (SELECT DISTINCT token, status FROM tokens)
+SELECT token, status FROM dist
+QUALIFY status = 'Withdrawn'
+     OR CAST(sum(CASE WHEN status = 'Withdrawn' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY token) AS INT) = 0
+""")
+def f18_lineage_list_hygiene(spark, sf_dir):
+    """F18: lineage-list hygiene — strip '*', token before first space,
+    Active/Withdrawn status, drop the Active duplicate when both
+    statuses exist (ref: lineages_pull.Rmd:62-139)."""
+    p = _t(spark, sf_dir, "part")
+    raw = F.when(F.col("p_partkey") % 7 == 0,
+                 F.concat(F.lit("*"), F.col("p_name"))).otherwise(F.col("p_name"))
+    token = F.split(F.regexp_replace(raw, r"^\*", ""), " ").getItem(0)
+    status = F.when(F.col("p_partkey") % 5 == 0, "Withdrawn").otherwise("Active")
+    dist = p.select(token.alias("token"), status.alias("status")).dropDuplicates()
+    w = Window.partitionBy("token")
+    n_withdrawn = F.sum(F.when(F.col("status") == "Withdrawn", 1).otherwise(0)).over(w)
+    return (dist.withColumn("__nw", n_withdrawn)
+                .filter((F.col("status") == "Withdrawn") | (F.col("__nw") == 0))
+                .drop("__nw"))
+
+
+@register("t5_new_arrivals", """
+SELECT e.event_id, e.user_id, e.event_type FROM events e
+WHERE epoch_us(e.ts) < epoch_us(TIMESTAMP '2024-02-15 00:00:00')
+  AND NOT EXISTS (
+    SELECT 1 FROM events y
+    WHERE epoch_us(y.ts) < epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+      AND y.event_id = e.event_id AND y.event_type = e.event_type)
+""")
+def t5_new_arrivals(spark, sf_dir):
+    """T5: new-arrivals detection between consecutive snapshots —
+    composite-key anti-join (ref: KEEP_NA...Rmd:88-90)."""
+    e = _t(spark, sf_dir, "events")
+    today = e.filter(F.col("ts_us") < 1707955200000000)      # < 2024-02-15
+    yesterday = (e.filter(F.col("ts_us") < 1705708800000000)  # < 2024-01-20
+                  .select("event_id", "event_type"))
+    return (today.join(yesterday, ["event_id", "event_type"], "left_anti")
+                 .select("event_id", "user_id", "event_type"))
+
+
+@register("s1_na_normalize", """
+WITH dirty AS (
+  SELECT o_orderkey,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN 'NA' WHEN 1 THEN ' N/A ' WHEN 2 THEN ''
+      WHEN 3 THEN 'None' WHEN 4 THEN 'null'
+      ELSE o_orderstatus END AS raw
+  FROM orders)
+SELECT o_orderkey,
+  CASE WHEN trim(raw) IN ('', 'NA', 'N/A', 'None', 'NONE', 'n/a', 'na',
+                          'NULL', 'null') THEN NULL ELSE raw END AS value_norm,
+  CASE WHEN trim(raw) IN ('', 'NA', 'N/A', 'None', 'NONE', 'n/a', 'na',
+                          'NULL', 'null') THEN 1 ELSE 0 END AS was_na
+FROM dirty
+""")
+def s1_na_normalize(spark, sf_dir):
+    """S1 (§1.2): curated NA-string vocabulary normalized to NULL at
+    ingest (ref: ROSTER_COMPILE.Rmd:154, functions.R:48-58). The
+    all-string CSV read itself is exercised in tests/test_sources.py;
+    this query checks the normalization semantics the reader applies."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw = (F.when(k % 6 == 0, "NA").when(k % 6 == 1, " N/A ")
+            .when(k % 6 == 2, "").when(k % 6 == 3, "None")
+            .when(k % 6 == 4, "null").otherwise(F.col("o_orderstatus")))
+    norm = normalize_na(raw)
+    return o.select("o_orderkey", norm.alias("value_norm"),
+                    F.when(norm.isNull(), 1).otherwise(0).alias("was_na"))
+
+
+@register("x_packed_coexplode", """
+WITH g AS (
+  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey,
+  unnest(list_transform(lns, x -> CAST(x AS VARCHAR))) AS packed_ln,
+  unnest(list_transform(lns, x -> ['A','B','C'][(x % 3) + 1])) AS packed_flag,
+  false AS packed_len_mismatch
+FROM g
+""")
+def x_packed_coexplode(spark, sf_dir):
+    """§1.2 packed multi-value columns: comma-packed parallel strings
+    positionally co-exploded via arrays_zip + explode, with the
+    length-mismatch guard the reference lacks
+    (ref: QA_DUPLICATES.Rmd:74-82, QA_for_review.Rmd:143-170)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = (li.groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lns")))
+    pack = g.select(
+        "l_orderkey",
+        F.array_join(F.transform(F.col("lns"), lambda x: x.cast("string")), ",")
+         .alias("packed_ln"),
+        F.array_join(F.transform(F.col("lns"),
+                                 lambda x: F.element_at(F.array(F.lit("A"), F.lit("B"), F.lit("C")),
+                                                        (x % 3 + 1).cast("int"))), ",")
+         .alias("packed_flag"))
+    return packed.co_explode(pack, ["packed_ln", "packed_flag"])
+
+
+@register("fuzzy_band_routing", """
+WITH probe AS (
+  SELECT c_custkey AS rowid, c_name AS name_l, c_nationkey AS block
+  FROM customer WHERE c_custkey % 10 = 0),
+univ AS (
+  SELECT c_custkey AS match_custkey, c_name AS name_r, c_nationkey AS block
+  FROM customer),
+m AS (
+  SELECT p.rowid, u.match_custkey,
+         levenshtein(p.name_l, u.name_r) AS distance
+  FROM probe p JOIN univ u
+    ON p.block = u.block AND p.rowid <> u.match_custkey
+   AND levenshtein(p.name_l, u.name_r) <= 3),
+banded AS (
+  SELECT rowid, match_custkey, distance,
+    CASE WHEN distance = 0 THEN 'roster_exact'
+         WHEN distance = 1 THEN 'roster_near'
+         ELSE 'review' END AS band
+  FROM m
+  QUALIFY distance = min(distance) OVER (PARTITION BY rowid))
+SELECT rowid, match_custkey, distance, band FROM banded
+UNION ALL
+SELECT rowid, NULL, NULL, 'did_not_match' FROM probe
+WHERE rowid NOT IN (SELECT rowid FROM banded)
+""")
+def fuzzy_band_routing(spark, sf_dir):
+    """§3.2 composite: blocked fuzzy join -> min-distance banding ->
+    complete routing incl. did_not_match — every probe row lands in
+    exactly one band (the reference's sequential subtract-and-reroute,
+    fuzzy.Rmd:925-1067, as one window + when cascade)."""
+    c = _t(spark, sf_dir, "customer")
+    probe = (c.filter(F.col("c_custkey") % 10 == 0)
+              .select(F.col("c_custkey").alias("rowid"),
+                      F.col("c_name").alias("name_l"),
+                      F.col("c_nationkey").alias("block")))
+    univ = c.select(F.col("c_custkey").alias("match_custkey"),
+                    F.col("c_name").alias("name_r"),
+                    F.col("c_nationkey").alias("block"))
+    m = fuzzy.blocked_distance_join(
+        probe, univ, left_key="name_l", right_key="name_r",
+        block_keys=["block"], max_dist=3, how="inner")
+    m = m.filter(F.col("rowid") != F.col("match_custkey"))
+    banded = fuzzy.band_by_distance(
+        m, rowid="rowid", dist_col="distance", band_col="band")
+    banded = banded.withColumn(
+        "band",
+        F.when(F.col("distance") == 0, "roster_exact")
+         .when(F.col("distance") == 1, "roster_near")
+         .otherwise("review"))
+    matched = banded.select("rowid", "match_custkey", "distance", "band")
+    unmatched = (probe.join(matched.select("rowid"), "rowid", "left_anti")
+                      .select("rowid",
+                              F.lit(None).cast("long").alias("match_custkey"),
+                              F.lit(None).cast("int").alias("distance"),
+                              F.lit("did_not_match").alias("band")))
+    return matched.unionByName(unmatched)

@@ -1,0 +1,120 @@
+"""Source/sink operators that the oracle gate can't cover (SURVEY §2.1):
+S1 all-string CSV read + NA vocabulary + provenance, S6 extension
+registry, S7 latest-per-dir, S10 null-as-empty CSV sink, S11 chunked
+sink, S12 append reconciliation, S13 partition-by-key sink."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequencing_integration_pipeline1_0_spark.sources import ingest, sinks
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    """Two lab-submission CSVs with dirty NA strings."""
+    a = tmp_path / "lab_a"
+    b = tmp_path / "lab_b"
+    a.mkdir()
+    b.mkdir()
+    (a / "batch1.csv").write_text(
+        "LAB_ACCESSION_ID,FIRST_NAME,DOB\n"
+        "ACC1,ALICE,01/02/2021\n"
+        "ACC2,NA,N/A\n"
+        "ACC3,None,44197\n")
+    (b / "batch2.csv").write_text(
+        "LAB_ACCESSION_ID,FIRST_NAME,DOB\n"
+        "ACC4,BOB,2021-03-04\n"
+        ",null,\n")
+    return tmp_path
+
+
+def test_s1_allstring_na_provenance(spark, csv_dir):
+    paths = sorted(glob.glob(os.path.join(str(csv_dir), "*", "*.csv")))
+    df = ingest.read_csv_allstring(spark, paths)
+    # all ingested columns are strings
+    assert all(dt == "string" for _, dt in df.dtypes)
+    rows = {r["LAB_ACCESSION_ID"]: r for r in df.collect()}
+    assert len(rows) == 5 or None in rows  # 5 data rows incl. the null-key one
+    # NA vocabulary -> NULL
+    assert rows["ACC2"]["FIRST_NAME"] is None
+    assert rows["ACC2"]["DOB"] is None
+    assert rows["ACC3"]["FIRST_NAME"] is None
+    assert rows["ACC3"]["DOB"] == "44197"  # Excel serial survives as string
+    # provenance column carries the source file
+    assert rows["ACC1"]["index"].endswith("batch1.csv")
+    assert rows["ACC4"]["index"].endswith("batch2.csv")
+
+
+def test_s6_reader_registry(spark, tmp_path):
+    (tmp_path / "t.tsv").write_text("a\tb\nx\tNA\n")
+    df = ingest.read_any(spark, str(tmp_path / "t.tsv"))
+    r = df.collect()[0]
+    assert r["a"] == "x" and r["b"] is None
+    with pytest.raises(ValueError):
+        ingest.read_any(spark, str(tmp_path / "t.unknown"))
+
+
+def test_s7_latest_file_per_dir(spark, tmp_path):
+    for d, files in {"lab_a": ["old.csv", "new.csv"], "lab_b": ["only.csv"]}.items():
+        (tmp_path / d).mkdir()
+        for i, f in enumerate(files):
+            p = tmp_path / d / f
+            p.write_text("x\n")
+            os.utime(p, (1000 + i, 1000 + i))
+    latest = ingest.latest_file_per_dir(spark, str(tmp_path), "*.csv")
+    got = {os.path.basename(r["dir"]): os.path.basename(r["path"])
+           for r in latest.collect()}
+    assert got == {"lab_a": "new.csv", "lab_b": "only.csv"}
+
+
+def test_s10_null_as_empty(spark, tmp_path, sf_dir):
+    df = spark.createDataFrame([("a", None), (None, "b")], "x string, y string")
+    out = str(tmp_path / "out")
+    sinks.write_csv(df, out)
+    lines = []
+    for p in glob.glob(os.path.join(out, "*.csv")):
+        with open(p) as fh:
+            lines += [ln.strip() for ln in fh if ln.strip() and ln.strip() != "x,y"]
+    assert sorted(lines) == ["a,", ",b"] or sorted(lines) == [",b", "a,"]
+
+
+def test_s11_chunked_sink(spark, tmp_path, sf_dir):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select("o_orderkey")
+    n = o.count()
+    out = str(tmp_path / "chunks")
+    sinks.write_chunked(o, out, ["o_orderkey"], chunk_rows=500)
+    total = 0
+    for d in glob.glob(os.path.join(out, "chunk=*")):
+        rows = sum(
+            sum(1 for ln in open(p) if ln.strip() and ln.strip() != "o_orderkey")
+            for p in glob.glob(os.path.join(d, "*.csv")))
+        assert rows <= 500
+        total += rows
+    assert total == n  # conservation: every row lands in exactly one chunk
+
+
+def test_s12_append_reconciliation(spark, tmp_path):
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    path = str(tmp_path / "ledger")
+    old, app, new = sinks.append_with_reconciliation(df, path)
+    assert (old, app, new) == (0, 2, 2)
+    old, app, new = sinks.append_with_reconciliation(df, path)
+    assert (old, app, new) == (2, 2, 4)
+
+
+def test_s13_partitioned_sink(spark, tmp_path, sf_dir):
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")) \
+        .select("c_custkey", "c_mktsegment")
+    out = str(tmp_path / "by_seg")
+    sinks.write_partitioned(c, out, "c_mktsegment")
+    segs = {os.path.basename(d).split("=", 1)[1]
+            for d in glob.glob(os.path.join(out, "c_mktsegment=*"))}
+    expected = {r["c_mktsegment"] for r in
+                c.select("c_mktsegment").distinct().collect()}
+    assert segs == expected
