@@ -1,0 +1,165 @@
+"""Structured Streaming forms of the reference's incremental patterns
+(SURVEY §2.9).
+
+The reference runs scheduled incremental batch (M/W/F) with hand-kept
+state: a processed-record ledger (phl.Rmd:776-779, elr.Rmd:527-546), a
+timestamp high-watermark (S_Dropout_Records.Rmd:89,296), a retry queue
+with TTL (KEEP_NA...Rmd:699-763), and multi-output routing of each
+batch (template_submitters.Rmd:836-959). On Spark these become one
+Structured Streaming job each:
+
+  T1 ledger dedup      -> dropDuplicatesWithinWatermark (state store
+                          replaces the CSV ledger; the watermark bounds
+                          state exactly like the reference's 60-day TTL)
+  T2 high-watermark    -> event-time watermark, free with any stateful op
+  windowed monitoring  -> window() agg with late-data tolerance
+  multi-output routing -> foreachBatch (each micro-batch routed to N
+                          sinks in one pass — same tagged-route single
+                          pass as the batch engine, SURVEY §7 phase 3)
+  custom state         -> applyInPandasWithState sessionizer
+
+Batch/stream parity: every transformation here is also valid on a batch
+DataFrame (Structured Streaming's unified model), which is how the
+tests oracle-check them — run the same plan in batch, compare.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet_stream(spark: SparkSession, path: str,
+                        schema: T.StructType,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-drop queue as a stream: the reference's Submissions/<lab>/
+    directories (template_submitters.Rmd:214-231) map to a file source
+    that discovers new files per micro-batch."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def ledger_dedup_stream(stream: DataFrame, keys: Sequence[str],
+                        ts_col: str, delay: str = "60 days") -> DataFrame:
+    """T1: processed-record ledger as streaming state.
+
+    dropDuplicatesWithinWatermark keeps each key in the state store for
+    `delay` past the watermark — the exact semantics of the reference's
+    ledger + 60-day TTL (KEEP_NA...Rmd:711), without the side files.
+    At scale: state is partitioned by key across executors (RocksDB
+    state store on a real cluster); no driver-side set."""
+    return (stream
+            .withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def high_watermark_filter(stream: DataFrame, ts_col: str, delay: str = "1 day") -> DataFrame:
+    """T2: event-time watermark. Rows older than max(event_time)-delay
+    are dropped by stateful operators downstream — the streaming form
+    of `UploadedDate > last_day` (S_Dropout_Records.Rmd:296)."""
+    return stream.withWatermark(ts_col, delay)
+
+
+def windowed_counts(stream: DataFrame, ts_col: str, group_cols: Sequence[str],
+                    window: str = "1 hour", delay: str = "2 hours") -> DataFrame:
+    """Submission-lag / lab-monitoring aggregate as an event-time
+    windowed count with late-data tolerance (the streaming form of the
+    per-day pivot counts, gap_data.Rmd:590-645)."""
+    return (stream
+            .withWatermark(ts_col, delay)
+            .groupBy(F.window(F.col(ts_col), window), *group_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *group_cols, "n"))
+
+
+def route_batch(batch: DataFrame, route_col: str,
+                sinks: dict[str, Callable[[DataFrame], None]]) -> None:
+    """One micro-batch, N outputs: tag once, write each route.
+    `sinks` maps route value -> writer callable."""
+    batch.persist()
+    try:
+        for route, writer in sinks.items():
+            writer(batch.filter(F.col(route_col) == route).drop(route_col))
+    finally:
+        batch.unpersist()
+
+
+def foreach_batch_router(route_col: str,
+                         sinks: dict[str, Callable[[DataFrame], None]]):
+    """Multi-output routing for writeStream.foreachBatch — the
+    template path's roster / For_Review / keep_na split
+    (template_submitters.Rmd:904-959) in one streaming job."""
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        route_batch(batch, route_col, sinks)
+    return _fn
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start_us", T.LongType()),
+    T.StructField("session_end_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def sessionize_fn(gap_us: int):
+    """applyInPandasWithState session builder: events within gap_us of
+    each other belong to one session; a longer silence (or state
+    timeout) closes it. The custom-stateful-operator pattern for
+    anything the built-in windows can't express."""
+    def _fn(key, pdfs, state):
+        import pandas as pd
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": user_id, "session_start_us": start,
+                                 "session_end_us": last, "n_events": n}])
+            return
+        ts = sorted(t for pdf in pdfs for t in pdf["ts_us"].tolist())
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_us:
+                last, n = t, n + 1
+            else:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(60_000)
+        if closed:
+            yield pd.DataFrame([
+                {"user_id": user_id, "session_start_us": s,
+                 "session_end_us": e, "n_events": c} for s, e, c in closed])
+    return _fn
+
+
+def sessionize(stream: DataFrame, gap_us: int = 3_600_000_000) -> DataFrame:
+    """Group events per user into gap-bounded sessions (stateful)."""
+    return (stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                sessionize_fn(gap_us),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="ProcessingTimeTimeout"))

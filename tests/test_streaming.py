@@ -1,0 +1,123 @@
+"""Structured Streaming forms of SURVEY §2.9 (tests run each stream
+with trigger(availableNow=True) against a parquet file-drop dir and
+compare to the equivalent batch plan — the unified-model oracle)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequencing_integration_pipeline1_0_spark.streaming import incremental as st
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events with a proper timestamp column, written as a file-drop dir."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    e = (e.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+          .withColumn("event_time", F.timestamp_micros(F.col("ts_us"))))
+    e.write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(spark, df, tmp_path, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_t1_stream_ledger_dedup(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = st.read_parquet_stream(spark, events_stream_dir, schema)
+    # duplicate the feed (cumulative re-delivery, phl.Rmd re-read pattern)
+    doubled = stream.unionByName(stream)
+    deduped = st.ledger_dedup_stream(doubled, ["event_id"], "event_time")
+    got = _run_stream(spark, deduped, tmp_path, "t1_dedup")
+    batch = spark.read.parquet(events_stream_dir)
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = st.read_parquet_stream(spark, events_stream_dir, schema)
+    counts = st.windowed_counts(stream, "event_time", ["event_type"],
+                                window="1 day", delay="2 days")
+    got = _run_stream(spark, counts, tmp_path, "win_counts")
+    batch = spark.read.parquet(events_stream_dir)
+    expected = (batch.groupBy(F.window("event_time", "1 day"), "event_type")
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .select(F.col("window.start").alias("window_start"),
+                             "event_type", "n"))
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): r["n"] for r in expected.collect()}
+    # availableNow emits all finalized windows; late-window tail may be
+    # held back by the final watermark — every emitted window must match
+    assert g, "stream emitted nothing"
+    for k, v in g.items():
+        assert e[k] == v
+
+
+def test_foreach_batch_router(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = st.read_parquet_stream(spark, events_stream_dir, schema)
+    routed = stream.withColumn(
+        "route",
+        F.when(F.col("event_type") == "purchase", "roster")
+         .when(F.col("value") < 0.5, "for_review")
+         .otherwise("keep_na"))
+    outs = {r: str(tmp_path / r) for r in ["roster", "for_review", "keep_na"]}
+    sinks = {r: (lambda p: (lambda df: df.write.mode("append").parquet(p)))(p)
+             for r, p in outs.items()}
+    q = (routed.writeStream
+         .foreachBatch(st.foreach_batch_router("route", sinks))
+         .option("checkpointLocation", str(tmp_path / "ckpt_router"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    batch = spark.read.parquet(events_stream_dir)
+    n_roster = spark.read.parquet(outs["roster"]).count()
+    n_review = spark.read.parquet(outs["for_review"]).count()
+    n_keepna = spark.read.parquet(outs["keep_na"]).count()
+    # conservation: every input row lands in exactly one output (T6)
+    assert n_roster + n_review + n_keepna == batch.count()
+    assert n_roster == batch.filter(F.col("event_type") == "purchase").count()
+
+
+def test_sessionize_state_logic(spark, events_stream_dir, tmp_path):
+    """applyInPandasWithState sessionizer: check the per-group session
+    algebra through the streaming engine (gap = 6 hours)."""
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = st.read_parquet_stream(spark, events_stream_dir, schema)
+    gap = 6 * 3_600_000_000
+    sessions = st.sessionize(stream.select("user_id", "ts_us"), gap_us=gap)
+    got = _run_stream(spark, sessions, tmp_path, "sessions")
+    # batch oracle: same session split via lag window
+    from pyspark.sql import Window
+    batch = spark.read.parquet(events_stream_dir).select("user_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    expected = (batch
+                .withColumn("prev", F.lag("ts_us").over(w))
+                .withColumn("new_session",
+                            (F.col("prev").isNull()
+                             | ((F.col("ts_us") - F.col("prev")) > gap)).cast("int"))
+                .withColumn("session_id", F.sum("new_session").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)))
+                .groupBy("user_id", "session_id")
+                .agg(F.min("ts_us").alias("session_start_us"),
+                     F.max("ts_us").alias("session_end_us"),
+                     F.count(F.lit(1)).alias("n_events")))
+    g = {(r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+         for r in got.collect()}
+    e = {(r["user_id"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
+         for r in expected.collect()}
+    assert g, "no sessions emitted"
+    # every emitted (closed) session must match the batch oracle exactly;
+    # the final open session per user stays in state at availableNow end
+    for k, v in g.items():
+        assert e[k] == v
