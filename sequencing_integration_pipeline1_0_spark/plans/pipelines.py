@@ -1,0 +1,402 @@
+"""End-to-end pipeline paths (SURVEY §3) on the domain schemas
+(FIXTURES.md).
+
+Each reference notebook is one lazy Spark DAG here: a single tagged
+routing pass replaces the reference's sequential subtract-and-reroute
+(SURVEY §7 phase 3), and every path returns its routes PLUS a
+loss-prevention audit so the reference's conservation checks
+(`stopifnot(nrow(a)+nrow(b)==nrow(all))`, fuzzy.Rmd:1079-1085) become
+assertable DataFrames instead of runtime stops.
+
+Scale notes: routes are computed as ONE plan with a `route` tag; the
+link joins shuffle on the accession/name-block key only; vocab joins
+broadcast; nothing collects to the driver.
+
+References: docs/notebooks/template_submitters.Rmd (§3.1),
+docs/notebooks/fuzzy.Rmd + scripts/Roster_scripts/
+fuzzy_matching_functions.R (§3.2), docs/notebooks/elr.Rmd (§3.3),
+scripts/Roster_scripts/ROSTER_COMPILE.Rmd (compile stage).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cleaning, dates, vocab
+from ..operators import dedup, fuzzy, qa
+from ..sources import sinks
+
+#: The 17-column positional roster contract
+#: (ROSTER_COMPILE.Rmd:175-192; order is load-bearing, :171).
+ROSTER_COLUMNS = [
+    "CASE_ID", "SEQUENCE_SGTF", "SEQUENCE_SPECIMEN", "SEQUENCE_DATE",
+    "SEQUENCE_REASON", "SEQUENCE_LAB", "SEQUENCE_STATUS",
+    "SEQUENCE_REPOSITORY", "SEQUENCE_ACCESSION", "SEQUENCE_EPI_ISL",
+    "SEQUENCE_VARIANT_OPEN_TEXT", "SEQUENCE_CLINICAL_ACCESSION",
+    "SEQUENCE_SPECIMEN_COLLECTION_DATE", "SEQUENCE_ROSTER_PREPARE_DATE",
+    "SEQUENCE_NOTES", "SEQUENCE_REVIEWED", "Case.Note",
+]
+
+TEMPLATE_COLUMNS = [
+    "LAB_ACCESSION_ID", "GISAID_ID", "SPECIMEN_COLLECTION_DATE",
+    "SUBMITTING_LAB", "SEQUENCE_REASON", "SEQUENCE_STATUS",
+    "PANGO_LINEAGE", "FIRST_NAME", "LAST_NAME", "MIDDLE_NAME",
+    "DOB", "ALTERNATIVE_ID",
+]
+
+
+def _qcol(name: str) -> Column:
+    """Column ref that treats dots as literal ('Case.Note')."""
+    return F.col(f"`{name}`")
+
+
+def validate_template_schema(df: DataFrame) -> None:
+    """File-level contract: column names AND order
+    (template_submitters.Rmd:417-421)."""
+    got = [c for c in df.columns if c in set(TEMPLATE_COLUMNS)]
+    if got != TEMPLATE_COLUMNS:
+        raise ValueError(
+            f"template schema violation: got {df.columns}, "
+            f"expected prefix {TEMPLATE_COLUMNS}")
+
+
+def _route_split(df: DataFrame, route_col: str = "route") -> dict[str, DataFrame]:
+    routes = [r[route_col] for r in
+              df.select(route_col).distinct().collect()]
+    return {r: df.filter(F.col(route_col) == r).drop(route_col) for r in routes}
+
+
+# ----------------------------------------------------------------------
+# §3.1 template-submitters path
+# ----------------------------------------------------------------------
+
+def template_submitters_path(
+        submissions: DataFrame, wdrs_entire: DataFrame, *,
+        wdrs_sa_values: DataFrame | None = None,
+        valid_lineages: Sequence[str] | None = None,
+        as_of: Column | None = None) -> dict[str, DataFrame]:
+    """Ingested template submissions -> {roster, fuzzy_candidates,
+    keep_na, for_review} in one tagged pass
+    (template_submitters.Rmd:558-984).
+
+    `submissions` uses the 12-col template schema (all strings);
+    `wdrs_entire` carries CASE_ID + FILLER__ORDER__NUM (+ names/DOB).
+    Routing rules:
+      - QA sum > 0                        -> for_review
+      - accession matched a case          -> roster
+      - unmatched, has name+DOB           -> fuzzy_candidates
+      - unmatched, missing demographics   -> keep_na
+    """
+    as_of = as_of if as_of is not None else F.current_date()
+
+    # normalize: dates (multi-format incl. Excel serials) + names
+    s = (submissions
+         .withColumn("collection_date",
+                     dates.parse_date_multi("SPECIMEN_COLLECTION_DATE"))
+         .withColumn("dob_date", dates.parse_date_multi("DOB"))
+         .withColumn("name_norm", cleaning.annihilate(
+             cleaning.name_concat("FIRST_NAME", "LAST_NAME"))))
+
+    # link: left equi-join on accession (J1; nulls never match)
+    cases = wdrs_entire.select(
+        F.col("CASE_ID").alias("matched_case_id"),
+        F.col("FILLER__ORDER__NUM").alias("__link_acc"))
+    linked = s.join(cases, s.LAB_ACCESSION_ID == cases.__link_acc, "left") \
+              .drop("__link_acc")
+
+    # join fan-out dedup: first-wins per submission row key (W1 with a
+    # pinned deterministic order — template_submitters.Rmd:669)
+    linked = dedup.dedup_first(
+        linked, ["LAB_ACCESSION_ID", "FIRST_NAME", "LAST_NAME", "DOB"],
+        [F.col("matched_case_id").asc_nulls_last()])
+
+    # QA-filter engine (§2.8)
+    flags = {
+        "QA_STATUS": ~F.upper(F.col("SEQUENCE_STATUS")).isin(
+            "COMPLETE", "FAILED", "LOW QUALITY", "NOT DONE", "HIGH CT",
+            "PENDING"),
+        "QA_DATE_UNPARSEABLE": (F.col("SPECIMEN_COLLECTION_DATE").isNotNull()
+                                & F.col("collection_date").isNull()),
+    }
+    if valid_lineages is not None:
+        flags["QA_SEQ_VARIANT"] = (
+            F.col("PANGO_LINEAGE").isNotNull()
+            & ~F.col("PANGO_LINEAGE").isin(list(valid_lineages))
+            & (F.col("PANGO_LINEAGE") != "Unassigned"))
+    membership = {}
+    if wdrs_sa_values is not None:
+        membership["QA_SA_WDRS_DUPE"] = (
+            "GISAID_ID", wdrs_sa_values, wdrs_sa_values.columns[0])
+    flagged = qa.roster_filters(
+        linked, expr_flags=flags,
+        dup_specs={"QA_SA_INT_DUPE": ["GISAID_ID"]},
+        membership_specs=membership)
+
+    has_demo = (F.col("FIRST_NAME").isNotNull()
+                & F.col("LAST_NAME").isNotNull()
+                & F.col("dob_date").isNotNull())
+    routed = flagged.withColumn(
+        "route",
+        F.when(F.col("qa_sum") > 0, "for_review")
+         .when(F.col("matched_case_id").isNotNull(), "roster")
+         .when(has_demo, "fuzzy_candidates")
+         .otherwise("keep_na"))
+
+    out = _route_split(routed)
+    out.setdefault("roster", routed.limit(0).drop("route"))
+    if "roster" in out:
+        out["roster"] = to_roster_schema(out["roster"], as_of=as_of)
+    return out
+
+
+def to_roster_schema(matched: DataFrame, *, as_of: Column) -> DataFrame:
+    """Matched submissions -> the 17-col roster contract
+    (template_submitters.Rmd:713-811)."""
+    status_u = F.upper(F.trim(F.col("SEQUENCE_STATUS")))
+    complete = status_u == "COMPLETE"
+    lineage_ok = complete & F.col("PANGO_LINEAGE").isNotNull() \
+        & (F.col("PANGO_LINEAGE") != "Unassigned")
+    cols = {
+        "CASE_ID": F.col("matched_case_id"),
+        "SEQUENCE_SGTF": F.lit(None).cast("string"),
+        "SEQUENCE_SPECIMEN": F.lit("YES"),
+        "SEQUENCE_DATE": F.lit(None).cast("string"),
+        "SEQUENCE_REASON": F.upper(F.trim(F.col("SEQUENCE_REASON"))),
+        "SEQUENCE_LAB": vocab.standardize_by_contains("SUBMITTING_LAB"),
+        "SEQUENCE_STATUS": F.when(
+            status_u == "COMPLETE", "COMPLETE").when(
+            F.col("PANGO_LINEAGE") == "Unassigned", "LOW QUALITY")
+            .otherwise(status_u),
+        "SEQUENCE_REPOSITORY": F.when(complete, "GISAID"),
+        "SEQUENCE_ACCESSION": F.when(
+            complete, cleaning.strip_prefix(F.col("GISAID_ID"))),
+        "SEQUENCE_EPI_ISL": F.lit(None).cast("string"),
+        "SEQUENCE_VARIANT_OPEN_TEXT": F.when(
+            lineage_ok, F.col("PANGO_LINEAGE")),
+        "SEQUENCE_CLINICAL_ACCESSION": F.col("LAB_ACCESSION_ID"),
+        "SEQUENCE_SPECIMEN_COLLECTION_DATE": dates.render_mdY("collection_date"),
+        "SEQUENCE_ROSTER_PREPARE_DATE": dates.render_mdY(as_of),
+        "SEQUENCE_NOTES": F.when(
+            lineage_ok, vocab.notes_template("PANGO_LINEAGE", as_of)),
+        "SEQUENCE_REVIEWED": F.lit(None).cast("string"),
+        "Case.Note": F.lit(
+            "External data question package updated by Sequencing Roster."),
+    }
+    return matched.select(*[cols[c].alias(c) for c in ROSTER_COLUMNS])
+
+
+def assert_roster_contract(df: DataFrame) -> None:
+    """ncol == 17 and exact order (ROSTER_COMPILE.Rmd:378-380)."""
+    if df.columns != ROSTER_COLUMNS:
+        raise AssertionError(
+            f"roster contract violation: {len(df.columns)} cols, "
+            f"{df.columns}")
+
+
+# ----------------------------------------------------------------------
+# §3.2 fuzzy-matching path
+# ----------------------------------------------------------------------
+
+def fuzzy_match_path(candidates: DataFrame, wdrs_universe: DataFrame, *,
+                     max_dist: int = 3, flip_max_dist: int = 2,
+                     date_window_days: int = 14) -> dict[str, DataFrame]:
+    """Blocked fuzzy linkage with banded routing (fuzzy.Rmd:556-1067).
+
+    `candidates`: rowid, FIRST_NAME, LAST_NAME, dob_date (date),
+    collection_date (date) — pre-normalized (the path upstream).
+    `wdrs_universe`: CASE_ID, FIRST_NAME, LAST_NAME (+ alt name cols
+    ALT_FIRST_NAME/ALT_LAST_NAME optional), dob_date, event_date.
+
+    Routes: roster (distance 0-1), review (2-3), did_not_match.
+    Invariant: every candidate rowid lands in exactly one route.
+    """
+    left = (candidates
+            .withColumn("name_norm", cleaning.annihilate(
+                cleaning.name_concat("FIRST_NAME", "LAST_NAME")))
+            .withColumn("dob_year", F.year("dob_date")))
+
+    # J11 alternate-key expansion: one row per name variant, plus the
+    # flipped form as a separate match column (fuzzy.Rmd:252-265)
+    u = wdrs_universe
+    variants = [cleaning.name_concat("FIRST_NAME", "LAST_NAME")]
+    if "ALT_FIRST_NAME" in u.columns:
+        variants.append(cleaning.name_concat("ALT_FIRST_NAME", "ALT_LAST_NAME"))
+    right = (u.withColumn("__variant", F.explode(F.array(*variants)))
+              .filter(F.col("__variant") != "")
+              .withColumn("name_norm_r", cleaning.annihilate(F.col("__variant")))
+              .withColumn("name_flip_r", cleaning.annihilate(
+                  cleaning.name_flip("FIRST_NAME", "LAST_NAME")))
+              .withColumn("dob_year", F.year("dob_date")))
+    right = right.select(
+        F.col("CASE_ID").alias("matched_case_id"),
+        F.col("dob_date").alias("dob_date_r"),
+        F.col("event_date").alias("event_date_r"),
+        "name_norm_r", "name_flip_r", "dob_year").dropDuplicates()
+
+    matches = fuzzy.fuzzy_name_join(
+        left, right,
+        left_name="name_norm", right_name="name_norm_r",
+        right_flip="name_flip_r",
+        block_keys=["dob_year"], max_dist=max_dist,
+        flip_max_dist=flip_max_dist)
+
+    # exact DOB equality required post-join (fuzzy.Rmd:652-657)
+    matches = matches.filter(F.col("dob_date") == F.col("dob_date_r"))
+
+    # ±N-day collection-date window with only-match rescue
+    # (fuzzy.Rmd:845-878)
+    in_window = dates.within_days("collection_date", "event_date_r",
+                                  date_window_days)
+    matches = fuzzy.only_match_rescue(matches, rowid="rowid",
+                                      in_window=in_window)
+
+    # banding by best distance; review tail keeps 2-3
+    banded = fuzzy.band_by_distance(matches, rowid="rowid")
+    banded = banded.withColumn(
+        "route", F.when(F.col("distance") <= 1, "roster").otherwise("review"))
+
+    matched_ids = banded.select("rowid").dropDuplicates()
+    unmatched = (candidates.join(matched_ids, "rowid", "left_anti")
+                 .withColumn("route", F.lit("did_not_match")))
+
+    out = _route_split(banded)
+    out["did_not_match"] = unmatched.drop("route")
+    return out
+
+
+def fuzzy_conservation_audit(candidates: DataFrame,
+                             routes: dict[str, DataFrame]) -> DataFrame:
+    """T6 rows_printed accounting: candidates that landed in no route
+    (must be empty; non-empty rows become next run's saved_rows,
+    fuzzy.Rmd:1079-1085)."""
+    ids = None
+    for df in routes.values():
+        cur = df.select("rowid").dropDuplicates()
+        ids = cur if ids is None else ids.unionByName(cur)
+    return candidates.join(ids.dropDuplicates(), "rowid", "left_anti")
+
+
+# ----------------------------------------------------------------------
+# §3.3 ELR path
+# ----------------------------------------------------------------------
+
+def elr_new_records(entire: DataFrame, flattened: DataFrame, *,
+                    sca_submitters: Sequence[str],
+                    sa_submitters: Sequence[str]) -> DataFrame:
+    """Two-branch anti-join new-records detection (elr.Rmd:297-311):
+    SCA+date for Helix/Labcorp-class submitters, SA+date for
+    Aegis/Quest-class; union of both branches."""
+    f_sca = flattened.select(
+        F.col("SEQUENCE_CLINICAL_ACCESSION").alias("SCA"),
+        F.col("COLLECTION_DATE").alias("cd")).dropDuplicates()
+    f_sa = flattened.select(
+        F.col("SEQUENCE_ACCESSION").alias("SA"),
+        F.col("COLLECTION_DATE").alias("cd")).dropDuplicates()
+    br1 = (entire.filter(F.col("SUBMITTER").isin(list(sca_submitters)))
+           .join(f_sca, (entire.SCA == f_sca.SCA)
+                 & (entire.COLLECTION_DATE == f_sca.cd), "left_anti"))
+    br2 = (entire.filter(F.col("SUBMITTER").isin(list(sa_submitters)))
+           .join(f_sa, (entire.SA == f_sa.SA)
+                 & (entire.COLLECTION_DATE == f_sa.cd), "left_anti"))
+    return br1.unionByName(br2)
+
+
+LINEAGE_FROM_RESULT = r"(?<=SARS-CoV-2 ).*(?= lineage)"
+LINEAGE_FROM_OTHER = r"(?<=Other; ).*"
+
+
+def elr_extract_lineage(df: DataFrame, *, result_col: str = "TEST__RESULT",
+                        vocab_list: Sequence[str] | None = None) -> DataFrame:
+    """F7: lineage extraction from free text with QA-fail sentinel
+    (elr.Rmd:409-442)."""
+    res = F.col(result_col)
+    # regexp_extract yields '' (not NULL) on no-match — nullify each
+    # attempt so the coalesce falls through to the next pattern
+    lin = F.coalesce(
+        F.nullif(F.regexp_extract(res, LINEAGE_FROM_RESULT, 0), F.lit("")),
+        F.nullif(F.regexp_extract(res, LINEAGE_FROM_OTHER, 0), F.lit("")))
+    lin = F.when(res.rlike("Unassigned$"), "Unassigned").otherwise(lin)
+    out = df.withColumn("lineage", lin)
+    if vocab_list is not None:
+        ok = (F.col("lineage").isNull()
+              | (F.col("lineage") == "Unassigned")
+              | F.col("lineage").isin(list(vocab_list)))
+        out = out.withColumn(
+            "lineage", F.when(ok, F.col("lineage"))
+                        .otherwise(F.lit("QA CHECK FAIL: lineage")))
+    return out
+
+
+def elr_qa_scan_gate(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """P7 hard stop: rows carrying the QA CHECK FAIL sentinel anywhere
+    (elr.Rmd:560-579). Returns the offending rows; caller asserts
+    isEmpty (the reference calls stop())."""
+    scan = qa.sentinel_row_scan(df, cols=list(cols) if cols else None)
+    return scan.filter(F.col("has_sentinel")).drop("has_sentinel")
+
+
+# ----------------------------------------------------------------------
+# compile stage (all paths converge)
+# ----------------------------------------------------------------------
+
+def roster_compile(rosters: DataFrame, *, gisaid: DataFrame | None = None,
+                   chunk_rows: int = 500) -> dict[str, DataFrame]:
+    """ROSTER_COMPILE.Rmd:121-455: union'd roster inputs -> EPI_ISL
+    enrichment -> dedup -> empty-row drop -> QA -> {upload chunks,
+    for_review, dropped}."""
+    df = rosters
+    # J13 EPI_ISL enrichment with precedence (ROSTER_COMPILE.Rmd:227-245)
+    if gisaid is not None:
+        g = gisaid.select(
+            cleaning.strip_prefix(F.col("virus_name")).alias("__vn"),
+            F.col("epi_isl").alias("__epi"))
+        df = (df.join(F.broadcast(g),
+                      df.SEQUENCE_ACCESSION == F.col("__vn"), "left")
+                .withColumn("SEQUENCE_EPI_ISL",
+                            F.coalesce("SEQUENCE_EPI_ISL", "__epi"))
+                .drop("__vn", "__epi"))
+    # dedup + all-null row elimination (U3/P5); explicit isNotNull fold
+    # rather than na.drop — the latter can't resolve dotted names
+    # ('Case.Note')
+    df = df.dropDuplicates()
+    any_set = None
+    for c in df.columns:
+        nn = _qcol(c).isNotNull()
+        any_set = nn if any_set is None else (any_set | nn)
+    df = df.filter(any_set)
+    # reason defaulting (F9: missing -> OTHER)
+    df = df.withColumn("SEQUENCE_REASON",
+                       F.coalesce(F.upper(F.trim("SEQUENCE_REASON")),
+                                  F.lit("OTHER")))
+    # QA pass (roster mode)
+    flagged = qa.roster_filters(
+        df,
+        expr_flags={
+            "QA_CASE_ID": F.col("CASE_ID").isNull()
+                | ~F.col("CASE_ID").cast("string").rlike(r"^[0-9]+$"),
+            "QA_SPECIMEN": F.col("SEQUENCE_SPECIMEN") != "YES",
+            "QA_STATUS_VARIANT": (
+                (F.col("SEQUENCE_STATUS") == "COMPLETE")
+                & F.col("SEQUENCE_VARIANT_OPEN_TEXT").isNull()),
+        },
+        dup_specs={"QA_SA_INT_DUPE": ["SEQUENCE_ACCESSION"]})
+    drop_policy = F.upper(F.coalesce(F.col("SEQUENCE_STATUS"), F.lit(""))) \
+        .isin("FAILED", "LOW QUALITY")
+    routed = flagged.withColumn(
+        "route",
+        F.when(F.col("qa_sum") == 0, "upload")
+         .when(drop_policy, "dropped")
+         .otherwise("for_review"))
+    out = _route_split(routed)
+    if "upload" in out:
+        clean = out["upload"].drop(
+            *[c for c in out["upload"].columns if c.startswith("QA_")
+              or c == "qa_sum"])
+        contract = clean.select(*[_qcol(c).alias(c) for c in ROSTER_COLUMNS])
+        assert_roster_contract(contract)
+        out["upload"] = sinks.add_chunk_id(
+            contract, ["CASE_ID", "SEQUENCE_ACCESSION"], chunk_rows)
+    return out
