@@ -2083,3 +2083,361 @@ def fuzzy_band_routing(spark, sf_dir):
                               F.lit(None).cast("int").alias("distance"),
                               F.lit("did_not_match").alias("band")))
     return matched.unionByName(unmatched)
+
+
+# ----------------------------------------------------------------------
+# §2.9 T1 + §3 end-to-end paths as oracle-checked queries
+# ----------------------------------------------------------------------
+
+from . import pipelines as P  # noqa: E402
+
+
+@register("t1_ledger_dedup", """
+SELECT b.o_orderkey, b.o_custkey, CAST(b.o_orderdate AS VARCHAR) AS od
+FROM orders b
+WHERE CAST(b.o_orderdate AS DATE) >= DATE '1995-01-01'
+  AND NOT EXISTS (
+    SELECT 1 FROM orders l
+    WHERE CAST(l.o_orderdate AS DATE) < DATE '1995-01-01'
+      AND l.o_custkey = b.o_custkey)
+""")
+def t1_ledger_dedup(spark, sf_dir):
+    """T1: processed-record ledger anti-join — the cumulative feed
+    re-delivers everything; only keys absent from the ledger survive
+    (phl.Rmd:776-779, elr.Rmd:540-546). Ledger here = customers seen
+    before 1995; batch = the 1995+ feed."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "od_d", F.col("o_orderdate").cast("date"))
+    ledger = (o.filter(F.col("od_d") < "1995-01-01")
+               .select("o_custkey").dropDuplicates())
+    batch = o.filter(F.col("od_d") >= "1995-01-01")
+    fresh = cdc.ledger_dedup(batch, ledger, keys=["o_custkey"])
+    return fresh.select("o_orderkey", "o_custkey",
+                        F.col("o_orderdate").cast("string").alias("od"))
+
+
+_COS_PAIR = """round(
+  list_reduce(list_transform(range(1, len(a.embedding)+1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y))), 6)"""
+
+
+@register("dedup_embedding_cosine", f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_PAIR} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_PAIR} >= 0.95
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by cluster label
+    (the ANN-side generalization of the blocked fuzzy join J6/J7:
+    block key turns the O(n^2) theta-join into per-block equi-join
+    work; double-precision sequential fold, rounded 1e-6 so the
+    threshold decision is identical across engines)."""
+    from ..operators import similarity
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"), "label")
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    return (pairs
+            .withColumn("cos_sim",
+                        F.round(similarity.cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos_sim") >= 0.95)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+# --- §3.1 template path on testdata: orders -> 12-col template shape --
+
+def _template_frames(spark, sf_dir):
+    """Map orders onto the template-submission contract: accession =
+    orderkey; GISAID id present unless %7 (with a deliberate dup pool
+    at %13); Excel-serial dates at %11; an out-of-vocab status for 'P'
+    orders; demographics missing at %5 (last name) / custkey%3 (DOB).
+    The matching WDRS ENTIRE side covers %3 orderkeys."""
+    o = _t(spark, sf_dir, "orders")
+    gid = F.when(F.col("o_orderkey") % 13 == 0,
+                 F.lit(1000000) + F.col("o_orderkey") % 10) \
+           .otherwise(F.col("o_orderkey"))
+    subs = o.select(
+        F.col("o_orderkey").cast("string").alias("LAB_ACCESSION_ID"),
+        F.when(F.col("o_orderkey") % 7 != 0,
+               F.concat(F.lit("hCoV-19/USA/WA-CDC-"),
+                        gid.cast("string"), F.lit("/2021"))).alias("GISAID_ID"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("44287"))
+         .otherwise(F.col("o_orderdate").cast("string"))
+         .alias("SPECIMEN_COLLECTION_DATE"),
+        F.col("o_orderpriority").alias("SUBMITTING_LAB"),
+        F.lit("OTHER").alias("SEQUENCE_REASON"),
+        F.when(F.col("o_orderstatus") == "F", "COMPLETE")
+         .when(F.col("o_orderstatus") == "O", "PENDING")
+         .otherwise("WHO KNOWS").alias("SEQUENCE_STATUS"),
+        F.when(F.col("o_orderstatus") == "F", "B.1.1.7").alias("PANGO_LINEAGE"),
+        F.concat(F.lit("Clerk#"),
+                 (F.col("o_custkey") % 100).cast("string"))
+         .alias("FIRST_NAME"),
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderpriority"))
+         .alias("LAST_NAME"),
+        F.lit(None).cast("string").alias("MIDDLE_NAME"),
+        F.when(F.col("o_custkey") % 3 != 0, F.lit("1980-01-15")).alias("DOB"),
+        F.lit(None).cast("string").alias("ALTERNATIVE_ID"),
+    )
+    entire = (o.filter(F.col("o_orderkey") % 3 == 0)
+               .select(F.col("o_custkey").cast("string").alias("CASE_ID"),
+                       F.col("o_orderkey").cast("string")
+                        .alias("FILLER__ORDER__NUM")))
+    return subs, entire
+
+
+_TEMPLATE_SUBS_SQL = """
+subs AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS acc,
+         CASE WHEN o_orderkey % 7 <> 0 THEN
+           'hCoV-19/USA/WA-CDC-' ||
+           CAST(CASE WHEN o_orderkey % 13 = 0 THEN 1000000 + o_orderkey % 10
+                     ELSE o_orderkey END AS VARCHAR) || '/2021' END AS gisaid,
+         CASE o_orderstatus WHEN 'F' THEN 'COMPLETE' WHEN 'O' THEN 'PENDING'
+              ELSE 'WHO KNOWS' END AS status,
+         'Clerk#' || CAST(o_custkey % 100 AS VARCHAR) AS first_name,
+         CASE WHEN o_orderkey % 5 <> 0 THEN o_orderpriority END AS last_name,
+         o_orderpriority AS lab,
+         CASE WHEN o_custkey % 3 <> 0 THEN '1980-01-15' END AS dob,
+         o_orderkey, o_custkey, o_orderdate
+  FROM orders),
+flagged AS (
+  SELECT *,
+    CASE WHEN status NOT IN ('COMPLETE','FAILED','LOW QUALITY','NOT DONE',
+                             'HIGH CT','PENDING') THEN 1 ELSE 0 END
+    + CASE WHEN gisaid IS NOT NULL AND trim(gisaid) <> ''
+           AND count(*) OVER (PARTITION BY gisaid) > 1 THEN 1 ELSE 0 END
+    AS qa_sum
+  FROM subs)
+"""
+
+
+@register("pipe_template_route", f"""
+WITH {_TEMPLATE_SUBS_SQL}
+SELECT acc AS lab_accession_id,
+       CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_custkey AS VARCHAR) END
+         AS case_id,
+       qa_sum,
+       CASE WHEN qa_sum > 0 THEN 'for_review'
+            WHEN o_orderkey % 3 = 0 THEN 'roster'
+            WHEN first_name IS NOT NULL AND last_name IS NOT NULL
+                 AND dob IS NOT NULL THEN 'fuzzy_candidates'
+            ELSE 'keep_na' END AS route
+FROM flagged
+""")
+def pipe_template_route(spark, sf_dir):
+    """§3.1 spine end-to-end: normalize -> accession link -> QA flags ->
+    single-pass route tagging (template_submitters.Rmd:558-984). One
+    scan + one join + window dup-flag; the reference's four sequential
+    subtract-and-reroute passes collapse into a `when` cascade."""
+    subs, entire = _template_frames(spark, sf_dir)
+    routed = P.template_route_tags(subs, entire)
+    return routed.select(
+        F.col("LAB_ACCESSION_ID").alias("lab_accession_id"),
+        F.col("matched_case_id").alias("case_id"),
+        "qa_sum", "route")
+
+
+@register("pipe_roster_contract", f"""
+WITH {_TEMPLATE_SUBS_SQL}
+SELECT CAST(o_custkey AS VARCHAR) AS "CASE_ID",
+       CAST(NULL AS VARCHAR) AS "SEQUENCE_SGTF",
+       'YES' AS "SEQUENCE_SPECIMEN",
+       CAST(NULL AS VARCHAR) AS "SEQUENCE_DATE",
+       'OTHER' AS "SEQUENCE_REASON",
+       lab AS "SEQUENCE_LAB",
+       status AS "SEQUENCE_STATUS",
+       CASE WHEN status = 'COMPLETE' THEN 'GISAID' END
+         AS "SEQUENCE_REPOSITORY",
+       CASE WHEN status = 'COMPLETE'
+            THEN replace(gisaid, 'hCoV-19/', '') END AS "SEQUENCE_ACCESSION",
+       CAST(NULL AS VARCHAR) AS "SEQUENCE_EPI_ISL",
+       CASE WHEN status = 'COMPLETE' THEN 'B.1.1.7' END
+         AS "SEQUENCE_VARIANT_OPEN_TEXT",
+       acc AS "SEQUENCE_CLINICAL_ACCESSION",
+       CASE WHEN o_orderkey % 11 = 0
+            THEN strftime(DATE '1899-12-30' + INTERVAL 44287 DAY, '%m/%d/%Y')
+            ELSE strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y') END
+         AS "SEQUENCE_SPECIMEN_COLLECTION_DATE",
+       '01/15/2024' AS "SEQUENCE_ROSTER_PREPARE_DATE",
+       CASE WHEN status = 'COMPLETE' THEN
+         'Lineage identified as B.1.1.7 on 2024-01-15. ' ||
+         'Lineage assignments may change over time.' END AS "SEQUENCE_NOTES",
+       CAST(NULL AS VARCHAR) AS "SEQUENCE_REVIEWED",
+       'External data question package updated by Sequencing Roster.'
+         AS "Case.Note"
+FROM flagged
+WHERE qa_sum = 0 AND o_orderkey % 3 = 0
+""")
+def pipe_roster_contract(spark, sf_dir):
+    """§3.1 roster rendering: matched + QA-clean rows through the full
+    17-column positional contract (to_roster_schema; ROSTER_COMPILE.Rmd:
+    175-192 order is load-bearing) — multi-format date repair (Excel
+    serial 44287 -> 04/01/2021), prefix strip, notes templating, fixed
+    as_of for determinism."""
+    subs, entire = _template_frames(spark, sf_dir)
+    routed = P.template_route_tags(subs, entire)
+    roster = routed.filter(F.col("route") == "roster")
+    return P.to_roster_schema(roster,
+                              as_of=F.lit("2024-01-15").cast("date"))
+
+
+@register("pipe_elr_new_records", """
+WITH entire AS (
+  SELECT l_returnflag AS submitter,
+         CAST(l_orderkey AS VARCHAR) || '-' ||
+           CAST(l_linenumber AS VARCHAR) AS sca,
+         'SA-' || CAST(l_orderkey AS VARCHAR) || '-' ||
+           CAST(l_linenumber AS VARCHAR) AS sa,
+         CAST(l_shipdate AS VARCHAR) AS cd,
+         l_partkey
+  FROM lineitem),
+flat AS (SELECT sca, sa, cd FROM entire WHERE l_partkey % 2 = 0)
+SELECT submitter, sca, sa, cd FROM entire e
+WHERE e.submitter = 'R'
+  AND NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT sca, cd FROM flat) f
+                  WHERE f.sca = e.sca AND f.cd = e.cd)
+UNION ALL
+SELECT submitter, sca, sa, cd FROM entire e
+WHERE e.submitter = 'A'
+  AND NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT sa, cd FROM flat) f
+                  WHERE f.sa = e.sa AND f.cd = e.cd)
+""")
+def pipe_elr_new_records(spark, sf_dir):
+    """§3.3 two-branch new-records detection (elr.Rmd:297-311): anti-join
+    vs the destination on SCA+date for one submitter class, SA+date for
+    the other, validated-submitter filter, union. Both branches shuffle
+    on their composite key only; 'N' submitters fall out entirely
+    (the reference's validated-submitter gate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    entire = li.select(
+        F.col("l_returnflag").alias("SUBMITTER"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("SCA"),
+        F.concat(F.lit("SA-"), F.col("l_orderkey"), F.lit("-"),
+                 F.col("l_linenumber")).alias("SA"),
+        F.col("l_shipdate").cast("string").alias("COLLECTION_DATE"),
+        "l_partkey")
+    flattened = (entire.filter(F.col("l_partkey") % 2 == 0)
+                 .select(F.col("SCA").alias("SEQUENCE_CLINICAL_ACCESSION"),
+                         F.col("SA").alias("SEQUENCE_ACCESSION"),
+                         "COLLECTION_DATE"))
+    fresh = P.elr_new_records(
+        entire, flattened,
+        sca_submitters=["R"], sa_submitters=["A"])
+    return fresh.select(F.col("SUBMITTER").alias("submitter"),
+                        F.col("SCA").alias("sca"),
+                        F.col("SA").alias("sa"),
+                        F.col("COLLECTION_DATE").alias("cd"))
+
+
+@register("pipe_roster_compile_chunks", f"""
+WITH {_TEMPLATE_SUBS_SQL},
+roster AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS case_id,
+         CASE WHEN status = 'COMPLETE' AND gisaid IS NOT NULL
+              THEN replace(gisaid, 'hCoV-19/', '') END AS sa,
+         acc AS clinical, status, o_orderkey
+  FROM flagged WHERE qa_sum = 0 AND o_orderkey % 3 = 0),
+mut AS (
+  SELECT case_id, sa, clinical,
+    CASE WHEN o_orderkey % 19 = 0 THEN 'FAILED' ELSE status END AS status,
+    CASE WHEN o_orderkey % 17 = 0 OR o_orderkey % 19 = 0
+         THEN 'NO' ELSE 'YES' END AS specimen,
+    o_orderkey
+  FROM roster),
+gdim AS (
+  SELECT DISTINCT
+    'USA/WA-CDC-' || CAST(gid AS VARCHAR) || '/2021' AS vn_stripped,
+    'EPI_ISL_' || CAST(gid AS VARCHAR) AS epi
+  FROM (SELECT CASE WHEN o_orderkey % 13 = 0 THEN 1000000 + o_orderkey % 10
+                    ELSE o_orderkey END AS gid
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 2 = 0)),
+enriched AS (
+  SELECT m.*, g.epi FROM mut m LEFT JOIN gdim g ON m.sa = g.vn_stripped),
+qa2 AS (
+  SELECT *,
+    CASE WHEN specimen <> 'YES' THEN 1 ELSE 0 END
+    + CASE WHEN sa IS NOT NULL AND trim(sa) <> ''
+           AND count(*) OVER (PARTITION BY sa) > 1 THEN 1 ELSE 0 END AS qa_sum
+  FROM enriched),
+routed AS (
+  SELECT *,
+    CASE WHEN qa_sum = 0 THEN 'upload'
+         WHEN status IN ('FAILED','LOW QUALITY') THEN 'dropped'
+         ELSE 'for_review' END AS route
+  FROM qa2),
+up AS (
+  SELECT case_id, clinical, epi, 'OTHER' AS reason, route,
+         CAST((row_number() OVER (ORDER BY case_id, sa NULLS FIRST, clinical)
+               - 1) // 500 AS INT) AS chunk
+  FROM routed WHERE route = 'upload')
+SELECT case_id, clinical, epi, reason, route, chunk FROM up
+UNION ALL
+SELECT case_id, clinical, epi, 'OTHER' AS reason, route,
+       CAST(NULL AS INT) AS chunk
+FROM routed WHERE route <> 'upload'
+""")
+def pipe_roster_compile_chunks(spark, sf_dir):
+    """Compile stage end-to-end (ROSTER_COMPILE.Rmd:121-455): roster
+    inputs -> broadcast EPI_ISL enrichment (J13) -> reason defaulting
+    (F9) -> QA pass -> {upload: deterministic <=500-row chunk ids (S11),
+    dropped: FAILED/LOW QUALITY, for_review}. Chunk ordering includes
+    the unique clinical accession so row_number is total and the
+    assignment reproducible across engines."""
+    subs, entire = _template_frames(spark, sf_dir)
+    routed = P.template_route_tags(subs, entire)
+    roster = P.to_roster_schema(routed.filter(F.col("route") == "roster"),
+                                as_of=F.lit("2024-01-15").cast("date"))
+    okey = F.col("SEQUENCE_CLINICAL_ACCESSION").cast("long")
+    mutated = (roster
+               .withColumn("SEQUENCE_STATUS",
+                           F.when(okey % 19 == 0, "FAILED")
+                            .otherwise(F.col("SEQUENCE_STATUS")))
+               .withColumn("SEQUENCE_SPECIMEN",
+                           F.when((okey % 17 == 0) | (okey % 19 == 0), "NO")
+                            .otherwise(F.col("SEQUENCE_SPECIMEN")))
+               .withColumn("SEQUENCE_REASON",
+                           F.when(okey % 23 == 0, F.lit(None).cast("string"))
+                            .otherwise(F.col("SEQUENCE_REASON"))))
+    o = _t(spark, sf_dir, "orders")
+    gid = F.when(F.col("o_orderkey") % 13 == 0,
+                 F.lit(1000000) + F.col("o_orderkey") % 10) \
+           .otherwise(F.col("o_orderkey"))
+    gisaid = (o.filter((F.col("o_orderkey") % 7 != 0)
+                       & (F.col("o_orderkey") % 2 == 0))
+               .select(F.concat(F.lit("hCoV-19/USA/WA-CDC-"),
+                                gid.cast("string"),
+                                F.lit("/2021")).alias("virus_name"),
+                       F.concat(F.lit("EPI_ISL_"),
+                                gid.cast("string")).alias("epi_isl"))
+               .dropDuplicates())
+    out = P.roster_compile(
+        mutated, gisaid=gisaid, chunk_rows=500,
+        chunk_order=("CASE_ID", "SEQUENCE_ACCESSION",
+                     "SEQUENCE_CLINICAL_ACCESSION"))
+    parts = []
+    for route in ("upload", "dropped", "for_review"):
+        df = out[route]
+        chunk = (F.col("chunk").cast("int") if route == "upload"
+                 else F.lit(None).cast("int"))
+        parts.append(df.select(
+            F.col("CASE_ID").alias("case_id"),
+            F.col("SEQUENCE_CLINICAL_ACCESSION").alias("clinical"),
+            F.col("SEQUENCE_EPI_ISL").alias("epi"),
+            F.col("SEQUENCE_REASON").alias("reason"),
+            F.lit(route).alias("route"),
+            chunk.alias("chunk")))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res

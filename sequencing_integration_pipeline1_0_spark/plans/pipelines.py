@@ -63,24 +63,31 @@ def validate_template_schema(df: DataFrame) -> None:
             f"expected prefix {TEMPLATE_COLUMNS}")
 
 
-def _route_split(df: DataFrame, route_col: str = "route") -> dict[str, DataFrame]:
-    routes = [r[route_col] for r in
-              df.select(route_col).distinct().collect()]
-    return {r: df.filter(F.col(route_col) == r).drop(route_col) for r in routes}
+def _route_split(df: DataFrame, routes: Sequence[str],
+                 route_col: str = "route") -> dict[str, DataFrame]:
+    """Split a route-tagged frame into one DataFrame per route. The
+    route set is static per path (no distinct+collect job — at scale
+    that would be a full extra pass over the data)."""
+    return {r: df.filter(F.col(route_col) == r).drop(route_col)
+            for r in routes}
 
 
 # ----------------------------------------------------------------------
 # §3.1 template-submitters path
 # ----------------------------------------------------------------------
 
-def template_submitters_path(
+TEMPLATE_ROUTES = ("roster", "fuzzy_candidates", "keep_na", "for_review")
+
+
+def template_route_tags(
         submissions: DataFrame, wdrs_entire: DataFrame, *,
         wdrs_sa_values: DataFrame | None = None,
-        valid_lineages: Sequence[str] | None = None,
-        as_of: Column | None = None) -> dict[str, DataFrame]:
-    """Ingested template submissions -> {roster, fuzzy_candidates,
-    keep_na, for_review} in one tagged pass
-    (template_submitters.Rmd:558-984).
+        valid_lineages: Sequence[str] | None = None) -> DataFrame:
+    """The §3.1 spine as ONE tagged pass: normalize -> link -> QA ->
+    route column (template_submitters.Rmd:558-984). Returns the full
+    frame with `route` ∈ TEMPLATE_ROUTES — callers split or aggregate;
+    the reference's sequential subtract-and-reroute becomes a single
+    `when` cascade so the plan scans the input once.
 
     `submissions` uses the 12-col template schema (all strings);
     `wdrs_entire` carries CASE_ID + FILLER__ORDER__NUM (+ names/DOB).
@@ -90,8 +97,6 @@ def template_submitters_path(
       - unmatched, has name+DOB           -> fuzzy_candidates
       - unmatched, missing demographics   -> keep_na
     """
-    as_of = as_of if as_of is not None else F.current_date()
-
     # normalize: dates (multi-format incl. Excel serials) + names
     s = (submissions
          .withColumn("collection_date",
@@ -138,17 +143,28 @@ def template_submitters_path(
     has_demo = (F.col("FIRST_NAME").isNotNull()
                 & F.col("LAST_NAME").isNotNull()
                 & F.col("dob_date").isNotNull())
-    routed = flagged.withColumn(
+    return flagged.withColumn(
         "route",
         F.when(F.col("qa_sum") > 0, "for_review")
          .when(F.col("matched_case_id").isNotNull(), "roster")
          .when(has_demo, "fuzzy_candidates")
          .otherwise("keep_na"))
 
-    out = _route_split(routed)
-    out.setdefault("roster", routed.limit(0).drop("route"))
-    if "roster" in out:
-        out["roster"] = to_roster_schema(out["roster"], as_of=as_of)
+
+def template_submitters_path(
+        submissions: DataFrame, wdrs_entire: DataFrame, *,
+        wdrs_sa_values: DataFrame | None = None,
+        valid_lineages: Sequence[str] | None = None,
+        as_of: Column | None = None) -> dict[str, DataFrame]:
+    """Ingested template submissions -> {roster, fuzzy_candidates,
+    keep_na, for_review} (template_submitters.Rmd:558-984); the roster
+    route is rendered to the 17-col contract."""
+    as_of = as_of if as_of is not None else F.current_date()
+    routed = template_route_tags(
+        submissions, wdrs_entire, wdrs_sa_values=wdrs_sa_values,
+        valid_lineages=valid_lineages)
+    out = _route_split(routed, TEMPLATE_ROUTES)
+    out["roster"] = to_roster_schema(out["roster"], as_of=as_of)
     return out
 
 
@@ -262,7 +278,7 @@ def fuzzy_match_path(candidates: DataFrame, wdrs_universe: DataFrame, *,
     unmatched = (candidates.join(matched_ids, "rowid", "left_anti")
                  .withColumn("route", F.lit("did_not_match")))
 
-    out = _route_split(banded)
+    out = _route_split(banded, ("roster", "review"))
     out["did_not_match"] = unmatched.drop("route")
     return out
 
@@ -343,7 +359,9 @@ def elr_qa_scan_gate(df: DataFrame, cols: Sequence[str] | None = None) -> DataFr
 # ----------------------------------------------------------------------
 
 def roster_compile(rosters: DataFrame, *, gisaid: DataFrame | None = None,
-                   chunk_rows: int = 500) -> dict[str, DataFrame]:
+                   chunk_rows: int = 500,
+                   chunk_order: Sequence[str] = ("CASE_ID", "SEQUENCE_ACCESSION"),
+                   ) -> dict[str, DataFrame]:
     """ROSTER_COMPILE.Rmd:121-455: union'd roster inputs -> EPI_ISL
     enrichment -> dedup -> empty-row drop -> QA -> {upload chunks,
     for_review, dropped}."""
@@ -390,13 +408,11 @@ def roster_compile(rosters: DataFrame, *, gisaid: DataFrame | None = None,
         F.when(F.col("qa_sum") == 0, "upload")
          .when(drop_policy, "dropped")
          .otherwise("for_review"))
-    out = _route_split(routed)
-    if "upload" in out:
-        clean = out["upload"].drop(
-            *[c for c in out["upload"].columns if c.startswith("QA_")
-              or c == "qa_sum"])
-        contract = clean.select(*[_qcol(c).alias(c) for c in ROSTER_COLUMNS])
-        assert_roster_contract(contract)
-        out["upload"] = sinks.add_chunk_id(
-            contract, ["CASE_ID", "SEQUENCE_ACCESSION"], chunk_rows)
+    out = _route_split(routed, ("upload", "dropped", "for_review"))
+    clean = out["upload"].drop(
+        *[c for c in out["upload"].columns if c.startswith("QA_")
+          or c == "qa_sum"])
+    contract = clean.select(*[_qcol(c).alias(c) for c in ROSTER_COLUMNS])
+    assert_roster_contract(contract)
+    out["upload"] = sinks.add_chunk_id(contract, list(chunk_order), chunk_rows)
     return out
