@@ -1,0 +1,84 @@
+"""Plan-shape regression gate: every catalog query must compile to a
+physical plan free of scale-hostile operators.
+
+This is the "would it survive 100x" check mechanized: no cartesian or
+nested-loop joins (a blocked/banded rewrite exists for every theta-join
+we need), no row-at-a-time Python UDFs (BatchEvalPython) anywhere, and
+dimension-membership joins must broadcast. Analysis-only — no jobs run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: brute-force cosine top-k is *deliberately* a broadcast nested-loop —
+#: it is the exact baseline the LSH-bucketed variant is measured against.
+NESTED_LOOP_OK = {"ann_brute_force_topk"}
+
+#: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
+#: design (binary payloads; SURVEY §7 phase 6) — never row-based.
+PANDAS_OK = {"mm_decode_stub", "mm_frame_sample"}
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: _plan(spark, name) for name in entrymod.queries()}
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian join in: {bad}"
+
+
+def test_no_unexpected_nested_loop_joins(plans):
+    bad = [n for n, p in plans.items()
+           if "BroadcastNestedLoopJoin" in p and n not in NESTED_LOOP_OK]
+    assert not bad, f"nested-loop join in: {bad}"
+
+
+def test_no_row_python_udfs(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_pandas_only_where_intended(plans):
+    bad = [n for n, p in plans.items()
+           if ("ArrowEvalPython" in p or "MapInPandas" in p)
+           and n not in PANDAS_OK]
+    assert not bad, f"unexpected pandas/Arrow python stage in: {bad}"
+
+
+def test_fuzzy_join_is_blocked_not_nested(plans):
+    """The levenshtein theta-join must ride the equi block key (J7):
+    hash or sort-merge join with the distance as post-condition, never
+    a nested loop over the full cross product (SURVEY §4)."""
+    p = plans["j6_fuzzy_name_pairs"]
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p)
+
+
+def test_scan_pushdown_reaches_parquet(plans):
+    """S5's WHERE must land in the parquet scan (PushedFilters), not a
+    post-scan Filter over all rows."""
+    p = plans["s5_scan_distinct"]
+    assert "PushedFilters: [" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("o_totalprice" in ln for ln in pushed), pushed
+
+
+def test_membership_flags_broadcast(plans):
+    """§2.8 WDRS-membership flags join against a small distinct value
+    set — must be a broadcast join, not a shuffle of the fact side."""
+    assert "BroadcastHashJoin" in plans["qa_roster_filters"]
