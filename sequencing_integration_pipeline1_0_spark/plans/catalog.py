@@ -2441,3 +2441,31 @@ def pipe_roster_compile_chunks(spark, sf_dir):
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+# ----------------------------------------------------------------------
+# skew mitigation (scale extension; same idea as the fuzzy-join blocking)
+# ----------------------------------------------------------------------
+
+from ..operators import skew  # noqa: E402
+
+
+@register("skew_salted_agg", """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation: the hot group key (3 returnflag
+    values over the whole table — maximal skew) spreads across 32 salt
+    buckets in phase 1, then recombines. Result is bit-identical to the
+    direct groupBy (decimal sums are order-independent), which is
+    exactly what this oracle proves."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "q", F.col("l_quantity").cast("decimal(18,2)"))
+    out = skew.salted_group_agg(
+        li, ["l_returnflag"],
+        {"sum_qty": ("sum", "q"), "n": ("count", "q")}, buckets=32)
+    return (out.withColumn("n", F.col("n").cast("long"))
+                .withColumn("sum_qty", F.col("sum_qty").cast("double")))
