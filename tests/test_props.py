@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): the reference's runtime
+conservation checks (SURVEY §5.1) as properties over generated inputs.
+
+Each example builds a small DataFrame and asserts an invariant the
+pipelines rely on: date parsing recovers any supported rendering, name
+normalization is idempotent, band routing partitions the probe set,
+chunking is exact. Example counts are kept small — each example is a
+Spark job."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sequencing_integration_pipeline1_0_spark.functions import cleaning, dates
+from sequencing_integration_pipeline1_0_spark.operators import fuzzy
+from sequencing_integration_pipeline1_0_spark.sources import sinks
+
+SLOW = settings(max_examples=6, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+DATES = st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 28))
+
+
+@SLOW
+@given(st.lists(DATES, min_size=1, max_size=20),
+       st.sampled_from(["%m/%d/%Y", "%Y-%m-%d", "%m-%d-%Y", "%Y/%m/%d",
+                        "excel", "%Y-%m-%dT%H:%M:%S"]))
+def test_parse_date_multi_recovers_any_rendering(spark, ds, fmt):
+    if fmt == "excel":
+        origin = dt.date(1899, 12, 30)
+        raws = [str((d - origin).days) for d in ds]
+        ds = [d for d in ds if 20000 <= (d - origin).days <= 80000]
+        raws = [r for r in raws if 20000 <= int(r) <= 80000]
+        if not raws:
+            return
+    else:
+        raws = [d.strftime(fmt) for d in ds]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = [r["d"] for r in
+           df.select(dates.parse_date_multi("raw").alias("d")).collect()]
+    assert got == ds
+
+
+@SLOW
+@given(st.lists(st.text(
+    alphabet=" abcXYZ0189-.'", min_size=0, max_size=25), min_size=1, max_size=20))
+def test_annihilate_idempotent_and_clean(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    out = df.select(
+        cleaning.annihilate("name").alias("once")).select(
+        F.col("once"), cleaning.annihilate("once").alias("twice")).collect()
+    for r in out:
+        assert r["once"] == r["twice"]          # idempotent
+        assert r["once"] is None or all(
+            c.isalnum() and c == c.upper() for c in r["once"])
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 30),
+                          st.sampled_from(["ANNA", "ANNE", "BOB", "CARLOS", "ZZZZZZ"])),
+                min_size=1, max_size=25))
+def test_band_routing_partitions_probe_set(spark, rows):
+    """Every probe rowid lands in exactly one of {banded, did_not_match}
+    — the fuzzy.Rmd:1079-1085 rows_printed conservation property."""
+    probe = spark.createDataFrame(
+        [(i, n, k % 3) for i, (k, n) in enumerate(rows)],
+        "rowid int, name_l string, block int")
+    univ = spark.createDataFrame(
+        [(100, "ANNA", 0), (101, "BOBB", 1), (102, "CAROL", 2)],
+        "match_id int, name_r string, block int")
+    m = fuzzy.blocked_distance_join(
+        probe, univ, left_key="name_l", right_key="name_r",
+        block_keys=["block"], max_dist=2, how="inner")
+    banded = fuzzy.band_by_distance(m, rowid="rowid")
+    matched_ids = {r["rowid"] for r in banded.select("rowid").collect()}
+    unmatched = probe.join(banded.select("rowid").dropDuplicates(),
+                           "rowid", "left_anti")
+    unmatched_ids = {r["rowid"] for r in unmatched.collect()}
+    all_ids = {r["rowid"] for r in probe.collect()}
+    assert matched_ids | unmatched_ids == all_ids
+    assert not (matched_ids & unmatched_ids)
+    # within banded: one band per rowid (min-distance resolution)
+    per = banded.groupBy("rowid").agg(
+        F.countDistinct("band").alias("nb")).collect()
+    assert all(r["nb"] == 1 for r in per)
+
+
+@SLOW
+@given(st.integers(1, 120), st.integers(1, 17))
+def test_chunk_assignment_exact(spark, n, chunk_rows):
+    df = spark.range(n).withColumn("k", F.col("id").cast("string"))
+    out = sinks.add_chunk_id(df, ["k"], chunk_rows)
+    sizes = {r["chunk"]: r["n"] for r in
+             out.groupBy("chunk").agg(F.count("*").alias("n")).collect()}
+    assert sorted(sizes) == list(range(len(sizes)))      # contiguous ids
+    assert sum(sizes.values()) == n                      # conservation
+    assert all(v <= chunk_rows for v in sizes.values())
+    full = [sizes[c] for c in sorted(sizes)[:-1]]
+    assert all(v == chunk_rows for v in full)            # only tail partial
