@@ -81,3 +81,23 @@ def append_with_reconciliation(df: DataFrame, path: str) -> tuple[int, int, int]
         raise AssertionError(
             f"append reconciliation failed: {old} + {appended} != {new}")
     return old, appended, new
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, *,
+                   buckets: int = 16, path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed parquet table: co-locates rows by hash(key) at WRITE
+    time so every later equi-join/aggregation on `key` between tables
+    bucketed the same way runs shuffle-free — the scan IS the
+    exchange. This is the 100 TB answer to the reference's repeated
+    accession-key joins (the same WDRS case table is joined every run;
+    bucket it once, join it forever).
+
+    Requires saveAsTable (bucket metadata lives in the catalog);
+    `path` makes it an external table.
+    """
+    w = (df.write.mode(mode).format("parquet")
+           .bucketBy(buckets, key).sortBy(key))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

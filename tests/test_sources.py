@@ -118,3 +118,31 @@ def test_s13_partitioned_sink(spark, tmp_path, sf_dir):
     expected = {r["c_mktsegment"] for r in
                 c.select("c_mktsegment").distinct().collect()}
     assert segs == expected
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_dir):
+    """Two tables bucketed on the join key: the equi-join plan must
+    contain no Exchange (the bucketed scan provides the partitioning)."""
+    from sequencing_integration_pipeline1_0_spark.sources import sinks
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    sinks.write_bucketed(o, "b_orders", "o_orderkey",
+                         buckets=4, path=str(tmp_path / "bo"))
+    sinks.write_bucketed(li, "b_lineitem", "o_orderkey",
+                         buckets=4, path=str(tmp_path / "bl"))
+    # force a non-broadcast plan so the bucketing (not broadcast) must
+    # eliminate the shuffle — at real scale neither side broadcasts
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_lineitem"),
+                                         "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
