@@ -38,7 +38,8 @@ def blocked_distance_join(left: DataFrame, right: DataFrame, *,
                           max_dist: int = 3,
                           how: str = "inner",
                           dist_col: str = "distance",
-                          spread: bool = True) -> DataFrame:
+                          spread: bool = True,
+                          length_bucket: bool = False) -> DataFrame:
     """Equi-join on block keys + levenshtein(left_key, right_key) <= k.
 
     Both frames must carry the block columns with identical names.
@@ -50,7 +51,26 @@ def blocked_distance_join(left: DataFrame, right: DataFrame, *,
     levenshtein; the distance predicate is the cost, not the shuffle).
     At cluster scale with a large probe side the input already has
     enough partitions and this is a no-op.
+
+    length_bucket=True adds a LOSSLESS sub-block on key length: since
+    distance <= k forces |len(a)-len(b)| <= k, bucketing by
+    len div (k+1) and probing only the right side's neighbor buckets
+    (b-1, b, b+1 via a 3-way explode) preserves every match while
+    cutting a dense block's candidate pairs by ~bucket-count/3. Use at
+    scale when single block keys (a common birth year) are still
+    millions of rows; leave off when key lengths are near-uniform (the
+    explode would triple work for no pruning).
     """
+    left_cols, right_cols = list(left.columns), list(right.columns)
+    block_keys = list(block_keys)
+    if length_bucket:
+        width = max_dist + 1
+        lb = F.floor(F.length(F.col(left_key)) / width)
+        rb = F.floor(F.length(F.col(right_key)) / width)
+        left = left.withColumn("__lb", lb)
+        right = (right
+                 .withColumn("__lb", F.explode(F.array(rb - 1, rb, rb + 1))))
+        block_keys.append("__lb")
     if spread:
         target = left.sparkSession.sparkContext.defaultParallelism
         if left.rdd.getNumPartitions() < target:
@@ -71,9 +91,9 @@ def blocked_distance_join(left: DataFrame, right: DataFrame, *,
     cond = dist_ok if cond is None else cond & dist_ok
     dist = bounded
     joined = l.join(r, cond, how)
-    keep_r = [c for c in right.columns if c not in set(block_keys)]
+    keep_r = [c for c in right_cols if c not in set(block_keys)]
     return joined.select(
-        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"l.{c}") for c in left_cols],
         *[F.col(f"r.{c}") for c in keep_r],
         dist.alias(dist_col),
     )

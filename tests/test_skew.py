@@ -57,3 +57,27 @@ def test_salted_join_rejects_nothing_on_left_join(spark):
     empty_dim = spark.createDataFrame([], "l_partkey long, d string")
     out = skew.salted_join(li, empty_dim, "l_partkey", buckets=4, how="left")
     assert out.count() == li.count()
+
+
+def test_length_bucketed_fuzzy_join_is_lossless(spark):
+    """length_bucket=True must return the exact same match set — the
+    |len diff| <= k bound makes neighbor-bucket probing lossless."""
+    from sequencing_integration_pipeline1_0_spark.operators import fuzzy
+    names = ["AL", "ALF", "ALFRED", "ALFREDO", "ALEXANDRIA", "BOB",
+             "BOBBY", "ROBERT", "CHRISTOPHER", "CHRISTOPHE", "X",
+             "XAVIER", "XAVIERA", "MARGARET", "MARGARETE", "MARGUERITE"]
+    rows = [(i, n, i % 2) for i, n in enumerate(names)]
+    left = spark.createDataFrame(rows, "lid int, lname string, block int")
+    right = spark.createDataFrame(
+        [(100 + i, n, i % 2) for i, n in enumerate(names)],
+        "rid int, rname string, block int")
+
+    def pairs(**kw):
+        out = fuzzy.blocked_distance_join(
+            left, right, left_key="lname", right_key="rname",
+            block_keys=["block"], max_dist=2, **kw)
+        return sorted((r["lid"], r["rid"], r["distance"])
+                      for r in out.collect())
+
+    assert pairs(length_bucket=True) == pairs(length_bucket=False)
+    assert len(pairs(length_bucket=True)) > len(names)  # non-trivial set
