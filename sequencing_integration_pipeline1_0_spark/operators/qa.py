@@ -123,3 +123,29 @@ def roster_filters(df: DataFrame, *,
     flag_cols = ([*(expr_flags or {}).keys(), *(dup_specs or {}).keys(),
                   *(membership_specs or {}).keys()])
     return add_flag_sum(out, flag_cols, out=sum_col)
+
+
+def prematch_filters(df: DataFrame, *,
+                     first: str = "FIRST_NAME", last: str = "LAST_NAME",
+                     dob: str = "DOB",
+                     cdate: str = "SPECIMEN_COLLECTION_DATE") -> DataFrame:
+    """§2.8 pre-match variant (fuzzy.Rmd:404-452): rows unfit for the
+    fuzzy join get flagged before blocking — names null or containing
+    digits (QA_NAME_NA), DOB null / unparseable / the 1899-12-30
+    Excel-zero artifact (QA_DOB_NA), collection date missing or
+    unparseable (QA_COLLECT_DATE_NA) — plus the qa_sum the router keys
+    on."""
+    from ..functions import dates
+    dob_d = dates.parse_date_multi(dob)
+    cd_d = dates.parse_date_multi(cdate)
+    has_digit = "[0-9]"
+    flagged = apply_flag_exprs(df, {
+        "QA_NAME_NA": (F.col(first).isNull() | F.col(last).isNull()
+                       | F.col(first).rlike(has_digit)
+                       | F.col(last).rlike(has_digit)),
+        "QA_DOB_NA": (F.col(dob).isNull() | dob_d.isNull()
+                      | (dob_d == F.lit("1899-12-30").cast("date"))),
+        "QA_COLLECT_DATE_NA": F.col(cdate).isNull() | cd_d.isNull(),
+    })
+    return add_flag_sum(flagged,
+                        ["QA_NAME_NA", "QA_DOB_NA", "QA_COLLECT_DATE_NA"])

@@ -2469,3 +2469,31 @@ def skew_salted_agg(spark, sf_dir):
         {"sum_qty": ("sum", "q"), "n": ("count", "q")}, buckets=32)
     return (out.withColumn("n", F.col("n").cast("long"))
                 .withColumn("sum_qty", F.col("sum_qty").cast("double")))
+
+
+@register("qa_prematch_flags", f"""
+WITH {_TEMPLATE_SUBS_SQL}
+SELECT acc AS lab_accession_id,
+  CASE WHEN first_name IS NULL OR last_name IS NULL
+         OR regexp_matches(first_name, '[0-9]')
+         OR regexp_matches(last_name, '[0-9]') THEN 1 END AS QA_NAME_NA,
+  CASE WHEN dob IS NULL THEN 1 END AS QA_DOB_NA,
+  CAST(NULL AS INT) AS QA_COLLECT_DATE_NA,
+  COALESCE(CASE WHEN first_name IS NULL OR last_name IS NULL
+         OR regexp_matches(first_name, '[0-9]')
+         OR regexp_matches(last_name, '[0-9]') THEN 1 END, 0)
+  + COALESCE(CASE WHEN dob IS NULL THEN 1 END, 0) AS qa_sum
+FROM subs
+""")
+def qa_prematch_flags(spark, sf_dir):
+    """§2.8 pre-match QA variant (fuzzy.Rmd:404-452): name/DOB/
+    collection-date fitness flags ahead of the blocked fuzzy join. The
+    synthesized names carry digits (Clerk#NN) so QA_NAME_NA exercises
+    the digit rule; dates always parse so QA_COLLECT_DATE_NA stays
+    null — matching the SQL's NULL literal proves the flag logic, not
+    just the happy path."""
+    subs, _ = _template_frames(spark, sf_dir)
+    out = qa.prematch_filters(subs)
+    return out.select(
+        F.col("LAB_ACCESSION_ID").alias("lab_accession_id"),
+        "QA_NAME_NA", "QA_DOB_NA", "QA_COLLECT_DATE_NA", "qa_sum")

@@ -56,9 +56,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -91,7 +93,8 @@ def main() -> int:
             continue
         print(f"ok   {name}: rows={len(sdf)} values match")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    print(f"\n{ran - len(failures)}/{ran} queries pass"
+          + ("" if not only else f" (of {len(qs)} total)"))
     return 1 if failures else 0
 
 
