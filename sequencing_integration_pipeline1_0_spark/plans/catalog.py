@@ -2497,3 +2497,33 @@ def qa_prematch_flags(spark, sf_dir):
     return out.select(
         F.col("LAB_ACCESSION_ID").alias("lab_accession_id"),
         "QA_NAME_NA", "QA_DOB_NA", "QA_COLLECT_DATE_NA", "qa_sum")
+
+
+@register("a10b_week_over_week", """
+WITH snap AS (
+  SELECT o_orderpriority AS variable,
+    CAST(count(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+               THEN 1 END) AS BIGINT) AS prev_total,
+    CAST(count(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+               THEN 1 END) AS BIGINT) AS cur_total
+  FROM orders GROUP BY 1)
+SELECT variable, cur_total, prev_total,
+       cur_total - prev_total AS change
+FROM snap
+""")
+def a10b_week_over_week(spark, sf_dir):
+    """A10 second half: week-over-week error-summary join — this
+    week's totals joined to last week's, Change = cur - prev
+    (ref: wdrs_qa_main.R:303-340, the Total.x - Total.y join). One
+    scan with conditional counts replaces the reference's two-snapshot
+    self-join — same result, half the shuffles."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date"))
+    out = o.groupBy(F.col("o_orderpriority").alias("variable")).agg(
+        F.count(F.when(F.col("d") < "1996-01-01", 1))
+         .cast("long").alias("prev_total"),
+        F.count(F.when(F.col("d") < "1997-01-01", 1))
+         .cast("long").alias("cur_total"))
+    return out.select("variable", "cur_total", "prev_total",
+                      (F.col("cur_total") - F.col("prev_total"))
+                      .alias("change"))
