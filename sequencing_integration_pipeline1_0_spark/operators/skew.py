@@ -81,3 +81,30 @@ def salted_join(skewed: DataFrame, small: DataFrame, key: str,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
     out = left.join(right, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def spread_for_compute(df: DataFrame,
+                       parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow input so expression-heavy
+    projections (regex batteries, multi-format date parsing) use every
+    core instead of inheriting the scan's split count.
+
+    A small parquet file with one row group is a single input split, so
+    every downstream regex/parse in that stage runs on ONE task no
+    matter how many cores the session has. For CPU-bound scalar
+    pipelines the exchange (a few MB of packed rows) costs far less
+    than the serialized compute it unblocks. The guard self-disables at
+    cluster scale: a large scan already has >= parallelism splits, so
+    the repartition — and its shuffle — never happens exactly when the
+    input is big enough not to need it.
+
+    Same idiom as the fuzzy join's probe-side spread
+    (fuzzy.blocked_distance_join); results are row-identical (round
+    robin reorders rows only, and no operator downstream of a
+    repartition may depend on row order).
+    """
+    sc = df.sparkSession.sparkContext
+    target = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -22,6 +22,7 @@ from ..functions import accession as acc
 from ..functions import cleaning, dates
 from ..operators import aggregates as agg
 from ..operators import cdc, dedup, fuzzy, qa
+from ..operators.skew import spread_for_compute
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -169,8 +170,10 @@ def f12_multiformat_dates(spark, sf_dir):
     garbage->NULL) + %m/%d/%Y rendering
     (ref: quality_filters.R:23-27,171-180; ROSTER_COMPILE.Rmd:240).
     Dirty strings are synthesized deterministically from o_orderdate,
-    then recovered by the engine's parse_date_multi."""
-    o = _t(spark, sf_dir, "orders")
+    then recovered by the engine's parse_date_multi. The scan is spread
+    to full parallelism first — the parse battery is CPU-bound and a
+    single-row-group input would otherwise run it on one task."""
+    o = spread_for_compute(_t(spark, sf_dir, "orders"))
     d = F.col("o_orderdate").cast("date")
     raw = (F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "MM/dd/yyyy"))
             .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "yyyy-MM-dd"))
