@@ -90,3 +90,49 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, *,
     return (pairs.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k)
                  .select("id", "neighbor_id", "cos_sim", "rank"))
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
+             k: int = 5, n_cells: int = 8, nprobe: int = 2,
+             round_to: int = 6) -> DataFrame:
+    """IVF-flat approximate top-k — the coarse-quantizer scale path.
+
+    Codebook: deterministic — the n_cells lowest-id vectors are the
+    centroids (production would train k-means offline; the index and
+    search plumbing exercised here is identical either way). Index
+    side: every vector lands in exactly ONE cell, its nearest centroid
+    (rounded cosine, tie -> lower cell id). Query side: each query
+    probes its `nprobe` nearest cells and ranks the indexed vectors
+    found there.
+
+    Scale shape: the codebook broadcasts (n_cells rows); assignment is
+    a broadcast nested-loop of n rows x n_cells centroids (linear in
+    n); the candidate join is an equi-join shuffled on cell id — never
+    the n^2 cross join. Each (query, neighbor) pair appears at most
+    once because the index side is single-assignment, so no dedup pass
+    is needed. Recall < 1 by construction (a true neighbor indexed in
+    an unprobed cell is missed); measure against brute_force_topk.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = (base.orderBy("id").limit(n_cells)
+                 .select(F.col("id").alias("cell_id"), F.col("v").alias("cv")))
+    sims = (base.join(F.broadcast(cents))
+                .withColumn("csim", F.round(cosine(F.col("v"), F.col("cv")),
+                                            round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    sims = sims.withColumn("crank", F.row_number().over(cw))
+    idx = (sims.filter(F.col("crank") == 1)
+               .select(F.col("id").alias("neighbor_id"),
+                       F.col("v").alias("vb"), "cell_id"))
+    probe = (sims.filter(F.col("crank") <= nprobe)
+                 .select("id", F.col("v").alias("va"),
+                         F.col("cell_id").alias("probe_cell")))
+    pairs = (probe.join(idx, (F.col("probe_cell") == F.col("cell_id"))
+                        & (F.col("id") != F.col("neighbor_id")))
+                  .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")),
+                                                 round_to)))
+    w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(),
+                                         F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("id", "neighbor_id", "cos_sim", "rank"))

@@ -814,6 +814,59 @@ def ann_lsh_bucket_topk(spark, sf_dir):
     return similarity.lsh_topk(e, "vec_id", "embedding", k=5, bucket_dims=8)
 
 
+def _cos_sql(l: str, r: str) -> str:
+    """DuckDB cosine between two list columns, same sequential
+    double-precision fold (and 1e-6 rounding) as similarity.cosine."""
+    def _dot(x, y):
+        return (f"list_reduce(list_transform(range(1, len({x})+1), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), "
+                f"(x, y) -> x + y)")
+    return (f"round({_dot(l, r)} / (sqrt({_dot(l, l)}) * sqrt({_dot(r, r)})), 6)")
+
+
+_ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+  ORDER BY vec_id LIMIT 8),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cents c),
+ranked_cells AS (
+  SELECT vec_id, embedding, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id) AS crank
+  FROM sims),
+idx AS (SELECT vec_id AS neighbor_id, embedding AS vb, cell_id
+        FROM ranked_cells WHERE crank = 1),
+probe AS (SELECT vec_id AS id, embedding AS va, cell_id AS probe_cell
+          FROM ranked_cells WHERE crank <= 2),
+pairs AS (
+  SELECT q.id, i.neighbor_id, {_cos_sql('q.va', 'i.vb')} AS cos_sim
+  FROM probe q JOIN idx i
+    ON q.probe_cell = i.cell_id AND q.id != i.neighbor_id),
+final AS (
+  SELECT id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM final WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", _ANN_IVF_SQL)
+def ann_ivf_topk(spark, sf_dir):
+    """Approximate top-5 via IVF-flat: broadcast codebook (8 cells,
+    deterministic lowest-id centroids standing in for trained k-means),
+    single-assignment index, nprobe=2 query fan-out, equi-join on cell
+    id — linear assignment + cell-keyed shuffle instead of n^2
+    (the coarse-quantizer alternative to the sign-LSH path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, "vec_id", "embedding",
+                               k=5, n_cells=8, nprobe=2)
+
+
 def _lang_id_sql() -> str:
     markers = {
         "de": "['der','die','das','und','ist']",

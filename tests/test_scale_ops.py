@@ -87,6 +87,27 @@ def test_lsh_topk_subset_of_brute(spark):
     assert len({(r["id"], r["neighbor_id"]) for r in lsh} & brute) > 0
 
 
+def test_ivf_topk_single_assignment_and_recall(spark):
+    import random
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    ivf = sim.ivf_topk(df, "vec_id", "embedding", k=3, n_cells=4, nprobe=2).collect()
+    # no self-pairs, valid ranks, no duplicate (id, neighbor) pairs
+    # (single-assignment index means a neighbor can't arrive twice)
+    assert all(r["id"] != r["neighbor_id"] for r in ivf)
+    assert all(1 <= r["rank"] <= 3 for r in ivf)
+    pairs = [(r["id"], r["neighbor_id"]) for r in ivf]
+    assert len(pairs) == len(set(pairs))
+    # recall sanity vs the exact baseline
+    brute = {(r["id"], r["neighbor_id"])
+             for r in sim.brute_force_topk(df, "vec_id", "embedding", k=3).collect()}
+    assert len(set(pairs) & brute) > 0
+    # probing ALL cells makes IVF exhaustive: results == brute force
+    full = sim.ivf_topk(df, "vec_id", "embedding", k=3, n_cells=4, nprobe=4)
+    assert {(r["id"], r["neighbor_id"]) for r in full.collect()} == brute
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [("the cat and the dog is here",),
