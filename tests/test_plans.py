@@ -17,7 +17,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 #: brute-force cosine top-k is *deliberately* a broadcast nested-loop —
 #: it is the exact baseline the LSH-bucketed variant is measured against.
-NESTED_LOOP_OK = {"ann_brute_force_topk"}
+#: IVF's codebook assignment is a broadcast of n_cells centroids against
+#: every vector (linear in n, tiny build side); the candidate join that
+#: dominates cost is the cell-id equi-join, asserted separately below.
+NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
@@ -65,6 +68,15 @@ def test_fuzzy_join_is_blocked_not_nested(plans):
     a nested loop over the full cross product (SURVEY §4)."""
     p = plans["j6_fuzzy_name_pairs"]
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p)
+
+
+def test_ivf_candidate_join_is_equi(plans):
+    """IVF's probe→index candidate join must be a hash/SMJ equi-join on
+    cell id — the broadcast NL is confined to the n×n_cells codebook
+    assignment, never the candidate pairing."""
+    p = plans["ann_ivf_topk"]
     assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
             or "BroadcastHashJoin" in p)
 
