@@ -155,3 +155,51 @@ def hamming16(a: Column, b: Column) -> Column:
     """Hamming distance between two 16-bit simhashes (popcount of XOR
     via bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", *, max_iter: int = 15) -> DataFrame:
+    """Duplicate-cluster resolution: min-label connected components over
+    an undirected near-dup pair list -> (id, cluster_id), cluster_id =
+    smallest member id (the deterministic canonical pick; generalizes
+    the reference's sequential dedup-and-reroute, fuzzy.Rmd:907,1189).
+
+    Each round does one-hop min-propagation over the edge list plus a
+    pointer-jump (label <- label's label), so convergence is O(log
+    diameter) rounds, not O(diameter). Every round is two equi-joins +
+    one agg — all shuffles ride the node id. `localCheckpoint` truncates
+    the iterative lineage (the plan would otherwise grow exponentially
+    and re-execute from the scan each round); early-stop is a changed-
+    label count, the only driver-visible number per round. At 100 TB
+    scale swap the codebook-free early stop for a fixed log2(n) round
+    budget to avoid the per-round action, or large-star/small-star if
+    components themselves are huge.
+    """
+    e = pairs.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    edges = (e.union(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+              .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .select("id", F.col("id").alias("lab")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.src == labels.id)
+                    .select(F.col("dst").alias("id"), "lab")
+                    .groupBy("id").agg(F.min("lab").alias("nlab")))
+        one_hop = (labels.join(nbr, "id", "left")
+                         .select("id", F.least(
+                             "lab", F.coalesce("nlab", F.col("lab"))).alias("lab")))
+        a, b = one_hop.alias("a"), one_hop.alias("b")
+        jumped = (a.join(b, F.col("a.lab") == F.col("b.id"), "left")
+                   .select(F.col("a.id").alias("id"),
+                           F.least(F.col("a.lab"),
+                                   F.coalesce(F.col("b.lab"),
+                                              F.col("a.lab"))).alias("lab")))
+        new_labels = jumped.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .filter(F.col("n.lab") != F.col("o.lab")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lab").alias("cluster_id"))

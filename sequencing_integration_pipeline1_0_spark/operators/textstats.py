@@ -83,6 +83,61 @@ def quality_score(col: Column | str) -> Column:
     return F.round(length_part + diversity_part + clean_part, 6)
 
 
+def ngram_array(col: Column | str, n: int) -> Column:
+    """Contiguous word n-grams as space-joined strings; empty array when
+    the document has fewer than n words. Pure per-row expression —
+    repetition filters built on this run fully map-side (zero shuffle),
+    which is exactly what a 100 TB quality-filter pass wants."""
+    w = words(col)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]))
+    # sequence(1, k) with k < 1 would generate a DESCENDING sequence —
+    # guard short docs to an empty gram list instead
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_word_frac(col: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token (the
+    Gopher-style repetition signal). O(distinct x total) per doc via
+    array HOFs — stays inside codegen, no explode, no shuffle."""
+    w = words(col)
+    counts = F.transform(F.array_distinct(w),
+                         lambda x: F.size(F.filter(w, lambda y: y == x)))
+    return F.round(F.array_max(counts).cast("double") / F.size(w), 6)
+
+
+def dup_ngram_frac(col: Column | str, n: int) -> Column:
+    """Fraction of n-grams that are repeats of an earlier n-gram:
+    1 - distinct/total; 0.0 for docs shorter than n words."""
+    g = ngram_array(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g), 6)
+    ).otherwise(F.lit(0.0))
+
+
+#: lookaround-free so the same pattern runs under Java regex (Spark) and
+#: RE2 (DuckDB oracle) with identical semantics
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_count(col: Column | str, pattern: str) -> Column:
+    """Occurrences of a PII pattern in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact emails then phone numbers with typed placeholder tokens
+    (emails first — their char class would otherwise not overlap phones,
+    but a fixed order keeps the output deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, RE_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, RE_PHONE, "<PHONE>")
+
+
 def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling-hash document fingerprint over token lengths
     + first-char codes: acc = (acc*31 + tok_code) % mod, left fold —

@@ -725,6 +725,51 @@ def dedup_ngram_jaccard(spark, sf_dir):
         d, "doc_id", "text", "lang", n=3, threshold=0.05)
 
 
+_CLUSTER_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, lang AS blk,
+         list_distinct(list_transform(
+           range(0, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+           i -> concat_ws(' ',
+                regexp_split_to_array(trim(text), '\\s+')[i+1],
+                regexp_split_to_array(trim(text), '\\s+')[i+2],
+                regexp_split_to_array(trim(text), '\\s+')[i+3]))) AS sh
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+walk(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst)
+SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id,
+       CASE WHEN id = min(lab) THEN 1 ELSE 0 END AS is_canonical
+FROM walk GROUP BY id
+"""
+
+
+@register("dedup_cluster_canonical", _CLUSTER_SQL)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Transitive duplicate-cluster resolution: connected components
+    over the trigram-Jaccard near-dup pairs; cluster id = smallest
+    member (deterministic canonical pick), is_canonical marks the one
+    row per cluster a dedup pass would keep. Oracle walks the same
+    graph with a recursive CTE (reachable-min == component-min on an
+    undirected graph)."""
+    prs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    comp = dedupe_scale.connected_components(prs, "id_a", "id_b")
+    return comp.select(
+        "id", "cluster_id",
+        F.when(F.col("id") == F.col("cluster_id"), 1).otherwise(0)
+         .alias("is_canonical"))
+
+
 def _simhash_sql() -> str:
     terms = []
     for j in range(16):
@@ -916,6 +961,81 @@ def text_lang_quality_fingerprint(spark, sf_dir):
         textstats.quality_score("text").alias("quality"),
         textstats.fingerprint("text").alias("fingerprint"),
     )
+
+
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, w,
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+    list_transform(range(1, len(w)-1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+  FROM base)
+SELECT doc_id,
+  round(CAST(list_max(list_transform(list_distinct(w),
+             x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w), 6)
+    AS top_word_frac,
+  CASE WHEN len(bg) > 0
+       THEN round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+       ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(tg) > 0
+       THEN round(1 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+       ELSE 0.0 END AS dup_trigram_frac
+FROM grams
+"""
+
+
+@register("text_repetition_metrics", _REPETITION_SQL)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition quality signals: most-frequent-token
+    share, duplicate bigram/trigram fraction. Everything is per-row
+    array HOFs — the whole filter pass is map-side (zero shuffle), the
+    shape you want for a 100 TB corpus sweep. The scan is spread first:
+    the HOF battery is CPU-bound and documents is a single row group."""
+    d = spread_for_compute(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        textstats.top_word_frac("text").alias("top_word_frac"),
+        textstats.dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
+        textstats.dup_ngram_frac("text", 3).alias("dup_trigram_frac"))
+
+
+_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+         || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{textstats.RE_EMAIL}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{textstats.RE_PHONE}')) AS INT) AS n_phones,
+  regexp_replace(regexp_replace(t, '{textstats.RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{textstats.RE_PHONE}', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+
+@register("text_pii_scrub", _PII_SQL)
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over documents: count and scrub
+    emails/phones with lookaround-free patterns that behave identically
+    under Java regex and RE2. PII is synthesized deterministically from
+    doc_id (the corpus itself is clean), then recovered by the scrubber.
+    Pure regexp expressions — map-side only at any scale."""
+    d = spread_for_compute(_t(spark, sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or "),
+        (F.col("doc_id") % 900 + 100).cast("string"), F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return d.select(
+        "doc_id",
+        textstats.pii_count(aug, textstats.RE_EMAIL).alias("n_emails"),
+        textstats.pii_count(aug, textstats.RE_PHONE).alias("n_phones"),
+        textstats.pii_scrub(aug).alias("redacted"))
 
 
 _MM_SQL = """

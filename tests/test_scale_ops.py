@@ -150,3 +150,54 @@ def test_frame_sample_explodes(spark):
     out = mm.frame_sample(payload, "doc_id", "payload", 64).collect()
     assert [r["frame_idx"] for r in out] == [0, 1, 2]  # 130 bytes // 64 + 1
     assert len({r["frame_md5"] for r in out}) == 3
+
+
+def test_repetition_metrics_hand_values(spark):
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x"), (3, "p q r s")],
+                               "doc_id int, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        ts.top_word_frac("text").alias("twf"),
+        ts.dup_ngram_frac("text", 2).alias("bg"),
+        ts.dup_ngram_frac("text", 3).alias("tg")).collect()}
+    # "a a a b": top word a = 3/4; bigrams [a a, a a, a b] -> 1 - 2/3
+    assert out[1]["twf"] == 0.75
+    assert out[1]["bg"] == round(1 - 2 / 3, 6)
+    assert out[1]["tg"] == 0.0          # [a a a, a a b] all distinct
+    # single word: no bigrams -> 0.0, top word 1.0
+    assert out[2]["twf"] == 1.0 and out[2]["bg"] == 0.0
+    # all-distinct text: no repetition anywhere
+    assert out[3]["twf"] == 0.25 and out[3]["bg"] == 0.0 and out[3]["tg"] == 0.0
+
+
+def test_ngram_array_short_doc_empty_not_descending(spark):
+    # sequence(1, k<1) would be a DESCENDING sequence -- guard must kick in
+    df = spark.createDataFrame([("solo",), ("a b",)], "text string")
+    out = df.select(ts.ngram_array("text", 3).alias("g")).collect()
+    assert out[0]["g"] == [] and out[1]["g"] == []
+
+
+def test_pii_scrub_and_count(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@sub.example.org and 206-555-0199 now"),
+         (2, "clean text no pii")], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        ts.pii_count(F.col("text"), ts.RE_EMAIL).alias("ne"),
+        ts.pii_count(F.col("text"), ts.RE_PHONE).alias("np"),
+        ts.pii_scrub("text").alias("red")).collect()}
+    assert out[1]["ne"] == 1 and out[1]["np"] == 1
+    assert out[1]["red"] == "mail <EMAIL> and <PHONE> now"
+    assert out[2]["ne"] == 0 and out[2]["np"] == 0
+    assert out[2]["red"] == "clean text no pii"
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (diameter > 1 hop, exercises pointer jumping),
+    # pair island 10-11, and an out-of-order edge direction 21-20
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["id"]: r["cluster_id"]
+           for r in ds.connected_components(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20}
