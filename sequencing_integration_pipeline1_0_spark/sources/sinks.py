@@ -101,3 +101,56 @@ def write_bucketed(df: DataFrame, table: str, key: str, *,
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def _hadoop_fs(spark, path: str):
+    """Hadoop FileSystem handle for `path` — works on local fs in tests
+    and on HDFS/S3A/ABFS on a real cluster (unlike os.listdir)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def snapshot_versions(spark, root: str) -> list[int]:
+    """Existing snapshot versions under `root`, ascending."""
+    fs, hpath = _hadoop_fs(spark, root)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, root: str, version: int | None = None) -> int:
+    """S15: versioned parquet snapshot sink (pins::pin_write analog,
+    read_all_data.Rmd:98-107) — immutable `v=<n>` dirs under one root.
+    Auto-assigns max+1 when version is None; refuses to overwrite an
+    existing version (snapshots are append-only history, the property
+    the CDC diff operators depend on). Returns the version written."""
+    spark = df.sparkSession
+    existing = snapshot_versions(spark, root)
+    if version is None:
+        version = (existing[-1] + 1) if existing else 0
+    elif version in existing:
+        raise ValueError(f"snapshot v={version} already exists under {root}")
+    df.write.mode("errorifexists").parquet(f"{root}/v={version}")
+    return version
+
+
+def read_snapshot(spark, root: str, version: int | None = None) -> DataFrame:
+    """Read one snapshot version (default: latest) — the time-travel
+    read half of S15."""
+    versions = snapshot_versions(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {root}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(f"snapshot v={version} not found under {root}")
+    return spark.read.parquet(f"{root}/v={version}")

@@ -146,3 +146,24 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_snapshot_versioning_roundtrip(spark, tmp_path):
+    """S15: auto-versioned immutable snapshot dirs + time-travel read."""
+    from sequencing_integration_pipeline1_0_spark.sources import sinks
+    root = str(tmp_path / "snaps")
+    v0_df = spark.range(5).withColumn("tag", F.lit("old"))
+    v1_df = spark.range(7).withColumn("tag", F.lit("new"))
+    assert sinks.write_snapshot(v0_df, root) == 0
+    assert sinks.write_snapshot(v1_df, root) == 1
+    assert sinks.snapshot_versions(spark, root) == [0, 1]
+    assert sinks.read_snapshot(spark, root).count() == 7          # latest
+    old = sinks.read_snapshot(spark, root, version=0)
+    assert old.count() == 5
+    assert old.select("tag").distinct().collect()[0]["tag"] == "old"
+    # immutability: an existing version must refuse to be rewritten
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sinks.write_snapshot(v0_df, root, version=1)
+    with _pytest.raises(FileNotFoundError):
+        sinks.read_snapshot(spark, root, version=9)
