@@ -203,3 +203,55 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         if changed == 0:
             break
     return labels.select("id", F.col("lab").alias("cluster_id"))
+
+
+def minhash_index(df: DataFrame, id_col: str, text_col: str, *,
+                  shingle_n: int = 1, k: int = 8, bands: int = 4) -> DataFrame:
+    """Build the persistable LSH index of a corpus: one row per
+    (band_idx, band_key, id) with the doc's shingle set attached.
+
+    This is the incremental-dedup path at 100 TB: hash the corpus ONCE,
+    persist this table bucketed on band_key (sinks.write_bucketed), and
+    dedup each incoming batch by probing the index (query_minhash_index)
+    — the corpus is never re-shingled, and the probe join co-locates on
+    the bucketed band key with no corpus-side shuffle. Mirrors the
+    reference's processed-ledger pattern (T1, phl.Rmd:776-779) applied
+    to near-dup state instead of exact keys.
+    """
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    return (sig.select(
+                "id", "sh",
+                F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"))
+            .select(F.col("b.band_idx").alias("band_idx"),
+                    F.col("b.band_key").alias("band_key"), "id", "sh"))
+
+
+def query_minhash_index(index: DataFrame, batch: DataFrame,
+                        id_col: str, text_col: str, *,
+                        shingle_n: int = 1, k: int = 8, bands: int = 4,
+                        threshold: float = 0.7) -> DataFrame:
+    """Probe a minhash_index with a new batch: band the batch with the
+    SAME parameters, equi-join on (band_idx, band_key), verify true
+    Jaccard >= threshold. Returns (batch_id, corpus_id, jaccard) — the
+    batch rows to drop (or cluster) against the existing corpus.
+
+    Batch and corpus ids must be disjoint; intra-batch dups are the
+    batch's own minhash_near_dups pass."""
+    probe = minhash_index(batch, id_col, text_col,
+                          shingle_n=shingle_n, k=k, bands=bands)
+    cand = (probe.alias("p")
+            .join(index.alias("i"),
+                  (F.col("p.band_idx") == F.col("i.band_idx"))
+                  & (F.col("p.band_key") == F.col("i.band_key")))
+            .select(F.col("p.id").alias("batch_id"),
+                    F.col("i.id").alias("corpus_id"),
+                    F.col("p.sh").alias("sh_b"), F.col("i.sh").alias("sh_c"))
+            .dropDuplicates(["batch_id", "corpus_id"]))
+    scored = cand.withColumn(
+        "jaccard", F.round(jaccard(F.col("sh_b"), F.col("sh_c")), 6))
+    return (scored.filter(F.col("jaccard") >= threshold)
+                  .select("batch_id", "corpus_id", "jaccard"))

@@ -725,6 +725,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
         d, "doc_id", "text", "lang", n=3, threshold=0.05)
 
 
+_PROFILE_SQL = """
+SELECT lang,
+  count(*) AS n_docs,
+  min(n_chars) AS min_chars,
+  max(n_chars) AS max_chars,
+  round(avg(n_chars), 6) AS avg_chars,
+  quantile_cont(n_chars, 0.5) AS p50_chars,
+  quantile_cont(n_chars, 0.95) AS p95_chars
+FROM documents GROUP BY lang
+"""
+
+
+@register("text_corpus_profile", _PROFILE_SQL)
+def text_corpus_profile(spark, sf_dir):
+    """Corpus profiling per language: doc counts + exact length
+    distribution (min/max/avg/p50/p95) — the numbers that set the
+    length-filter thresholds of a pretraining pipeline. Exact
+    percentiles here for oracle parity; at 100 TB swap F.percentile for
+    F.percentile_approx (t-digest sketch, map-side combinable) — same
+    query shape, one partial-agg shuffle either way."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95_chars"))
+
+
 _CLUSTER_SQL = """
 WITH RECURSIVE base AS (
   SELECT doc_id AS id, lang AS blk,

@@ -201,3 +201,22 @@ def test_connected_components_chain_and_islands(spark):
            for r in ds.connected_components(df).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_minhash_index_incremental_parity(spark):
+    """Probing a persisted corpus index with a new batch finds exactly
+    the cross-corpus pairs the full-corpus run finds."""
+    full = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    n = full.count()
+    cut = n // 2
+    corpus = full.filter(F.col("doc_id") < cut)
+    batch = full.filter(F.col("doc_id") >= cut)
+    idx = ds.minhash_index(corpus, "doc_id", "text")
+    probed = ds.query_minhash_index(idx, batch, "doc_id", "text",
+                                    threshold=0.5)
+    got = {(r["corpus_id"], r["batch_id"]) for r in probed.collect()}
+    fullrun = ds.minhash_near_dups(full, "doc_id", "text", threshold=0.5)
+    want = {(r["id_a"], r["id_b"]) for r in fullrun.collect()
+            if r["id_a"] < cut <= r["id_b"]}
+    assert got == want and len(want) > 0
