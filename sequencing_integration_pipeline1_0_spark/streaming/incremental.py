@@ -163,3 +163,39 @@ def sessionize(stream: DataFrame, gap_us: int = 3_600_000_000) -> DataFrame:
                 stateStructType=_SESSION_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="ProcessingTimeTimeout"))
+
+
+def near_dup_filter_batch(index: DataFrame, batch: DataFrame,
+                          id_col: str, text_col: str, *,
+                          threshold: float = 0.7,
+                          shingle_n: int = 1, k: int = 8,
+                          bands: int = 4) -> DataFrame:
+    """Drop batch rows that are near-dups of the static corpus index
+    (operators.dedupe_scale.minhash_index). Stream-static join shape:
+    the index is the big static side (bucketed on band_key at scale),
+    each micro-batch probes it and anti-joins the hits away."""
+    from ..operators import dedupe_scale
+
+    hits = (dedupe_scale.query_minhash_index(
+                index, batch, id_col, text_col, threshold=threshold,
+                shingle_n=shingle_n, k=k, bands=bands)
+            .select("batch_id").distinct())
+    return batch.join(hits, batch[id_col] == hits["batch_id"], "left_anti")
+
+
+def foreach_batch_near_dup_dedup(index: DataFrame, id_col: str,
+                                 text_col: str,
+                                 writer: Callable[[DataFrame], None], *,
+                                 threshold: float = 0.7,
+                                 shingle_n: int = 1, k: int = 8,
+                                 bands: int = 4):
+    """Streaming incremental near-dup dedup: each micro-batch of new
+    documents is LSH-probed against the persisted corpus index and only
+    novel docs reach the sink — the streaming form of the reference's
+    processed-ledger dedup (T1) generalized from exact keys to
+    similarity state."""
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        writer(near_dup_filter_batch(
+            index, batch, id_col, text_col, threshold=threshold,
+            shingle_n=shingle_n, k=k, bands=bands))
+    return _fn

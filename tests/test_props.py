@@ -101,3 +101,48 @@ def test_chunk_assignment_exact(spark, n, chunk_rows):
     assert all(v <= chunk_rows for v in sizes.values())
     full = [sizes[c] for c in sorted(sizes)[:-1]]
     assert all(v == chunk_rows for v in full)            # only tail partial
+
+
+TOKENS = st.lists(st.text(alphabet="abcdxy", min_size=1, max_size=4),
+                  min_size=1, max_size=12)
+
+
+@SLOW
+@given(st.lists(TOKENS, min_size=1, max_size=6))
+def test_repetition_metrics_bounded_and_scrub_idempotent(spark, docs):
+    from sequencing_integration_pipeline1_0_spark.operators import textstats as ts
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = df.select(
+        ts.top_word_frac("text").alias("twf"),
+        ts.dup_ngram_frac("text", 2).alias("bg"),
+        ts.pii_scrub("text").alias("s1"),
+        ts.pii_scrub(ts.pii_scrub("text")).alias("s2")).collect()
+    for r in out:
+        assert 0.0 < r["twf"] <= 1.0
+        assert 0.0 <= r["bg"] < 1.0
+        assert r["s1"] == r["s2"]       # scrubbing is idempotent
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=12))
+def test_connected_components_labels_are_fixpoint(spark, edges):
+    """cluster ids are component minima: relabeling the collapsed edge
+    list changes nothing, and every label is <= its node id."""
+    from sequencing_integration_pipeline1_0_spark.operators import dedupe_scale as ds2
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 1)],
+        "id_a long, id_b long")
+    lab = ds2.connected_components(e)
+    rows = lab.collect()
+    assert all(r["cluster_id"] <= r["id"] for r in rows)
+    collapsed = (lab.alias("x")
+                 .join(lab.alias("y"),
+                       F.col("x.cluster_id") == F.col("y.cluster_id"))
+                 .filter(F.col("x.id") < F.col("y.id"))
+                 .select(F.col("x.id").alias("id_a"),
+                         F.col("y.id").alias("id_b")))
+    again = {(r["id"], r["cluster_id"])
+             for r in ds2.connected_components(collapsed).collect()}
+    assert again == {(r["id"], r["cluster_id"]) for r in rows}

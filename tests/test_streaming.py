@@ -121,3 +121,37 @@ def test_sessionize_state_logic(spark, events_stream_dir, tmp_path):
     # the final open session per user stays in state at availableNow end
     for k, v in g.items():
         assert e[k] == v
+
+
+def test_streaming_near_dup_dedup_against_index(spark, sf_dir, tmp_path):
+    """Micro-batches probed against a static corpus minhash index keep
+    exactly the docs the batch-mode anti-join keeps."""
+    from sequencing_integration_pipeline1_0_spark.operators import dedupe_scale as ds
+    full = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text"))
+    cut = full.count() // 2
+    corpus = full.filter(F.col("doc_id") < cut)
+    incoming_dir = str(tmp_path / "incoming")
+    out_dir = str(tmp_path / "survivors")
+    full.filter(F.col("doc_id") >= cut).write.parquet(incoming_dir)
+
+    idx = ds.minhash_index(corpus, "doc_id", "text").localCheckpoint()
+    schema = spark.read.parquet(incoming_dir).schema
+    stream = st.read_parquet_stream(spark, incoming_dir, schema,
+                                    max_files_per_trigger=1)
+    writer = lambda df: df.write.mode("append").parquet(out_dir)
+    q = (stream.writeStream
+         .foreachBatch(st.foreach_batch_near_dup_dedup(
+             idx, "doc_id", "text", writer, threshold=0.5))
+         .option("checkpointLocation", str(tmp_path / "ckpt_neardup"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    batch_mode = st.near_dup_filter_batch(
+        idx, full.filter(F.col("doc_id") >= cut), "doc_id", "text",
+        threshold=0.5)
+    want = {r["doc_id"] for r in batch_mode.collect()}
+    assert got == want
+    n_incoming = full.count() - cut
+    assert 0 < len(got) < n_incoming   # some dropped, some kept
