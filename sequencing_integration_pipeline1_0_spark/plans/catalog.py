@@ -942,6 +942,82 @@ def ann_ivf_topk(spark, sf_dir):
                                k=5, n_cells=8, nprobe=2)
 
 
+_CENTROID_SQL = """
+WITH idx AS (
+  SELECT label, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings)
+SELECT label, CAST(i - 1 AS INT) AS pos,
+  round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+    AS centroid_val,
+  CAST(count(*) AS BIGINT) AS n_members
+FROM idx GROUP BY label, i
+"""
+
+
+@register("ann_kmeans_centroid_step", _CENTROID_SQL)
+def ann_kmeans_centroid_step(spark, sf_dir):
+    """One Lloyd/k-means centroid-recompute step over labeled vectors —
+    the offline codebook training that feeds ann_ivf_topk. posexplode
+    to (label, pos, v), partial-agg shuffle on (label, pos) with
+    map-side combine; linear in n·dim at any scale. Per-component sums
+    ride DECIMAL(18,6) (exact, partition-order independent) with one
+    final double division — the only FP op, so Spark and the oracle
+    agree bit-for-bit."""
+    e = spread_for_compute(_t(spark, sf_dir, "embeddings"))
+    x = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    q = F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+    return (x.groupBy("label", "pos")
+             .agg(F.sum(q).alias("s"), F.count("*").alias("n_members"))
+             .select("label", "pos",
+                     F.round(F.col("s").cast("double") / F.col("n_members"), 6)
+                      .alias("centroid_val"),
+                     F.col("n_members")))
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS n_td FROM tok GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS n_docs_with FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(n_td * ln(CAST(n_docs AS DOUBLE) / n_docs_with), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n)
+SELECT doc_id, word, tfidf, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word) AS rnk
+  FROM scored) WHERE rnk <= 3
+"""
+
+
+@register("text_tfidf_top_terms", _TFIDF_SQL)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per document: explode -> (doc, word) tf with
+    map-side combine, word-keyed df agg, corpus size as a broadcast
+    1-row cross join, per-doc window rank. All shuffles ride real keys
+    (doc_id+word, word, doc_id); idf's ln is the only transcendental
+    and runs on identical doubles in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(dedupe_scale.words("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("n_td"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("n_docs_with"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "word")
+                .join(F.broadcast(n))
+                .select("doc_id", "word",
+                        F.round(F.col("n_td") * F.log(
+                            F.col("n_docs").cast("double") / F.col("n_docs_with")), 6)
+                         .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= 3)
+                  .select("doc_id", "word", "tfidf", "rnk"))
+
+
 def _lang_id_sql() -> str:
     markers = {
         "de": "['der','die','das','und','ist']",

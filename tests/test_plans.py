@@ -20,7 +20,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #: IVF's codebook assignment is a broadcast of n_cells centroids against
 #: every vector (linear in n, tiny build side); the candidate join that
 #: dominates cost is the cell-id equi-join, asserted separately below.
-NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk"}
+#: tf-idf joins the corpus-size scalar (a 1-row agg) to every tf row —
+#: a conditionless broadcast of exactly one row is the scalar-join
+#: shape, not a quadratic blowup.
+NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
+                  "text_tfidf_top_terms"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
