@@ -154,3 +154,41 @@ def read_snapshot(spark, root: str, version: int | None = None) -> DataFrame:
     elif version not in versions:
         raise FileNotFoundError(f"snapshot v={version} not found under {root}")
     return spark.read.parquet(f"{root}/v={version}")
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str, *,
+                           mode: str = "overwrite",
+                           granularity: str = "day") -> None:
+    """Layout for time-ranged scans at scale: hive-partition by derived
+    date so readers with a date predicate scan only matching
+    directories (PartitionFilters — zero I/O for pruned days, the
+    dominant access pattern of an append-heavy 100 TB event store).
+    `granularity`: 'day' or 'month'."""
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}[granularity]
+    (df.withColumn("p_date", F.date_format(F.col(ts_col), fmt))
+       .write.mode(mode).partitionBy("p_date").parquet(path))
+
+
+def compact(spark, path: str, *, target_files: int | None = None,
+            target_rows_per_file: int | None = None) -> int:
+    """Small-files compaction: rewrite a parquet dir into `target_files`
+    (or ceil(rows/target_rows_per_file)) files via round-robin
+    repartition. Incremental ingest (streaming micro-batches, per-lab
+    drops) accretes tiny files that poison scan parallelism and footer
+    time at scale; compaction restores healthy file sizes. Writes to
+    `<path>__compact` then swaps via Hadoop FS rename (atomic on HDFS;
+    best-effort elsewhere). Returns the file count written."""
+    df = spark.read.parquet(path)
+    if target_files is None:
+        if target_rows_per_file is None:
+            raise ValueError("need target_files or target_rows_per_file")
+        n = df.count()
+        target_files = max(1, -(-n // target_rows_per_file))
+    tmp = path.rstrip("/") + "__compact"
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    fs, src = _hadoop_fs(spark, tmp)
+    dst = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, True)
+    fs.rename(src, dst)
+    return len([f for f in fs.listStatus(dst)
+                if f.getPath().getName().endswith(".parquet")])

@@ -167,3 +167,44 @@ def test_snapshot_versioning_roundtrip(spark, tmp_path):
         sinks.write_snapshot(v0_df, root, version=1)
     with _pytest.raises(FileNotFoundError):
         sinks.read_snapshot(spark, root, version=9)
+
+
+def test_date_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
+    """A date predicate on a date-partitioned layout must become a
+    PartitionFilter (directory pruning), not a row filter."""
+    from sequencing_integration_pipeline1_0_spark.sources import sinks
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+         .drop("ts"))
+    root = str(tmp_path / "by_day")
+    sinks.write_date_partitioned(e, root, "event_time", granularity="day")
+    days = sorted(r["p_date"] for r in
+                    spark.read.parquet(root).select("p_date").distinct().collect())
+    assert len(days) > 1
+    one = spark.read.parquet(root).filter(F.col("p_date") == days[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "p_date" in pf_line
+    # pruned read returns exactly that month's rows
+    expected = (spark.read.parquet(root)
+                .filter(F.date_format("event_time", "yyyy-MM-dd") == days[0])
+                .count())
+    assert one.count() == expected > 0
+
+
+def test_compact_restores_file_count_and_data(spark, sf_dir, tmp_path):
+    from sequencing_integration_pipeline1_0_spark.sources import sinks
+    path = str(tmp_path / "frag")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.repartition(20).write.parquet(path)
+    import glob as g
+    assert len(g.glob(path + "/*.parquet")) == 20
+    n_before = o.count()
+    files = sinks.compact(spark, path, target_files=3)
+    assert files == 3
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert {r["o_orderkey"] for r in after.select("o_orderkey").collect()} == \
+           {r["o_orderkey"] for r in o.select("o_orderkey").collect()}
