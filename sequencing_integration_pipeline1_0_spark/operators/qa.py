@@ -31,10 +31,19 @@ def apply_flag_exprs(df: DataFrame, flags: Mapping[str, Column]) -> DataFrame:
 
 
 def apply_dup_flags(df: DataFrame,
-                    dup_specs: Mapping[str, Sequence[str]]) -> DataFrame:
+                    dup_specs: Mapping[str, Sequence[str]],
+                    exempt: Mapping[str, Column] | None = None) -> DataFrame:
     """In-batch duplicate flags: name -> key columns
     (QA_SCA_INT_DUPE / QA_SA_INT_DUPE, quality_filters.R:65-76).
-    Null/empty keys never flag."""
+    Null/empty keys never flag.
+
+    `exempt` maps a flag name to a row predicate that suppresses it —
+    the reference's file-name-keyed exemption (submissions whose source
+    file contains 'duplicates_roster' are ALLOWED to duplicate SCAs,
+    quality_filters.R:120-138). Exempt rows neither flag themselves nor
+    stop counting toward other rows' duplicate counts — matching the
+    reference, which nulls the flag after computing it."""
+    exempt = exempt or {}
     str_cols = {f.name for f in df.schema.fields
                 if f.dataType.simpleString() == "string"}
     cols = {}
@@ -45,7 +54,10 @@ def apply_dup_flags(df: DataFrame,
             nonnull = nonnull & F.col(k).isNotNull()
             if k in str_cols:  # empty string is "missing", never a dupe
                 nonnull = nonnull & (F.trim(F.col(k)) != "")
-        cols[name] = F.when(nonnull & (F.count(F.lit(1)).over(w) > 1), F.lit(1))
+        flag = F.when(nonnull & (F.count(F.lit(1)).over(w) > 1), F.lit(1))
+        if name in exempt:
+            flag = F.when(exempt[name], F.lit(None)).otherwise(flag)
+        cols[name] = flag
     return df.withColumns(cols)
 
 
@@ -105,6 +117,7 @@ def sentinel_row_scan(df: DataFrame, sentinel: str = "QA CHECK FAIL",
 def roster_filters(df: DataFrame, *,
                    expr_flags: Mapping[str, Column] | None = None,
                    dup_specs: Mapping[str, Sequence[str]] | None = None,
+                   dup_exempt: Mapping[str, Column] | None = None,
                    membership_specs: Mapping[str, tuple[str, DataFrame, str]] | None = None,
                    sum_col: str = "qa_sum") -> DataFrame:
     """The composed engine: expression flags + in-batch dup flags +
@@ -117,7 +130,7 @@ def roster_filters(df: DataFrame, *,
     if expr_flags:
         out = apply_flag_exprs(out, expr_flags)
     if dup_specs:
-        out = apply_dup_flags(out, dup_specs)
+        out = apply_dup_flags(out, dup_specs, dup_exempt)
     if membership_specs:
         out = apply_membership_flags(out, membership_specs)
     flag_cols = ([*(expr_flags or {}).keys(), *(dup_specs or {}).keys(),

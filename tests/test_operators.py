@@ -177,3 +177,23 @@ def test_co_explode_positional(spark):
     assert sorted(by_id["r1"]) == [("A1", "C1", False), ("A2", "C2", False)]
     # mismatch: shorter list padded with NULL + flagged
     assert set(by_id["r2"]) == {("B1", "D1", True), (None, "D2", True)}
+
+
+def test_dup_flag_exemption_file_keyed(spark):
+    """quality_filters.R:120-138: rows from a 'duplicates_roster' file
+    may duplicate SCAs (flag nulled) but still make their non-exempt
+    partners count as duplicates."""
+    from sequencing_integration_pipeline1_0_spark.operators import qa
+    rows = [("A1", "duplicates_roster_jan.csv"),
+            ("A1", "lab_drop.csv"),
+            ("B2", "lab_drop.csv")]
+    df = spark.createDataFrame(rows, "sca string, index string")
+    out = qa.roster_filters(
+        df,
+        dup_specs={"QA_SCA_INT_DUPE": ["sca"]},
+        dup_exempt={"QA_SCA_INT_DUPE":
+                    F.col("index").contains("duplicates_roster")})
+    got = {(r["sca"], r["index"]): r["QA_SCA_INT_DUPE"] for r in out.collect()}
+    assert got[("A1", "duplicates_roster_jan.csv")] is None   # exempt
+    assert got[("A1", "lab_drop.csv")] == 1                   # still flagged
+    assert got[("B2", "lab_drop.csv")] is None                # singleton
