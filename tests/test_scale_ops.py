@@ -220,3 +220,33 @@ def test_minhash_index_incremental_parity(spark):
     want = {(r["id_a"], r["id_b"]) for r in fullrun.collect()
             if r["id_a"] < cut <= r["id_b"]}
     assert got == want and len(want) > 0
+
+
+def test_aqe_skew_join_engages_on_hot_key(spark):
+    """The claimed skew mitigation (session.py turns on AQE skew-join;
+    dense fuzzy blocks rely on it) must actually engage: a hot join key
+    gets its partition split (skew=true in the final adaptive plan)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 4 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+        right = spark.range(0, 50).select(F.col("id").alias("k"),
+                                          F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 300013
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
