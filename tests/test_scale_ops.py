@@ -250,3 +250,23 @@ def test_aqe_skew_join_engages_on_hot_key(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_corpus_profile_approx_path_within_bounds(spark, sf_dir):
+    """The documented 100 TB swap (F.percentile -> F.percentile_approx,
+    count_distinct -> approx_count_distinct) keeps the same query shape
+    and lands within sketch error of the exact answers."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.45)).alias("p45"),
+        F.percentile("n_chars", F.lit(0.55)).alias("p55"),
+        F.countDistinct("source").alias("nd")).collect()
+    approx = {r["lang"]: r for r in d.groupBy("lang").agg(
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_count_distinct("source", 0.02).alias("nd")).collect()}
+    for r in exact:
+        a = approx[r["lang"]]
+        # percentile_approx returns a data member with rank error
+        # <= 1/accuracy — it must land inside the exact p45..p55 bracket
+        assert r["p45"] <= a["p50"] <= r["p55"]
+        assert abs(a["nd"] - r["nd"]) <= max(1, round(0.05 * r["nd"]))
