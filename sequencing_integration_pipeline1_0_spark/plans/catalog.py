@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import accession as acc
 from ..functions import cleaning, dates
 from ..operators import aggregates as agg
-from ..operators import cdc, dedup, fuzzy, qa
+from ..operators import asof, cdc, dedup, fuzzy, qa
 from ..operators.skew import spread_for_compute
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -723,6 +723,46 @@ def dedup_ngram_jaccard(spark, sf_dir):
          .filter(F.size(dedupe_scale.words("text")) >= 3))
     return dedupe_scale.ngram_jaccard_join(
         d, "doc_id", "text", "lang", n=3, threshold=0.05)
+
+
+_ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'view'),
+r0 AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS r_event_id,
+         round(value, 6) AS r_value
+  FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT * FROM r0
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts_us
+                             ORDER BY r_event_id DESC) = 1)
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.r_event_id, r.r_value, r.ts_us AS matched_ts
+FROM l ASOF JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
+@register("asof_join_events", _ASOF_SQL)
+def asof_join_events(spark, sf_dir):
+    """As-of join: each 'view' event picks up the latest prior 'click'
+    of the same user. Union-merge implementation (one key shuffle +
+    running last-struct, no range cross join); oracle is DuckDB's
+    native ASOF JOIN. Right side deduped per (user, ts) for a
+    well-defined match."""
+    e = _t(spark, sf_dir, "events")
+    l = (e.filter(F.col("event_type") == "view")
+          .select("event_id", "user_id", F.col("ts_us")))
+    r = (e.filter(F.col("event_type") == "click")
+          .select("user_id", "ts_us",
+                  F.col("event_id").alias("r_event_id"),
+                  F.round("value", 6).alias("r_value")))
+    r = dedup.dedup_first(r, ["user_id", "ts_us"],
+                          [F.col("r_event_id").desc()])
+    return asof.asof_join(l, r, on=["user_id"], ts="ts_us",
+                          right_value_cols=["r_event_id", "r_value"],
+                          matched_ts_col="matched_ts")
 
 
 _PROFILE_SQL = """

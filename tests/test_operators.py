@@ -197,3 +197,24 @@ def test_dup_flag_exemption_file_keyed(spark):
     assert got[("A1", "duplicates_roster_jan.csv")] is None   # exempt
     assert got[("A1", "lab_drop.csv")] == 1                   # still flagged
     assert got[("B2", "lab_drop.csv")] is None                # singleton
+
+
+def test_asof_join_hand_cases(spark):
+    from sequencing_integration_pipeline1_0_spark.operators import asof
+    left = spark.createDataFrame(
+        [(1, 10, "L10"), (1, 20, "L20"), (1, 5, "L5"), (2, 50, "L50")],
+        "k long, ts long, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, "R10"), (1, 15, None), (2, 60, "R60")],
+        "k long, ts long, rv string")
+    out = {r["lv"]: r for r in asof.asof_join(
+        left, right, on=["k"], ts="ts", right_value_cols=["rv"],
+        how="left").collect()}
+    assert out["L10"]["rv"] == "R10" and out["L10"]["matched_ts"] == 10  # ts ties match
+    # matched row's rv is NULL -> must stay NULL, not fall back to R10
+    assert out["L20"]["rv"] is None and out["L20"]["matched_ts"] == 15
+    assert out["L5"]["matched_ts"] is None    # nothing at or before ts=5
+    assert out["L50"]["matched_ts"] is None   # right row is later (60 > 50)
+    inner = asof.asof_join(left, right, on=["k"], ts="ts",
+                           right_value_cols=["rv"]).collect()
+    assert {r["lv"] for r in inner} == {"L10", "L20"}
