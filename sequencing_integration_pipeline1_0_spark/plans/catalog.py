@@ -725,6 +725,48 @@ def dedup_ngram_jaccard(spark, sf_dir):
         d, "doc_id", "text", "lang", n=3, threshold=0.05)
 
 
+_SESSION_GAP_US = 3_600_000_000  # 1 hour, matches streaming.sessionize
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+m AS (
+  SELECT user_id, ts_us,
+    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+              > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (
+  SELECT user_id, ts_us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, CAST(sid AS INT) AS session_id,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("w10_sessionize_batch", _SESSIONIZE_SQL)
+def w10_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization, batch form: lag -> session-break flag
+    -> running sum = session id -> per-session agg. Two ops over ONE
+    (user, ts) partitioning — the shuffle is reused across lag, sum and
+    the final agg's partial phase. Semantics identical to the streaming
+    applyInPandasWithState sessionizer (same 1h gap; parity test in
+    tests/test_streaming.py)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    brk = F.when(F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US,
+                 1).otherwise(0)
+    sid = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (e.withColumn("session_id", sid.cast("int"))
+             .groupBy("user_id", "session_id")
+             .agg(F.min("ts_us").alias("session_start_us"),
+                  F.max("ts_us").alias("session_end_us"),
+                  F.count("*").alias("n_events")))
+
+
 _ASOF_SQL = """
 WITH l AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
@@ -988,9 +1030,8 @@ WITH idx AS (
          unnest(range(1, len(embedding) + 1)) AS i
   FROM embeddings)
 SELECT label, CAST(i - 1 AS INT) AS pos,
-  round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
-                      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-    AS centroid_val,
+  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid_val,
   CAST(count(*) AS BIGINT) AS n_members
 FROM idx GROUP BY label, i
 """
@@ -1011,7 +1052,7 @@ def ann_kmeans_centroid_step(spark, sf_dir):
     return (x.groupBy("label", "pos")
              .agg(F.sum(q).alias("s"), F.count("*").alias("n_members"))
              .select("label", "pos",
-                     F.round(F.col("s").cast("double") / F.col("n_members"), 6)
+                     (F.col("s").cast("double") / F.col("n_members"))
                       .alias("centroid_val"),
                      F.col("n_members")))
 
