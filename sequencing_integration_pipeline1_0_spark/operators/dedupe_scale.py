@@ -255,3 +255,37 @@ def query_minhash_index(index: DataFrame, batch: DataFrame,
         "jaccard", F.round(jaccard(F.col("sh_b"), F.col("sh_c")), 6))
     return (scored.filter(F.col("jaccard") >= threshold)
                   .select("batch_id", "corpus_id", "jaccard"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, text_col: str, *,
+                       train_buckets: int = 8, mod: int = 10,
+                       split_col: str = "split") -> DataFrame:
+    """Duplicate-cluster-aware train/holdout split: every row whose
+    text is byte-identical lands on the SAME side, so exact duplicates
+    can never leak from train into holdout (the train/eval-contamination
+    failure mode of naive row-hash splits).
+
+    Mechanics: group key = md5(text); cluster canonical = min(id) via a
+    window (ONE shuffle on the 128-bit hash — never on the text, and no
+    second join-back pass); side = bucket(canonical) < train_buckets,
+    where bucket = bits 16+ of the ANSI-C LCG (1103515245 * x + 12345)
+    taken mod `mod` — the LCG's LOW bits are famously degenerate (the
+    multiplier is ≡5 mod 10, so raw % 10 only ever yields {0,5}), so we
+    slice the high bits exactly like C rand() does. Plain int64
+    arithmetic, reproducible in any engine — deliberately NOT Spark's
+    hash(), whose value is engine-private.
+
+    Generalization of the reference's dedup-before-route invariant
+    (read_all_data.Rmd:333-346: one canonical copy per GISAID_ID
+    decides, partners follow)."""
+    th = F.md5(F.col(text_col))
+    from pyspark.sql import Window
+    canonical = F.min(F.col(id_col)).over(Window.partitionBy(th))
+    lcg = canonical * F.lit(1103515245) + F.lit(12345)
+    # bits 16..: (x % (65536*mod)) // 65536 == (x >> 16) % mod, but the
+    # remainder stays < 65536*mod so the double division is exact
+    bucket = F.floor((lcg % F.lit(65536 * mod)) / F.lit(65536))
+    side = F.when(bucket < train_buckets, F.lit("train")).otherwise(F.lit("holdout"))
+    return df.select(F.col(id_col),
+                     canonical.alias("canonical_doc_id"),
+                     side.alias(split_col))

@@ -148,3 +148,43 @@ def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
                                       + F.ascii(F.substring(x, 1, 1))).cast("long"))
     return F.aggregate(codes, F.lit(0).cast("long"),
                        lambda acc, v: (acc * 31 + v) % mod)
+
+
+def ngram_contamination(corpus, bench, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5):
+    """Benchmark decontamination: flag corpus docs sharing >=1 word
+    n-gram with an evaluation set (the standard pretraining-hygiene
+    check). Returns (id, n_shared_ngrams, contaminated) for EVERY
+    corpus row — zero-hit docs included, so the output is a full
+    decision column, not just the positives.
+
+    Scale shape: the benchmark side collapses to DISTINCT 64-bit gram
+    hashes and is broadcast (eval sets are tiny next to a 100 TB
+    corpus); the corpus side never shuffles its text — explode to
+    (id, gram_hash), hash-join against the broadcast, one groupBy(id).
+    xxhash64 is safe as the join key here because BOTH sides are hashed
+    by Spark in the same plan (unlike oracle-visible keys, which must
+    stay engine-portable); a 64-bit collision merely upcounts
+    n_shared_ngrams by ~n_grams^2/2^64.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+    # per-doc gram dedup happens map-side (array_distinct on the gram
+    # array) so the explode already emits each (doc, gram) once — the
+    # per-doc count after the join is then a plain count on ONE
+    # groupBy(id) shuffle (countDistinct would re-expand to a second
+    # exchange on (id, gram))
+    grams = F.explode(F.array_distinct(ngram_array(text_col, n))).alias("gram")
+    bg = (bench.select(grams)
+               .select(F.xxhash64("gram").alias("gram_h")).distinct())
+    cg = (corpus.select(F.col(id_col), grams)
+                .select(id_col, F.xxhash64("gram").alias("gram_h")))
+    hits = (cg.join(F.broadcast(bg), "gram_h")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_shared_ngrams")))
+    return (corpus.select(id_col)
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_shared_ngrams"), F.lit(0).cast("long"))
+                     .alias("n_shared_ngrams"),
+                    F.when(F.col("n_shared_ngrams").isNotNull(), F.lit(1))
+                     .otherwise(F.lit(0)).alias("contaminated")))

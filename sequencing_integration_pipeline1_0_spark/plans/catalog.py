@@ -2890,3 +2890,68 @@ def a10b_week_over_week(spark, sf_dir):
     return out.select("variable", "cur_total", "prev_total",
                       (F.col("cur_total") - F.col("prev_total"))
                       .alias("change"))
+
+
+# ----------------------------------------------------------------------
+# training-data hygiene: benchmark decontamination + leakage-safe split
+# ----------------------------------------------------------------------
+
+_DECONTAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+  FROM tok WHERE len(w) >= 5),
+g AS (
+  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM idx),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+cg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared FROM cg JOIN bg USING (gram)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(h.n_shared, 0) AS n_shared_ngrams,
+  CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+@register("decontam_ngram_overlap", _DECONTAM_SQL)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: every corpus doc scored by how many
+    word 5-grams it shares with the held-out eval slice (doc_id % 97
+    stands in for the benchmark). Benchmark grams collapse to distinct
+    64-bit hashes and BROADCAST; the corpus side is explode -> hash-join
+    -> one groupBy(doc_id) — its text never shuffles, which is the only
+    shape that survives a 100 TB corpus vs a few-MB eval set."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return textstats.ngram_contamination(corpus, bench,
+                                         "doc_id", "text", n=5)
+
+
+_SPLIT_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),
+c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY th) AS canonical_doc_id
+      FROM h)
+SELECT doc_id, canonical_doc_id,
+  CASE WHEN CAST(floor(((canonical_doc_id * 1103515245 + 12345) % 655360)
+                       / 65536) AS BIGINT) < 8
+       THEN 'train' ELSE 'holdout' END AS split
+FROM c
+"""
+
+
+@register("split_leakage_safe", _SPLIT_SQL)
+def split_leakage_safe(spark, sf_dir):
+    """Duplicate-aware 80/20 train/holdout split: byte-identical texts
+    share one md5 cluster, the cluster's min doc_id seeds an ANSI-C LCG,
+    and the whole cluster follows that seed — so an exact dup can never
+    sit in train while its twin sits in holdout. One shuffle on the
+    128-bit hash (window min), no join-back, engine-portable arithmetic
+    instead of Spark-private hash()."""
+    d = _t(spark, sf_dir, "documents")
+    return dedupe_scale.leakage_safe_split(d, "doc_id", "text")

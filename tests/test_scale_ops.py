@@ -270,3 +270,42 @@ def test_corpus_profile_approx_path_within_bounds(spark, sf_dir):
         # <= 1/accuracy — it must land inside the exact p45..p55 bracket
         assert r["p45"] <= a["p50"] <= r["p55"]
         assert abs(a["nd"] - r["nd"]) <= max(1, round(0.05 * r["nd"]))
+
+
+def test_leakage_safe_split_keeps_dup_clusters_together(spark):
+    """Exact duplicates must land on the same split side, and the
+    train fraction must be roughly 8/10 over distinct clusters."""
+    from sequencing_integration_pipeline1_0_spark.operators import dedupe_scale as ds
+    rows = [(i, f"unique text {i}") for i in range(200)]
+    rows += [(1000 + i, f"unique text {i % 5}") for i in range(50)]  # dups of 0..4
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ds.leakage_safe_split(df, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 250
+    for i in range(50):
+        twin, orig = by_id[1000 + i], by_id[i % 5]
+        assert twin["split"] == orig["split"]
+        assert twin["canonical_doc_id"] == orig["canonical_doc_id"] == i % 5
+    train_clusters = {r["canonical_doc_id"] for r in out if r["split"] == "train"}
+    all_clusters = {r["canonical_doc_id"] for r in out}
+    frac = len(train_clusters) / len(all_clusters)
+    assert 0.6 < frac < 0.95
+
+
+def test_ngram_contamination_flags_shared_grams_only(spark):
+    """A doc embedding a benchmark 5-gram is flagged; disjoint docs are
+    not; docs shorter than n words never flag."""
+    from sequencing_integration_pipeline1_0_spark.operators import textstats as ts
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (1, "prefix words then the quick brown fox jumps and more"),
+        (2, "completely different content with no overlap at all here"),
+        (3, "too short"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           ts.ngram_contamination(corpus, bench, "doc_id", "text", n=5).collect()}
+    assert got[1]["contaminated"] == 1 and got[1]["n_shared_ngrams"] >= 1
+    assert got[2]["contaminated"] == 0 and got[2]["n_shared_ngrams"] == 0
+    assert got[3]["contaminated"] == 0
