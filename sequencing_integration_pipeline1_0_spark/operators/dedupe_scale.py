@@ -257,6 +257,20 @@ def query_minhash_index(index: DataFrame, batch: DataFrame,
                   .select("batch_id", "corpus_id", "jaccard"))
 
 
+def lcg_bucket(col: Column, mod: int) -> Column:
+    """Deterministic engine-portable pseudo-random bucket in [0, mod):
+    bits 16+ of the ANSI-C LCG (1103515245 * x + 12345), taken mod
+    `mod`. The LCG's LOW bits are famously degenerate (the multiplier
+    is ≡5 mod 10, so raw % 10 only ever yields {0,5}) — slice the high
+    bits exactly like C rand() does. Plain int64 arithmetic, so the
+    same value falls out of Spark, DuckDB, or anything else —
+    deliberately NOT Spark's hash()/rand(), which are engine-private.
+    (x % (65536*mod)) // 65536 == (x >> 16) % mod; the remainder stays
+    < 65536*mod so the double division is exact."""
+    lcg = col * F.lit(1103515245) + F.lit(12345)
+    return F.floor((lcg % F.lit(65536 * mod)) / F.lit(65536))
+
+
 def leakage_safe_split(df: DataFrame, id_col: str, text_col: str, *,
                        train_buckets: int = 8, mod: int = 10,
                        split_col: str = "split") -> DataFrame:
@@ -267,13 +281,8 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str, *,
 
     Mechanics: group key = md5(text); cluster canonical = min(id) via a
     window (ONE shuffle on the 128-bit hash — never on the text, and no
-    second join-back pass); side = bucket(canonical) < train_buckets,
-    where bucket = bits 16+ of the ANSI-C LCG (1103515245 * x + 12345)
-    taken mod `mod` — the LCG's LOW bits are famously degenerate (the
-    multiplier is ≡5 mod 10, so raw % 10 only ever yields {0,5}), so we
-    slice the high bits exactly like C rand() does. Plain int64
-    arithmetic, reproducible in any engine — deliberately NOT Spark's
-    hash(), whose value is engine-private.
+    second join-back pass); side = lcg_bucket(canonical, mod) <
+    train_buckets (see lcg_bucket for why the high-bit slice).
 
     Generalization of the reference's dedup-before-route invariant
     (read_all_data.Rmd:333-346: one canonical copy per GISAID_ID
@@ -281,11 +290,8 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str, *,
     th = F.md5(F.col(text_col))
     from pyspark.sql import Window
     canonical = F.min(F.col(id_col)).over(Window.partitionBy(th))
-    lcg = canonical * F.lit(1103515245) + F.lit(12345)
-    # bits 16..: (x % (65536*mod)) // 65536 == (x >> 16) % mod, but the
-    # remainder stays < 65536*mod so the double division is exact
-    bucket = F.floor((lcg % F.lit(65536 * mod)) / F.lit(65536))
-    side = F.when(bucket < train_buckets, F.lit("train")).otherwise(F.lit("holdout"))
+    side = F.when(lcg_bucket(canonical, mod) < train_buckets,
+                  F.lit("train")).otherwise(F.lit("holdout"))
     return df.select(F.col(id_col),
                      canonical.alias("canonical_doc_id"),
                      side.alias(split_col))

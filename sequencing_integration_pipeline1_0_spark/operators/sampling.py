@@ -1,0 +1,62 @@
+"""Deterministic corpus-sampling operators (training-data mixing).
+
+A pretraining pipeline controls its domain mix by up/down-sampling
+per-source slices. At 100 TB the only acceptable shape is: a TINY
+per-domain aggregate (broadcast), then a pure map-side keep/drop
+predicate on the fact rows — no shuffle of the corpus, no rand()
+(engine-private, not reproducible across reruns or engines), no
+driver-side row loops.
+
+Selection uses lcg_bucket (dedupe_scale): an id-seeded, engine-portable
+pseudo-random bucket, so the SAME rows are kept on every run, any
+engine — sampling becomes a reproducible, auditable transformation,
+which is what makes dataset cards and ablations honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedupe_scale import lcg_bucket
+
+#: bucket space for keep-rates; rate resolution = 1/4096
+RATE_DENOM = 4096
+
+
+def sample_balanced(df: DataFrame, domain_col: str, id_col: str, *,
+                    rate_denom: int = RATE_DENOM) -> DataFrame:
+    """Downsample every domain to ~the smallest domain's row count
+    (uniform mix). keep_buckets(domain) = max(1,
+    floor(min_count * rate_denom / count)); a row survives when
+    lcg_bucket(id, rate_denom) < keep_buckets.
+
+    Plan shape: groupBy(domain) count -> 1-row global min (scalar
+    broadcast) -> per-domain rate dim (broadcast) -> map-side filter.
+    The corpus itself never shuffles. max(1, ...) guarantees no domain
+    is silently annihilated (a domain >rate_denom× larger than the
+    smallest keeps a 1/rate_denom sliver — log it, don't lose it).
+
+    min_count * rate_denom stays exact in double up to 2^53 (rate_denom
+    is a power of two, so the product only shifts the mantissa)."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    rates = (counts.join(F.broadcast(min_n))
+             .select(domain_col,
+                     F.greatest(
+                         F.lit(1),
+                         F.floor(F.col("__min_n") * rate_denom / F.col("__n")))
+                      .alias("__keep_buckets")))
+    return (df.join(F.broadcast(rates), domain_col)
+              .filter(lcg_bucket(F.col(id_col), rate_denom)
+                      < F.col("__keep_buckets"))
+              .drop("__keep_buckets"))
+
+
+def sample_fraction(df: DataFrame, id_col: str, fraction: float, *,
+                    rate_denom: int = RATE_DENOM) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep ~fraction of rows,
+    same rows every run/engine (id-seeded bucket < fraction *
+    rate_denom). Zero-shuffle, pure map-side."""
+    keep = int(fraction * rate_denom)
+    return df.filter(lcg_bucket(F.col(id_col), rate_denom) < F.lit(keep))

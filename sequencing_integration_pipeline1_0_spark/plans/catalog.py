@@ -2955,3 +2955,29 @@ def split_leakage_safe(spark, sf_dir):
     instead of Spark-private hash()."""
     d = _t(spark, sf_dir, "documents")
     return dedupe_scale.leakage_safe_split(d, "doc_id", "text")
+
+
+_DOMAIN_MIX_SQL = """
+WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS min_cnt FROM n),
+r AS (SELECT lang,
+             greatest(1, CAST(floor(min_cnt * 4096 / cnt) AS BIGINT)) AS kb
+      FROM n, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(floor(((d.doc_id * 1103515245 + 12345) % 268435456) / 65536)
+           AS BIGINT) < r.kb
+"""
+
+
+@register("sample_domain_mix", _DOMAIN_MIX_SQL)
+def sample_domain_mix(spark, sf_dir):
+    """Deterministic domain-mix rebalancing: every language slice is
+    downsampled to ~the smallest slice's size (en 218 -> ~64 at
+    sf0.01). Tiny per-domain aggregate + 1-row global min broadcast,
+    then a pure map-side id-seeded keep predicate — the corpus never
+    shuffles and the same rows survive on every run and every engine
+    (lcg_bucket, not rand())."""
+    from ..operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return sampling.sample_balanced(d, "lang", "doc_id").select("doc_id", "lang")

@@ -22,9 +22,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #: dominates cost is the cell-id equi-join, asserted separately below.
 #: tf-idf joins the corpus-size scalar (a 1-row agg) to every tf row —
 #: a conditionless broadcast of exactly one row is the scalar-join
-#: shape, not a quadratic blowup.
+#: shape, not a quadratic blowup. sample_domain_mix joins the global
+#: min-count scalar (1 row) to the tiny per-domain count dim the same
+#: way.
 NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
-                  "text_tfidf_top_terms"}
+                  "text_tfidf_top_terms", "sample_domain_mix"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.

@@ -309,3 +309,35 @@ def test_ngram_contamination_flags_shared_grams_only(spark):
     assert got[1]["contaminated"] == 1 and got[1]["n_shared_ngrams"] >= 1
     assert got[2]["contaminated"] == 0 and got[2]["n_shared_ngrams"] == 0
     assert got[3]["contaminated"] == 0
+
+
+def test_sample_balanced_mix_and_determinism(spark, sf_dir):
+    """Rebalanced domains land near the smallest domain's size, every
+    domain survives, and rerunning keeps the exact same rows."""
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r["lang"]: r["cnt"] for r in
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    min_n = min(counts.values())
+    out = sampling.sample_balanced(d, "lang", "doc_id")
+    kept = {r["lang"]: r["cnt"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(kept) == set(counts)  # no domain annihilated
+    for lang, k in kept.items():
+        # bucket granularity + LCG uniformity: within ~35% of target
+        assert abs(k - min_n) <= max(4, 0.35 * min_n), (lang, k, min_n)
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  sampling.sample_balanced(d, "lang", "doc_id")
+                  .select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_sample_fraction_deterministic_rate(spark, sf_dir):
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    s = sampling.sample_fraction(d, "doc_id", 0.25)
+    k = s.count()
+    assert abs(k - 0.25 * n) <= 0.06 * n
+    assert s.count() == k  # stable under recomputation
