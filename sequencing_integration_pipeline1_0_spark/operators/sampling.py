@@ -60,3 +60,29 @@ def sample_fraction(df: DataFrame, id_col: str, fraction: float, *,
     rate_denom). Zero-shuffle, pure map-side."""
     keep = int(fraction * rate_denom)
     return df.filter(lcg_bucket(F.col(id_col), rate_denom) < F.lit(keep))
+
+
+def pack_token_budget(df: DataFrame, id_col: str, text_col: str,
+                      shard_col: str, budget: int) -> DataFrame:
+    """Greedy sequential context-window packing: docs are laid end to
+    end in (shard, id) order and each doc joins the pack its START
+    token offset falls into — pack_id = floor(exclusive-prefix-sum /
+    budget). The classic pretraining batch-construction step, expressed
+    as one window prefix sum.
+
+    Scale shape: the running sum is PER SHARD (one shuffle on the shard
+    key) — a single global ordering would funnel 100 TB through one
+    partition, so callers pick a shard key that bounds per-shard volume
+    (date, source, hash-prefix); packs are then globally unique as
+    (shard, pack_id). budget is a power of two in the callers we ship,
+    keeping floor(x / budget) an exact mantissa shift in any engine."""
+    from pyspark.sql import Window
+    from .dedupe_scale import words
+    n_tokens = F.size(words(text_col)).cast("long")
+    t = df.select(F.col(id_col), F.col(shard_col),
+                  n_tokens.alias("n_tokens"))
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.withColumn("pack_id",
+                        F.floor(start / F.lit(budget)).cast("long"))

@@ -2981,3 +2981,30 @@ def sample_domain_mix(spark, sf_dir):
     from ..operators import sampling
     d = _t(spark, sf_dir, "documents")
     return sampling.sample_balanced(d, "lang", "doc_id").select("doc_id", "lang")
+
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, n_tokens,
+    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM t)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(start_tok / 2048) AS BIGINT) AS pack_id
+FROM s
+"""
+
+
+@register("pack_token_budget", _PACK_SQL)
+def pack_token_budget(spark, sf_dir):
+    """Context-window packing: per-lang greedy end-to-end layout, each
+    doc assigned to the 2048-token pack its start offset falls in —
+    one prefix-sum window on the shard key (never a global ordering;
+    see sampling.pack_token_budget for the 100 TB shape)."""
+    from ..operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return sampling.pack_token_budget(d, "doc_id", "text", "lang", 2048)

@@ -341,3 +341,22 @@ def test_sample_fraction_deterministic_rate(spark, sf_dir):
     k = s.count()
     assert abs(k - 0.25 * n) <= 0.06 * n
     assert s.count() == k  # stable under recomputation
+
+
+def test_pack_token_budget_layout_invariants(spark, sf_dir):
+    """Each doc's pack is exactly floor(start/budget) under the
+    (shard, id) layout; pack ids start at 0 and are contiguous."""
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.pack_token_budget(d, "doc_id", "text", "lang", 2048)
+    rows = sorted(out.collect(), key=lambda r: (r["lang"], r["doc_id"]))
+    from collections import defaultdict
+    offset = defaultdict(int)
+    packs = defaultdict(set)
+    for r in rows:
+        lang = r["lang"]
+        assert r["pack_id"] == offset[lang] // 2048, r
+        offset[lang] += r["n_tokens"]
+        packs[lang].add(r["pack_id"])
+    for lang, ids in packs.items():
+        assert ids == set(range(len(ids))), (lang, sorted(ids))
