@@ -19,9 +19,13 @@ reference's sequential subtract-and-reroute, with identical semantics
 because each rowid routes by its BEST distance.
 
 OSA-vs-Levenshtein: Spark ships levenshtein() (no transposition move);
-a transposed pair costs 2 (sub+sub counted) vs OSA's 1. We compensate
-the common transposition case via the flipped-name pass and document
-the delta (SURVEY §7 phase-4 acceptance note).
+a transposed pair costs 2 (sub+sub counted) vs OSA's 1. The default
+metric stays JVM levenshtein (whole-stage codegen, zero Python);
+metric="osa" upgrades to the reference's exact OSA semantics
+(fuzzy.Rmd:16 "optimal string alignment") — JVM prefilters still prune
+the candidate set (|len diff| <= k always; bounded levenshtein <= 2k,
+valid because lev <= 2*OSA), and only the survivors pay the
+Arrow-batched banded-DP pandas UDF.
 """
 
 from __future__ import annotations
@@ -32,6 +36,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def osa_distance_leq(a: str | None, b: str | None, k: int) -> int:
+    """Banded OSA (restricted Damerau-Levenshtein: ins/del/sub/adjacent
+    transposition, each cost 1, no substring re-edit) — returns the
+    distance if <= k else -1. Only the |i-j| <= k diagonal band is
+    evaluated; out-of-band cells hold k+1 so any path through them
+    fails the final bound check."""
+    if a is None or b is None:
+        return -1
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return -1
+    big = k + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        cur[0] = i
+        for j in range(max(1, i - k), min(lb, i + k) + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and prev2 is not None
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                v = min(v, prev2[j - 2] + cost)
+            cur[j] = v
+        prev2, prev = prev, cur
+    return prev[lb] if prev[lb] <= k else -1
+
+
+def _osa_leq_udf(k: int):
+    """Arrow-batched pandas UDF wrapping osa_distance_leq at bound k.
+    Runs ONLY on blocked+prefiltered candidate pairs — the join itself
+    never touches Python."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no type hints on the inner fn — the module uses
+    # `from __future__ import annotations`, and pyspark's hint
+    # resolution can't evaluate the stringified locals
+    @pandas_udf("int")
+    def osa(a, b):
+        return pd.Series(
+            [osa_distance_leq(x, y, k) for x, y in zip(a, b)],
+            dtype="int32")
+
+    return osa
+
+
 def blocked_distance_join(left: DataFrame, right: DataFrame, *,
                           left_key: str, right_key: str,
                           block_keys: Sequence[str],
@@ -39,8 +90,17 @@ def blocked_distance_join(left: DataFrame, right: DataFrame, *,
                           how: str = "inner",
                           dist_col: str = "distance",
                           spread: bool = True,
-                          length_bucket: bool = False) -> DataFrame:
-    """Equi-join on block keys + levenshtein(left_key, right_key) <= k.
+                          length_bucket: bool = False,
+                          metric: str = "levenshtein") -> DataFrame:
+    """Equi-join on block keys + distance(left_key, right_key) <= k.
+
+    metric="levenshtein" (default): pure-JVM bounded levenshtein — the
+    fast path, used by every catalog query. metric="osa": the
+    reference's exact optimal-string-alignment semantics (adjacent
+    transposition costs 1 not 2); JVM still prunes (len diff <= k,
+    bounded levenshtein <= 2k) and the banded-DP pandas UDF scores only
+    the surviving candidates, as a post-join filter — the join plan is
+    identical.
 
     Both frames must carry the block columns with identical names.
     Returns left cols + right cols (right's block cols dropped) + dist.
@@ -61,6 +121,13 @@ def blocked_distance_join(left: DataFrame, right: DataFrame, *,
     millions of rows; leave off when key lengths are near-uniform (the
     explode would triple work for no pruning).
     """
+    if metric not in ("levenshtein", "osa"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if metric == "osa" and how != "inner":
+        # the OSA pass is a post-join filter; on an outer join it would
+        # silently drop unmatched rows. Callers wanting left semantics
+        # re-attach non-matches via left_anti (as band routing does).
+        raise ValueError("metric='osa' requires how='inner'")
     left_cols, right_cols = list(left.columns), list(right.columns)
     block_keys = list(block_keys)
     if length_bucket:
@@ -82,20 +149,31 @@ def blocked_distance_join(left: DataFrame, right: DataFrame, *,
         c = F.col(f"l.{b}") == F.col(f"r.{b}")
         cond = c if cond is None else cond & c
     lk, rk = F.col(f"l.{left_key}"), F.col(f"r.{right_key}")
-    # cheap prefilter: |len(a)-len(b)| > k implies distance > k, so the
-    # expensive edit-distance never runs on hopeless pairs; the bounded
-    # 3-arg levenshtein then early-exits at k (returns -1 above bound)
+    # cheap prefilter: |len(a)-len(b)| > k implies distance > k (both
+    # metrics), so the expensive edit-distance never runs on hopeless
+    # pairs; the bounded 3-arg levenshtein then early-exits at the
+    # bound (returns -1 above it). For OSA the JVM levenshtein bound
+    # widens to 2k (lev <= 2*OSA: a transposition is two lev edits) —
+    # still pruning, never dropping a true OSA match.
     len_ok = F.abs(F.length(lk) - F.length(rk)) <= max_dist
-    bounded = F.levenshtein(lk, rk, max_dist)
+    lev_bound = max_dist if metric == "levenshtein" else 2 * max_dist
+    bounded = F.levenshtein(lk, rk, lev_bound)
     dist_ok = len_ok & (bounded >= 0)
     cond = dist_ok if cond is None else cond & dist_ok
-    dist = bounded
     joined = l.join(r, cond, how)
     keep_r = [c for c in right_cols if c not in set(block_keys)]
+    if metric == "osa":
+        osa = _osa_leq_udf(max_dist)(lk, rk)
+        return (joined
+                .withColumn(dist_col, osa)
+                .filter(F.col(dist_col) >= 0)
+                .select(*[F.col(f"l.{c}") for c in left_cols],
+                        *[F.col(f"r.{c}") for c in keep_r],
+                        F.col(dist_col)))
     return joined.select(
         *[F.col(f"l.{c}") for c in left_cols],
         *[F.col(f"r.{c}") for c in keep_r],
-        dist.alias(dist_col),
+        bounded.alias(dist_col),
     )
 
 
@@ -104,7 +182,8 @@ def fuzzy_name_join(left: DataFrame, right: DataFrame, *,
                     left_flip: str | None = None, right_flip: str | None = None,
                     block_keys: Sequence[str] = ("dob_year",),
                     max_dist: int = 3, flip_max_dist: int = 2,
-                    dist_col: str = "distance") -> DataFrame:
+                    dist_col: str = "distance",
+                    metric: str = "levenshtein") -> DataFrame:
     """J6+J7+J11: straight-name join at <=max_dist UNION a flipped-name
     variant at <=flip_max_dist, dropDuplicates
     (fuzzy_matching_functions.R:16-50). The flip pass compares the
@@ -114,11 +193,13 @@ def fuzzy_name_join(left: DataFrame, right: DataFrame, *,
     for the did_not_match band."""
     straight = blocked_distance_join(
         left, right, left_key=left_name, right_key=right_name,
-        block_keys=block_keys, max_dist=max_dist, dist_col=dist_col)
+        block_keys=block_keys, max_dist=max_dist, dist_col=dist_col,
+        metric=metric)
     if right_flip:
         flipped = blocked_distance_join(
             left, right, left_key=left_name, right_key=right_flip,
-            block_keys=block_keys, max_dist=flip_max_dist, dist_col=dist_col)
+            block_keys=block_keys, max_dist=flip_max_dist, dist_col=dist_col,
+            metric=metric)
         straight = straight.unionByName(flipped).dropDuplicates(
             [c for c in straight.columns if c != dist_col])
     return straight

@@ -3008,3 +3008,31 @@ def pack_token_budget(spark, sf_dir):
     from ..operators import sampling
     d = _t(spark, sf_dir, "documents")
     return sampling.pack_token_budget(d, "doc_id", "text", "lang", 2048)
+
+
+@register("j6b_fuzzy_osa_pairs")  # no SQL oracle: OSA (restricted
+# Damerau-Levenshtein) is not a DuckDB built-in — damerau_levenshtein
+# there is the UNRESTRICTED variant, which provably diverges on this
+# very data (41 candidate pairs at sf0.01 have DL=3 but OSA=4).
+# Correctness is carried by tests/test_operators.py: a brute-force
+# full-DP parity property over random strings plus hand-checked
+# transposition cases. The driver records a rows-only check here.
+def j6b_fuzzy_osa_pairs(spark, sf_dir):
+    """J6 exact-parity variant: the reference's true OSA metric
+    (stringdist 'osa', fuzzy.Rmd:16) at <=2 — same blocked equi-join
+    plan as j6 (JVM levenshtein<=4 prefilter prunes candidates, since
+    lev <= 2*OSA), with the banded-DP Arrow-batched scorer only on
+    survivors. Adjacent-transposition pairs (cost 1 here, 2 in plain
+    levenshtein) are the delta vs j6."""
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(F.col("c_custkey").alias("l_custkey"),
+                    F.col("c_name").alias("l_name"),
+                    F.col("c_nationkey").alias("block"))
+    right = c.select(F.col("c_custkey").alias("r_custkey"),
+                     F.col("c_name").alias("r_name"),
+                     F.col("c_nationkey").alias("block"))
+    out = fuzzy.blocked_distance_join(
+        left, right, left_key="l_name", right_key="r_name",
+        block_keys=["block"], max_dist=2, how="inner", metric="osa")
+    return (out.filter(F.col("l_custkey") < F.col("r_custkey"))
+               .select("l_custkey", "r_custkey", "distance"))

@@ -218,3 +218,99 @@ def test_asof_join_hand_cases(spark):
     inner = asof.asof_join(left, right, on=["k"], ts="ts",
                            right_value_cols=["rv"]).collect()
     assert {r["lv"] for r in inner} == {"L10", "L20"}
+
+
+# ---------------------------------------------------------------- OSA metric
+
+def test_osa_distance_leq_reference_cases():
+    """Banded OSA against hand-checked distances: transpositions cost 1
+    (vs 2 in plain Levenshtein), band bound returns -1 above k."""
+    from sequencing_integration_pipeline1_0_spark.operators.fuzzy import osa_distance_leq
+    assert osa_distance_leq("MARTA", "MATRA", 3) == 1      # adjacent swap
+    assert osa_distance_leq("MARTA", "MATRA", 1) == 1
+    assert osa_distance_leq("ABCD", "BADC", 3) == 2        # two swaps
+    assert osa_distance_leq("ABCD", "BADC", 1) == -1       # above bound
+    assert osa_distance_leq("SMITH", "SMITH", 3) == 0
+    assert osa_distance_leq("SMITH", "SMYTHE", 3) == 2     # sub + ins
+    assert osa_distance_leq("CA", "ABC", 3) == 3           # OSA can't re-edit a swap
+    assert osa_distance_leq("A", "ABCDE", 3) == -1         # len diff > k
+    assert osa_distance_leq(None, "X", 3) == -1
+
+
+def test_osa_distance_matches_bruteforce():
+    """Property: banded OSA == unbanded DP for random short strings."""
+    import itertools, random
+    from sequencing_integration_pipeline1_0_spark.operators.fuzzy import osa_distance_leq
+
+    def osa_full(a, b):
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                cost = 0 if a[i-1] == b[j-1] else 1
+                d[i][j] = min(d[i-1][j] + 1, d[i][j-1] + 1, d[i-1][j-1] + cost)
+                if i > 1 and j > 1 and a[i-1] == b[j-2] and a[i-2] == b[j-1]:
+                    d[i][j] = min(d[i][j], d[i-2][j-2] + cost)
+        return d[la][lb]
+
+    rng = random.Random(42)
+    alpha = "AB C"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+        for k in (1, 2, 3):
+            true = osa_full(a, b)
+            got = osa_distance_leq(a, b, k)
+            assert got == (true if true <= k else -1), (a, b, k, true, got)
+
+
+def test_blocked_join_osa_mode_catches_transpositions(spark):
+    """metric='osa' at k=1 keeps an adjacent-swap pair that the default
+    levenshtein metric (distance 2) rejects; plans stay equi-joins."""
+    from sequencing_integration_pipeline1_0_spark.operators import fuzzy as fz
+    left = spark.createDataFrame(
+        [(1, "MARTA_GARCIA", 1980), (2, "JOHN_DOE", 1990)],
+        ["rowid", "name_norm", "dob_year"])
+    right = spark.createDataFrame(
+        [(10, "MATRA_GARCIA", 1980), (20, "JANE_ROE", 1990)],
+        ["case_id", "name_norm_r", "dob_year"])
+    lev = fz.blocked_distance_join(
+        left, right, left_key="name_norm", right_key="name_norm_r",
+        block_keys=["dob_year"], max_dist=1)
+    osa = fz.blocked_distance_join(
+        left, right, left_key="name_norm", right_key="name_norm_r",
+        block_keys=["dob_year"], max_dist=1, metric="osa")
+    assert lev.count() == 0
+    got = osa.collect()
+    assert len(got) == 1
+    assert got[0]["rowid"] == 1 and got[0]["distance"] == 1
+    # same candidates at a bound where the metrics agree
+    lev3 = fz.blocked_distance_join(
+        left, right, left_key="name_norm", right_key="name_norm_r",
+        block_keys=["dob_year"], max_dist=3)
+    osa3 = fz.blocked_distance_join(
+        left, right, left_key="name_norm", right_key="name_norm_r",
+        block_keys=["dob_year"], max_dist=3, metric="osa")
+    assert ({r["rowid"] for r in lev3.collect()}
+            == {r["rowid"] for r in osa3.collect()})
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fz.blocked_distance_join(
+            left, right, left_key="name_norm", right_key="name_norm_r",
+            block_keys=["dob_year"], max_dist=1, metric="osa", how="left")
+
+
+def test_osa_pairs_superset_of_levenshtein_pairs(spark, sf_dir):
+    """On real data at the same bound, OSA <= lev everywhere, so the
+    OSA match set must contain every levenshtein match set pair."""
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    lev = {(r["l_custkey"], r["r_custkey"])
+           for r in qs["j6_fuzzy_name_pairs"](spark, sf_dir).collect()}
+    osa = {(r["l_custkey"], r["r_custkey"])
+           for r in qs["j6b_fuzzy_osa_pairs"](spark, sf_dir).collect()}
+    assert lev <= osa

@@ -30,7 +30,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
-PANDAS_OK = {"mm_decode_stub", "mm_frame_sample"}
+#: j6b's OSA scorer is an Arrow-batched post-join filter on the
+#: blocked+JVM-prefiltered candidate pairs only; the join itself is the
+#: same equi-join as j6 (asserted in test_fuzzy_join_is_blocked_not_nested).
+PANDAS_OK = {"mm_decode_stub", "mm_frame_sample", "j6b_fuzzy_osa_pairs"}
 
 
 def _plan(spark, name: str) -> str:
@@ -72,10 +75,11 @@ def test_fuzzy_join_is_blocked_not_nested(plans):
     """The levenshtein theta-join must ride the equi block key (J7):
     hash or sort-merge join with the distance as post-condition, never
     a nested loop over the full cross product (SURVEY §4)."""
-    p = plans["j6_fuzzy_name_pairs"]
-    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
-    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
-            or "BroadcastHashJoin" in p)
+    for name in ("j6_fuzzy_name_pairs", "j6b_fuzzy_osa_pairs"):
+        p = plans[name]
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+        assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                or "BroadcastHashJoin" in p), name
 
 
 def test_ivf_candidate_join_is_equi(plans):
