@@ -3,7 +3,11 @@ __spark_entry__.queries() entry at a given SF and compare against its
 oracle_sql() in DuckDB — row count, sorted column names, and an
 order-insensitive value comparison.
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla runs on a bare SparkSession (no engine session factory) —
+replicating the external driver's environment (Spark 4 ANSI on,
+unknown timezone) to prove no query depends on factory configs.
 """
 
 from __future__ import annotations
@@ -38,15 +42,24 @@ def canon(df) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
     import __spark_entry__ as entrymod
-    from sequencing_integration_pipeline1_0_spark.session import get_spark
 
-    spark = get_spark("selfcheck")
+    if vanilla:
+        # driver replica: a bare SparkSession with none of the engine
+        # factory's configs (ANSI on by default in Spark 4, unknown tz)
+        # — proves queries carry their own correctness-critical settings
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        from sequencing_integration_pipeline1_0_spark.session import get_spark
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
