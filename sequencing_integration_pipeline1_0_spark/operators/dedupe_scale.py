@@ -65,28 +65,50 @@ def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
                            shingle_n: int = 1, k: int = 8,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4,
+                           max_bucket: int | None = None) -> DataFrame:
     """End-to-end LSH candidate pairs: shingle -> minhash -> band ->
-    explode -> self-equi-join on band -> distinct (id_a < id_b) pairs.
+    explode -> self-equi-join on band -> distinct (id_a < id_b) pairs,
+    shingles re-attached for the verify.
 
-    The self-join shuffles on the band key only — at 100 TB this is the
-    scalable path; the quadratic jaccard verify runs only on candidates."""
+    Scale-critical shape: the band self-join and the pair dedup move
+    ONLY (id_a, id_b) — 16 bytes a pair. A dense band bucket of B docs
+    still emits B²/2 pairs, but slim ones; the wide shingle arrays are
+    joined back per-id afterwards (two hash joins against the doc-count
+    sized side). Carrying the arrays through the pair shuffle instead
+    multiplies the shuffle by the document size — measured 190× slower
+    at a 10× scale-up on template-heavy corpora (SCALING.md history).
+
+    max_bucket: optional cap — band buckets larger than this are
+    dropped BEFORE pairing (a B=10k bucket alone is 50M pairs).
+    Standard industrial recall tradeoff: mega-buckets are boilerplate
+    clusters whose members match via their other, more selective bands
+    anyway; exact-dedup such corpora first (dedup_exact_content_hash).
+    Default None = exact LSH semantics (every bucket pairs)."""
     rows_per_band = k // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_n).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), k))
     banded = sig.select(
-        "id", "sh",
+        "id",
         F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"))
-    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                      F.col("b").alias("ba"))
-    bd = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                       F.col("b").alias("bb"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("b"))
+        banded = (banded.withColumn("__n", n_in_bucket)
+                        .filter(F.col("__n") <= max_bucket).drop("__n"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("b").alias("ba"))
+    bd = banded.select(F.col("id").alias("id_b"), F.col("b").alias("bb"))
     pairs = (a.join(bd, (a.ba == bd.bb) & (a.id_a < bd.id_b))
-              .select("id_a", "id_b", "sh_a", "sh_b")
+              .select("id_a", "id_b")
               .dropDuplicates(["id_a", "id_b"]))
-    return pairs
+    docs = sig.select("id", "sh")
+    return (pairs
+            .join(docs.select(F.col("id").alias("id_a"),
+                              F.col("sh").alias("sh_a")), "id_a")
+            .join(docs.select(F.col("id").alias("id_b"),
+                              F.col("sh").alias("sh_b")), "id_b"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -99,11 +121,13 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
                       shingle_n: int = 1, k: int = 8, bands: int = 4,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash LSH candidates verified with true Jaccard >= threshold.
     Returns (id_a, id_b, jaccard)."""
     pairs = minhash_lsh_candidates(df, id_col, text_col,
-                                   shingle_n=shingle_n, k=k, bands=bands)
+                                   shingle_n=shingle_n, k=k, bands=bands,
+                                   max_bucket=max_bucket)
     return (pairs
             .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard") >= threshold)
