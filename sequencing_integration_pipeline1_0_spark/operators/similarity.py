@@ -45,15 +45,22 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str, *,
     Cosine is rounded (default 1e-6) so ranking ties break on id —
     deterministic across engines. Returns (id, neighbor_id, cos_sim,
     rank)."""
-    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
+    a = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
+           .withColumn("na", norm(F.col("va"))))
     if spread:
         target = df.sparkSession.sparkContext.defaultParallelism
         if a.rdd.getNumPartitions() < target:
             a = a.repartition(target)
-    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    b = (df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+           .withColumn("nb", norm(F.col("vb"))))
+    # norms precomputed once per VECTOR (n rows) rather than per PAIR
+    # (n² rows) — the per-pair work drops to a single dot fold; the
+    # quotient dot/(na*nb) is the same doubles in the same order as
+    # cosine(), so results (and the oracle hash) are bit-identical
     pairs = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
-              .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")),
-                                             round_to)))
+              .withColumn("cos_sim",
+                          F.round(dot(F.col("va"), F.col("vb"))
+                                  / (F.col("na") * F.col("nb")), round_to)))
     w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(),
                                          F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -76,15 +83,18 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, *,
     bucket (equi-join, shuffle on bucket key — scales linearly in
     candidates rather than n^2). Returns (id, neighbor_id, cos_sim,
     rank)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
-             .withColumn("bucket", sign_bucket(F.col("v"), bucket_dims))
-    a = base.select(F.col("id"), F.col("v").alias("va"), "bucket")
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .withColumn("bucket", sign_bucket(F.col("v"), bucket_dims))
+              .withColumn("nv", norm(F.col("v"))))
+    a = base.select(F.col("id"), F.col("v").alias("va"),
+                    F.col("nv").alias("na"), "bucket")
     b = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vb"),
-                    F.col("bucket").alias("bucket_b"))
+                    F.col("nv").alias("nb"), F.col("bucket").alias("bucket_b"))
     pairs = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
                     & (F.col("id") != F.col("neighbor_id")))
-              .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")),
-                                             round_to)))
+              .withColumn("cos_sim",
+                          F.round(dot(F.col("va"), F.col("vb"))
+                                  / (F.col("na") * F.col("nb")), round_to)))
     w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(),
                                          F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -94,7 +104,7 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, *,
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
              k: int = 5, n_cells: int = 8, nprobe: int = 2,
-             round_to: int = 6) -> DataFrame:
+             round_to: int = 6, salt_buckets: int = 8) -> DataFrame:
     """IVF-flat approximate top-k — the coarse-quantizer scale path.
 
     Codebook: deterministic — the n_cells lowest-id vectors are the
@@ -112,25 +122,45 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
     once because the index side is single-assignment, so no dedup pass
     is needed. Recall < 1 by construction (a true neighbor indexed in
     an unprobed cell is missed); measure against brute_force_topk.
+
+    Parallelism shape: a raw cell-id join has only n_cells distinct
+    keys — at n_cells=8 that caps the expensive per-pair dot stage at
+    8 tasks. The replicated bucket join widens it to n_cells ×
+    salt_buckets keys (index side salted by hash(id), probe side
+    exploded over the salt range — every pair still meets exactly
+    once). Norms are precomputed per vector, not per pair; the
+    quotient is the same doubles in the same order as cosine(), so
+    results are bit-identical.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
     cents = (base.orderBy("id").limit(n_cells)
-                 .select(F.col("id").alias("cell_id"), F.col("v").alias("cv")))
+                 .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
+                         F.col("nv").alias("ncv")))
     sims = (base.join(F.broadcast(cents))
-                .withColumn("csim", F.round(cosine(F.col("v"), F.col("cv")),
-                                            round_to)))
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")), round_to)))
     cw = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell_id"))
     sims = sims.withColumn("crank", F.row_number().over(cw))
     idx = (sims.filter(F.col("crank") == 1)
                .select(F.col("id").alias("neighbor_id"),
-                       F.col("v").alias("vb"), "cell_id"))
+                       F.col("v").alias("vb"), F.col("nv").alias("nb"),
+                       "cell_id")
+               .withColumn("__b", F.pmod(F.xxhash64("neighbor_id"),
+                                         F.lit(salt_buckets))))
     probe = (sims.filter(F.col("crank") <= nprobe)
                  .select("id", F.col("v").alias("va"),
-                         F.col("cell_id").alias("probe_cell")))
+                         F.col("nv").alias("na"),
+                         F.col("cell_id").alias("probe_cell"))
+                 .withColumn("__y", F.explode(F.array(
+                     *[F.lit(i) for i in range(salt_buckets)]))))
     pairs = (probe.join(idx, (F.col("probe_cell") == F.col("cell_id"))
+                        & (F.col("__y") == F.col("__b"))
                         & (F.col("id") != F.col("neighbor_id")))
-                  .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")),
-                                                 round_to)))
+                  .withColumn("cos_sim",
+                              F.round(dot(F.col("va"), F.col("vb"))
+                                      / (F.col("na") * F.col("nb")), round_to)))
     w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(),
                                          F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
