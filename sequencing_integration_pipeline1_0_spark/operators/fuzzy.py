@@ -139,9 +139,8 @@ def blocked_distance_join(left: DataFrame, right: DataFrame, *,
                  .withColumn("__lb", F.explode(F.array(rb - 1, rb, rb + 1))))
         block_keys.append("__lb")
     if spread:
-        target = left.sparkSession.sparkContext.defaultParallelism
-        if left.rdd.getNumPartitions() < target:
-            left = left.repartition(target)
+        from .skew import spread_for_compute
+        left = spread_for_compute(left)
     l = left.alias("l")
     r = right.alias("r")
     cond = None

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import spread_for_compute
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
@@ -48,9 +50,7 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str, *,
     a = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
            .withColumn("na", norm(F.col("va"))))
     if spread:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if a.rdd.getNumPartitions() < target:
-            a = a.repartition(target)
+        a = spread_for_compute(a)
     b = (df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
            .withColumn("nb", norm(F.col("vb"))))
     # norms precomputed once per VECTOR (n rows) rather than per PAIR

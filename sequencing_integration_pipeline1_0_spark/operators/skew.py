@@ -102,9 +102,21 @@ def spread_for_compute(df: DataFrame,
     (fuzzy.blocked_distance_join); results are row-identical (round
     robin reorders rows only, and no operator downstream of a
     repartition may depend on row order).
+
+    The "is it narrow?" probe reads Catalyst's optimized-plan size
+    estimate (analysis-only) instead of ``df.rdd.getNumPartitions()``,
+    which forces a full RDD plan conversion per call. An input smaller
+    than ~8 MB/core can't have enough scan splits to feed every core;
+    anything larger already does, so the repartition — and its shuffle —
+    never fires on a big input.
     """
     sc = df.sparkSession.sparkContext
     target = parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:  # non-JVM backends (connect): spread unconditionally
+        return df.repartition(target)
+    if est < target * 8 * 1024 * 1024:
         return df.repartition(target)
     return df

@@ -1459,12 +1459,18 @@ SELECT o_orderkey,
 FROM orders
 """)
 def w9_group_id(spark, sf_dir):
-    """W9: cur_group_id() per block (ref: fuzzy.Rmd:569-571) —
-    dense_rank over the block key."""
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.dense_rank().over(Window.orderBy(F.year("o_orderdate"))).alias("block_id"))
+    """W9: cur_group_id() per block (ref: fuzzy.Rmd:569-571).
+
+    dense_rank over the raw rows would be an unpartitioned window (every
+    row through one task); instead rank the *distinct* block keys (a
+    tiny dim — one row per year) and broadcast the key->id map back.
+    Identical output, fully parallel scan."""
+    o = _t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    blocks = (o.select("yr").distinct()
+               .select("yr", F.dense_rank().over(Window.orderBy("yr"))
+                              .alias("block_id")))
+    return (o.join(F.broadcast(blocks), "yr")
+             .select("o_orderkey", "block_id"))
 
 
 @register("a7_formatted_matrix", """

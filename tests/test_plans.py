@@ -100,6 +100,61 @@ def test_scan_pushdown_reaches_parquet(plans):
     assert any("o_totalprice" in ln for ln in pushed), pushed
 
 
+#: Unpartitioned windows are allowed only where the window's INPUT is
+#: provably tiny (shrink-then-rank): w9 ranks the distinct-year dim
+#: (rows = #years, broadcast-joined back to the fact side);
+#: s11/compile's row_number runs post-aggregation on a ≤500-row roster
+#: output (S11 contract), with approx_chunks the documented scale path
+#: (sinks.py). Every fact-table-sized window must be partitioned.
+GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
+                    "pipe_roster_compile_chunks"}
+
+
+def _global_windows(plan: str) -> int:
+    """Count unpartitioned window specs in a formatted plan string.
+
+    A windowspecdefinition's args are [partition..., order..., frame];
+    order items carry ASC/DESC markers, partition items don't. If every
+    non-frame arg is an order spec, the window has no partitioning and
+    executes on a single task.
+    """
+    n = 0
+    start = 0
+    while True:
+        i = plan.find("windowspecdefinition(", start)
+        if i < 0:
+            return n
+        j = i + len("windowspecdefinition(")
+        depth, args, buf = 1, [], []
+        while depth > 0 and j < len(plan):
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if c == "," and depth == 1:
+                args.append("".join(buf)); buf = []
+            else:
+                buf.append(c)
+            j += 1
+        args.append("".join(buf))
+        start = j
+        parts = [a.strip() for a in args
+                 if "specifiedwindowframe" not in a.split("(")[0]]
+        if parts and all(" ASC" in p or " DESC" in p for p in parts):
+            n += 1
+
+
+def test_no_unpartitioned_windows(plans):
+    """An unpartitioned window moves every row to one task — banned
+    outside the explicit small-output allowlist (VERDICT r1 item 2)."""
+    bad = {n: k for n, p in plans.items()
+           if (k := _global_windows(p)) and n not in GLOBAL_WINDOW_OK}
+    assert not bad, f"global (unpartitioned) window in: {bad}"
+
+
 def test_membership_flags_broadcast(plans):
     """§2.8 WDRS-membership flags join against a small distinct value
     set — must be a broadcast join, not a shuffle of the fact side."""
