@@ -102,14 +102,68 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, *,
                  .select("id", "neighbor_id", "cos_sim", "rank"))
 
 
+def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
+                       n_cells: int = 8, iters: int = 2,
+                       round_to: int = 6) -> DataFrame:
+    """Lloyd/k-means codebook training for the IVF index: (cell_id, cv).
+
+    Seeds are the n_cells lowest-id vectors (deterministic); each
+    iteration assigns every vector to its nearest centroid (rounded
+    cosine, tie -> lower cell id) and recomputes centroids as
+    component-wise means. Means ride the decimal-exact path (round each
+    component to 1e-6, DECIMAL(18,6) sums, ONE double division) so the
+    trained centroids are partition-order independent and bit-identical
+    to a SQL oracle running the same recurrence. A cell that loses all
+    members keeps its previous centroid (never collapses the codebook).
+
+    Scale shape per iteration: broadcast of n_cells centroids ->
+    linear assignment pass; component means are a (cell, pos)-keyed
+    partial agg with map-side combine — n·dim rows through one
+    shuffle; centroid reassembly sorts dim structs per cell (tiny).
+    Everything stays lazy/declarative — no driver collect — so the
+    whole recurrence is one Catalyst plan.
+    """
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    cents = (base.orderBy("id").limit(n_cells)
+                 .select(F.col("id").alias("cell_id"), F.col("v").alias("cv")))
+    for _ in range(iters):
+        cb = F.broadcast(cents.withColumn("ncv", norm(F.col("cv"))))
+        sims = (base.join(cb)
+                    .withColumn("csim",
+                                F.round(dot(F.col("v"), F.col("cv"))
+                                        / (F.col("nv") * F.col("ncv")),
+                                        round_to)))
+        cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                              F.col("cell_id"))
+        assign = (sims.withColumn("crank", F.row_number().over(cw))
+                      .filter(F.col("crank") == 1)
+                      .select("cell_id", "v"))
+        comp = assign.select("cell_id", F.posexplode("v").alias("pos", "val"))
+        q = F.round(F.col("val").cast("double"), round_to).cast("decimal(18,6)")
+        means = (comp.groupBy("cell_id", "pos")
+                     .agg((F.sum(q).cast("double") / F.count(F.lit(1)))
+                          .alias("m")))
+        newc = (means.groupBy("cell_id")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                         lambda s: s["m"]).alias("cv_new")))
+        cents = (cents.join(newc, "cell_id", "left")
+                      .select("cell_id",
+                              F.coalesce("cv_new", "cv").alias("cv")))
+    return cents
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
              k: int = 5, n_cells: int = 8, nprobe: int = 2,
-             round_to: int = 6, salt_buckets: int = 8) -> DataFrame:
+             round_to: int = 6, salt_buckets: int = 8,
+             train_iters: int = 0) -> DataFrame:
     """IVF-flat approximate top-k — the coarse-quantizer scale path.
 
-    Codebook: deterministic — the n_cells lowest-id vectors are the
-    centroids (production would train k-means offline; the index and
-    search plumbing exercised here is identical either way). Index
+    Codebook: deterministic — with train_iters=0 the n_cells lowest-id
+    vectors are the centroids; with train_iters>0 the codebook is
+    k-means-trained from those seeds via train_ivf_codebook (the
+    production path — recall measured by ann_ivf_recall). Index
     side: every vector lands in exactly ONE cell, its nearest centroid
     (rounded cosine, tie -> lower cell id). Query side: each query
     probes its `nprobe` nearest cells and ranks the indexed vectors
@@ -134,9 +188,15 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
     """
     base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
-    cents = (base.orderBy("id").limit(n_cells)
-                 .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
-                         F.col("nv").alias("ncv")))
+    if train_iters > 0:
+        cents = (train_ivf_codebook(df, id_col, vec_col, n_cells=n_cells,
+                                    iters=train_iters, round_to=round_to)
+                 .withColumn("ncv", norm(F.col("cv"))))
+    else:
+        cents = (base.orderBy("id").limit(n_cells)
+                     .select(F.col("id").alias("cell_id"),
+                             F.col("v").alias("cv"),
+                             F.col("nv").alias("ncv")))
     sims = (base.join(F.broadcast(cents))
                 .withColumn("csim",
                             F.round(dot(F.col("v"), F.col("cv"))

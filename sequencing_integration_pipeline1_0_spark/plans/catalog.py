@@ -1057,6 +1057,127 @@ def ann_kmeans_centroid_step(spark, sf_dir):
                      F.col("n_members")))
 
 
+def _ivf_trained_cents_sql(n_cells: int, iters: int) -> str:
+    """CTE chain producing the k-means-trained codebook `cents{iters}`
+    (cell_id, cv) — the SQL twin of similarity.train_ivf_codebook: same
+    seeds, same rounded-cosine assignment with the same tie-break, same
+    decimal-exact component means, same keep-previous-on-empty-cell
+    rule. Returned string starts after WITH."""
+    parts = [f"""cents0 AS (
+  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+  ORDER BY vec_id LIMIT {n_cells})"""]
+    for t in range(iters):
+        parts.append(f"""sims_t{t} AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cents{t} c),
+assign_t{t} AS (
+  SELECT cell_id, embedding FROM (
+    SELECT cell_id, embedding,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell_id) AS rn
+    FROM sims_t{t}) WHERE rn = 1),
+mean_t{t} AS (
+  SELECT cell_id, i,
+         CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+  FROM (SELECT cell_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM assign_t{t})
+  GROUP BY cell_id, i),
+newc_t{t} AS (
+  SELECT cell_id, list(m ORDER BY i) AS cv FROM mean_t{t} GROUP BY cell_id),
+cents{t + 1} AS (
+  SELECT p.cell_id, COALESCE(n.cv, p.cv) AS cv
+  FROM cents{t} p LEFT JOIN newc_t{t} n ON p.cell_id = n.cell_id)""")
+    return ",\n".join(parts)
+
+
+def _ivf_search_sql(cents: str, nprobe: int, k: int) -> str:
+    """Index/probe/rank CTE chain over codebook CTE `cents` plus final
+    SELECT — shared by the untrained and trained IVF oracles."""
+    return f"""sims AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN {cents} c),
+ranked_cells AS (
+  SELECT vec_id, embedding, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id) AS crank
+  FROM sims),
+idx AS (SELECT vec_id AS neighbor_id, embedding AS vb, cell_id
+        FROM ranked_cells WHERE crank = 1),
+probe AS (SELECT vec_id AS id, embedding AS va, cell_id AS probe_cell
+          FROM ranked_cells WHERE crank <= {nprobe}),
+pairs AS (
+  SELECT q.id, i.neighbor_id, {_cos_sql('q.va', 'i.vb')} AS cos_sim
+  FROM probe q JOIN idx i
+    ON q.probe_cell = i.cell_id AND q.id != i.neighbor_id),
+final AS (
+  SELECT id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM final WHERE rank <= {k}"""
+
+
+_ANN_IVF_TRAINED_SQL = (
+    "WITH " + _ivf_trained_cents_sql(8, 2) + ",\n"
+    + _ivf_search_sql("cents2", 2, 5))
+
+
+@register("ann_ivf_trained_topk", _ANN_IVF_TRAINED_SQL)
+def ann_ivf_trained_topk(spark, sf_dir):
+    """IVF-flat top-5 with a k-means-TRAINED codebook (2 Lloyd
+    iterations from the deterministic seeds) — the production variant
+    of ann_ivf_topk; training is the offline step ann_kmeans_
+    centroid_step generalizes. Recall vs brute force measured by
+    ann_ivf_recall."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, "vec_id", "embedding",
+                               k=5, n_cells=8, nprobe=2, train_iters=2)
+
+
+_ANN_IVF_RECALL_SQL = f"""
+WITH brute AS ({_ANN_BRUTE_SQL}),
+ivf_raw AS ({_ANN_IVF_SQL}),
+ivf_tr AS ({_ANN_IVF_TRAINED_SQL})
+SELECT CAST(count(*) AS BIGINT) AS brute_pairs,
+       CAST(count(r.id) AS BIGINT) AS hits_seeded,
+       round(CAST(count(r.id) AS DOUBLE) / count(*), 6) AS recall_seeded,
+       CAST(count(t.id) AS BIGINT) AS hits_trained,
+       round(CAST(count(t.id) AS DOUBLE) / count(*), 6) AS recall_trained
+FROM brute b
+LEFT JOIN ivf_raw r ON b.id = r.id AND b.neighbor_id = r.neighbor_id
+LEFT JOIN ivf_tr t ON b.id = t.id AND b.neighbor_id = t.neighbor_id
+"""
+
+
+@register("ann_ivf_recall", _ANN_IVF_RECALL_SQL)
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@5 of both IVF variants against the exact brute-force
+    neighbors — the quality gate for the approximate path (how many
+    true top-5 pairs the cell probe recovers), reported for the seeded
+    and the k-means-trained codebook side by side. One summary row;
+    the division is the only FP op."""
+    b = ann_brute_force_topk(spark, sf_dir).select("id", "neighbor_id")
+    r = (ann_ivf_topk(spark, sf_dir).select("id", "neighbor_id")
+         .withColumn("hit_r", F.lit(1)))
+    t = (ann_ivf_trained_topk(spark, sf_dir).select("id", "neighbor_id")
+         .withColumn("hit_t", F.lit(1)))
+    j = (b.join(r, ["id", "neighbor_id"], "left")
+          .join(t, ["id", "neighbor_id"], "left"))
+    return j.agg(
+        F.count(F.lit(1)).alias("brute_pairs"),
+        F.count("hit_r").alias("hits_seeded"),
+        F.round(F.count("hit_r").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall_seeded"),
+        F.count("hit_t").alias("hits_trained"),
+        F.round(F.count("hit_t").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall_trained"))
+
+
 _TFIDF_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word

@@ -26,6 +26,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #: min-count scalar (1 row) to the tiny per-domain count dim the same
 #: way.
 NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
+                  "ann_ivf_trained_topk", "ann_ivf_recall",
                   "text_tfidf_top_terms", "sample_domain_mix"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
