@@ -2933,6 +2933,246 @@ def pipe_roster_compile_chunks(spark, sf_dir):
     return res
 
 
+_GAP_MONTHS = [f"1995-0{i}" for i in range(1, 7)]
+_GAP_MCOLS = [m.replace("-", "_") for m in _GAP_MONTHS]
+
+_GAP_SQL = f"""
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS cd,
+         CASE CAST(o_orderkey % 7 AS INT)
+           WHEN 0 THEN 'UW' WHEN 1 THEN 'CDC' WHEN 2 THEN 'ALTIUS'
+           WHEN 3 THEN 'FHCRC' WHEN 4 THEN 'KHEL' WHEN 5 THEN 'PHL'
+           ELSE 'NW' END AS labcode
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'),
+corpus AS (
+  SELECT k, cd, labcode,
+         regexp_replace('hCoV-19/USA/WA-' || labcode || '-' ||
+                        CAST(k AS VARCHAR) || '/2021', '^hCoV-19/', '')
+           AS clean
+  FROM src),
+with_alt AS (
+  SELECT *, CASE WHEN labcode = 'UW' THEN
+      'USA/WA-UW-' || strftime(cd, '%y%m') || '-' ||
+      regexp_extract(clean, '([0-9]+/2021)$', 1) END AS alt
+  FROM corpus),
+members AS (
+  SELECT upper(clean) AS mk FROM corpus WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'USA/WA-UW-' || strftime(cd, '%y%m') || '-' ||
+         regexp_extract(clean, '([0-9]+/2021)$', 1)
+  FROM corpus WHERE k % 3 = 1 AND labcode = 'UW'),
+mset AS (SELECT DISTINCT lower(mk) AS mk FROM members WHERE mk IS NOT NULL),
+gap AS (
+  SELECT * FROM with_alt w
+  WHERE lower(w.clean) NOT IN (SELECT mk FROM mset)
+    AND (w.alt IS NULL OR lower(w.alt) NOT IN (SELECT mk FROM mset))),
+labeled AS (
+  SELECT CASE regexp_extract(clean, '^USA/WA-([A-Za-z]+)-', 1)
+           WHEN 'UW' THEN 'UW Virology' WHEN 'CDC' THEN 'CDC'
+           WHEN 'ALTIUS' THEN 'Altius' WHEN 'FHCRC' THEN 'Fred Hutch'
+           WHEN 'KHEL' THEN 'Kansas Health' WHEN 'PHL' THEN 'WA PHL'
+           ELSE 'Other' END AS gap_lab,
+         strftime(cd, '%Y-%m') AS ym
+  FROM gap),
+counts AS (SELECT gap_lab, ym, count(*) AS n FROM labeled GROUP BY 1, 2),
+tot AS (SELECT count(*) AS total FROM labeled),
+props AS (
+  SELECT gap_lab, ym,
+         CAST(round(n * 100.0 / total, 2) AS DECIMAL(10,2)) AS p
+  FROM counts CROSS JOIN tot),
+wide AS (
+  SELECT gap_lab,
+         {", ".join(f"COALESCE(sum(CASE WHEN ym = '{m}' THEN p END), "
+                    f"CAST(0 AS DECIMAL(10,2))) AS m_{c}"
+                    for m, c in zip(_GAP_MONTHS, _GAP_MCOLS))},
+         sum(p) AS grand_total
+  FROM props GROUP BY gap_lab),
+full_tbl AS (
+  SELECT * FROM wide
+  UNION ALL
+  SELECT 'Grand_Total',
+         {", ".join(f"sum(m_{c})" for c in _GAP_MCOLS)}, sum(grand_total)
+  FROM wide)
+SELECT gap_lab, {", ".join(f"CAST(m_{c} AS DOUBLE) AS m_{c}"
+                           for c in _GAP_MCOLS)},
+       CAST(grand_total AS DOUBLE) AS grand_total
+FROM full_tbl
+"""
+
+
+@register("pipe_gap_report", _GAP_SQL)
+def pipe_gap_report(spark, sf_dir):
+    """§3/QA gap-analysis report end-to-end (gap_data.Rmd:77-218 +
+    590-692): external-repository corpus -> prefix strip (F3) ->
+    case-insensitive anti-membership vs the internal sequence set (P4)
+    -> date-keyed alternate-accession rewrite (F6, the UW altmatch
+    :182-194) -> second anti-pass -> submitter-lab extraction + vocab
+    map (F8) -> month-pivot proportion table with per-lab Grand_Total
+    and a colsum Grand_Total row (:590-692). Member set broadcasts for
+    both anti-passes (zero corpus shuffles); percent cells sum as
+    DECIMAL(10,2) so totals are partition-order independent."""
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("cd", F.col("o_orderdate").cast("date"))
+         .filter((F.col("cd") >= "1995-01-01") & (F.col("cd") < "1995-07-01")))
+    k = F.col("o_orderkey")
+    labcode = (F.when(k % 7 == 0, "UW").when(k % 7 == 1, "CDC")
+                .when(k % 7 == 2, "ALTIUS").when(k % 7 == 3, "FHCRC")
+                .when(k % 7 == 4, "KHEL").when(k % 7 == 5, "PHL")
+                .otherwise("NW"))
+    src = o.select(k.alias("k"), "cd", labcode.alias("labcode"))
+    virus = F.concat(F.lit("hCoV-19/USA/WA-"), F.col("labcode"), F.lit("-"),
+                     F.col("k").cast("string"), F.lit("/2021"))
+    corpus = src.withColumn(
+        "clean", F.regexp_replace(virus, "^hCoV-19/", ""))
+    alt_expr = F.concat(
+        F.lit("USA/WA-UW-"), F.date_format("cd", "yyMM"), F.lit("-"),
+        F.regexp_extract("clean", r"([0-9]+/2021)$", 1))
+    with_alt = corpus.withColumn(
+        "alt", F.when(F.col("labcode") == "UW", alt_expr))
+    members = (corpus.filter(F.col("k") % 3 == 0)
+               .select(F.upper("clean").alias("mk"))
+               .unionByName(
+                   corpus.filter((F.col("k") % 3 == 1)
+                                 & (F.col("labcode") == "UW"))
+                   .select(alt_expr.alias("mk"))))
+    gap = P.gap_membership(with_alt, members, key_col="clean",
+                           alt_col="alt")
+    part1 = F.regexp_extract("clean", r"^USA/WA-([A-Za-z]+)-", 1)
+    gap_lab = (F.when(part1 == "UW", "UW Virology")
+                .when(part1 == "CDC", "CDC")
+                .when(part1 == "ALTIUS", "Altius")
+                .when(part1 == "FHCRC", "Fred Hutch")
+                .when(part1 == "KHEL", "Kansas Health")
+                .when(part1 == "PHL", "WA PHL")
+                .otherwise("Other"))
+    labeled = gap.select(gap_lab.alias("gap_lab"),
+                         F.date_format("cd", "yyyy-MM").alias("ym"))
+    out = P.month_share_pivot(labeled, row_col="gap_lab", ym_col="ym",
+                              months=_GAP_MONTHS)
+    return out.withColumnRenamed("row_key", "gap_lab")
+
+
+_TRIAGE_SQL = """
+WITH batch AS (
+  SELECT CAST(o_custkey % 50 AS VARCHAR) AS case_id,
+         CASE WHEN o_orderkey % 29 = 0
+              THEN 'SCA-p' || CAST(o_orderkey // 58 AS VARCHAR)
+              WHEN o_orderkey % 13 = 0
+              THEN 'SCA-u' || CAST(o_orderkey AS VARCHAR)
+              ELSE 'SCA-' || CAST(o_orderkey % 400 AS VARCHAR) END AS sca,
+         CASE WHEN o_orderkey % 29 = 0
+              THEN 'SA-p' || CAST(o_orderkey // 58 AS VARCHAR)
+              WHEN o_orderkey % 2 = 1
+              THEN 'SA-u' || CAST(o_orderkey AS VARCHAR)
+              ELSE 'SA-' || CAST(o_orderkey % 200 AS VARCHAR) END AS sa,
+         CASE WHEN o_orderkey % 3 = 0 THEN 1 END AS qa_collect_date
+  FROM orders),
+wdrs AS (
+  SELECT CAST(o_custkey % 50 AS VARCHAR) AS case_id,
+         'SCA-' || CAST(o_orderkey % 400 AS VARCHAR) AS sca,
+         'SA-w' || CAST(o_orderkey AS VARCHAR) AS sa
+  FROM orders WHERE o_orderkey % 15 = 0
+  UNION ALL
+  SELECT CAST((o_custkey + 13) % 50 AS VARCHAR),
+         'SCA-w' || CAST(o_orderkey AS VARCHAR),
+         'SA-' || CAST(o_orderkey % 200 AS VARCHAR)
+  FROM orders WHERE o_orderkey % 24 = 0),
+wsca AS (SELECT DISTINCT sca AS mk FROM wdrs
+         WHERE sca IS NOT NULL AND trim(sca) <> ''),
+wsa AS (SELECT DISTINCT sa AS mk FROM wdrs
+        WHERE sa IS NOT NULL AND trim(sa) <> ''),
+prof AS (
+  SELECT sca, case_id, count(DISTINCT sa) AS n_sa_w, max(sa) AS one_sa
+  FROM wdrs GROUP BY sca, case_id),
+counted AS (
+  SELECT b.*,
+         (s.mk IS NOT NULL) AS in_wsca, (a.mk IS NOT NULL) AS in_wsa,
+         p.n_sa_w, p.one_sa,
+         count(*) OVER (PARTITION BY b.sca) AS n_sca,
+         count(*) OVER (PARTITION BY b.sa) AS n_sa,
+         count(*) OVER (PARTITION BY b.sa, b.sca, b.qa_collect_date)
+           AS n_ssc,
+         count(*) OVER (PARTITION BY b.case_id, b.sa, b.sca) AS n_css,
+         count(*) OVER (PARTITION BY b.case_id, b.sca) AS n_csca
+  FROM batch b
+  LEFT JOIN wsca s ON b.sca = s.mk
+  LEFT JOIN wsa a ON b.sa = a.mk
+  LEFT JOIN prof p ON b.sca = p.sca AND b.case_id = p.case_id),
+branched AS (
+  SELECT *,
+    CASE
+      WHEN in_wsca AND in_wsa THEN 'wdrs_both'
+      WHEN in_wsa THEN 'wdrs_sa'
+      WHEN in_wsca AND (n_sa_w > 1 OR (n_sa_w IS NOT NULL
+                                       AND one_sa <> sa))
+        THEN 'wdrs_sca_roster'
+      WHEN in_wsca THEN 'wdrs_sca_review'
+      WHEN n_sca > 1 AND n_sa > 1 AND n_ssc = 1 THEN 'int_both_date'
+      WHEN n_sca > 1 AND n_sa > 1 AND n_css > 1 THEN 'int_both_same_case'
+      WHEN n_sca > 1 AND n_sa > 1 THEN 'int_both_diff_case'
+      WHEN n_sca > 1 AND n_csca > 1 THEN 'int_sca_roster'
+      WHEN n_sca > 1 THEN 'int_sca_review'
+      WHEN n_sa > 1 THEN 'int_sa_review'
+    END AS branch
+  FROM counted)
+SELECT case_id, sca, sa, branch,
+  CAST(CASE WHEN branch IN ('wdrs_both', 'wdrs_sa') THEN 1
+            WHEN branch = 'int_both_date' AND qa_collect_date = 1 THEN 1
+            ELSE 0 END AS INT) AS remove,
+  CAST(CASE WHEN branch IN ('wdrs_sca_review', 'int_both_same_case',
+                            'int_both_diff_case', 'int_sca_review',
+                            'int_sa_review') THEN 1 ELSE 0 END AS INT)
+    AS manual_review
+FROM branched WHERE branch IS NOT NULL
+"""
+
+
+@register("pipe_dup_triage", _TRIAGE_SQL)
+def pipe_dup_triage(spark, sf_dir):
+    """§3/QA duplicate-triage end-to-end (QA_DUPLICATES.Rmd:172-270,
+    QA_for_review.Rmd:266-307): flagged submissions classified into the
+    reference's nine dispositions — WDRS SA (or SA+SCA) dupes removed;
+    WDRS SCA-only dupes rostered iff a WDRS row shares (SCA, case) with
+    a DIFFERENT SA (the sca_wdrs_check join); in-batch SA+SCA dupes
+    split by (SA, SCA, collect-flag) group size and same-case repeats
+    (W2/W8 group-size moves + J10 cross-column compare); SCA-only
+    same-case repeats roster; SA-only dupes always go to review. The
+    reference's six filter-and-rbind passes collapse into one window +
+    broadcast-membership cascade (see pipelines.dup_triage)."""
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    pair = F.floor(k / 58).cast("bigint").cast("string")
+    batch = o.select(
+        (ck % 50).cast("string").alias("CASE_ID"),
+        F.when(k % 29 == 0, F.concat(F.lit("SCA-p"), pair))
+         .when(k % 13 == 0, F.concat(F.lit("SCA-u"), k.cast("string")))
+         .otherwise(F.concat(F.lit("SCA-"), (k % 400).cast("string")))
+         .alias("SEQUENCE_CLINICAL_ACCESSION"),
+        F.when(k % 29 == 0, F.concat(F.lit("SA-p"), pair))
+         .when(k % 2 == 1, F.concat(F.lit("SA-u"), k.cast("string")))
+         .otherwise(F.concat(F.lit("SA-"), (k % 200).cast("string")))
+         .alias("SEQUENCE_ACCESSION"),
+        F.when(k % 3 == 0, F.lit(1)).alias("QA_COLLECT_DATE"))
+    wdrs = (o.filter(k % 15 == 0).select(
+                (ck % 50).cast("string").alias("CASE_ID"),
+                F.concat(F.lit("SCA-"), (k % 400).cast("string"))
+                 .alias("SEQUENCE_CLINICAL_ACCESSION"),
+                F.concat(F.lit("SA-w"), k.cast("string"))
+                 .alias("SEQUENCE_ACCESSION"))
+            .unionByName(o.filter(k % 24 == 0).select(
+                ((ck + 13) % 50).cast("string").alias("CASE_ID"),
+                F.concat(F.lit("SCA-w"), k.cast("string"))
+                 .alias("SEQUENCE_CLINICAL_ACCESSION"),
+                F.concat(F.lit("SA-"), (k % 200).cast("string"))
+                 .alias("SEQUENCE_ACCESSION"))))
+    out = P.dup_triage(batch, wdrs)
+    return out.select(F.col("CASE_ID").alias("case_id"),
+                      F.col("SEQUENCE_CLINICAL_ACCESSION").alias("sca"),
+                      F.col("SEQUENCE_ACCESSION").alias("sa"),
+                      "branch", "remove", "manual_review")
+
+
 # ----------------------------------------------------------------------
 # skew mitigation (scale extension; same idea as the fuzzy-join blocking)
 # ----------------------------------------------------------------------

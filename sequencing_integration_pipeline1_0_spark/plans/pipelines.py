@@ -416,3 +416,159 @@ def roster_compile(rosters: DataFrame, *, gisaid: DataFrame | None = None,
     assert_roster_contract(contract)
     out["upload"] = sinks.add_chunk_id(contract, list(chunk_order), chunk_rows)
     return out
+
+
+def gap_membership(corpus: DataFrame, member_keys: DataFrame, *,
+                   key_col: str, alt_col: str | None = None) -> DataFrame:
+    """Two-pass case-insensitive anti-membership (gap_data.Rmd:180-196):
+    rows of `corpus` whose primary key is NOT in the member set, then —
+    for rows carrying an alternate-format key (the reference's UW
+    accession rewrites, :182-194) — a second anti-pass on that alt key.
+    Rows with a NULL alt key survive the second pass by definition.
+
+    Scale shape: the member set is distinct-reduced then broadcast
+    (it is a key list, orders of magnitude smaller than the corpus);
+    both passes are broadcast anti-joins — zero corpus shuffles.
+    """
+    m = (member_keys.select(F.lower(member_keys.columns[0]).alias("__mk"))
+                    .where(F.col("__mk").isNotNull()).distinct())
+    g1 = corpus.join(F.broadcast(m),
+                     F.lower(F.col(key_col)) == F.col("__mk"), "left_anti")
+    if alt_col is None:
+        return g1
+    return g1.join(F.broadcast(m),
+                   F.lower(F.col(alt_col)) == F.col("__mk"), "left_anti")
+
+
+def month_share_pivot(df: DataFrame, *, row_col: str, ym_col: str,
+                      months: Sequence[str],
+                      total_label: str = "Grand_Total") -> DataFrame:
+    """Month-pivot proportion table with a grand-total row
+    (gap_data.Rmd:590-692): each cell is that (row, month)'s share of
+    ALL rows as a percent, rounded to 2dp; per-row Grand_Total sums the
+    months; a final colsum row closes the table.
+
+    Percent cells are rounded then summed as DECIMAL(10,2) — exact and
+    partition-order independent — with a single double cast at the end,
+    so totals match a SQL oracle bit-for-bit. The month list is an
+    explicit argument (conditional aggregation, not a data-dependent
+    pivot) so the output schema is fixed at plan time.
+
+    Scale shape: one (row, month)-keyed partial agg over the corpus;
+    the global denominator is a 1-row aggregate broadcast-joined to the
+    per-key counts (scalar join, not a window over the whole table);
+    the pivot itself aggregates #rows × #months cells.
+    """
+    counts = (df.groupBy(F.col(row_col).alias("row_key"),
+                         F.col(ym_col).alias("__ym"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    prop = (counts.join(F.broadcast(total))
+                  .select("row_key", "__ym",
+                          F.round(F.col("n") * 100.0 / F.col("__total"), 2)
+                           .cast("decimal(10,2)").alias("p")))
+    month_aggs = [
+        F.coalesce(F.sum(F.when(F.col("__ym") == m, F.col("p"))),
+                   F.lit(0).cast("decimal(10,2)")).alias(f"m_{m.replace('-', '_')}")
+        for m in months]
+    wide = (prop.groupBy("row_key")
+                .agg(*month_aggs, F.sum("p").alias("grand_total")))
+    mcols = [f"m_{m.replace('-', '_')}" for m in months]
+    colsum = wide.agg(
+        F.lit(total_label).alias("row_key"),
+        *[F.sum(c).alias(c) for c in mcols],
+        F.sum("grand_total").alias("grand_total"))
+    out = wide.unionByName(colsum)
+    return out.select("row_key",
+                      *[F.col(c).cast("double").alias(c) for c in mcols],
+                      F.col("grand_total").cast("double").alias("grand_total"))
+
+
+def dup_triage(batch: DataFrame, wdrs: DataFrame, *,
+               case_col: str = "CASE_ID",
+               sca_col: str = "SEQUENCE_CLINICAL_ACCESSION",
+               sa_col: str = "SEQUENCE_ACCESSION",
+               collect_flag_col: str = "QA_COLLECT_DATE") -> DataFrame:
+    """Duplicate-triage decision engine (QA_DUPLICATES.Rmd:172-270):
+    classify every flagged record into a branch and emit the
+    (remove, manual_review) disposition.
+
+    The reference runs six sequential filter-and-rbind passes over
+    disjoint slices; here the same rules are ONE `when` cascade over
+    window group-sizes and membership flags (the pipe_template_route
+    move), so no record can be dropped between passes:
+
+      - SA+SCA duplicated in WDRS, or SA alone        -> remove
+      - SCA duplicated in WDRS only                   -> rosterable iff
+        some WDRS row shares (SCA, case) with a different SA, else
+        manual review (QA_DUPLICATES.Rmd:266-307 sca_wdrs_check)
+      - SA+SCA duplicated in-batch: unique (SA, SCA, collect-flag)
+        group -> remove iff the collect-date QA flag is set; same-case
+        repeat -> manual review; different cases -> manual review
+      - SCA-only in-batch: same-case repeat rosters, else review
+      - SA-only in-batch: always manual review
+
+    Scale shape: the three window counts share the batch; WDRS key sets
+    distinct-reduce then broadcast; the rosterability probe is a
+    broadcast join against a per-(SCA, case) aggregate of WDRS (n
+    distinct SAs + one sample SA decide "exists a different SA" without
+    row fan-out). Un-flagged records fall out (`branch IS NULL`).
+    """
+    case, sca, sa = F.col(case_col), F.col(sca_col), F.col(sa_col)
+    cf = F.col(collect_flag_col)
+    w_sca = wdrs.select(F.col(sca_col).alias("__k")) \
+                .where(F.col("__k").isNotNull() & (F.trim("__k") != "")) \
+                .distinct()
+    w_sa = wdrs.select(F.col(sa_col).alias("__k")) \
+               .where(F.col("__k").isNotNull() & (F.trim("__k") != "")) \
+               .distinct()
+    b = qa.apply_membership_flags(batch,
+                                  {"__wdrs_sca": (sca_col, w_sca, "__k"),
+                                   "__wdrs_sa": (sa_col, w_sa, "__k")})
+    # per-(SCA, case) WDRS profile: enough to decide "exists a row with
+    # a DIFFERENT SA" without joining raw WDRS rows (no fan-out)
+    wp = (wdrs.groupBy(F.col(sca_col).alias("__psca"),
+                       F.col(case_col).alias("__pcase"))
+              .agg(F.countDistinct(sa_col).alias("__n_sa"),
+                   F.max(sa_col).alias("__one_sa")))
+    b = b.join(F.broadcast(wp), (sca == F.col("__psca"))
+               & (case == F.col("__pcase")), "left")
+    diff_sa_exists = (F.col("__n_sa") > 1) | \
+        (F.col("__n_sa").isNotNull() & (F.col("__one_sa") != sa))
+    n_sca = F.count(F.lit(1)).over(Window.partitionBy(sca))
+    n_sa = F.count(F.lit(1)).over(Window.partitionBy(sa))
+    n_ssc = F.count(F.lit(1)).over(Window.partitionBy(sa, sca, cf))
+    n_css = F.count(F.lit(1)).over(Window.partitionBy(case, sa, sca))
+    n_csca = F.count(F.lit(1)).over(Window.partitionBy(case, sca))
+    b = (b.withColumn("__n_sca_b", n_sca).withColumn("__n_sa_b", n_sa)
+          .withColumn("__n_ssc", n_ssc).withColumn("__n_css", n_css)
+          .withColumn("__n_csca", n_csca))
+    wdrs_sca = F.col("__wdrs_sca") == 1
+    wdrs_sa = F.col("__wdrs_sa") == 1
+    int_sca = F.col("__n_sca_b") > 1
+    int_sa = F.col("__n_sa_b") > 1
+    branch = (
+        F.when(wdrs_sca & wdrs_sa, "wdrs_both")
+         .when(wdrs_sa, "wdrs_sa")
+         .when(wdrs_sca & diff_sa_exists, "wdrs_sca_roster")
+         .when(wdrs_sca, "wdrs_sca_review")
+         .when(int_sca & int_sa & (F.col("__n_ssc") == 1), "int_both_date")
+         .when(int_sca & int_sa & (F.col("__n_css") > 1),
+               "int_both_same_case")
+         .when(int_sca & int_sa, "int_both_diff_case")
+         .when(int_sca & (F.col("__n_csca") > 1), "int_sca_roster")
+         .when(int_sca, "int_sca_review")
+         .when(int_sa, "int_sa_review"))
+    remove = (F.when(F.col("branch").isin("wdrs_both", "wdrs_sa"), 1)
+               .when((F.col("branch") == "int_both_date") & (cf == 1), 1)
+               .otherwise(0))
+    manual = (F.when(F.col("branch").isin(
+                  "wdrs_sca_review", "int_both_same_case",
+                  "int_both_diff_case", "int_sca_review", "int_sa_review"), 1)
+               .otherwise(0))
+    return (b.withColumn("branch", branch)
+             .where(F.col("branch").isNotNull())
+             .withColumn("remove", remove)
+             .withColumn("manual_review", manual)
+             .select(case_col, sca_col, sa_col, "branch",
+                     "remove", "manual_review"))

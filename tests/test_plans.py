@@ -25,9 +25,12 @@ SF_DIR = "/root/testdata/sf0.001"
 #: shape, not a quadratic blowup. sample_domain_mix joins the global
 #: min-count scalar (1 row) to the tiny per-domain count dim the same
 #: way.
+#: pipe_gap_report joins the 1-row global-denominator aggregate to the
+#: per-(lab, month) counts — the same scalar-join shape as tf-idf.
 NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "ann_ivf_trained_topk", "ann_ivf_recall",
-                  "text_tfidf_top_terms", "sample_domain_mix"}
+                  "text_tfidf_top_terms", "sample_domain_mix",
+                  "pipe_gap_report"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
