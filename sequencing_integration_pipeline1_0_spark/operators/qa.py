@@ -138,6 +138,185 @@ def roster_filters(df: DataFrame, *,
     return add_flag_sum(out, flag_cols, out=sum_col)
 
 
+#: warning-column order is load-bearing for the reference's `unite`
+#: (wdrs_qa_main.R:256-258 pastes ends_with('_warn') in column order).
+SEQ_QA_WARN_COLS = [
+    "reason_null_warn", "reason_warn", "var_status_warn",
+    "sa_null_status_complete_warn", "sa_null_variant_exists_warn",
+    "variant_check_warn", "lab_name_warn", "date_warn", "seq_lab_neg_warn",
+    "sca_sa_null_warn", "unexpected_char_warn", "notes_warn",
+    "missing_lineage_warn", "sa_sca_var_dup_warn", "sa_sca_dup_warn",
+    "sa_dup_warn",
+]
+
+#: notes lineage extraction — capture-group form of the reference's
+#: lookbehind/lookahead pair (wdrs_qa_functions.R:178-180), portable to
+#: engines without lookbehind (DuckDB RE2).
+_NOTES_LINEAGE_RE = r"identified as (.*) on [0-9]{4}-[0-9]{2}-[0-9]{2}"
+
+
+def _spaces(c: Column) -> Column:
+    """str_count(x, ' ') with identical NULL semantics across engines."""
+    return F.length(c) - F.length(F.replace(c, F.lit(" ")))
+
+
+def seq_qa_checks(df: DataFrame, *,
+                  specimen: str, reason: str, lab: str, lineage: str,
+                  status: str, accession: str, clinical_accession: str,
+                  collection_date: str, case_id: str, notes: str,
+                  epi_isl: str, sequence_date: str,
+                  accepted_lineages: Sequence[str],
+                  lab_names: Sequence[str],
+                  reasons: Sequence[str],
+                  as_of: Column) -> DataFrame:
+    """The reference's per-run destination-table QA battery as ONE pass:
+    13 expression warnings + 3 cascading duplicate tiers, each a nullable
+    string column ending in `_warn` that is NULL when clean and
+    'Warning: ...' when flagged (seq_qa_checks,
+    scripts/QA/wdrs_qa/wdrs_qa_functions.R:44-228).
+
+    R semantics preserved under Spark's 3-valued logic:
+      - `x %in% set` is FALSE for NA x, so `!x %in% set` is TRUE —
+        modelled as ~coalesce(isin, FALSE) (reason/lab/variant checks);
+      - `toupper(NA) %in% c(..., NA)` is TRUE, so the status whitelist
+        treats NULL status as whitelisted (sa_null_status_complete);
+      - everything else propagates NULL exactly like R's if_else(NA).
+
+    `as_of` replaces R's today() so runs are deterministic/testable.
+
+    Scale shape: the 13 expression warns are pure codegen (zero
+    shuffle); the 3 dup tiers are window counts over
+    (lineage,SA,SCA) ⊇ (SA,SCA) ⊇ (SA) — Catalyst plans them as one
+    exchange on SA followed by in-partition sorts, since each key set
+    is a prefix-extension of the coarsest. Nothing collects.
+    """
+    spec, rsn, lb = F.col(specimen), F.col(reason), F.col(lab)
+    lin, stat, sa = F.col(lineage), F.col(status), F.col(accession)
+    sca, cdate = F.col(clinical_accession), F.col(collection_date)
+    cid, nts, isl = F.col(case_id), F.col(notes), F.col(epi_isl)
+    sdate = F.col(sequence_date)
+    in_set = lambda c, vals: F.coalesce(c.isin(list(vals)), F.lit(False))
+
+    warn = {
+        # wdrs_qa_functions.R:66-73
+        "reason_null_warn": (spec == "Yes") & rsn.isNull() & lb.isNotNull(),
+        # :76-80 (NA reason -> flagged, R %in% quirk)
+        "reason_warn": (spec == "Yes") & ~in_set(rsn, reasons),
+        # :83-89
+        "var_status_warn": (lin.isNotNull() & (lin != "Unassigned")
+                            & ~F.upper(stat).contains("COMPLETE")),
+        # :93-98 (NULL status is whitelisted — NA %in% c(...,NA) is TRUE)
+        "sa_null_status_complete_warn": (
+            sa.isNull() & ~(F.upper(stat).isin(
+                "FAILED", "LOW QUALITY", "FAILED, LOW QUALITY")
+                | stat.isNull())),
+        # :102-109 (the `!accession %in% repo` term is vacuously TRUE
+        # because accession is NULL on this branch — R quirk preserved)
+        "sa_null_variant_exists_warn": (
+            sa.isNull() & (spec == "Yes") & lin.isNotNull()),
+        # :112-117
+        "variant_check_warn": (~in_set(lin, accepted_lineages)
+                               & (lin != "Unassigned")),
+        # :120-124
+        "lab_name_warn": (spec == "Yes") & ~in_set(lb, lab_names),
+        # :127-132
+        "date_warn": (cdate < F.lit("2020-01-05").cast("date"))
+        | (cdate > as_of),
+        # :135-140
+        "seq_lab_neg_warn": (spec == "No") & (sa.isNotNull()
+                                              | lin.isNotNull()),
+        # :143-152
+        "sca_sa_null_warn": (
+            sa.isNull() & sca.isNull() & (spec == "Yes")
+            & (~F.upper(stat).rlike("FAILED|LOW QUALITY") | stat.isNull())),
+        # :155-168 — str_count/str_detect OR-chain, NULLs propagate
+        "unexpected_char_warn": (
+            ((_spaces(sca) > 0)
+             & ~sca.rlike("TSC|SPC|FH|MOLE|ACOV|KCMEO|PCME"))
+            | sca.contains(".")
+            | (_spaces(sa) > 0) | (_spaces(spec) > 0) | (_spaces(cid) > 0)
+            | (_spaces(rsn) > 3) | (_spaces(sdate) > 0)
+            | (_spaces(stat) > 1) | (_spaces(lin) > 0)
+            | ~isl.contains("EPI_")),
+        # :171-176
+        "notes_warn": (
+            nts.contains("identified as ")
+            & (F.nullif(F.regexp_extract(nts, _NOTES_LINEAGE_RE, 1),
+                        F.lit("")) != "None")
+            & lin.isNull()),
+        # :187-193
+        "missing_lineage_warn": lin.isNull() & (stat == "Complete"),
+    }
+    msgs = {
+        "reason_null_warn": "Warning: SEQUENCE_REASON is NULL",
+        "reason_warn": "Warning: SEQUENCE_REASON not standardized",
+        "var_status_warn": ("Warning: SEQUENCE_VARIANT_OPEN_TEXT filled "
+                            "but SEQUENCE_STATUS is not COMPLETE"),
+        "sa_null_status_complete_warn": (
+            "Warning: SEQUENCE_ACCESSION number NULL but status not "
+            "FAILED/LOW QUALITY"),
+        "sa_null_variant_exists_warn": (
+            "Warning: SEQUENCE_VARIANT_OPEN_TEXT exists but "
+            "SEQUENCE_ACCESION number is null"),
+        "variant_check_warn": ("Warning: SEQUENCE_VARIANT not of concern/"
+                               "interest - check or update list"),
+        "lab_name_warn": ("Warning: SEQUENCE_LAB not standardized - check "
+                          "or update list"),
+        "date_warn": ("Warning: SEQUENCE_SPECIMEN_COLLECTION_DATE out of "
+                      "range. Before 1/05/2020 or after today's date"),
+        "seq_lab_neg_warn": ("Warning: SEQUENCE_SPECIMEN = 'No' but "
+                             "sequencing data attatched"),
+        "sca_sa_null_warn": ("Warning: SEQUENCE_ACCESSION number and "
+                             "SEQUENCE_CLINICAL_ACCESSION numbers missing"),
+        "unexpected_char_warn": "Warning: Unexpected characters in a column",
+        "notes_warn": ("Warning: Lineage found in SEQUENCE_NOTES but "
+                       "SEQUENCE_VARIANT_OPEN_TEXT is NULL"),
+        "missing_lineage_warn": (
+            "Warning: SEQUENCE_STATUS = 'Complete' and "
+            "SEQUENCE_VARIANT_OPEN_TEXT is NULL"),
+    }
+    out = df.withColumns(
+        {k: F.when(cond, F.lit(msgs[k])) for k, cond in warn.items()})
+
+    # cascading duplicate tiers (wdrs_qa_functions.R:197-228). All three
+    # window keys start with SA, so one exchange on hash(SA) satisfies
+    # the clustered distribution of every tier (finer keys colocate for
+    # free) — one shuffle, not three.
+    n_sa = F.count(F.lit(1)).over(Window.partitionBy(accession))
+    n_sasca = F.count(F.lit(1)).over(
+        Window.partitionBy(accession, clinical_accession))
+    n_lsasca = F.count(F.lit(1)).over(
+        Window.partitionBy(accession, clinical_accession, lineage))
+    out = out.withColumn(
+        "sa_sca_var_dup_warn",
+        F.when((n_lsasca > 1) & lin.isNotNull() & sa.isNotNull()
+               & sca.isNotNull(),
+               "Warning: Duplicate - SCA, SA and Variant duplicated"))
+    out = out.withColumn(
+        "sa_sca_dup_warn",
+        F.when((n_sasca > 1) & sa.isNotNull() & sca.isNotNull()
+               & F.col("sa_sca_var_dup_warn").isNull(),
+               "Warning: Duplicate - SCA and SA duplicated"))
+    out = out.withColumn(
+        "sa_dup_warn",
+        F.when((n_sa > 1) & sa.isNotNull()
+               & F.col("sa_sca_dup_warn").isNull()
+               & F.col("sa_sca_var_dup_warn").isNull(),
+               "Warning: Duplicate - SA duplicated"))
+    return out
+
+
+def unite_warnings(df: DataFrame, *, out: str = "flag",
+                   warn_cols: Sequence[str] | None = None) -> DataFrame:
+    """wdrs_qa_main.R:256-260: paste all `_warn` columns into one
+    queryable `flag` column (na.rm — concat_ws skips NULLs in both
+    Spark and ANSI SQL) and keep only flagged rows."""
+    cols = list(warn_cols) if warn_cols is not None else [
+        c for c in df.columns if c.endswith("_warn")]
+    united = df.withColumn(out, F.concat_ws("_", *[F.col(c) for c in cols]))
+    return united.filter(F.col(out).contains("Warning"))
+
+
 def prematch_filters(df: DataFrame, *,
                      first: str = "FIRST_NAME", last: str = "LAST_NAME",
                      dob: str = "DOB",

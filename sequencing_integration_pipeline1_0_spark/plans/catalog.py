@@ -31,13 +31,21 @@ ORACLE: dict[str, str] = {}
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # force deterministic timestamp rendering regardless of driver session tz
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects; read nanos as long and expose microsecond epoch (ts_us) —
-    # exactly what DuckDB's epoch_us(ts) yields for the oracle side.
+    # events.parquet has shipped with two physical schemas for `ts`:
+    # TIMESTAMP(NANOS) (read as bigint under nanosAsLong) and plain
+    # timestamp[us]. Normalize both to a microsecond-epoch bigint `ts_us` —
+    # exactly what DuckDB's epoch_us(ts) yields for the oracle side — so
+    # every downstream query is insulated from testdata regeneration.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+        elif ts_type is not None and "timestamp" in ts_type:
+            df = df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            ).drop("ts")
     return df
 
 
@@ -3403,3 +3411,272 @@ def j6b_fuzzy_osa_pairs(spark, sf_dir):
         block_keys=["block"], max_dist=2, how="inner", metric="osa")
     return (out.filter(F.col("l_custkey") < F.col("r_custkey"))
                .select("l_custkey", "r_custkey", "distance"))
+
+
+# ----------------------------------------------------------------------
+# §2.8/QA composite: the per-run destination-table QA battery
+# ----------------------------------------------------------------------
+
+def _wdrs_seq_frame(spark, sf_dir):
+    """Map orders onto the destination sequencing-table contract with
+    deterministic fault injection exercising every warning branch of
+    seq_qa_checks: NULL/space-bearing keys, out-of-vocab reasons/labs/
+    lineages, out-of-range dates, SA collision pools (%41 -> %1000) for
+    the duplicate tiers, non-EPI_ isl ids, and notes with/without an
+    extractable lineage."""
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    ks = k.cast("string")
+    pr = F.col("o_orderpriority")
+    st = F.col("o_orderstatus")
+    return o.select(
+        F.when(k % 97 == 0, F.concat(ck.cast("string"), F.lit(" ")))
+         .otherwise(ck.cast("string")).alias("case_id"),
+        F.when(k % 11 == 0, "No")
+         .when(k % 7 == 0, F.lit(None).cast("string"))
+         .otherwise("Yes").alias("specimen"),
+        F.when(k % 23 == 0, "a reason with far too many spaces")
+         .when(k % 5 == 0, F.lit(None).cast("string"))
+         .when(k % 5 == 1, "SENTINEL SURVEILLANCE")
+         .when(k % 5 == 2, "SUSPECTED REINFECTION")
+         .when(k % 5 == 3, "OUTBREAK")
+         .otherwise("OTHER").alias("reason"),
+        F.when(ck % 29 == 0, F.lit(None).cast("string"))
+         .when(pr == "1-URGENT", "PHL")
+         .when(pr == "2-HIGH", "NW Genomics")
+         .when(pr == "3-MEDIUM", "UW Virology")
+         .when(pr == "4-NOT SPECIFIED", "Aegis")
+         .otherwise("Mystery Lab Z").alias("lab"),
+        F.when(k % 3 == 0, "B.1.1.7")
+         .when(k % 9 == 1, "Unassigned")
+         .when(k % 9 == 4, "XBB.1.5")
+         .when(k % 3 == 1, "bad lineage").alias("lineage"),
+        F.when(st == "F", "Complete")
+         .when((st == "O") & (k % 17 == 0), "LOW QUALITY")
+         .when((st == "O") & (k % 17 == 1), F.lit(None).cast("string"))
+         .when(st == "O", "Pending")
+         .when(k % 2 == 0, "Failed")
+         .otherwise("In Progress Still").alias("status"),
+        F.when(k % 6 == 0, F.lit(None).cast("string"))
+         .when(k % 53 == 0,
+               F.concat(F.lit("USA/WA CDC-"), ks, F.lit("/2021")))
+         .otherwise(F.concat(
+             F.lit("USA/WA-CDC-"),
+             F.when(k % 41 == 0, k % 1000).otherwise(k).cast("string"),
+             F.lit("/2021"))).alias("sa"),
+        F.when(k % 13 == 0, F.lit(None).cast("string"))
+         .when(k % 31 == 0, F.concat(F.lit("WA."), ks))
+         .when(k % 37 == 0, F.concat(F.lit("TSC "), ks))
+         .when(k % 41 == 0, F.concat(F.lit("WA"), (k % 1000).cast("string")))
+         .otherwise(F.concat(F.lit("WA"), ks)).alias("sca"),
+        F.when(ck % 19 == 0, F.lit(None).cast("date"))
+         .when(k % 19 == 0, F.lit("2019-06-01").cast("date"))
+         .when(k % 43 == 0, F.lit("2025-01-01").cast("date"))
+         .otherwise(F.date_add(F.lit("2021-01-01").cast("date"),
+                               (k % 1000).cast("int")))
+         .alias("collection_date"),
+        F.date_add(F.lit("2021-06-01").cast("date"),
+                   ((k * 7) % 900).cast("int")).alias("create_date"),
+        F.when(k % 47 == 0, "2021 01 01").alias("sequence_date"),
+        F.when(k % 2 == 0, F.concat(F.lit("EPI_ISL_"), ks))
+         .when(k % 5 == 0, F.concat(F.lit("ISL_"), ks)).alias("epi_isl"),
+        F.when(k % 61 == 0, "Lineage identified as BA.2 on 2024-01-15.")
+         .when(k % 67 == 0, "Lineage identified as None on 2024-01-15.")
+         .alias("notes"),
+    )
+
+
+_WDRS_SEQ_SQL = """
+seq AS (
+  SELECT
+    CASE WHEN o_orderkey % 97 = 0 THEN CAST(o_custkey AS VARCHAR) || ' '
+         ELSE CAST(o_custkey AS VARCHAR) END AS case_id,
+    CASE WHEN o_orderkey % 11 = 0 THEN 'No'
+         WHEN o_orderkey % 7 = 0 THEN NULL ELSE 'Yes' END AS specimen,
+    CASE WHEN o_orderkey % 23 = 0 THEN 'a reason with far too many spaces'
+         WHEN o_orderkey % 5 = 0 THEN NULL
+         WHEN o_orderkey % 5 = 1 THEN 'SENTINEL SURVEILLANCE'
+         WHEN o_orderkey % 5 = 2 THEN 'SUSPECTED REINFECTION'
+         WHEN o_orderkey % 5 = 3 THEN 'OUTBREAK' ELSE 'OTHER' END AS reason,
+    CASE WHEN o_custkey % 29 = 0 THEN NULL
+         WHEN o_orderpriority = '1-URGENT' THEN 'PHL'
+         WHEN o_orderpriority = '2-HIGH' THEN 'NW Genomics'
+         WHEN o_orderpriority = '3-MEDIUM' THEN 'UW Virology'
+         WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'Aegis'
+         ELSE 'Mystery Lab Z' END AS lab,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'B.1.1.7'
+         WHEN o_orderkey % 9 = 1 THEN 'Unassigned'
+         WHEN o_orderkey % 9 = 4 THEN 'XBB.1.5'
+         WHEN o_orderkey % 3 = 1 THEN 'bad lineage' END AS lineage,
+    CASE WHEN o_orderstatus = 'F' THEN 'Complete'
+         WHEN o_orderstatus = 'O' AND o_orderkey % 17 = 0 THEN 'LOW QUALITY'
+         WHEN o_orderstatus = 'O' AND o_orderkey % 17 = 1 THEN NULL
+         WHEN o_orderstatus = 'O' THEN 'Pending'
+         WHEN o_orderkey % 2 = 0 THEN 'Failed'
+         ELSE 'In Progress Still' END AS status,
+    CASE WHEN o_orderkey % 6 = 0 THEN NULL
+         WHEN o_orderkey % 53 = 0
+           THEN 'USA/WA CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021'
+         ELSE 'USA/WA-CDC-' || CAST(CASE WHEN o_orderkey % 41 = 0
+              THEN o_orderkey % 1000 ELSE o_orderkey END AS VARCHAR)
+              || '/2021' END AS sa,
+    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+         WHEN o_orderkey % 31 = 0 THEN 'WA.' || CAST(o_orderkey AS VARCHAR)
+         WHEN o_orderkey % 37 = 0 THEN 'TSC ' || CAST(o_orderkey AS VARCHAR)
+         WHEN o_orderkey % 41 = 0 THEN 'WA' || CAST(o_orderkey % 1000 AS VARCHAR)
+         ELSE 'WA' || CAST(o_orderkey AS VARCHAR) END AS sca,
+    CASE WHEN o_custkey % 19 = 0 THEN NULL
+         WHEN o_orderkey % 19 = 0 THEN DATE '2019-06-01'
+         WHEN o_orderkey % 43 = 0 THEN DATE '2025-01-01'
+         ELSE DATE '2021-01-01' + CAST(o_orderkey % 1000 AS INTEGER) END
+      AS collection_date,
+    DATE '2021-06-01' + CAST((o_orderkey * 7) % 900 AS INTEGER)
+      AS create_date,
+    CASE WHEN o_orderkey % 47 = 0 THEN '2021 01 01' END AS sequence_date,
+    CASE WHEN o_orderkey % 2 = 0
+           THEN 'EPI_ISL_' || CAST(o_orderkey AS VARCHAR)
+         WHEN o_orderkey % 5 = 0
+           THEN 'ISL_' || CAST(o_orderkey AS VARCHAR) END AS epi_isl,
+    CASE WHEN o_orderkey % 61 = 0
+           THEN 'Lineage identified as BA.2 on 2024-01-15.'
+         WHEN o_orderkey % 67 = 0
+           THEN 'Lineage identified as None on 2024-01-15.' END AS notes
+  FROM orders)
+"""
+
+
+@register("pipe_wdrs_qa", f"""
+WITH {_WDRS_SEQ_SQL},
+warned AS (
+  SELECT *,
+    CASE WHEN specimen = 'Yes' AND reason IS NULL AND lab IS NOT NULL
+         THEN 'Warning: SEQUENCE_REASON is NULL' END AS reason_null_warn,
+    CASE WHEN specimen = 'Yes' AND NOT COALESCE(reason IN
+           ('SENTINEL SURVEILLANCE','SUSPECTED REINFECTION','OUTBREAK',
+            'OTHER'), FALSE)
+         THEN 'Warning: SEQUENCE_REASON not standardized' END AS reason_warn,
+    CASE WHEN lineage IS NOT NULL AND lineage <> 'Unassigned'
+              AND NOT (upper(status) LIKE '%COMPLETE%')
+         THEN 'Warning: SEQUENCE_VARIANT_OPEN_TEXT filled but ' ||
+              'SEQUENCE_STATUS is not COMPLETE' END AS var_status_warn,
+    CASE WHEN sa IS NULL AND NOT (upper(status) IN
+           ('FAILED','LOW QUALITY','FAILED, LOW QUALITY') OR status IS NULL)
+         THEN 'Warning: SEQUENCE_ACCESSION number NULL but status not ' ||
+              'FAILED/LOW QUALITY' END AS sa_null_status_complete_warn,
+    CASE WHEN sa IS NULL AND specimen = 'Yes' AND lineage IS NOT NULL
+         THEN 'Warning: SEQUENCE_VARIANT_OPEN_TEXT exists but ' ||
+              'SEQUENCE_ACCESION number is null' END
+      AS sa_null_variant_exists_warn,
+    CASE WHEN NOT COALESCE(lineage IN ('B.1.1.7','XBB.1.5','BA.2'), FALSE)
+              AND lineage <> 'Unassigned'
+         THEN 'Warning: SEQUENCE_VARIANT not of concern/interest - ' ||
+              'check or update list' END AS variant_check_warn,
+    CASE WHEN specimen = 'Yes' AND NOT COALESCE(lab IN
+           ('PHL','NW Genomics','UW Virology','Aegis'), FALSE)
+         THEN 'Warning: SEQUENCE_LAB not standardized - check or update ' ||
+              'list' END AS lab_name_warn,
+    CASE WHEN collection_date < DATE '2020-01-05'
+              OR collection_date > DATE '2024-03-01'
+         THEN 'Warning: SEQUENCE_SPECIMEN_COLLECTION_DATE out of range. ' ||
+              'Before 1/05/2020 or after today''s date' END AS date_warn,
+    CASE WHEN specimen = 'No' AND (sa IS NOT NULL OR lineage IS NOT NULL)
+         THEN 'Warning: SEQUENCE_SPECIMEN = ''No'' but sequencing data ' ||
+              'attatched' END AS seq_lab_neg_warn,
+    CASE WHEN sa IS NULL AND sca IS NULL AND specimen = 'Yes'
+              AND (NOT regexp_matches(upper(status), 'FAILED|LOW QUALITY')
+                   OR status IS NULL)
+         THEN 'Warning: SEQUENCE_ACCESSION number and ' ||
+              'SEQUENCE_CLINICAL_ACCESSION numbers missing' END
+      AS sca_sa_null_warn,
+    CASE WHEN ((length(sca) - length(replace(sca, ' ', '')) > 0
+                AND NOT regexp_matches(sca,
+                      'TSC|SPC|FH|MOLE|ACOV|KCMEO|PCME'))
+               OR contains(sca, '.')
+               OR length(sa) - length(replace(sa, ' ', '')) > 0
+               OR length(specimen) - length(replace(specimen, ' ', '')) > 0
+               OR length(case_id) - length(replace(case_id, ' ', '')) > 0
+               OR length(reason) - length(replace(reason, ' ', '')) > 3
+               OR length(sequence_date)
+                  - length(replace(sequence_date, ' ', '')) > 0
+               OR length(status) - length(replace(status, ' ', '')) > 1
+               OR length(lineage) - length(replace(lineage, ' ', '')) > 0
+               OR NOT contains(epi_isl, 'EPI_'))
+         THEN 'Warning: Unexpected characters in a column' END
+      AS unexpected_char_warn,
+    CASE WHEN contains(notes, 'identified as ')
+              AND NULLIF(regexp_extract(notes,
+                    'identified as (.*) on [0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}',
+                    1), '') <> 'None'
+              AND lineage IS NULL
+         THEN 'Warning: Lineage found in SEQUENCE_NOTES but ' ||
+              'SEQUENCE_VARIANT_OPEN_TEXT is NULL' END AS notes_warn,
+    CASE WHEN lineage IS NULL AND status = 'Complete'
+         THEN 'Warning: SEQUENCE_STATUS = ''Complete'' and ' ||
+              'SEQUENCE_VARIANT_OPEN_TEXT is NULL' END AS missing_lineage_warn,
+    COUNT(*) OVER (PARTITION BY sa) AS __n_sa,
+    COUNT(*) OVER (PARTITION BY sa, sca) AS __n_sasca,
+    COUNT(*) OVER (PARTITION BY sa, sca, lineage) AS __n_lsasca
+  FROM seq),
+tier1 AS (
+  SELECT *,
+    CASE WHEN __n_lsasca > 1 AND lineage IS NOT NULL AND sa IS NOT NULL
+              AND sca IS NOT NULL
+         THEN 'Warning: Duplicate - SCA, SA and Variant duplicated' END
+      AS sa_sca_var_dup_warn
+  FROM warned),
+tier2 AS (
+  SELECT *,
+    CASE WHEN __n_sasca > 1 AND sa IS NOT NULL AND sca IS NOT NULL
+              AND sa_sca_var_dup_warn IS NULL
+         THEN 'Warning: Duplicate - SCA and SA duplicated' END
+      AS sa_sca_dup_warn
+  FROM tier1),
+tier3 AS (
+  SELECT *,
+    CASE WHEN __n_sa > 1 AND sa IS NOT NULL AND sa_sca_dup_warn IS NULL
+              AND sa_sca_var_dup_warn IS NULL
+         THEN 'Warning: Duplicate - SA duplicated' END AS sa_dup_warn
+  FROM tier2)
+SELECT case_id, sa, sca,
+       concat_ws('_', reason_null_warn, reason_warn, var_status_warn,
+                 sa_null_status_complete_warn, sa_null_variant_exists_warn,
+                 variant_check_warn, lab_name_warn, date_warn,
+                 seq_lab_neg_warn, sca_sa_null_warn, unexpected_char_warn,
+                 notes_warn, missing_lineage_warn, sa_sca_var_dup_warn,
+                 sa_sca_dup_warn, sa_dup_warn) AS flag,
+       strftime(COALESCE(collection_date, create_date), '%m') AS month,
+       strftime(COALESCE(collection_date, create_date), '%Y') AS year
+FROM tier3
+WHERE concat_ws('_', reason_null_warn, reason_warn, var_status_warn,
+                sa_null_status_complete_warn, sa_null_variant_exists_warn,
+                variant_check_warn, lab_name_warn, date_warn,
+                seq_lab_neg_warn, sca_sa_null_warn, unexpected_char_warn,
+                notes_warn, missing_lineage_warn, sa_sca_var_dup_warn,
+                sa_sca_dup_warn, sa_dup_warn) LIKE '%Warning%'
+""")
+def pipe_wdrs_qa(spark, sf_dir):
+    """The reference's per-run destination-table QA battery end-to-end
+    (seq_qa_checks, wdrs_qa_functions.R:44-228 -> 13 expression warnings
+    + 3 cascading duplicate tiers; unite + filter + month/year stamping,
+    wdrs_qa_main.R:256-268). One pass: warnings are pure codegen, the
+    three dup tiers share a single exchange on hash(SA) (all window keys
+    extend SA), the unite is a concat_ws — no driver loop over checks.
+    as_of pinned to 2024-03-01 for determinism (R's today())."""
+    df = _wdrs_seq_frame(spark, sf_dir)
+    checked = qa.seq_qa_checks(
+        df, specimen="specimen", reason="reason", lab="lab",
+        lineage="lineage", status="status", accession="sa",
+        clinical_accession="sca", collection_date="collection_date",
+        case_id="case_id", notes="notes", epi_isl="epi_isl",
+        sequence_date="sequence_date",
+        accepted_lineages=["B.1.1.7", "XBB.1.5", "BA.2"],
+        lab_names=["PHL", "NW Genomics", "UW Virology", "Aegis"],
+        reasons=["SENTINEL SURVEILLANCE", "SUSPECTED REINFECTION",
+                 "OUTBREAK", "OTHER"],
+        as_of=F.lit("2024-03-01").cast("date"))
+    united = qa.unite_warnings(checked, warn_cols=qa.SEQ_QA_WARN_COLS)
+    d = F.coalesce(F.col("collection_date"), F.col("create_date"))
+    return united.select(
+        "case_id", "sa", "sca", "flag",
+        F.date_format(d, "MM").alias("month"),
+        F.date_format(d, "yyyy").alias("year"))

@@ -173,10 +173,10 @@ def test_date_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
     """A date predicate on a date-partitioned layout must become a
     PartitionFilter (directory pruning), not a row filter."""
     from sequencing_integration_pipeline1_0_spark.sources import sinks
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
-         .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-         .drop("ts"))
+    from sequencing_integration_pipeline1_0_spark.plans.catalog import _t
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+         .drop("ts_us"))
     root = str(tmp_path / "by_day")
     sinks.write_date_partitioned(e, root, "event_time", granularity="day")
     days = sorted(r["p_date"] for r in

@@ -16,10 +16,9 @@ from sequencing_integration_pipeline1_0_spark.streaming import incremental as st
 def events_stream_dir(spark, sf_dir, tmp_path_factory):
     """events with a proper timestamp column, written as a file-drop dir."""
     out = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    e = (e.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
-          .withColumn("event_time", F.timestamp_micros(F.col("ts_us"))))
+    from sequencing_integration_pipeline1_0_spark.plans.catalog import _t
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("event_time", F.timestamp_micros(F.col("ts_us"))))
     e.write.mode("overwrite").parquet(out)
     return out
 
