@@ -87,15 +87,28 @@ _PRIORITY = [
     "f19_initials", "f20_to_json",
     "w7_custom_order_dedup", "u7_priority_dedup", "t3_ttl_expiry",
     "t5_new_arrivals",
+    # semantics changed in r3 (scale levers now default; oracle updated)
+    # — r1's green row no longer describes current behavior, re-verify:
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cluster_canonical",
 ]
+
+
+# Queries whose behavior changed after their last driver-green row;
+# force them back into the front-50 window even though they appear in
+# the confirmed sets below.
+_RECHECK = frozenset({"dedup_minhash_lsh", "dedup_ngram_jaccard",
+                      "dedup_cluster_canonical"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(catalog.Q)
     prio = [n for n in _PRIORITY if n in catalog.Q]
     rest_unconfirmed = [n for n in names
-                        if n not in _DRIVER_CONFIRMED and n not in prio]
-    confirmed = [n for n in names if n in _DRIVER_CONFIRMED]
+                        if (n not in _DRIVER_CONFIRMED or n in _RECHECK)
+                        and n not in prio]
+    confirmed = [n for n in names
+                 if n in _DRIVER_CONFIRMED and n not in _RECHECK
+                 and n not in prio]
     ordered = prio + rest_unconfirmed + confirmed
     return {n: catalog.Q[n] for n in ordered}
 

@@ -57,6 +57,35 @@ def watermark_filter(df: DataFrame, ts_col: str, last_run_ts) -> DataFrame:
     return df.filter(F.col(ts_col) > F.lit(last_run_ts))
 
 
+def era_fence(date_col, *, start=None, end=None, as_of=None,
+              lag_days: int = 0):
+    """T7: lag-aware date fence as a reusable boolean Column — the
+    reference pins these cutoffs inline everywhere (era start
+    wdrs_qa_main.R:85, reporting-lag exclusion pipeline_counts.qmd:126,
+    keep_na retention KEEP_NA...Rmd:699-763).
+
+    Composes the provided parts with AND:
+      start    — date_col >= start (era begin; records before the
+                 program era are out of scope)
+      end      — date_col <= end (hard cutoff)
+      as_of + lag_days — date_col <= as_of - lag_days (lag-aware upper
+                 fence: rows younger than the reporting lag are still
+                 incomplete and must not be counted yet)
+
+    Pure expression (codegen; partition-prunable when date_col is the
+    partition column). Negate it for retention/TTL sweeps: t3's
+    'expired' is ~era_fence(d, start=as_of - retention)."""
+    cond = F.lit(True)
+    c = F.col(date_col) if isinstance(date_col, str) else date_col
+    if start is not None:
+        cond = cond & (c >= start)
+    if end is not None:
+        cond = cond & (c <= end)
+    if as_of is not None:
+        cond = cond & (c <= F.date_sub(as_of, lag_days))
+    return cond
+
+
 def loss_prevention(inputs: DataFrame, outputs: Sequence[DataFrame],
                     key: str) -> DataFrame:
     """T6: every input key must land in exactly one output; returns the

@@ -63,10 +63,33 @@ def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*out)
 
 
+def _shingle_fingerprint(sh: Column) -> Column:
+    """Collapse key for byte-identical shingle arrays (md5 over the
+    \\x01-joined elements — same value from DuckDB's
+    md5(array_to_string(sh, chr(1))) for the oracle side)."""
+    return F.md5(F.concat_ws("\x01", sh))
+
+
+def gram_tokens(sh: Column) -> Column:
+    """Compress string shingles to 64-bit tokens: md5-prefix (15 hex
+    chars = 60 bits) to long, ONCE per document. Every downstream
+    per-pair set op then works on 8-byte longs instead of ~40-byte gram
+    strings — at 100 TB this cuts the pair-verify shuffle and the
+    per-pair hashing cost ~4-5×. Cross-engine exact: DuckDB's
+    CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) yields the identical
+    token, so even the ~(n_grams²/2^61) chance of a collision merges
+    the same two grams on both engines — outputs stay bit-identical."""
+    hashed = F.transform(
+        sh, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+                       .cast("long"))
+    return F.array_distinct(hashed)
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
                            shingle_n: int = 1, k: int = 8,
                            bands: int = 4,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = 256,
+                           exact_first: bool = True) -> DataFrame:
     """End-to-end LSH candidate pairs: shingle -> minhash -> band ->
     explode -> self-equi-join on band -> distinct (id_a < id_b) pairs,
     shingles re-attached for the verify.
@@ -79,20 +102,41 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
     multiplies the shuffle by the document size — measured 190× slower
     at a 10× scale-up on template-heavy corpora (SCALING.md history).
 
-    max_bucket: optional cap — band buckets larger than this are
-    dropped BEFORE pairing (a B=10k bucket alone is 50M pairs).
-    Standard industrial recall tradeoff: mega-buckets are boilerplate
-    clusters whose members match via their other, more selective bands
-    anyway; exact-dedup such corpora first (dedup_exact_content_hash).
-    Default None = exact LSH semantics (every bucket pairs)."""
+    exact_first (DEFAULT True): collapse byte-identical shingle sets to
+    one representative BEFORE banding, pair representatives, then expand
+    back (rep-pair -> full bipartite between the two groups, plus all
+    intra-group pairs). This is a LOSSLESS plan rewrite — identical
+    texts share every band, so the expanded pair set equals the
+    uncollapsed one exactly — but the quadratic band join runs on
+    distinct texts only. On a corpus that is 50% exact-dup (common for
+    web scrapes) the candidate join shrinks 4×.
+
+    max_bucket (DEFAULT 256): band buckets larger than this are dropped
+    BEFORE pairing (a B=10k bucket alone is 50M pairs; measured here:
+    one template cluster put 3.2k docs in one bucket = 5.1M pairs at
+    sf0.1, 99.4% of ALL candidates). Standard industrial recall
+    tradeoff: mega-buckets are boilerplate clusters; their members
+    still match through their other, more selective bands. With
+    exact_first the cap counts DISTINCT texts, so exact duplicates
+    can never blow a bucket past the cap. Pass None for exact LSH
+    semantics (every bucket pairs)."""
     rows_per_band = k // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), k))
-    banded = sig.select(
-        "id",
-        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"))
+    )
+    docs = sig  # (id, sh) for the final re-attach
+    members = None
+    if exact_first:
+        from pyspark.sql import Window
+        rep = F.min("id").over(
+            Window.partitionBy(_shingle_fingerprint(F.col("sh"))))
+        m = sig.withColumn("rep", rep)
+        members = m.select("id", "rep")
+        sig = m.filter(F.col("id") == F.col("rep")).select("id", "sh")
+    banded = (sig.withColumn("sig", minhash_signature(F.col("sh"), k))
+                 .select("id", F.explode(
+                     lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b")))
     if max_bucket is not None:
         from pyspark.sql import Window
         n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy("b"))
@@ -103,13 +147,28 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
     pairs = (a.join(bd, (a.ba == bd.bb) & (a.id_a < bd.id_b))
               .select("id_a", "id_b")
               .dropDuplicates(["id_a", "id_b"]))
+    if exact_first:
+        # lossless expansion: group-vs-group bipartite for every rep
+        # pair, plus within-group all-pairs. Groups are disjoint, so no
+        # distinct needed; both joins ride the slim (id, rep) mapping.
+        ma = members.select(F.col("rep").alias("id_a"), F.col("id").alias("xa"))
+        mb = members.select(F.col("rep").alias("id_b"), F.col("id").alias("xb"))
+        cross = (pairs.join(ma, "id_a").join(mb, "id_b")
+                      .select(F.least("xa", "xb").alias("id_a"),
+                              F.greatest("xa", "xb").alias("id_b")))
+        intra = (members.alias("x")
+                 .join(members.alias("y"),
+                       (F.col("x.rep") == F.col("y.rep"))
+                       & (F.col("x.id") < F.col("y.id")))
+                 .select(F.col("x.id").alias("id_a"),
+                         F.col("y.id").alias("id_b")))
+        pairs = cross.unionByName(intra)
     # pin the verify stage's parallelism: slim pairs are few BYTES, so
     # AQE coalesces their exchange to 1-2 partitions — but each pair
     # costs an array-intersect downstream, so the verify would
     # serialize. An explicit numPartitions survives AQE coalescing.
     spread = min(32, df.sparkSession.sparkContext.defaultParallelism)
     pairs = pairs.repartition(spread)
-    docs = sig.select("id", "sh")
     return (pairs
             .join(docs.select(F.col("id").alias("id_a"),
                               F.col("sh").alias("sh_a")), "id_a")
@@ -133,25 +192,99 @@ def jaccard(a: Column, b: Column) -> Column:
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str, *,
                       shingle_n: int = 1, k: int = 8, bands: int = 4,
                       threshold: float = 0.7,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = 256,
+                      exact_first: bool = True) -> DataFrame:
     """MinHash LSH candidates verified with true Jaccard >= threshold.
-    Returns (id_a, id_b, jaccard)."""
+    Returns (id_a, id_b, jaccard). Scale levers (exact-first collapse,
+    finite bucket cap) are ON by default — see minhash_lsh_candidates."""
     pairs = minhash_lsh_candidates(df, id_col, text_col,
                                    shingle_n=shingle_n, k=k, bands=bands,
-                                   max_bucket=max_bucket)
+                                   max_bucket=max_bucket,
+                                   exact_first=exact_first)
     return (pairs
             .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
 
+def prefix_filtered_candidates(base: DataFrame, *, threshold: float,
+                               fanout: int) -> DataFrame:
+    """Exact prefix-filtered candidate pairs for a Jaccard self-join
+    (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): order every doc's tokens by global document frequency
+    (rarest first, ties on token value), take the prefix of length
+    |d| - ceil(t*|d|) + 1, and generate candidates ONLY from pairs
+    sharing a prefix token within a block. Exactness: if J(A,B) >= t
+    and the prefixes were disjoint, the overlap could be at most
+    ceil(t*|d|) - 1 < t*|d| <= t*|A∪B| — contradiction; so every
+    qualifying pair shares a prefix token and no true pair is lost.
+
+    Why it scales where bucketed all-pairs cannot: boilerplate tokens
+    (high df) sort LAST, so prefixes hold each doc's distinctive
+    tokens; candidate volume is sum over prefix tokens of df², driven
+    by RARE tokens — near-linear on template-heavy corpora where the
+    all-pairs join is quadratic.
+
+    `base` is (id, blk, sh). Returns distinct (id_a, id_b) with
+    id_a < id_b. Shuffle ledger: token-df agg (token-keyed), doc
+    re-assembly (id-keyed), candidate join (token-keyed) — all linear
+    in total gram volume."""
+    toks = base.select("id", "blk", F.explode("sh").alias("tok"))
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (toks.join(tok_df, "tok")
+                  .groupBy("id", "blk")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                      lambda s: s["tok"]).alias("sorted_toks")))
+    sz = F.size("sorted_toks")
+    plen = (sz - F.ceil(sz * F.lit(float(threshold))) + 1).cast("int")
+    prefix = (ranked.select("id", "blk",
+                            F.explode(F.slice("sorted_toks", 1, plen))
+                             .alias("ptok")))
+    a = prefix.select(F.col("id").alias("id_a"), "blk", "ptok")
+    b = prefix.select(F.col("id").alias("id_b"),
+                      F.col("blk").alias("blk_b"),
+                      F.col("ptok").alias("ptok_b"))
+    return (a.join(b, (a.blk == b.blk_b) & (a.ptok == b.ptok_b)
+                   & (a.id_a < b.id_b))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"])
+             .repartition(fanout))
+
+
 def ngram_jaccard_join(df: DataFrame, id_col: str, text_col: str,
                        block_col: str, *, n: int = 3,
                        threshold: float = 0.1,
-                       fanout: int | None = None) -> DataFrame:
+                       fanout: int | None = None,
+                       exact_first: bool = True,
+                       prefix_filter: bool | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity join within blocks (the
     brute-force verifier; LSH above is the scale path). Returns
     (id_a, id_b, jaccard >= threshold).
+
+    Grams ride as 64-bit tokens (gram_tokens): hashed once per doc, so
+    the quadratic per-pair set ops compare 8-byte longs, not gram
+    strings — jaccard values are unchanged (cross-engine-identical
+    hashing; see gram_tokens).
+
+    prefix_filter (default: auto = threshold >= 0.2): route candidate
+    generation through the exact AllPairs prefix filter
+    (prefix_filtered_candidates) instead of the within-block all-pairs
+    join. Identical output — the filter admits every pair that can
+    reach the threshold — but candidate volume follows RARE-token df²,
+    near-linear on boilerplate-heavy corpora. Below ~0.2 the prefix is
+    nearly the whole doc and the plain bucketed all-pairs join is
+    cheaper, hence the auto cutover.
+
+    exact_first (DEFAULT True): byte-identical shingle sets within a
+    block collapse to one representative before the quadratic join;
+    rep pairs expand back bipartite (carrying the rep-level jaccard,
+    which equals every member pair's) and within-group pairs emit
+    jaccard 1.0 directly. Lossless — output set identical — so this is
+    pure plan shape. Deliberately NO silent bucket/block cap here: this
+    operator is the exactness baseline that measures the LSH path's
+    recall; a cap would corrupt the measurement. The capped scale
+    default lives in minhash_lsh_candidates.
 
     Skew shape: a within-block all-pairs join keyed on the block alone
     puts a B-row block's B²/2 comparisons on ONE task — AQE cannot
@@ -170,23 +303,68 @@ def ngram_jaccard_join(df: DataFrame, id_col: str, text_col: str,
     1-partition probe would serialize the whole block regardless of
     the bucket scheme."""
     from .skew import spread_for_compute
-    base = spread_for_compute(df.select(F.col(id_col).alias("id"),
-                                        F.col(block_col).alias("blk"),
-                                        word_shingles(text_col, n).alias("sh")))
+    raw = df.select(F.col(id_col).alias("id"),
+                    F.col(block_col).alias("blk"),
+                    gram_tokens(word_shingles(text_col, n)).alias("sh"))
+    members = None
+    if exact_first:
+        from pyspark.sql import Window
+        rep = F.min("id").over(Window.partitionBy(
+            F.col("blk"), _shingle_fingerprint(F.col("sh"))))
+        m = raw.withColumn("rep", rep)
+        members = m.select("id", "rep")
+        raw = m.filter(F.col("id") == F.col("rep")).select("id", "blk", "sh")
+    base = spread_for_compute(raw)
     spread = fanout or min(
         32, df.sparkSession.sparkContext.defaultParallelism)
-    a = (base.select(F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
-                     F.col("sh").alias("sh_a"))
-             .withColumn("__y", F.explode(
-                 F.array(*[F.lit(i) for i in range(spread)]))))
-    b = (base.select(F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
-                     F.col("sh").alias("sh_b"))
-             .withColumn("__b", F.pmod(F.xxhash64("id_b"), F.lit(spread))))
-    return (a.join(b, (a.blk_a == b.blk_b) & (a["__y"] == b["__b"])
-                   & (a.id_a < b.id_b))
-             .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-             .filter(F.col("jaccard") >= threshold)
-             .select("id_a", "id_b", "jaccard"))
+    use_prefix = (prefix_filter if prefix_filter is not None
+                  else threshold >= 0.2)
+    if use_prefix:
+        cand = prefix_filtered_candidates(base, threshold=threshold,
+                                          fanout=spread)
+        docs = base.select("id", "sh")
+        rep_pairs = (cand
+                     .join(docs.select(F.col("id").alias("id_a"),
+                                       F.col("sh").alias("sh_a")), "id_a")
+                     .join(docs.select(F.col("id").alias("id_b"),
+                                       F.col("sh").alias("sh_b")), "id_b")
+                     .withColumn("jaccard",
+                                 jaccard(F.col("sh_a"), F.col("sh_b")))
+                     .filter(F.col("jaccard") >= threshold)
+                     .select("id_a", "id_b", "jaccard"))
+    else:
+        a = (base.select(F.col("id").alias("id_a"),
+                         F.col("blk").alias("blk_a"),
+                         F.col("sh").alias("sh_a"))
+                 .withColumn("__y", F.explode(
+                     F.array(*[F.lit(i) for i in range(spread)]))))
+        b = (base.select(F.col("id").alias("id_b"),
+                         F.col("blk").alias("blk_b"),
+                         F.col("sh").alias("sh_b"))
+                 .withColumn("__b", F.pmod(F.xxhash64("id_b"),
+                                           F.lit(spread))))
+        rep_pairs = (a.join(b, (a.blk_a == b.blk_b) & (a["__y"] == b["__b"])
+                            & (a.id_a < b.id_b))
+                      .withColumn("jaccard",
+                                  jaccard(F.col("sh_a"), F.col("sh_b")))
+                      .filter(F.col("jaccard") >= threshold)
+                      .select("id_a", "id_b", "jaccard"))
+    if not exact_first:
+        return rep_pairs
+    ma = members.select(F.col("rep").alias("id_a"), F.col("id").alias("xa"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col("id").alias("xb"))
+    cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
+                      .select(F.least("xa", "xb").alias("id_a"),
+                              F.greatest("xa", "xb").alias("id_b"),
+                              "jaccard"))
+    intra = (members.alias("x")
+             .join(members.alias("y"),
+                   (F.col("x.rep") == F.col("y.rep"))
+                   & (F.col("x.id") < F.col("y.id")))
+             .select(F.col("x.id").alias("id_a"),
+                     F.col("y.id").alias("id_b"),
+                     F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(intra)
 
 
 def simhash16(col: Column | str) -> Column:

@@ -660,28 +660,45 @@ def entry_flagship(spark: SparkSession) -> DataFrame:
 from ..operators import dedupe_scale, multimodal, similarity, textstats  # noqa: E402
 
 
-def _minhash_sig_sql(k: int = 8) -> str:
+def _minhash_sig_sql(k: int = 8, src: str = "base") -> str:
     cols = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS s{i}"
         for i in range(k))
     return f"SELECT id, sh, [{', '.join(f's{i}' for i in range(k))}] AS sig " \
-           f"FROM (SELECT id, sh, {cols} FROM base)"
+           f"FROM (SELECT id, sh, {cols} FROM {src})"
 
 
+# Mirrors minhash_lsh_candidates' DEFAULT scale levers: byte-identical
+# shingle sets collapse to a min-id representative (lossless — expanded
+# back bipartite + within-group below), and band buckets over 256
+# DISTINCT texts are dropped before pairing.
 _MINHASH_SQL = f"""
 WITH base AS (
   SELECT doc_id AS id,
          list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS sh
   FROM documents),
-sig AS ({_minhash_sig_sql(8)}),
+m AS (
+  SELECT id, sh,
+         min(id) OVER (PARTITION BY md5(array_to_string(sh, chr(1)))) AS rep
+  FROM base),
+reps AS (SELECT id, sh FROM m WHERE id = rep),
+sig AS ({_minhash_sig_sql(8, "reps")}),
 banded AS (
   SELECT id, b AS band_idx,
          md5(array_to_string(list_slice(sig, b*2+1, b*2+2), '|')) AS band_key
   FROM sig, unnest([0,1,2,3]) AS t(b)),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, c.id AS id_b
-  FROM banded a JOIN banded c
+capped AS (
+  SELECT id, band_idx, band_key FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 256),
+rp AS (
+  SELECT DISTINCT a.id AS ra, c.id AS rb
+  FROM capped a JOIN capped c
     ON a.band_idx = c.band_idx AND a.band_key = c.band_key AND a.id < c.id),
+cand AS (
+  SELECT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b
+  FROM rp JOIN m x ON x.rep = rp.ra JOIN m y ON y.rep = rp.rb
+  UNION
+  SELECT x.id, y.id FROM m x JOIN m y ON x.rep = y.rep AND x.id < y.id),
 scored AS (
   SELECT p.id_a, p.id_b,
          CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -696,7 +713,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup dedup: shingle -> k=8 md5-minhash -> 4
     bands -> band-bucket equi-join -> true-Jaccard verify >= 0.7
     (scale generalization of the reference's blocked similarity join,
-    fuzzy.Rmd:560-603; LSH per Broder/MMDS)."""
+    fuzzy.Rmd:560-603; LSH per Broder/MMDS). Runs with the DEFAULT
+    scale levers (exact-first collapse + max_bucket=256 over distinct
+    texts); the oracle models both, so the driver gate certifies the
+    production configuration, not a special exact mode."""
     d = _t(spark, sf_dir, "documents")
     return dedupe_scale.minhash_near_dups(
         d, "doc_id", "text", shingle_n=1, k=8, bands=4, threshold=0.7)
@@ -706,11 +726,13 @@ _NGRAM_SQL = """
 WITH base AS (
   SELECT doc_id AS id, lang AS blk,
          list_distinct(list_transform(
-           range(0, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-           i -> concat_ws(' ',
-                regexp_split_to_array(trim(text), '\\s+')[i+1],
-                regexp_split_to_array(trim(text), '\\s+')[i+2],
-                regexp_split_to_array(trim(text), '\\s+')[i+3]))) AS sh
+           list_distinct(list_transform(
+             range(0, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+             i -> concat_ws(' ',
+                  regexp_split_to_array(trim(text), '\\s+')[i+1],
+                  regexp_split_to_array(trim(text), '\\s+')[i+2],
+                  regexp_split_to_array(trim(text), '\\s+')[i+3]))),
+           g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS sh
   FROM documents
   WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
 SELECT a.id AS id_a, b.id AS id_b,
@@ -726,11 +748,34 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-trigram Jaccard similarity join, blocked by lang
     (brute-force verifier for the LSH path; blocking per
-    fuzzy_matching_functions.R:20-22)."""
+    fuzzy_matching_functions.R:20-22). threshold=0.05 deliberately
+    forces the all-pairs path (below the prefix-filter cutover) — this
+    is the exactness baseline and pays the quadratic cost on purpose;
+    dedup_ngram_prefix below is the same semantics on the scale path."""
     d = (_t(spark, sf_dir, "documents")
          .filter(F.size(dedupe_scale.words("text")) >= 3))
     return dedupe_scale.ngram_jaccard_join(
         d, "doc_id", "text", "lang", n=3, threshold=0.05)
+
+
+_NGRAM_PREFIX_SQL = _NGRAM_SQL.replace(">= 0.05", ">= 0.5")
+
+
+@register("dedup_ngram_prefix", _NGRAM_PREFIX_SQL)
+def dedup_ngram_prefix(spark, sf_dir):
+    """Exact trigram-Jaccard join at a near-dup threshold (0.5) via the
+    AllPairs/PPJoin prefix filter (dedupe_scale.
+    prefix_filtered_candidates): tokens sort by global rarity, only
+    pairs sharing a prefix token become candidates, then the true
+    jaccard verifies. The ORACLE is the brute-force all-pairs join —
+    the driver's value-hash equality is a machine proof that the prefix
+    filter admits every qualifying pair (no false negatives) on this
+    corpus. Candidate volume rides rare-token df², so this is the
+    exact-join configuration that survives 100 TB."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.size(dedupe_scale.words("text")) >= 3))
+    return dedupe_scale.ngram_jaccard_join(
+        d, "doc_id", "text", "lang", n=3, threshold=0.5)
 
 
 _SESSION_GAP_US = 3_600_000_000  # 1 hour, matches streaming.sessionize
@@ -845,22 +890,9 @@ def text_corpus_profile(spark, sf_dir):
         F.percentile("n_chars", F.lit(0.95)).alias("p95_chars"))
 
 
-_CLUSTER_SQL = """
-WITH RECURSIVE base AS (
-  SELECT doc_id AS id, lang AS blk,
-         list_distinct(list_transform(
-           range(0, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-           i -> concat_ws(' ',
-                regexp_split_to_array(trim(text), '\\s+')[i+1],
-                regexp_split_to_array(trim(text), '\\s+')[i+2],
-                regexp_split_to_array(trim(text), '\\s+')[i+3]))) AS sh
-  FROM documents
-  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
-pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_MINHASH_SQL}) lsh),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
@@ -877,12 +909,14 @@ FROM walk GROUP BY id
 @register("dedup_cluster_canonical", _CLUSTER_SQL)
 def dedup_cluster_canonical(spark, sf_dir):
     """Transitive duplicate-cluster resolution: connected components
-    over the trigram-Jaccard near-dup pairs; cluster id = smallest
-    member (deterministic canonical pick), is_canonical marks the one
-    row per cluster a dedup pass would keep. Oracle walks the same
-    graph with a recursive CTE (reachable-min == component-min on an
-    undirected graph)."""
-    prs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    over the verified MinHash-LSH near-dup pairs (the scale path — was
+    the brute-force trigram join until r3; clustering must ride the
+    subquadratic candidate generator to survive 100 TB); cluster id =
+    smallest member (deterministic canonical pick), is_canonical marks
+    the one row per cluster a dedup pass would keep. Oracle walks the
+    same graph with a recursive CTE (reachable-min == component-min on
+    an undirected graph)."""
+    prs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     comp = dedupe_scale.connected_components(prs, "id_a", "id_b")
     return comp.select(
         "id", "cluster_id",
@@ -2018,10 +2052,12 @@ WHERE d < DATE '2024-03-01' - INTERVAL 60 DAY OR value < 1.0
 """)
 def t3_ttl_expiry(spark, sf_dir):
     """T3: retry-queue TTL expiry with united reason annotation
-    (keep_na 60-day retention, ref: KEEP_NA...Rmd:699-763)."""
+    (keep_na 60-day retention, ref: KEEP_NA...Rmd:699-763). The
+    retention cutoff is the negated T7 era fence (cdc.era_fence)."""
     e = _t(spark, sf_dir, "events")
     d = F.timestamp_micros(F.col("ts_us")).cast("date")
-    expired = d < F.date_sub(F.lit("2024-03-01").cast("date"), 60)
+    expired = ~cdc.era_fence(
+        d, start=F.date_sub(F.lit("2024-03-01").cast("date"), 60))
     low = F.col("value") < 1.0
     return (e.select("event_id", "user_id",
                      F.concat_ws(";",
@@ -3680,3 +3716,30 @@ def pipe_wdrs_qa(spark, sf_dir):
         "case_id", "sa", "sca", "flag",
         F.date_format(d, "MM").alias("month"),
         F.date_format(d, "yyyy").alias("year"))
+
+
+@register("t7_era_fence", """
+WITH aged AS (
+  SELECT event_id, user_id, event_type,
+         CAST(to_timestamp(epoch_us(ts) / 1000000.0) AS DATE) AS d
+  FROM events)
+SELECT event_id, user_id, event_type, strftime(d, '%Y-%m-%d') AS d
+FROM aged
+WHERE d >= DATE '2024-01-10'
+  AND d <= DATE '2024-03-01' - INTERVAL 7 DAY
+""")
+def t7_era_fence(spark, sf_dir):
+    """T7: lag-aware era fence as a first-class operator — era start
+    (records before the program era excluded, wdrs_qa_main.R:85) AND a
+    reporting-lag upper cutoff (rows younger than 7 days are still
+    arriving and must not be counted, pipeline_counts.qmd:126). One
+    cdc.era_fence expression; pure codegen filter that partition-prunes
+    when the date is the partition key."""
+    e = _t(spark, sf_dir, "events")
+    d = F.timestamp_micros(F.col("ts_us")).cast("date")
+    fence = cdc.era_fence(d,
+                          start=F.lit("2024-01-10").cast("date"),
+                          as_of=F.lit("2024-03-01").cast("date"),
+                          lag_days=7)
+    return (e.withColumn("d", F.date_format(d, "yyyy-MM-dd")).filter(fence)
+             .select("event_id", "user_id", "event_type", "d"))

@@ -98,6 +98,104 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
     raise ValueError(f"unsupported extension: {path}")
 
 
+def col_letters_to_idx(letters: str) -> int:
+    """Spreadsheet column letters -> 0-based index ('A'->0, 'AB'->27)."""
+    n = 0
+    for ch in letters.strip().upper():
+        if not ch.isalpha():
+            raise ValueError(f"bad column letters: {letters!r}")
+        n = n * 26 + (ord(ch) - ord("A") + 1)
+    return n - 1
+
+
+def parse_cell_range(rng: str) -> tuple[int, int, int | None, int | None]:
+    """Parse an Excel range spec into (col_start, col_end, row_start,
+    row_end), 0-based inclusive columns, 1-based inclusive rows (None =
+    unbounded). Accepts the two forms the reference uses:
+      'A:F'     — cell_cols, columns only (SGTF_template_matching.Rmd:66)
+      'A2:F100' — full rectangle
+    """
+    import re as _re
+    m = _re.fullmatch(r"([A-Za-z]+)(\d*):([A-Za-z]+)(\d*)", rng.strip())
+    if not m:
+        raise ValueError(f"bad cell range: {rng!r}")
+    c1, r1, c2, r2 = m.groups()
+    if bool(r1) != bool(r2):
+        raise ValueError(f"bad cell range (mixed forms): {rng!r}")
+    return (col_letters_to_idx(c1), col_letters_to_idx(c2),
+            int(r1) if r1 else None, int(r2) if r2 else None)
+
+
+def read_xlsx(spark: SparkSession, paths: Sequence[str] | str, *,
+              columns: Sequence[str], sheet: str | int = 0,
+              cell_range: str | None = None, header: bool = True,
+              provenance: str | None = "index",
+              na_strings: Iterable[str] = NA_STRINGS) -> DataFrame:
+    """S2: xlsx ingestion with sheet + cell-range selection, mirroring
+    the reference's read_xlsx(sheet='Linelist', range=cell_cols('A:F'))
+    contract (SGTF_template_matching.Rmd:64-66; submissions arrive as
+    Excel linelists constantly — phl/template paths).
+
+    `columns` is the expected all-string contract (the reference
+    declares col_headers up front and validates, :44-75) — it fixes the
+    Spark schema at plan time; short files reindex to it (missing
+    columns read as NULL, like the reference's is-missing warning path).
+
+    Scale shape: parsing distributes over FILES — the path list becomes
+    a DataFrame and each task parses its files via pandas/openpyxl
+    inside mapInPandas (Arrow-batched). A thousand submission files =
+    one job with 32-way file parallelism, no driver loop.
+
+    Optional dependency: raises NotImplementedError when openpyxl is
+    absent (this container ships without it — the range/letters logic
+    above is tested regardless; the full round-trip test is
+    skip-marked)."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "xlsx ingestion needs openpyxl (not installed here); "
+            "range/sheet semantics are implemented and unit-tested — "
+            "install openpyxl to activate") from e
+    import pandas as pd
+
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    out_cols = list(columns) + ([provenance] if provenance else [])
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in out_cols])
+    usecols = skiprows = nrows = None
+    if cell_range:
+        c1, c2, r1, r2 = parse_cell_range(cell_range)
+        usecols = list(range(c1, c2 + 1))
+        if r1 is not None:
+            skiprows = r1 - 1
+            nrows = r2 - r1 + 1 - (1 if header else 0)
+
+    def parse(batches):
+        for pdf in batches:
+            frames = []
+            for path in pdf["path"]:
+                raw = pd.read_excel(
+                    path, sheet_name=sheet, dtype=str,
+                    header=0 if header else None,
+                    usecols=usecols, skiprows=skiprows, nrows=nrows,
+                    engine="openpyxl")
+                raw.columns = [str(c) for c in raw.columns]
+                raw = raw.reindex(columns=list(columns))
+                if provenance:
+                    raw[provenance] = path
+                frames.append(raw.astype("object"))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    files = spark.createDataFrame([(p,) for p in path_list], "path string") \
+                 .repartition(min(max(len(path_list), 1), 32))
+    df = files.mapInPandas(parse, schema=schema)
+    exclude = {provenance} if provenance else set()
+    return normalize_na_df(df, [c for c in df.columns if c not in exclude],
+                           na_strings)
+
+
 def latest_file_per_dir(spark: SparkSession, root: str,
                         pattern: str = "*") -> DataFrame:
     """S7: directory-glob discovery with latest-by-mtime selection per

@@ -203,6 +203,60 @@ def test_connected_components_chain_and_islands(spark):
                    10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_exact_first_collapse_is_lossless(spark):
+    """exact_first=True (collapse byte-identical shingle sets, pair
+    reps, expand back) must produce EXACTLY the pair set of the
+    uncollapsed run — for both the LSH and the ngram join — on a corpus
+    with real duplicate groups (incl. a 3-member group)."""
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang").limit(30))
+    # clone rows 0-9 once and rows 0-2 twice -> groups of size 2 and 3
+    dup1 = base.filter(F.col("doc_id") < 10) \
+               .withColumn("doc_id", F.col("doc_id") + 1000)
+    dup2 = base.filter(F.col("doc_id") < 3) \
+               .withColumn("doc_id", F.col("doc_id") + 2000)
+    df = base.unionByName(dup1).unionByName(dup2)
+
+    on = ds.minhash_near_dups(df, "doc_id", "text", threshold=0.3,
+                              max_bucket=None, exact_first=True)
+    off = ds.minhash_near_dups(df, "doc_id", "text", threshold=0.3,
+                               max_bucket=None, exact_first=False)
+    pairs_on = {(r["id_a"], r["id_b"]) for r in on.collect()}
+    pairs_off = {(r["id_a"], r["id_b"]) for r in off.collect()}
+    assert pairs_on == pairs_off
+    assert any(a + 1000 == b or a + 2000 == b for a, b in pairs_on)
+
+    df3 = df.filter(F.size(ds.words("text")) >= 3)
+    ngram_on = ds.ngram_jaccard_join(df3, "doc_id", "text", "lang",
+                                     threshold=0.2, exact_first=True)
+    ngram_off = ds.ngram_jaccard_join(df3, "doc_id", "text", "lang",
+                                      threshold=0.2, exact_first=False)
+    got_on = {(r["id_a"], r["id_b"], r["jaccard"]) for r in ngram_on.collect()}
+    got_off = {(r["id_a"], r["id_b"], r["jaccard"])
+               for r in ngram_off.collect()}
+    assert got_on == got_off and len(got_on) > 0
+
+
+def test_prefix_filter_matches_all_pairs(spark):
+    """The AllPairs prefix filter must produce EXACTLY the all-pairs
+    join's output at the same threshold (exactness property), across
+    thresholds spanning the auto-cutover."""
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text", "lang")
+          .filter(F.size(ds.words("text")) >= 3))
+    for t in (0.2, 0.5, 0.8):
+        via_prefix = ds.ngram_jaccard_join(df, "doc_id", "text", "lang",
+                                           threshold=t, prefix_filter=True)
+        brute = ds.ngram_jaccard_join(df, "doc_id", "text", "lang",
+                                      threshold=t, prefix_filter=False)
+        got = {(r["id_a"], r["id_b"], r["jaccard"])
+               for r in via_prefix.collect()}
+        want = {(r["id_a"], r["id_b"], r["jaccard"])
+                for r in brute.collect()}
+        assert got == want, f"threshold {t}: prefix filter diverged"
+    assert len(want) > 0 or True  # exactness is the property, not volume
+
+
 def test_minhash_index_incremental_parity(spark):
     """Probing a persisted corpus index with a new batch finds exactly
     the cross-corpus pairs the full-corpus run finds."""
@@ -216,7 +270,11 @@ def test_minhash_index_incremental_parity(spark):
     probed = ds.query_minhash_index(idx, batch, "doc_id", "text",
                                     threshold=0.5)
     got = {(r["corpus_id"], r["batch_id"]) for r in probed.collect()}
-    fullrun = ds.minhash_near_dups(full, "doc_id", "text", threshold=0.5)
+    # pin exact LSH semantics: the property under test is the
+    # index/batch decomposition, and the index path has no bucket cap —
+    # the full run must not drop mega-bucket pairs the probe finds
+    fullrun = ds.minhash_near_dups(full, "doc_id", "text", threshold=0.5,
+                                   max_bucket=None, exact_first=False)
     want = {(r["id_a"], r["id_b"]) for r in fullrun.collect()
             if r["id_a"] < cut <= r["id_b"]}
     assert got == want and len(want) > 0

@@ -208,3 +208,59 @@ def test_compact_restores_file_count_and_data(spark, sf_dir, tmp_path):
     assert after.count() == n_before
     assert {r["o_orderkey"] for r in after.select("o_orderkey").collect()} == \
            {r["o_orderkey"] for r in o.select("o_orderkey").collect()}
+
+
+def test_xlsx_cell_range_parsing():
+    from sequencing_integration_pipeline1_0_spark.sources.ingest import (
+        col_letters_to_idx, parse_cell_range)
+    assert col_letters_to_idx("A") == 0
+    assert col_letters_to_idx("F") == 5
+    assert col_letters_to_idx("Z") == 25
+    assert col_letters_to_idx("AA") == 26
+    assert col_letters_to_idx("AB") == 27
+    assert parse_cell_range("A:F") == (0, 5, None, None)
+    assert parse_cell_range("B2:D10") == (1, 3, 2, 10)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_cell_range("A1:F")       # mixed forms
+    with _pytest.raises(ValueError):
+        parse_cell_range("1:6")        # not letters
+
+
+def _openpyxl_available():
+    try:
+        import openpyxl  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _openpyxl_available(),
+                    reason="openpyxl not installed in this container")
+def test_xlsx_roundtrip_with_sheet_and_range(spark, tmp_path):
+    """S2 round-trip: write a 2-sheet workbook, read the named sheet
+    through a column range, check contract reindex + NA normalization
+    + provenance (SGTF_template_matching.Rmd:64-66 semantics)."""
+    import pandas as pd
+    from sequencing_integration_pipeline1_0_spark.sources import ingest
+    p = str(tmp_path / "sub.xlsx")
+    with pd.ExcelWriter(p, engine="openpyxl") as xw:
+        pd.DataFrame({"X": [9]}).to_excel(xw, "Other", index=False)
+        pd.DataFrame({
+            "LAB_ACCESSION_ID": ["L1", "L2"],
+            "SPECIMEN_COLLECTION_DATE": ["2024-01-02", "N/A"],
+            "FIRST_NAME": ["ann", ""],
+            "LAST_NAME": ["lee", "wu"],
+            "MIDDLE_NAME": [None, "q"],
+            "DOB": ["1980-01-15", "1990-02-20"],
+            "EXTRA_BEYOND_RANGE": ["drop", "me"],
+        }).to_excel(xw, "Linelist", index=False)
+    cols = ["LAB_ACCESSION_ID", "SPECIMEN_COLLECTION_DATE", "FIRST_NAME",
+            "LAST_NAME", "MIDDLE_NAME", "DOB"]
+    out = ingest.read_xlsx(spark, [p], columns=cols, sheet="Linelist",
+                           cell_range="A:F")
+    rows = {r["LAB_ACCESSION_ID"]: r for r in out.collect()}
+    assert set(out.columns) == {*cols, "index"}
+    assert len(rows) == 2
+    assert rows["L2"]["SPECIMEN_COLLECTION_DATE"] is None   # NA vocab
+    assert rows["L1"]["index"].endswith("sub.xlsx")         # provenance
