@@ -279,31 +279,36 @@ def seq_qa_checks(df: DataFrame, *,
         {k: F.when(cond, F.lit(msgs[k])) for k, cond in warn.items()})
 
     # cascading duplicate tiers (wdrs_qa_functions.R:197-228). All three
-    # window keys start with SA, so one exchange on hash(SA) satisfies
-    # the clustered distribution of every tier (finer keys colocate for
-    # free) — one shuffle, not three.
-    n_sa = F.count(F.lit(1)).over(Window.partitionBy(accession))
-    n_sasca = F.count(F.lit(1)).over(
-        Window.partitionBy(accession, clinical_accession))
-    n_lsasca = F.count(F.lit(1)).over(
-        Window.partitionBy(accession, clinical_accession, lineage))
+    # window keys start with SA, and the COARSEST window is attached
+    # first so it plans bottom-most: its exchange on hash(SA) already
+    # satisfies the finer keys' clustered distribution (subset rule) —
+    # the plan gets ONE exchange + three in-partition sorts, not three
+    # shuffles (verified in tests/test_plans.py).
     out = out.withColumn(
-        "sa_sca_var_dup_warn",
-        F.when((n_lsasca > 1) & lin.isNotNull() & sa.isNotNull()
-               & sca.isNotNull(),
-               "Warning: Duplicate - SCA, SA and Variant duplicated"))
+        "__n_sa", F.count(F.lit(1)).over(Window.partitionBy(accession)))
+    out = out.withColumn(
+        "__n_sasca", F.count(F.lit(1)).over(
+            Window.partitionBy(accession, clinical_accession)))
+    out = out.withColumn(
+        "__n_lsasca", F.count(F.lit(1)).over(
+            Window.partitionBy(accession, clinical_accession, lineage)))
+    tier1 = F.when(
+        (F.col("__n_lsasca") > 1) & lin.isNotNull() & sa.isNotNull()
+        & sca.isNotNull(),
+        "Warning: Duplicate - SCA, SA and Variant duplicated")
+    out = out.withColumn("sa_sca_var_dup_warn", tier1)
     out = out.withColumn(
         "sa_sca_dup_warn",
-        F.when((n_sasca > 1) & sa.isNotNull() & sca.isNotNull()
+        F.when((F.col("__n_sasca") > 1) & sa.isNotNull() & sca.isNotNull()
                & F.col("sa_sca_var_dup_warn").isNull(),
                "Warning: Duplicate - SCA and SA duplicated"))
     out = out.withColumn(
         "sa_dup_warn",
-        F.when((n_sa > 1) & sa.isNotNull()
+        F.when((F.col("__n_sa") > 1) & sa.isNotNull()
                & F.col("sa_sca_dup_warn").isNull()
                & F.col("sa_sca_var_dup_warn").isNull(),
                "Warning: Duplicate - SA duplicated"))
-    return out
+    return out.drop("__n_sa", "__n_sasca", "__n_lsasca")
 
 
 def unite_warnings(df: DataFrame, *, out: str = "flag",

@@ -64,11 +64,21 @@ def write_partitioned(df: DataFrame, path: str, key: str,
     df.write.mode(mode).partitionBy(key).option("header", True).csv(path)
 
 
-def append_with_reconciliation(df: DataFrame, path: str) -> tuple[int, int, int]:
+def append_with_reconciliation(df: DataFrame, path: str, *,
+                               holding_path: str | None = None,
+                               run_tag: str = "batch"
+                               ) -> tuple[int, int, int, bool]:
     """S12: append + post-append row-count reconciliation
-    (template_submitters.Rmd:961-984). Returns (old, appended, new);
-    raises if new != old + appended."""
-    from pyspark.sql import SparkSession
+    (template_submitters.Rmd:961-984). Returns (old, appended, new,
+    diverted).
+
+    On mismatch the reference does NOT stop the run: it writes the
+    batch to a holding folder for later review/append
+    (keep_na/Add_Holding/<name>_<timestamp>.csv, :969-984) — pass
+    `holding_path` to get that behavior (the batch lands under
+    `holding_path`/`run_tag`/ and diverted=True is returned). Without a
+    holding path the mismatch raises, matching the strict template
+    paths."""
     spark = df.sparkSession
     try:
         old = spark.read.option("header", True).csv(path).count()
@@ -78,9 +88,13 @@ def append_with_reconciliation(df: DataFrame, path: str) -> tuple[int, int, int]
     df.write.mode("append").option("header", True).csv(path)
     new = spark.read.option("header", True).csv(path).count()
     if new != old + appended:
+        if holding_path is not None:
+            df.write.mode("overwrite").option("header", True).csv(
+                f"{holding_path}/{run_tag}")
+            return old, appended, new, True
         raise AssertionError(
             f"append reconciliation failed: {old} + {appended} != {new}")
-    return old, appended, new
+    return old, appended, new, False
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, *,

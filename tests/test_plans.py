@@ -163,3 +163,17 @@ def test_membership_flags_broadcast(plans):
     """§2.8 WDRS-membership flags join against a small distinct value
     set — must be a broadcast join, not a shuffle of the fact side."""
     assert "BroadcastHashJoin" in plans["qa_roster_filters"]
+
+
+def test_wdrs_qa_dup_tiers_share_one_exchange(plans):
+    """seq_qa_checks' three duplicate-tier windows all key on SA-prefix
+    key sets; the coarsest plans bottom-most so ONE hash(sa) exchange
+    serves all three (subset-satisfies-clustering). A second exchange
+    means the window order regressed."""
+    import re
+    plan = plans["pipe_wdrs_qa"]
+    # formatted mode: node headers are "(N) Exchange", partition keys
+    # follow on the node's "Arguments: hashpartitioning(...)" line
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert n_exchanges == 1 and keys == ["sa"], (n_exchanges, keys)

@@ -102,10 +102,41 @@ def test_s11_chunked_sink(spark, tmp_path, sf_dir):
 def test_s12_append_reconciliation(spark, tmp_path):
     df = spark.createDataFrame([(1,), (2,)], "k int")
     path = str(tmp_path / "ledger")
-    old, app, new = sinks.append_with_reconciliation(df, path)
-    assert (old, app, new) == (0, 2, 2)
-    old, app, new = sinks.append_with_reconciliation(df, path)
-    assert (old, app, new) == (2, 2, 4)
+    old, app, new, div = sinks.append_with_reconciliation(df, path)
+    assert (old, app, new, div) == (0, 2, 2, False)
+    old, app, new, div = sinks.append_with_reconciliation(df, path)
+    assert (old, app, new, div) == (2, 2, 4, False)
+
+
+def test_s12_mismatch_diverts_to_holding(spark, tmp_path, monkeypatch):
+    """On reconciliation mismatch the batch lands in the holding folder
+    instead of raising (template_submitters.Rmd:969-984)."""
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    path = str(tmp_path / "ledger")
+    holding = str(tmp_path / "holding")
+    sinks.append_with_reconciliation(df, path)   # seed the ledger
+    # force a mismatch: make the post-append count read lie
+    real_count = type(df).count
+    state = {"n": 0, "lie_on": 3}  # ledger exists: 3rd count = post-append
+
+    def lying_count(self):
+        state["n"] += 1
+        n = real_count(self)
+        return n + 1 if state["n"] == state["lie_on"] else n
+
+    monkeypatch.setattr(type(df), "count", lying_count)
+    old, app, new, div = sinks.append_with_reconciliation(
+        df, path, holding_path=holding, run_tag="t1")
+    monkeypatch.undo()
+    assert div is True
+    held = spark.read.option("header", True).csv(f"{holding}/t1")
+    assert held.count() == 2
+    # without a holding path the same mismatch raises; fresh ledger so
+    # the pre-read fails -> counts are (appended, post-append) = lie on 2
+    state.update(n=0, lie_on=2)
+    monkeypatch.setattr(type(df), "count", lying_count)
+    with pytest.raises(AssertionError):
+        sinks.append_with_reconciliation(df, str(tmp_path / "l2"))
 
 
 def test_s13_partitioned_sink(spark, tmp_path, sf_dir):
