@@ -322,6 +322,34 @@ def unite_warnings(df: DataFrame, *, out: str = "flag",
     return united.filter(F.col(out).contains("Warning"))
 
 
+def match_in_wdrs_keep_na(df: DataFrame, *, wdrs: DataFrame,
+                          keep_na: DataFrame,
+                          sca_col: str = "SEQUENCE_CLINICAL_ACCESSION",
+                          sa_col: str = "SEQUENCE_ACCESSION") -> DataFrame:
+    """pipeline_counts.qmd:60-78 match_in_wdrs_keep_na: attach
+    `in_wdrs` / `in_keep_na` 1/0 flags — each is 1 when the row's SCA
+    is in that destination's SCA set OR its SA is in the SA set
+    (NA keys omitted from the sets, na.omit).
+
+    The reference pulls both destination columns into R vectors; here
+    each set distinct-reduces and BROADCASTS, so the probe side never
+    shuffles and the sets may exceed one node's R heap. Four broadcast
+    left joins -> two OR flags, all codegen."""
+    out = df
+    hits = {}
+    for flag, src in (("in_wdrs", wdrs), ("in_keep_na", keep_na)):
+        for i, col in enumerate((sca_col, sa_col)):
+            vals = (src.select(F.col(col).alias(f"__{flag}_{i}"))
+                       .where(F.col(col).isNotNull()).distinct())
+            out = out.join(F.broadcast(vals),
+                           out[col] == vals[f"__{flag}_{i}"], "left")
+        hits[flag] = (F.when(F.col(f"__{flag}_0").isNotNull()
+                             | F.col(f"__{flag}_1").isNotNull(), 1)
+                       .otherwise(0))
+    return out.withColumns(hits).drop(
+        "__in_wdrs_0", "__in_wdrs_1", "__in_keep_na_0", "__in_keep_na_1")
+
+
 def prematch_filters(df: DataFrame, *,
                      first: str = "FIRST_NAME", last: str = "LAST_NAME",
                      dob: str = "DOB",

@@ -3743,3 +3743,146 @@ def t7_era_fence(spark, sf_dir):
                           lag_days=7)
     return (e.withColumn("d", F.date_format(d, "yyyy-MM-dd")).filter(fence)
              .select("event_id", "user_id", "event_type", "d"))
+
+
+@register("pipe_elr_roster_vars", """
+WITH elr AS (
+  SELECT o_orderkey AS k,
+    CASE o_orderkey % 6
+      WHEN 0 THEN 'Aegis Sciences Corporation'
+      WHEN 1 THEN 'Helix Diagnositics'
+      WHEN 2 THEN 'Laboratory Corporation Of America (LabCorp)'
+      WHEN 3 THEN 'Quest San Juan Capistrano Laboratory'
+      WHEN 4 THEN 'University of Washington Medical Center Laboratory'
+      ELSE 'Fred Hutch Lab' END AS submitter,
+    CASE WHEN o_orderkey % 4 = 0 THEN '**SEQREA**SUSPECTED REINFECTION'
+         WHEN o_orderkey % 4 = 1 THEN 'routine clinical note' END AS note,
+    CASE WHEN o_custkey % 13 = 0 THEN NULL
+         ELSE CAST(o_orderdate AS DATE) END AS cdttm,
+    'SA-' || CAST(o_orderkey AS VARCHAR) AS sa
+  FROM orders)
+SELECT k, submitter,
+  CASE WHEN submitter = 'Aegis Sciences Corporation' THEN 'Aegis'
+       WHEN submitter = 'Helix Diagnositics' THEN 'Helix'
+       WHEN submitter = 'Laboratory Corporation Of America (LabCorp)'
+         THEN 'Labcorp'
+       WHEN submitter = 'Quest San Juan Capistrano Laboratory' THEN 'Quest'
+       WHEN upper(submitter) =
+            'UNIVERSITY OF WASHINGTON MEDICAL CENTER LABORATORY'
+         THEN 'UW Virology'
+       ELSE 'QA CHECK FAIL, CHECK SUBMITTER NAMES' END AS lab,
+  CASE WHEN note IS NOT NULL AND regexp_matches(upper(submitter),
+         'UW VIROLOGY|UNIVERSITY OF WASHINGTON')
+       THEN replace(note, '**SEQREA**', '')
+       ELSE 'SENTINEL SURVEILLANCE' END AS reason,
+  CASE WHEN regexp_matches(strftime(cdttm, '%m/%d/%Y'),
+                           '[0-9]{2}/[0-9]{2}/[0-9]{4}')
+       THEN strftime(cdttm, '%m/%d/%Y')
+       ELSE 'QA CHECK FAIL, CHECK FOR MISSING OR INCORRECTLY FORMATTED ' ||
+            'COLLECTION DATE' END AS cdate,
+  sa, 'GISAID' AS repository
+FROM elr
+WHERE submitter IN ('Aegis Sciences Corporation', 'Helix Diagnositics',
+  'Laboratory Corporation Of America (LabCorp)',
+  'Quest San Juan Capistrano Laboratory',
+  'University of Washington Medical Center Laboratory', 'Fred Hutch Lab')
+""")
+def pipe_elr_roster_vars(spark, sf_dir):
+    """§3.3/§2.10 ELR_common_roster_vars end-to-end (elr.Rmd:346-400):
+    validated-submitter gate, UW '**SEQREA**' reason extraction vs the
+    SENTINEL SURVEILLANCE default, exact-name lab map with the QA CHECK
+    FAIL sentinel (that P7's row scanner hard-stops on), m/d/Y
+    collection-date render with its own sentinel. One withColumns
+    bundle — the reference's UDTF-shaped function is pure codegen here
+    (pipelines.elr_common_roster_vars)."""
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    elr = o.select(
+        k.alias("k"),
+        F.when(k % 6 == 0, "Aegis Sciences Corporation")
+         .when(k % 6 == 1, "Helix Diagnositics")
+         .when(k % 6 == 2, "Laboratory Corporation Of America (LabCorp)")
+         .when(k % 6 == 3, "Quest San Juan Capistrano Laboratory")
+         .when(k % 6 == 4,
+               "University of Washington Medical Center Laboratory")
+         .otherwise("Fred Hutch Lab").alias("SUBMITTER"),
+        F.when(k % 4 == 0, "**SEQREA**SUSPECTED REINFECTION")
+         .when(k % 4 == 1, "routine clinical note")
+         .alias("TEST__REQUEST__NOTE"),
+        F.when(ck % 13 == 0, F.lit(None).cast("date"))
+         .otherwise(F.col("o_orderdate").cast("date"))
+         .alias("SPECIMEN__COLLECTION__DTTM"),
+        F.concat(F.lit("SA-"), k.cast("string")).alias("sa"))
+    out = P.elr_common_roster_vars(
+        elr, validated_submitters=[
+            "Aegis Sciences Corporation", "Helix Diagnositics",
+            "Laboratory Corporation Of America (LabCorp)",
+            "Quest San Juan Capistrano Laboratory",
+            "University of Washington Medical Center Laboratory",
+            "Fred Hutch Lab"])
+    return out.select(
+        "k", F.col("SUBMITTER").alias("submitter"),
+        F.col("SEQUENCE_LAB").alias("lab"),
+        F.col("SEQUENCE_REASON").alias("reason"),
+        F.col("SEQUENCE_SPECIMEN_COLLECTION_DATE").alias("cdate"),
+        "sa", F.col("SEQUENCE_REPOSITORY").alias("repository"))
+
+
+@register("qa_match_in_wdrs_keep_na", """
+WITH batch AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+         ELSE 'SCA-' || CAST(o_orderkey AS VARCHAR) END AS sca,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         ELSE 'SA-' || CAST(o_orderkey AS VARCHAR) END AS sa
+  FROM orders),
+wdrs AS (
+  SELECT 'SCA-' || CAST(o_orderkey AS VARCHAR) AS sca,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN 'SA-' || CAST(o_orderkey AS VARCHAR) END AS sa
+  FROM orders WHERE o_orderkey % 3 = 0),
+kn AS (
+  SELECT CASE WHEN o_orderkey % 4 = 0
+              THEN 'SCA-' || CAST(o_orderkey AS VARCHAR) END AS sca,
+         'SA-' || CAST(o_orderkey AS VARCHAR) AS sa
+  FROM orders WHERE o_orderkey % 5 = 0)
+SELECT k, sca, sa,
+  CASE WHEN sca IN (SELECT sca FROM wdrs WHERE sca IS NOT NULL)
+        OR sa IN (SELECT sa FROM wdrs WHERE sa IS NOT NULL)
+       THEN 1 ELSE 0 END AS in_wdrs,
+  CASE WHEN sca IN (SELECT sca FROM kn WHERE sca IS NOT NULL)
+        OR sa IN (SELECT sa FROM kn WHERE sa IS NOT NULL)
+       THEN 1 ELSE 0 END AS in_keep_na
+FROM batch
+""")
+def qa_match_in_wdrs_keep_na(spark, sf_dir):
+    """§2.10 match_in_wdrs_keep_na (pipeline_counts.qmd:60-78): the
+    two destination-membership flags (SCA-or-SA in WDRS / in keep_na),
+    NA keys omitted from the sets. The reference pulls both columns
+    into R vectors; here each distinct set broadcasts and the batch
+    never shuffles (qa.match_in_wdrs_keep_na)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    batch = o.select(
+        k.alias("k"),
+        F.when(k % 13 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("SCA-"), k.cast("string")))
+         .alias("SEQUENCE_CLINICAL_ACCESSION"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("SA-"), k.cast("string")))
+         .alias("SEQUENCE_ACCESSION"))
+    wdrs = o.filter(k % 3 == 0).select(
+        F.concat(F.lit("SCA-"), k.cast("string"))
+         .alias("SEQUENCE_CLINICAL_ACCESSION"),
+        F.when(k % 2 == 0, F.concat(F.lit("SA-"), k.cast("string")))
+         .alias("SEQUENCE_ACCESSION"))
+    kn = o.filter(k % 5 == 0).select(
+        F.when(k % 4 == 0, F.concat(F.lit("SCA-"), k.cast("string")))
+         .alias("SEQUENCE_CLINICAL_ACCESSION"),
+        F.concat(F.lit("SA-"), k.cast("string"))
+         .alias("SEQUENCE_ACCESSION"))
+    out = qa.match_in_wdrs_keep_na(batch, wdrs=wdrs, keep_na=kn)
+    return out.select("k",
+                      F.col("SEQUENCE_CLINICAL_ACCESSION").alias("sca"),
+                      F.col("SEQUENCE_ACCESSION").alias("sa"),
+                      "in_wdrs", "in_keep_na")

@@ -320,6 +320,69 @@ def elr_new_records(entire: DataFrame, flattened: DataFrame, *,
     return br1.unionByName(br2)
 
 
+#: ELR submitter -> roster lab name (elr.Rmd:368-377; 'Helix
+#: Diagnositics' is the spelling submitted via ELR, preserved).
+ELR_LAB_MAP = {
+    "Aegis Sciences Corporation": "Aegis",
+    "Helix Diagnositics": "Helix",
+    "Laboratory Corporation Of America (LabCorp)": "Labcorp",
+    "Quest San Juan Capistrano Laboratory": "Quest",
+}
+
+_UW_RE = "UW VIROLOGY|UNIVERSITY OF WASHINGTON"
+SUBMITTER_FAIL = "QA CHECK FAIL, CHECK SUBMITTER NAMES"
+CDATE_FAIL = ("QA CHECK FAIL, CHECK FOR MISSING OR INCORRECTLY FORMATTED "
+              "COLLECTION DATE")
+
+
+def elr_common_roster_vars(df: DataFrame, *,
+                           validated_submitters: Sequence[str]) -> DataFrame:
+    """ELR_common_roster_vars (elr.Rmd:346-400): the roster variables
+    populated identically across ELR submitters, as ONE withColumns
+    bundle (a UDTF-shaped table function in R; pure codegen here).
+
+    - validated-submitter gate (lab_vars$lab_names_elr)
+    - REASON: UW submissions carry it in TEST__REQUEST__NOTE behind a
+      '**SEQREA**' marker; everyone else is SENTINEL SURVEILLANCE
+    - LAB: exact-name map with the QA CHECK FAIL sentinel fallback the
+      P7 row scanner later hard-stops on
+    - COLLECTION_DATE: m/d/Y render, QA sentinel when missing/unparseable
+      (R's str_detect(NA) -> case_when TRUE branch == Spark NULL rlike
+      falling to otherwise)
+    """
+    sub = F.col("SUBMITTER")
+    uw = F.upper(sub).rlike(_UW_RE)
+    lab = None
+    for k, v in ELR_LAB_MAP.items():
+        w = F.when(sub == k, v)
+        lab = w if lab is None else lab.when(sub == k, v)
+    lab = lab.when(
+        F.upper(sub) == "UNIVERSITY OF WASHINGTON MEDICAL CENTER LABORATORY",
+        "UW Virology").otherwise(SUBMITTER_FAIL)
+    cd = F.date_format(F.col("SPECIMEN__COLLECTION__DTTM").cast("date"),
+                       "MM/dd/yyyy")
+    return (df.filter(sub.isin(list(validated_submitters)))
+              .withColumns({
+                  "SEQUENCE_SGTF": F.lit(""),
+                  "SEQUENCE_SPECIMEN": F.lit("YES"),
+                  "SEQUENCE_REASON": F.when(
+                      F.col("TEST__REQUEST__NOTE").isNotNull() & uw,
+                      F.regexp_replace("TEST__REQUEST__NOTE",
+                                       r"\*\*SEQREA\*\*", ""))
+                   .otherwise("SENTINEL SURVEILLANCE"),
+                  "SEQUENCE_DATE": F.lit(""),
+                  "SEQUENCE_LAB": lab,
+                  "SEQUENCE_REPOSITORY": F.lit("GISAID"),
+                  "SEQUENCE_SPECIMEN_COLLECTION_DATE": F.when(
+                      cd.rlike(r"[0-9]{2}/[0-9]{2}/[0-9]{4}"), cd)
+                   .otherwise(CDATE_FAIL),
+                  "SEQUENCE_REVIEWED": F.lit(""),
+                  "case_note": F.lit("External data question package "
+                                     "updated by COVID19 Sequencing "
+                                     "Roster."),
+              }))
+
+
 LINEAGE_FROM_RESULT = r"(?<=SARS-CoV-2 ).*(?= lineage)"
 LINEAGE_FROM_OTHER = r"(?<=Other; ).*"
 
