@@ -3466,6 +3466,7 @@ def _wdrs_seq_frame(spark, sf_dir):
     pr = F.col("o_orderpriority")
     st = F.col("o_orderstatus")
     return o.select(
+        (k % 2).alias("parity"),
         F.when(k % 97 == 0, F.concat(ck.cast("string"), F.lit(" ")))
          .otherwise(ck.cast("string")).alias("case_id"),
         F.when(k % 11 == 0, "No")
@@ -3522,9 +3523,27 @@ def _wdrs_seq_frame(spark, sf_dir):
     )
 
 
+def _wdrs_qa_checked(spark, sf_dir):
+    """Shared battery run for the pipe_wdrs_qa family (same vocab lists
+    and pinned as_of on both queries)."""
+    return qa.seq_qa_checks(
+        _wdrs_seq_frame(spark, sf_dir),
+        specimen="specimen", reason="reason", lab="lab",
+        lineage="lineage", status="status", accession="sa",
+        clinical_accession="sca", collection_date="collection_date",
+        case_id="case_id", notes="notes", epi_isl="epi_isl",
+        sequence_date="sequence_date",
+        accepted_lineages=["B.1.1.7", "XBB.1.5", "BA.2"],
+        lab_names=["PHL", "NW Genomics", "UW Virology", "Aegis"],
+        reasons=["SENTINEL SURVEILLANCE", "SUSPECTED REINFECTION",
+                 "OUTBREAK", "OTHER"],
+        as_of=F.lit("2024-03-01").cast("date"))
+
+
 _WDRS_SEQ_SQL = """
 seq AS (
   SELECT
+    o_orderkey % 2 AS parity,
     CASE WHEN o_orderkey % 97 = 0 THEN CAST(o_custkey AS VARCHAR) || ' '
          ELSE CAST(o_custkey AS VARCHAR) END AS case_id,
     CASE WHEN o_orderkey % 11 = 0 THEN 'No'
@@ -3698,18 +3717,7 @@ def pipe_wdrs_qa(spark, sf_dir):
     three dup tiers share a single exchange on hash(SA) (all window keys
     extend SA), the unite is a concat_ws — no driver loop over checks.
     as_of pinned to 2024-03-01 for determinism (R's today())."""
-    df = _wdrs_seq_frame(spark, sf_dir)
-    checked = qa.seq_qa_checks(
-        df, specimen="specimen", reason="reason", lab="lab",
-        lineage="lineage", status="status", accession="sa",
-        clinical_accession="sca", collection_date="collection_date",
-        case_id="case_id", notes="notes", epi_isl="epi_isl",
-        sequence_date="sequence_date",
-        accepted_lineages=["B.1.1.7", "XBB.1.5", "BA.2"],
-        lab_names=["PHL", "NW Genomics", "UW Virology", "Aegis"],
-        reasons=["SENTINEL SURVEILLANCE", "SUSPECTED REINFECTION",
-                 "OUTBREAK", "OTHER"],
-        as_of=F.lit("2024-03-01").cast("date"))
+    checked = _wdrs_qa_checked(spark, sf_dir)
     united = qa.unite_warnings(checked, warn_cols=qa.SEQ_QA_WARN_COLS)
     d = F.coalesce(F.col("collection_date"), F.col("create_date"))
     return united.select(
@@ -3886,3 +3894,83 @@ def qa_match_in_wdrs_keep_na(spark, sf_dir):
                       F.col("SEQUENCE_CLINICAL_ACCESSION").alias("sca"),
                       F.col("SEQUENCE_ACCESSION").alias("sa"),
                       "in_wdrs", "in_keep_na")
+
+
+# reuse pipe_wdrs_qa's full CTE chain (seq -> warned -> tier1..tier3)
+# for the summary oracle: everything before its final SELECT.
+_WDRS_QA_CTES = ORACLE["pipe_wdrs_qa"][
+    :ORACLE["pipe_wdrs_qa"].rindex("SELECT case_id, sa, sca,")].rstrip()
+
+_SUMMARY_WARN_LIST = """[reason_null_warn, reason_warn, var_status_warn,
+  sa_null_status_complete_warn, sa_null_variant_exists_warn,
+  variant_check_warn, lab_name_warn, date_warn, seq_lab_neg_warn,
+  sca_sa_null_warn, unexpected_char_warn, notes_warn,
+  missing_lineage_warn, sa_sca_var_dup_warn, sa_sca_dup_warn,
+  sa_dup_warn]"""
+
+_SUMMARY_YEARS = (2019, 2021, 2022, 2023, 2025)
+
+
+@register("pipe_wdrs_qa_summary", f"""
+{_WDRS_QA_CTES},
+melted AS (
+  SELECT parity,
+         year(COALESCE(collection_date, create_date)) AS yr,
+         replace(w, 'Warning: ', '') AS value
+  FROM tier3, unnest({_SUMMARY_WARN_LIST}) AS t(w)
+  WHERE w IS NOT NULL),
+cur AS (
+  SELECT value,
+    {', '.join(f"CAST(SUM(CASE WHEN yr = {y} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS y{y}" for y in _SUMMARY_YEARS)},
+    COUNT(*) AS total
+  FROM melted GROUP BY value),
+prev AS (
+  SELECT value, COUNT(*) AS prev_total
+  FROM melted WHERE parity = 0 GROUP BY value)
+SELECT COALESCE(c.value, p.value) AS value,
+  {', '.join(f"COALESCE(y{y}, 0) AS y{y}" for y in _SUMMARY_YEARS)},
+  COALESCE(total, 0) AS total,
+  COALESCE(total, 0) - COALESCE(prev_total, 0) AS change
+FROM cur c FULL JOIN prev p ON c.value = p.value
+""")
+def pipe_wdrs_qa_summary(spark, sf_dir):
+    """The weekly error-summary table downstream of the QA battery
+    (wdrs_qa_main.R:303-340): melt every `_warn` column (na.rm), count
+    per (warning, year), pivot years wide with zero fill, row Total,
+    'Warning: ' prefix stripped, then the week-over-week `Change`
+    column from a full join against the previous run's table (modeled
+    here as the even-orderkey half — a deterministic stand-in for the
+    'most recent summary_table csv' the reference globs).
+
+    Shape: one explode of a 16-element array (linear), one (value)
+    agg with conditional year sums — value cardinality is ~16, so the
+    pivot is a constant-width conditional aggregation, never a
+    data-dependent pivot; the prev side full-joins on the same ~16-row
+    key. Nothing here grows with corpus size except the melt scan."""
+    checked = _wdrs_qa_checked(spark, sf_dir)
+    yr = F.year(F.coalesce("collection_date", "create_date"))
+    melted = (checked
+              .select("parity", yr.alias("yr"),
+                      F.explode(F.array(
+                          *[F.col(c) for c in qa.SEQ_QA_WARN_COLS]))
+                       .alias("w"))
+              .filter(F.col("w").isNotNull())
+              .select("parity", "yr",
+                      F.replace(F.col("w"), F.lit("Warning: "), F.lit(""))
+                       .alias("value")))
+    cur = melted.groupBy("value").agg(
+        *[F.sum(F.when(F.col("yr") == y, 1).otherwise(0)).alias(f"y{y}")
+          for y in _SUMMARY_YEARS],
+        F.count(F.lit(1)).alias("total"))
+    prev = (melted.filter(F.col("parity") == 0)
+                  .groupBy(F.col("value").alias("pvalue"))
+                  .agg(F.count(F.lit(1)).alias("prev_total")))
+    j = cur.join(prev, cur.value == prev.pvalue, "full_outer")
+    return j.select(
+        F.coalesce("value", "pvalue").alias("value"),
+        *[F.coalesce(f"y{y}", F.lit(0)).alias(f"y{y}")
+          for y in _SUMMARY_YEARS],
+        F.coalesce("total", F.lit(0)).alias("total"),
+        (F.coalesce("total", F.lit(0)) - F.coalesce("prev_total", F.lit(0)))
+         .alias("change"))
