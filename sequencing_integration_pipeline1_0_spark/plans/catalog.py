@@ -3974,3 +3974,78 @@ def pipe_wdrs_qa_summary(spark, sf_dir):
         F.coalesce("total", F.lit(0)).alias("total"),
         (F.coalesce("total", F.lit(0)) - F.coalesce("prev_total", F.lit(0)))
          .alias("change"))
+
+
+@register("pipe_roster_missing_deleted", """
+WITH roster AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS case_id,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         ELSE 'SA-' || CAST(o_orderkey AS VARCHAR) END AS sa,
+    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+         ELSE 'SCA-' || CAST(o_orderkey AS VARCHAR) END AS sca,
+    o_orderpriority AS lab
+  FROM orders),
+flat AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS case_id,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         ELSE 'SA-' || CAST(o_orderkey AS VARCHAR) END AS sa,
+    'SCA-' || CAST(o_orderkey AS VARCHAR) AS sca,
+    CASE WHEN o_orderkey % 21 = 0 THEN 6 ELSE 1 END AS status
+  FROM orders WHERE o_orderkey % 3 = 0),
+ledger AS (
+  -- half the ledger rows differ in one column, so full-row NA-equal
+  -- matching (not case-id matching) is what the oracle certifies
+  SELECT case_id, sa, sca,
+         CASE WHEN CAST(case_id AS BIGINT) % 2 = 0 THEN 'STALE-LAB'
+              ELSE lab END AS lab
+  FROM roster WHERE CAST(case_id AS BIGINT) % 11 = 0),
+branch AS (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM roster WHERE sa IS NOT NULL
+      AND sa NOT IN (SELECT sa FROM flat WHERE sa IS NOT NULL)
+    UNION
+    SELECT * FROM roster WHERE sa IS NULL
+      AND (sca IS NULL
+           OR sca NOT IN (SELECT sca FROM flat WHERE sca IS NOT NULL)))),
+kept AS (
+  SELECT * FROM branch
+  WHERE case_id NOT IN (SELECT case_id FROM flat WHERE status = 6))
+SELECT k.case_id, k.sa, k.sca, k.lab FROM kept k
+WHERE NOT EXISTS (
+  SELECT 1 FROM ledger l
+  WHERE l.case_id IS NOT DISTINCT FROM k.case_id
+    AND l.sa IS NOT DISTINCT FROM k.sa
+    AND l.sca IS NOT DISTINCT FROM k.sca
+    AND l.lab IS NOT DISTINCT FROM k.lab)
+""")
+def pipe_roster_missing_deleted(spark, sf_dir):
+    """Roster-vs-WDRS missing/deleted detection end-to-end
+    (rosters_wdrs.Rmd:208-238): SA-branch anti + NULL-SA SCA-branch
+    anti (NULL SCA survives, matching R's `NA %in%` = FALSE), union +
+    dedup, manual-deletion (STATUS 6) exclusion, then the known-missing
+    ledger subtracted with NA-EQUAL full-row matching (dplyr anti_join
+    semantics -> eqNullSafe; plain equality would silently re-report
+    every NULL-bearing row). pipelines.roster_missing_deleted."""
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    roster = o.select(
+        ck.cast("string").alias("case_id"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("SA-"), k.cast("string"))).alias("sa"),
+        F.when(k % 13 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("SCA-"), k.cast("string"))).alias("sca"),
+        F.col("o_orderpriority").alias("lab"))
+    flat = o.filter(k % 3 == 0).select(
+        ck.cast("string").alias("case_id"),
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("SA-"), k.cast("string"))).alias("sa"),
+        F.concat(F.lit("SCA-"), k.cast("string")).alias("sca"),
+        F.when(k % 21 == 0, F.lit(6)).otherwise(F.lit(1)).alias("status"))
+    ledger = (roster.filter(F.col("case_id").cast("bigint") % 11 == 0)
+              .withColumn("lab", F.when(
+                  F.col("case_id").cast("bigint") % 2 == 0, "STALE-LAB")
+                  .otherwise(F.col("lab"))))
+    out = P.roster_missing_deleted(
+        roster, flat, ledger, sa_col="sa", sca_col="sca",
+        case_col="case_id", flat_status_col="status")
+    return out.select("case_id", "sa", "sca", "lab")

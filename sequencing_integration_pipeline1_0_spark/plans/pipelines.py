@@ -481,6 +481,62 @@ def roster_compile(rosters: DataFrame, *, gisaid: DataFrame | None = None,
     return out
 
 
+def roster_missing_deleted(roster: DataFrame, wdrs_flat: DataFrame,
+                           known_missing: DataFrame, *,
+                           sa_col: str = "SEQUENCE_ACCESSION",
+                           sca_col: str = "SEQUENCE_CLINICAL_ACCESSION",
+                           case_col: str = "CASE_ID",
+                           flat_sa_col: str | None = None,
+                           flat_sca_col: str | None = None,
+                           flat_case_col: str | None = None,
+                           flat_status_col: str = "STATUS") -> DataFrame:
+    """Roster-vs-WDRS missing/deleted detection (rosters_wdrs.Rmd:
+    208-238): every rostered record that no longer appears in the
+    destination, minus manual deletions and the already-known ledger.
+
+    Branches exactly like the reference: rows WITH an SA anti-match on
+    SA; rows WITHOUT anti-match on SCA (R's `NA %in% set` is FALSE, so
+    a NULL SCA row survives the anti — preserved here because an
+    anti-join never matches NULL keys); union + dedup; drop cases
+    manually deleted (STATUS == 6); finally subtract the known-missing
+    ledger with NA-EQUAL row matching (dplyr anti_join treats NA as
+    equal — eqNullSafe on every column, NOT plain equality).
+
+    Scale shape: the destination key sets and deleted-case set
+    distinct-reduce then broadcast; the ledger anti-join is the only
+    full-row compare and the ledger is output-sized. The roster side
+    never shuffles."""
+    fsa = flat_sa_col or sa_col
+    fsca = flat_sca_col or sca_col
+    fcase = flat_case_col or case_col
+    sa_set = (wdrs_flat.select(F.col(fsa).alias("__k"))
+                       .where(F.col("__k").isNotNull()).distinct())
+    sca_set = (wdrs_flat.select(F.col(fsca).alias("__k"))
+                        .where(F.col("__k").isNotNull()).distinct())
+    with_sa = (roster.filter(F.col(sa_col).isNotNull())
+               .join(F.broadcast(sa_set),
+                     F.col(sa_col) == F.col("__k"), "left_anti"))
+    without_sa = (roster.filter(F.col(sa_col).isNull())
+                  .join(F.broadcast(sca_set),
+                        F.col(sca_col) == F.col("__k"), "left_anti"))
+    missing = with_sa.unionByName(without_sa).distinct()
+    deleted = (wdrs_flat.filter(F.col(flat_status_col) == 6)
+                        .select(F.col(fcase).alias("__dc")).distinct())
+    missing = missing.join(F.broadcast(deleted),
+                           F.col(case_col) == F.col("__dc"), "left_anti")
+    # alias both sides: the ledger usually DERIVES from the roster, so
+    # unaliased column refs resolve to the same attribute and the
+    # condition silently degenerates to `true` (Spark warns
+    # "trivially true equals predicate")
+    cols = list(missing.columns)
+    m, l = missing.alias("__m"), known_missing.alias("__l")
+    cond = None
+    for c in cols:
+        e = F.col(f"__m.{c}").eqNullSafe(F.col(f"__l.{c}"))
+        cond = e if cond is None else cond & e
+    return m.join(l, cond, "left_anti")
+
+
 def gap_membership(corpus: DataFrame, member_keys: DataFrame, *,
                    key_col: str, alt_col: str | None = None) -> DataFrame:
     """Two-pass case-insensitive anti-membership (gap_data.Rmd:180-196):
