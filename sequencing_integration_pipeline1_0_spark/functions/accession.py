@@ -79,3 +79,84 @@ def split_gisaid_id(col: Column | str) -> dict[str, Column]:
         "acc_no_punct": F.regexp_replace(no_prefix, r"[^A-Za-z0-9]", ""),
         "acc_digit_runs": F.regexp_extract_all(no_prefix, F.lit(r"([0-9]+)"), 1),
     }
+
+
+# --- ELR per-submitter SA/SCA synthesis (elr.Rmd:190-282) ---------------
+
+SCA_FAIL = "QA CHECK FAIL, CHECK SEQUENCE_CLINICAL_ACCESSION VALUES"
+
+_UW_SUBMITTER_RE = "UW VIROLOGY|UNIVERSITY OF WASHINGTON"
+
+
+def elr_synthesize_sa(submitter: Column, filler: Column,
+                      patient_value: Column, cdttm: Column) -> Column:
+    """SEQUENCE_ACCESSION synthesis per ELR submitter — the reference's
+    65-line case_when (elr.Rmd:190-255) as one `when` chain, branch
+    order preserved:
+
+      - Aegis: FILLER with a 2022-05-01 prefix cutover
+        (USA/WA-CDC-ASC before, USA/WA-ASC- after)
+      - Helix: PATIENT value; the two-dash form strips the suffix
+        (greedy between FIRST and LAST dash — capture-group port of
+        R's (?<=-).*(?=-), no lookbehind needed); the one-dash form
+        must carry >= 9 chars after the dash and passes whole
+      - LabCorp: PATIENT value gated to exactly 9 chars (longer values
+        are error-message text, not ids)
+      - Quest: FILLER with the QDX prefix
+      - UW: USA/<PATIENT value>/<year>; the reference does NOT null-
+        guard PATIENT here, and R's paste0(NA) renders the string
+        'NA' — that quirk is PRESERVED (coalesce to literal 'NA') so
+        outputs match the reference byte-for-byte; the downstream QA
+        battery is what flags these rows, same as production
+
+    Unmatched submitters -> NULL (R case_when default)."""
+    yr = F.year(cdttm).cast("string")
+    two_dash = patient_value.rlike("-.*-")
+    nine_after = patient_value.rlike("-.{9}")
+    return (
+        F.when(submitter.contains("Aegis") & filler.isNotNull()
+               & cdttm.isNotNull()
+               & (cdttm < F.lit("2022-05-01").cast("date")),
+               F.concat(F.lit("USA/WA-CDC-ASC"), filler, F.lit("/"), yr))
+         .when(submitter.contains("Aegis") & filler.isNotNull()
+               & cdttm.isNotNull()
+               & (cdttm >= F.lit("2022-05-01").cast("date")),
+               F.concat(F.lit("USA/WA-ASC-"), filler, F.lit("/"), yr))
+         .when(submitter.contains("Helix") & patient_value.isNotNull()
+               & cdttm.isNotNull() & two_dash,
+               F.concat(F.lit("USA/WA-CDC-STM-"),
+                        F.regexp_extract(patient_value, "-(.*)-", 1),
+                        F.lit("/"), yr))
+         .when(submitter.contains("Helix") & patient_value.isNotNull()
+               & cdttm.isNotNull() & nine_after,
+               F.concat(F.lit("USA/WA-CDC-"), patient_value,
+                        F.lit("/"), yr))
+         .when(submitter.contains("LabCorp") & patient_value.isNotNull()
+               & (F.length(patient_value) == 9) & cdttm.isNotNull(),
+               F.concat(F.lit("USA/WA-CDC-"), patient_value,
+                        F.lit("/"), yr))
+         .when(submitter.contains("Quest") & filler.isNotNull()
+               & cdttm.isNotNull(),
+               F.concat(F.lit("USA/WA-CDC-QDX"), filler, F.lit("/"), yr))
+         .when(F.upper(submitter).rlike(_UW_SUBMITTER_RE)
+               & cdttm.isNotNull(),
+               F.concat(F.lit("USA/"),
+                        F.coalesce(patient_value, F.lit("NA")),
+                        F.lit("/"), yr)))
+
+
+def elr_synthesize_sca(submitter: Column, filler: Column) -> Column:
+    """SEQUENCE_CLINICAL_ACCESSION per ELR submitter (elr.Rmd:258-282):
+    Aegis/Quest submit no SCA (empty STRING, not NULL — the roster
+    contract wants blanks); Helix/UW pass FILLER through when present;
+    LabCorp only when FILLER carries an 11-digit run; everything else
+    gets the QA sentinel the P7 row scanner stops on."""
+    return (
+        F.when(submitter.contains("Aegis"), F.lit(""))
+         .when(submitter.contains("Helix") & filler.isNotNull(), filler)
+         .when(submitter.contains("LabCorp")
+               & filler.rlike("[0-9]{11}"), filler)
+         .when(submitter.contains("Quest"), F.lit(""))
+         .when(F.upper(submitter).rlike(_UW_SUBMITTER_RE)
+               & filler.isNotNull(), filler)
+         .otherwise(F.lit(SCA_FAIL)))

@@ -4049,3 +4049,125 @@ def pipe_roster_missing_deleted(spark, sf_dir):
         roster, flat, ledger, sa_col="sa", sca_col="sca",
         case_col="case_id", flat_status_col="status")
     return out.select("case_id", "sa", "sca", "lab")
+
+
+@register("pipe_elr_accessions", """
+WITH elr AS (
+  SELECT o_orderkey AS k,
+    CASE o_orderkey % 6
+      WHEN 0 THEN 'Aegis Sciences Corporation'
+      WHEN 1 THEN 'Helix Diagnositics'
+      WHEN 2 THEN 'Laboratory Corporation Of America (LabCorp)'
+      WHEN 3 THEN 'Quest San Juan Capistrano Laboratory'
+      WHEN 4 THEN 'University of Washington Medical Center Laboratory'
+      ELSE 'Fred Hutch Lab' END AS submitter,
+    CASE WHEN o_orderkey % 9 = 0 THEN NULL
+         WHEN o_orderkey % 6 = 2 AND o_orderkey % 2 = 0
+           THEN lpad(CAST(o_orderkey AS VARCHAR), 11, '0')
+         ELSE CAST(o_orderkey AS VARCHAR) END AS filler,
+    CASE WHEN o_orderkey % 6 = 1 THEN
+           CASE WHEN o_orderkey % 2 = 0
+                  THEN 'STM-H' || CAST(o_orderkey AS VARCHAR) || '-V2'
+                WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE 'STM-' || lpad(CAST(o_orderkey AS VARCHAR), 9, '9')
+           END
+         WHEN o_orderkey % 6 = 2 THEN
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                WHEN o_orderkey % 4 = 1 THEN 'TEST NOT PERFORMED'
+                ELSE 'LC' || lpad(CAST(o_orderkey % 10000000 AS VARCHAR),
+                                  7, '0') END
+         WHEN o_orderkey % 6 = 4 THEN
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE 'UW-' || CAST(o_orderkey AS VARCHAR) END
+         END AS pv,
+    CASE WHEN o_custkey % 19 = 0 THEN NULL
+         ELSE DATE '2021-06-01' + CAST(o_orderkey % 600 AS INTEGER) END
+      AS cdttm
+  FROM orders)
+SELECT k, submitter,
+  CASE
+    WHEN contains(submitter, 'Aegis') AND filler IS NOT NULL
+         AND cdttm IS NOT NULL AND cdttm < DATE '2022-05-01'
+      THEN 'USA/WA-CDC-ASC' || filler || '/' || CAST(year(cdttm) AS VARCHAR)
+    WHEN contains(submitter, 'Aegis') AND filler IS NOT NULL
+         AND cdttm IS NOT NULL AND cdttm >= DATE '2022-05-01'
+      THEN 'USA/WA-ASC-' || filler || '/' || CAST(year(cdttm) AS VARCHAR)
+    WHEN contains(submitter, 'Helix') AND pv IS NOT NULL
+         AND cdttm IS NOT NULL AND regexp_matches(pv, '-.*-')
+      THEN 'USA/WA-CDC-STM-' || regexp_extract(pv, '-(.*)-', 1)
+           || '/' || CAST(year(cdttm) AS VARCHAR)
+    WHEN contains(submitter, 'Helix') AND pv IS NOT NULL
+         AND cdttm IS NOT NULL AND regexp_matches(pv, '-.{9}')
+      THEN 'USA/WA-CDC-' || pv || '/' || CAST(year(cdttm) AS VARCHAR)
+    WHEN contains(submitter, 'LabCorp') AND pv IS NOT NULL
+         AND length(pv) = 9 AND cdttm IS NOT NULL
+      THEN 'USA/WA-CDC-' || pv || '/' || CAST(year(cdttm) AS VARCHAR)
+    WHEN contains(submitter, 'Quest') AND filler IS NOT NULL
+         AND cdttm IS NOT NULL
+      THEN 'USA/WA-CDC-QDX' || filler || '/' || CAST(year(cdttm) AS VARCHAR)
+    WHEN regexp_matches(upper(submitter),
+                        'UW VIROLOGY|UNIVERSITY OF WASHINGTON')
+         AND cdttm IS NOT NULL
+      THEN 'USA/' || COALESCE(pv, 'NA') || '/'
+           || CAST(year(cdttm) AS VARCHAR)
+  END AS sa,
+  CASE
+    WHEN contains(submitter, 'Aegis') THEN ''
+    WHEN contains(submitter, 'Helix') AND filler IS NOT NULL THEN filler
+    WHEN contains(submitter, 'LabCorp')
+         AND regexp_matches(filler, '[0-9]{11}') THEN filler
+    WHEN contains(submitter, 'Quest') THEN ''
+    WHEN regexp_matches(upper(submitter),
+                        'UW VIROLOGY|UNIVERSITY OF WASHINGTON')
+         AND filler IS NOT NULL THEN filler
+    ELSE 'QA CHECK FAIL, CHECK SEQUENCE_CLINICAL_ACCESSION VALUES'
+  END AS sca
+FROM elr
+""")
+def pipe_elr_accessions(spark, sf_dir):
+    """§3.3 step 2: per-submitter SA/SCA synthesis — the reference's
+    65-line case_when (elr.Rmd:190-282) as two `when` chains
+    (acc.elr_synthesize_sa / elr_synthesize_sca), every branch
+    exercised: Aegis date cutover, Helix two-dash suffix strip vs
+    one-dash passthrough, LabCorp 9-char gate + 11-digit SCA run,
+    Quest QDX, UW passthrough incl. R's paste0(NA)->'NA' quirk
+    (preserved and oracle-checked), SCA blanks vs QA sentinel."""
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    ks = k.cast("string")
+    elr = o.select(
+        k.alias("k"),
+        F.when(k % 6 == 0, "Aegis Sciences Corporation")
+         .when(k % 6 == 1, "Helix Diagnositics")
+         .when(k % 6 == 2, "Laboratory Corporation Of America (LabCorp)")
+         .when(k % 6 == 3, "Quest San Juan Capistrano Laboratory")
+         .when(k % 6 == 4,
+               "University of Washington Medical Center Laboratory")
+         .otherwise("Fred Hutch Lab").alias("submitter"),
+        F.when(k % 9 == 0, F.lit(None).cast("string"))
+         .when((k % 6 == 2) & (k % 2 == 0), F.lpad(ks, 11, "0"))
+         .otherwise(ks).alias("filler"),
+        F.when(k % 6 == 1,
+               F.when(k % 2 == 0,
+                      F.concat(F.lit("STM-H"), ks, F.lit("-V2")))
+                .when(k % 5 == 0, F.lit(None).cast("string"))
+                .otherwise(F.concat(F.lit("STM-"), F.lpad(ks, 9, "9"))))
+         .when(k % 6 == 2,
+               F.when(k % 3 == 0, F.lit(None).cast("string"))
+                .when(k % 4 == 1, F.lit("TEST NOT PERFORMED"))
+                .otherwise(F.concat(
+                    F.lit("LC"),
+                    F.lpad((k % 10000000).cast("string"), 7, "0"))))
+         .when(k % 6 == 4,
+               F.when(k % 5 == 0, F.lit(None).cast("string"))
+                .otherwise(F.concat(F.lit("UW-"), ks)))
+         .alias("pv"),
+        F.when(ck % 19 == 0, F.lit(None).cast("date"))
+         .otherwise(F.date_add(F.lit("2021-06-01").cast("date"),
+                               (k % 600).cast("int"))).alias("cdttm"))
+    return elr.select(
+        "k", "submitter",
+        acc.elr_synthesize_sa(F.col("submitter"), F.col("filler"),
+                              F.col("pv"), F.col("cdttm")).alias("sa"),
+        acc.elr_synthesize_sca(F.col("submitter"),
+                               F.col("filler")).alias("sca"))
