@@ -4171,3 +4171,326 @@ def pipe_elr_accessions(spark, sf_dir):
                               F.col("pv"), F.col("cdttm")).alias("sa"),
         acc.elr_synthesize_sca(F.col("submitter"),
                                F.col("filler")).alias("sca"))
+
+
+@register("pipe_date_mismatch_triage", """
+WITH fz AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 23 = 0 THEN NULL
+         ELSE 'USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021' END
+      AS sa,
+    CASE o_orderkey % 4 WHEN 0 THEN 'FAILED' WHEN 1 THEN 'LOW QUALITY'
+         WHEN 2 THEN 'COMPLETE' ELSE 'PENDING' END AS status,
+    CASE WHEN o_orderkey % 17 = 0 THEN 1 END AS qa_multi,
+    CASE WHEN o_orderkey % 3 = 0 THEN 1 END AS qa_collect,
+    DATE '2021-01-01' + CAST(o_orderkey % 400 AS INTEGER) AS cdate
+  FROM orders),
+flat_raw AS (
+  SELECT
+    CASE WHEN o_orderkey % 10 = 0
+         THEN 'USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) ||
+              '/2021, USA/WA-CDC-' || CAST(o_orderkey + 1 AS VARCHAR) ||
+              '/2021'
+         ELSE 'USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021' END
+      AS sa_packed,
+    DATE '2021-01-01' + CAST(CASE WHEN o_orderkey % 2 = 0
+         THEN o_orderkey % 400
+         ELSE (o_orderkey + 7) % 400 END AS INTEGER) AS fdate
+  FROM orders WHERE o_orderkey % 5 = 0),
+flat AS (
+  SELECT trim(u.s) AS sa, fdate
+  FROM flat_raw, unnest(regexp_split_to_array(sa_packed, ',\\s*')) AS u(s)),
+dm AS (SELECT * FROM fz WHERE qa_collect = 1 AND qa_multi IS NULL),
+matched AS (
+  SELECT d.k, d.sa, d.status FROM dm d
+  JOIN flat f ON d.sa = f.sa AND d.cdate = f.fdate),
+no_match AS (
+  SELECT d.k, d.sa, d.status FROM dm d
+  WHERE d.sa IS NULL OR d.sa NOT IN (SELECT sa FROM flat)),
+to_delete AS (
+  SELECT * FROM matched
+  UNION ALL
+  SELECT k, sa, status FROM dm
+  WHERE status = 'FAILED' OR status = 'LOW QUALITY')
+SELECT 'duplicates' AS disposition, k, sa, status FROM fz
+WHERE qa_multi IS NOT NULL
+UNION ALL
+SELECT 'other', k, sa, status FROM fz
+WHERE qa_multi IS NULL AND qa_collect IS NULL
+UNION ALL
+SELECT 'no_match', k, sa, status FROM no_match
+UNION ALL
+SELECT 'delete', k, sa, status FROM to_delete
+""")
+def pipe_date_mismatch_triage(spark, sf_dir):
+    """The fuzzy collection-date mismatch protocol end-to-end
+    (Review_Collection_Date_Mismatch.Rmd): triage the flagged fuzzy
+    output into duplicates (QA_MULTIPLE_MATCH set) / other (no flags),
+    then split the date-mismatch slice against the destination —
+    comma-PACKED destination accessions co-exploded + trimmed
+    (packed.explode_packed, the separate_rows port), inner join on
+    (SA, date) -> already-in-WDRS deletions, SA anti-join -> no-match
+    review, FAILED/LOW QUALITY rows appended to the delete list
+    (UNION ALL, preserving the reference's double-listing of rows that
+    are both matched and failed). Destination sets broadcast; the one
+    fan-out join rides the SA key."""
+    from ..operators import packed
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    fz = o.select(
+        k.alias("k"),
+        F.when(k % 23 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("USA/WA-CDC-"), ks, F.lit("/2021")))
+         .alias("sa"),
+        F.when(k % 4 == 0, "FAILED").when(k % 4 == 1, "LOW QUALITY")
+         .when(k % 4 == 2, "COMPLETE").otherwise("PENDING").alias("status"),
+        F.when(k % 17 == 0, F.lit(1)).alias("qa_multi"),
+        F.when(k % 3 == 0, F.lit(1)).alias("qa_collect"),
+        F.date_add(F.lit("2021-01-01").cast("date"),
+                   (k % 400).cast("int")).alias("cdate"))
+    flat_raw = o.filter(k % 5 == 0).select(
+        F.when(k % 10 == 0,
+               F.concat(F.lit("USA/WA-CDC-"), ks,
+                        F.lit("/2021, USA/WA-CDC-"),
+                        (k + 1).cast("string"), F.lit("/2021")))
+         .otherwise(F.concat(F.lit("USA/WA-CDC-"), ks, F.lit("/2021")))
+         .alias("sa_packed"),
+        F.date_add(F.lit("2021-01-01").cast("date"),
+                   F.when(k % 2 == 0, k % 400)
+                    .otherwise((k + 7) % 400).cast("int")).alias("fdate"))
+    flat = (packed.explode_packed(flat_raw, "sa_packed")
+            .select(F.col("sa_packed").alias("f_sa"), "fdate"))
+    dm = fz.filter((F.col("qa_collect") == 1) & F.col("qa_multi").isNull())
+    matched = (dm.join(flat, (dm.sa == flat.f_sa)
+                       & (dm.cdate == flat.fdate), "inner")
+                 .select("k", "sa", "status"))
+    no_match = (dm.join(F.broadcast(flat.select("f_sa").distinct()),
+                        dm.sa == F.col("f_sa"), "left_anti")
+                  .select("k", "sa", "status"))
+    to_delete = matched.unionByName(
+        dm.filter(F.col("status").isin("FAILED", "LOW QUALITY"))
+          .select("k", "sa", "status"))
+    tag = lambda df, t: df.select(F.lit(t).alias("disposition"),
+                                  "k", "sa", "status")
+    return (tag(fz.filter(F.col("qa_multi").isNotNull()), "duplicates")
+            .unionByName(tag(fz.filter(F.col("qa_multi").isNull()
+                                       & F.col("qa_collect").isNull()),
+                             "other"))
+            .unionByName(tag(no_match, "no_match"))
+            .unionByName(tag(to_delete, "delete")))
+
+
+_LAB_MON_FOLDERS = [
+    "Aegis", "Altius", "Atlas_Genomics", "Boise_VA", "Fulgent_Genetics",
+    "Gravity_Diagnostics", "Lauring_Lab", "NW_Genomics", "Helix",
+    "Kaiser", "UW_Virology", "PHL",
+]
+
+#: folder-token -> lab display name, REFERENCE ORDER (the crosswalk
+#: subfolder must hit before NW_Genomics; lab_submissions_monitoring.Rmd)
+_LAB_MON_MAP = [
+    ("NW_Genomics/Altius_Crosswalk", ""),
+    ("Aegis", "Aegis"), ("Altius", "Altius"),
+    ("Atlas_Genomics", "Atlas Genomics"), ("Boise_VA", "Boise VA"),
+    ("Fulgent_Genetics", "Fulgent Genetics"),
+    ("Gravity_Diagnostics", "Gravity Diagnostics"),
+    ("Lauring_Lab", "Lauring Lab"), ("NW_Genomics", "NW Genomics"),
+    ("Helix", "Helix"), ("Kaiser", "Kaiser"),
+    ("UW_Virology", "UW Virology"), ("PHL", "PHL"),
+]
+
+_LAB_MON_EXCLUDE = ["", "Atlas Genomics", "Helix", "PHL"]
+
+
+@register("pipe_lab_monitoring", f"""
+WITH listing AS (
+  SELECT '/subs/' ||
+         CASE o_orderkey % 12
+           {' '.join(f"WHEN {i} THEN '{f}'"
+                     for i, f in enumerate(_LAB_MON_FOLDERS[:-1]))}
+           ELSE '{_LAB_MON_FOLDERS[-1]}' END ||
+         CASE WHEN o_orderkey % 24 = 7 THEN '/Altius_Crosswalk' ELSE '' END
+         || '/batch' || CAST(o_orderkey % 5 AS VARCHAR) AS folders,
+         DATE '2024-02-01' + CAST(o_orderkey % 28 AS INTEGER) AS mtime
+  FROM orders),
+labeled AS (
+  SELECT folders, mtime,
+    CASE {' '.join(f"WHEN contains(folders, '{tok}') THEN '{lab}'"
+                   for tok, lab in _LAB_MON_MAP)}
+         ELSE '' END AS lab
+  FROM listing),
+latest AS (
+  SELECT lab, folders, max(mtime) AS last_mtime
+  FROM labeled
+  WHERE lab NOT IN ({', '.join(f"'{x}'" for x in _LAB_MON_EXCLUDE)})
+  GROUP BY lab, folders),
+diffs AS (
+  SELECT lab, datediff('day', last_mtime, DATE '2024-03-01') AS datediff
+  FROM latest)
+SELECT DISTINCT lab, CAST(min(datediff) OVER (PARTITION BY lab) AS BIGINT)
+       AS days_since_last
+FROM diffs
+""")
+def pipe_lab_monitoring(spark, sf_dir):
+    """Weekly lab-submission staleness monitor
+    (lab_submissions_monitoring.Rmd): latest file per folder (the S7
+    latest-per-dir move as a groupBy-max), lab extracted from the
+    folder PATH via the reference's ordered contains-map (the
+    Altius crosswalk subfolder must blank out before NW_Genomics
+    claims it), exclusion list, then per-lab minimum days-since-last-
+    file — the table the Tuesday email embeds. as_of pinned
+    2024-03-01. Pure two-level agg; the path map is a codegen when
+    chain, no regex scan of a file system at query time."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    folder = None
+    for i, f in enumerate(_LAB_MON_FOLDERS[:-1]):
+        w = F.when(k % 12 == i, f)
+        folder = w if folder is None else folder.when(k % 12 == i, f)
+    folder = folder.otherwise(_LAB_MON_FOLDERS[-1])
+    listing = o.select(
+        F.concat(F.lit("/subs/"), folder,
+                 F.when(k % 24 == 7, "/Altius_Crosswalk").otherwise(""),
+                 F.lit("/batch"), (k % 5).cast("string")).alias("folders"),
+        F.date_add(F.lit("2024-02-01").cast("date"),
+                   (k % 28).cast("int")).alias("mtime"))
+    lab = None
+    for tok, name in _LAB_MON_MAP:
+        w = F.when(F.col("folders").contains(tok), name)
+        lab = w if lab is None else lab.when(F.col("folders").contains(tok),
+                                             name)
+    lab = lab.otherwise("")
+    labeled = listing.withColumn("lab", lab)
+    latest = (labeled.filter(~F.col("lab").isin(_LAB_MON_EXCLUDE))
+              .groupBy("lab", "folders")
+              .agg(F.max("mtime").alias("last_mtime")))
+    diffs = latest.select(
+        "lab", F.datediff(F.lit("2024-03-01").cast("date"),
+                          F.col("last_mtime")).alias("dd"))
+    return (diffs.groupBy("lab")
+                 .agg(F.min("dd").cast("long").alias("days_since_last"))
+                 .select("lab", "days_since_last"))
+
+
+@register("pipe_missing_lineage_recovery", """
+WITH queue AS (
+  SELECT DISTINCT CAST(o_custkey % 500 AS VARCHAR) AS case_id,
+    CASE WHEN o_orderkey % 23 = 0 THEN NULL
+         ELSE 'USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021' END
+      AS sa,
+    CAST(o_orderkey AS VARCHAR) AS sca,
+    'Complete' AS status
+  FROM orders),
+flat AS (
+  SELECT 'USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021' AS sa
+  FROM orders WHERE o_orderkey % 4 = 0),
+ent AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS sca,
+         CAST(o_custkey % 500 AS VARCHAR) AS ent_case_id
+  FROM orders WHERE o_orderkey % 2 = 0),
+gisaid AS (
+  SELECT 'USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021'
+           AS virus_name,
+         CASE WHEN o_orderkey % 9 = 0 THEN 'None' ELSE 'B.1.1.7' END
+           AS lineage
+  FROM orders WHERE o_orderkey % 3 = 0),
+cdc AS (
+  SELECT CASE WHEN o_orderkey % 14 = 0
+           THEN 'USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021'
+           ELSE 'hCoV-19/USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR)
+                || '/2021' END AS gisaid_name,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'None' ELSE 'BA.2' END
+           AS pango
+  FROM orders WHERE o_orderkey % 7 = 0),
+deduped AS (
+  SELECT q.* FROM queue q
+  WHERE q.sa IS NULL OR q.sa NOT IN (SELECT sa FROM flat)),
+matchfinal AS (
+  SELECT d.case_id, d.sa, d.sca, d.status FROM deduped d
+  JOIN ent e ON d.sca = e.sca
+  QUALIFY row_number() OVER (PARTITION BY d.case_id, d.sca
+                             ORDER BY d.sa) = 1),
+cdc_only AS (
+  SELECT NULLIF(regexp_extract(gisaid_name, 'hCoV-19/(.*$)', 1), '')
+           AS sa, pango
+  FROM cdc
+  WHERE gisaid_name NOT IN (SELECT virus_name FROM gisaid))
+SELECT 'gisaid' AS src, m.case_id, m.sa, m.sca,
+  CASE WHEN g.lineage = 'None' THEN 'LOW QUALITY' ELSE m.status END
+    AS status,
+  g.lineage AS variant,
+  'Lineage identified as ' || g.lineage ||
+  ' on 2024-03-01. Lineage assignments may change over time.' AS notes
+FROM matchfinal m JOIN gisaid g ON m.sa = g.virus_name
+UNION ALL
+SELECT 'cdc', m.case_id, m.sa, m.sca,
+  CASE WHEN c.pango = 'None' THEN 'LOW QUALITY' ELSE m.status END,
+  c.pango,
+  'Lineage identified as ' || c.pango ||
+  ' on 2024-03-01. Lineage assignments may change over time.'
+FROM matchfinal m JOIN cdc_only c ON m.sa = c.sa
+""")
+def pipe_missing_lineage_recovery(spark, sf_dir):
+    """Missing-lineage recovery protocol end-to-end (Review Missing
+    Lineages.Rmd): dedupe the For_Review queue, subtract records whose
+    SA already reached the destination (NULL SAs survive, R NA-
+    membership), match to the ENTIRE table on SCA with deterministic
+    first-wins per (case, SCA) (the reference's order-dependent
+    distinct(.keep_all) pinned to an explicit sort), then recover the
+    lineage twice: from GISAID (left join on SA) and from the CDC
+    cumulative file RESTRICTED to records GISAID lacks (anti first,
+    hCoV-19/ prefix stripped to an SA); Lineage 'None' downgrades
+    status to LOW QUALITY and the notes template stamps the pinned
+    as_of. Destination/lineage sides broadcast; the queue shuffles
+    once on SCA."""
+    o = _t(spark, sf_dir, "orders")
+    k, ck = F.col("o_orderkey"), F.col("o_custkey")
+    ks = k.cast("string")
+    sa_full = F.concat(F.lit("USA/WA-CDC-"), ks, F.lit("/2021"))
+    queue = o.select(
+        (ck % 500).cast("string").alias("case_id"),
+        F.when(k % 23 == 0, F.lit(None).cast("string"))
+         .otherwise(sa_full).alias("sa"),
+        ks.alias("sca"), F.lit("Complete").alias("status")).distinct()
+    flat = o.filter(k % 4 == 0).select(sa_full.alias("f_sa"))
+    ent = o.filter(k % 2 == 0).select(
+        ks.alias("e_sca"), (ck % 500).cast("string").alias("ent_case_id"))
+    gisaid = o.filter(k % 3 == 0).select(
+        sa_full.alias("virus_name"),
+        F.when(k % 9 == 0, "None").otherwise("B.1.1.7").alias("lineage"))
+    cdc = o.filter(k % 7 == 0).select(
+        F.when(k % 14 == 0, sa_full)
+         .otherwise(F.concat(F.lit("hCoV-19/"), sa_full))
+         .alias("gisaid_name"),
+        F.when(k % 11 == 0, "None").otherwise("BA.2").alias("pango"))
+
+    deduped = queue.join(F.broadcast(flat),
+                         queue.sa == F.col("f_sa"), "left_anti")
+    matched = deduped.join(ent, deduped.sca == ent.e_sca, "inner")
+    matchfinal = dedup.dedup_first(
+        matched, ["case_id", "sca"], [F.col("sa").asc()]) \
+        .select("case_id", "sa", "sca", "status")
+    cdc_only = (cdc.join(F.broadcast(gisaid.select("virus_name")),
+                         cdc.gisaid_name == F.col("virus_name"),
+                         "left_anti")
+                .select(F.nullif(F.regexp_extract("gisaid_name",
+                                                  "hCoV-19/(.*$)", 1),
+                                 F.lit("")).alias("c_sa"), "pango"))
+    as_of_note = (" on 2024-03-01. Lineage assignments may change "
+                  "over time.")
+
+    def recovered(src, lineage_df, key, lin_col):
+        j = matchfinal.join(F.broadcast(lineage_df),
+                            matchfinal.sa == F.col(key), "inner")
+        lin = F.col(lin_col)
+        return j.select(
+            F.lit(src).alias("src"), "case_id", "sa", "sca",
+            F.when(lin == "None", "LOW QUALITY")
+             .otherwise(F.col("status")).alias("status"),
+            lin.alias("variant"),
+            F.concat(F.lit("Lineage identified as "), lin,
+                     F.lit(as_of_note)).alias("notes"))
+
+    return (recovered("gisaid", gisaid, "virus_name", "lineage")
+            .unionByName(recovered("cdc", cdc_only, "c_sa", "pango")))
