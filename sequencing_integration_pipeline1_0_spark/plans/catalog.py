@@ -4494,3 +4494,91 @@ def pipe_missing_lineage_recovery(spark, sf_dir):
 
     return (recovered("gisaid", gisaid, "virus_name", "lineage")
             .unionByName(recovered("cdc", cdc_only, "c_sa", "pango")))
+
+
+# ----------------------------------------------------------------------
+# §2.9 Structured Streaming forms under the SAME oracle gate as batch
+# ----------------------------------------------------------------------
+
+from ..streaming import incremental as _st  # noqa: E402
+
+_EVENTS_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream(spark, sf_dir):
+    """events.parquet as a file-source stream with the same ts_us/
+    event_time normalization as the batch loader `_t` (schema-robust
+    to the TIMESTAMP(NANOS) vs timestamp[us] testdata drift)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file source requires a DIRECTORY; stage a symlink dir next to
+    # nothing we own (testdata is read-only) — one per sf, reused
+    import tempfile
+    stage = _EVENTS_STREAM_DIRS.get(sf_dir)
+    if stage is None or not os.path.exists(stage):
+        stage = tempfile.mkdtemp(prefix="events_src_")
+        os.symlink(path, os.path.join(stage, "events.parquet"))
+        _EVENTS_STREAM_DIRS[sf_dir] = stage
+    schema = spark.read.parquet(path).schema
+    raw = _st.read_parquet_stream(spark, stage, schema)
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        et = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        et = F.col("ts").cast("timestamp")
+    return raw.withColumn("event_time", et)
+
+
+@register("st_event_counts_complete", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""")
+def st_event_counts_complete(spark, sf_dir):
+    """Streaming per-type counts in COMPLETE output mode: the stream
+    drains with trigger(availableNow) into a memory sink and the final
+    complete-mode result is BIT-IDENTICAL to the batch aggregation —
+    Structured Streaming's unified model made checkable: the DuckDB
+    oracle is the plain batch GROUP BY, and the driver hashes the
+    drained stream against it. State: one count per event_type in the
+    state store (RocksDB on a real cluster)."""
+    counts = (_events_stream(spark, sf_dir)
+              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    return _st.run_available_now(counts, "st_counts_complete", "complete")
+
+
+@register("st_daily_window_counts", """
+WITH e AS (
+  SELECT event_type,
+         to_timestamp(epoch_us(ts) / 1000000.0) AS et
+  FROM events),
+mx AS (SELECT max(et) AS m FROM e),
+w AS (
+  SELECT event_type, date_trunc('day', et) AS ws,
+         date_trunc('day', et) + INTERVAL 1 DAY AS we
+  FROM e)
+SELECT epoch_us(ws) AS window_start_us, epoch_us(we) AS window_end_us,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM w, mx
+WHERE we <= m - INTERVAL 2 DAY
+GROUP BY ws, we, event_type
+""")
+def st_daily_window_counts(spark, sf_dir):
+    """Streaming 1-day tumbling-window counts with a 2-day watermark in
+    APPEND mode — the late-data semantics made oracle-checkable: append
+    mode only emits windows the watermark has FINALIZED (window end <=
+    max event time - delay), so the oracle encodes exactly that
+    emission rule and the hash gate proves the watermark behavior, not
+    just the arithmetic. Windows are epoch-day aligned (Spark tumbling
+    windows anchor at 1970-01-01 UTC == DuckDB date_trunc('day') under
+    the forced UTC session). The trailing, still-open windows are the
+    deliberate difference from the batch form (w10/monitoring) — they
+    are withheld until more data or a longer drain finalizes them."""
+    wc = _st.windowed_counts(_events_stream(spark, sf_dir), "event_time",
+                             ["event_type"], window="1 day",
+                             delay="2 days")
+    out = _st.run_available_now(wc, "st_daily_windows", "append")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type", F.col("n").cast("long").alias("n"))

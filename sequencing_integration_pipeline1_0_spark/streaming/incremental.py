@@ -199,3 +199,22 @@ def foreach_batch_near_dup_dedup(index: DataFrame, id_col: str,
             index, batch, id_col, text_col, threshold=threshold,
             shingle_n=shingle_n, k=k, bands=bands))
     return _fn
+
+
+def run_available_now(stream: DataFrame, name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Drain a stream with trigger(availableNow) into a memory sink and
+    return the materialized result — the bridge that lets streaming
+    plans run under the same oracle gate as batch queries (the driver
+    collects the returned DataFrame like any other). Checkpoint is a
+    throwaway temp dir: these are correctness-gate runs, not resumable
+    production jobs (production passes a real checkpointLocation)."""
+    import tempfile
+
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return stream.sparkSession.table(name)
