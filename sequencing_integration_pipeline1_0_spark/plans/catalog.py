@@ -4582,3 +4582,131 @@ def st_daily_window_counts(spark, sf_dir):
         F.unix_micros("window_start").alias("window_start_us"),
         F.unix_micros("window_end").alias("window_end_us"),
         "event_type", F.col("n").cast("long").alias("n"))
+
+
+@register("pipe_missing_reason_report", """
+WITH roster AS (
+  SELECT
+    CASE o_orderkey % 5 WHEN 0 THEN 'PHL' WHEN 1 THEN 'NW Genomics'
+         WHEN 2 THEN 'UW Virology' WHEN 3 THEN 'Aegis' ELSE 'Labcorp' END
+      AS lab,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         WHEN o_orderkey % 3 = 0 THEN 'SENTINEL SURVEILLANCE'
+         WHEN o_orderkey % 3 = 1 THEN 'SUSPECTED REINFECTION'
+         ELSE 'OTHER' END AS reason
+  FROM orders)
+SELECT lab,
+  CAST(SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_missing,
+  CAST(count(*) AS BIGINT) AS lab_total,
+  CAST(round(100.0 * SUM(CASE WHEN reason IS NULL THEN 1 ELSE 0 END)
+             / count(*), 1) AS VARCHAR) || '%' AS percent_missing
+FROM roster GROUP BY lab
+""")
+def pipe_missing_reason_report(spark, sf_dir):
+    """Missing-SEQUENCE_REASON investigation table
+    (Roster_checks/missing_sequence_reason.Rmd): per-lab missing count,
+    roster total, and formatted percent (the scales::percent render
+    pinned to one decimal so both engines emit identical strings). One
+    agg with a conditional sum — the reference's
+    mutate-then-filter-then-distinct collapses into groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    roster = o.select(
+        F.when(k % 5 == 0, "PHL").when(k % 5 == 1, "NW Genomics")
+         .when(k % 5 == 2, "UW Virology").when(k % 5 == 3, "Aegis")
+         .otherwise("Labcorp").alias("lab"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+         .when(k % 3 == 0, "SENTINEL SURVEILLANCE")
+         .when(k % 3 == 1, "SUSPECTED REINFECTION")
+         .otherwise("OTHER").alias("reason"))
+    n_missing = F.sum(F.when(F.col("reason").isNull(), 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return roster.groupBy("lab").agg(
+        n_missing.cast("long").alias("n_missing"),
+        total.cast("long").alias("lab_total"),
+        F.concat(F.round(n_missing * 100.0 / total, 1).cast("string"),
+                 F.lit("%")).alias("percent_missing"))
+
+
+@register("pipe_filtered_observations_check", """
+WITH roster AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 23 = 0 THEN NULL
+         ELSE 'USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021' END
+      AS sa,
+    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+         ELSE 'WA' || CAST(o_orderkey AS VARCHAR) END AS sca
+  FROM orders),
+flat AS (
+  SELECT
+    CASE WHEN o_orderkey % 10 = 0
+      THEN 'hCoV-19/USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) ||
+           '/2021, USA/WA-CDC-' || CAST(o_orderkey + 2 AS VARCHAR) ||
+           '/2021'
+      ELSE 'hCoV-19/USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR) || '/2021'
+      END AS sa_packed,
+    CASE WHEN o_orderkey % 8 = 0 THEN ' '
+         ELSE 'WA' || CAST(o_orderkey AS VARCHAR) END AS sca_packed
+  FROM orders WHERE o_orderkey % 4 = 0),
+sa_values AS (
+  SELECT DISTINCT replace(trim(u.s), 'hCoV-19/', '') AS v
+  FROM flat, unnest(regexp_split_to_array(sa_packed, ',')) AS u(s)
+  WHERE replace(trim(u.s), 'hCoV-19/', '') <> ''),
+sca_values AS (
+  SELECT DISTINCT replace(trim(u.s), 'hCoV-19/', '') AS v
+  FROM flat, unnest(regexp_split_to_array(sca_packed, ',')) AS u(s)
+  WHERE replace(trim(u.s), 'hCoV-19/', '') <> '')
+SELECT 'sa_not_in_wdrs' AS finding, k, sa AS accession FROM roster
+WHERE sa IS NOT NULL AND sa NOT IN (SELECT v FROM sa_values)
+UNION ALL
+SELECT 'sca_not_in_wdrs', k, sca FROM roster
+WHERE sca IS NOT NULL AND sca NOT IN (SELECT v FROM sca_values)
+""")
+def pipe_filtered_observations_check(spark, sf_dir):
+    """Filtered-observation audit (Roster_checks/
+    check_for_filtered_observations.Rmd): did anything we rostered get
+    silently filtered before reaching the destination? The destination
+    key sets go through the reference's cleaning chain — comma-split
+    the packed column, strip the hCoV-19/ prefix, trim, drop blanks —
+    then every non-null roster SA/SCA anti-checks against its cleaned
+    set (two findings UNION ALL'd). Key sets distinct-reduce and
+    broadcast; the roster scans once per finding with no shuffle."""
+    from ..functions import cleaning
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    roster = o.select(
+        k.alias("k"),
+        F.when(k % 23 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("USA/WA-CDC-"), ks, F.lit("/2021")))
+         .alias("sa"),
+        F.when(k % 13 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("WA"), ks)).alias("sca"))
+    flat = o.filter(k % 4 == 0).select(
+        F.when(k % 10 == 0,
+               F.concat(F.lit("hCoV-19/USA/WA-CDC-"), ks,
+                        F.lit("/2021, USA/WA-CDC-"),
+                        (k + 2).cast("string"), F.lit("/2021")))
+         .otherwise(F.concat(F.lit("hCoV-19/USA/WA-CDC-"), ks,
+                             F.lit("/2021"))).alias("sa_packed"),
+        F.when(k % 8 == 0, F.lit(" "))
+         .otherwise(F.concat(F.lit("WA"), ks)).alias("sca_packed"))
+
+    def cleaned_values(col):
+        raw = flat.select(F.explode(F.split(F.col(col), ",")).alias("__r"))
+        v = F.replace(F.trim(F.col("__r")), F.lit("hCoV-19/"), F.lit(""))
+        return (raw.select(v.alias("v"))
+                   .filter(F.col("v") != "").distinct())
+
+    sa_hits = (roster.filter(F.col("sa").isNotNull())
+               .join(F.broadcast(cleaned_values("sa_packed")),
+                     F.col("sa") == F.col("v"), "left_anti")
+               .select(F.lit("sa_not_in_wdrs").alias("finding"), "k",
+                       F.col("sa").alias("accession")))
+    sca_hits = (roster.filter(F.col("sca").isNotNull())
+                .join(F.broadcast(cleaned_values("sca_packed")),
+                      F.col("sca") == F.col("v"), "left_anti")
+                .select(F.lit("sca_not_in_wdrs").alias("finding"), "k",
+                        F.col("sca").alias("accession")))
+    return sa_hits.unionByName(sca_hits)
