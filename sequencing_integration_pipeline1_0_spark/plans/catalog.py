@@ -4710,3 +4710,48 @@ def pipe_filtered_observations_check(spark, sf_dir):
                 .select(F.lit("sca_not_in_wdrs").alias("finding"), "k",
                         F.col("sca").alias("accession")))
     return sa_hits.unionByName(sca_hits)
+
+
+@register("w11_conditional_source_dedup", """
+WITH subs AS (
+  SELECT 'EPI' || CAST(o_orderkey % 4000 AS VARCHAR) AS gisaid_id,
+    CASE o_orderkey % 3
+      WHEN 0 THEN 'PHL_roster_' || CAST(o_orderkey % 5 AS VARCHAR)
+      WHEN 1 THEN 'NW_batch' ELSE 'UW_batch' END AS file_chopped,
+    o_orderkey AS rid
+  FROM orders),
+flagged AS (
+  SELECT *, contains(file_chopped, 'PHL') AS is_phl,
+    row_number() OVER (PARTITION BY gisaid_id,
+                                    contains(file_chopped, 'PHL')
+                       ORDER BY file_chopped, rid) AS rn
+  FROM subs)
+SELECT gisaid_id, file_chopped, rid FROM flagged
+WHERE NOT is_phl OR rn = 1
+""")
+def w11_conditional_source_dedup(spark, sf_dir):
+    """Source-conditional dedup (read_all_data.Rmd:333-346): PHL
+    re-submits identical records every roster day, so within each
+    GISAID_ID keep only the FIRST PHL row while keeping EVERY non-PHL
+    row (other sources' repeats are meaningful iterations). R's
+    row-order-dependent `!duplicated(str_detect(file, 'PHL'))` becomes
+    a deterministic row_number over (key, is_phl) with an explicit
+    (file, rid) order. The reference's post-dedup conservation stop
+    (every GISAID_ID must survive) holds by construction: each group
+    keeps at least its first row. One window shuffle on the id."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    subs = o.select(
+        F.concat(F.lit("EPI"), (k % 4000).cast("string")).alias("gisaid_id"),
+        F.when(k % 3 == 0, F.concat(F.lit("PHL_roster_"),
+                                    (k % 5).cast("string")))
+         .when(k % 3 == 1, F.lit("NW_batch"))
+         .otherwise(F.lit("UW_batch")).alias("file_chopped"),
+        k.alias("rid"))
+    is_phl = F.col("file_chopped").contains("PHL")
+    w = Window.partitionBy("gisaid_id", is_phl) \
+              .orderBy("file_chopped", "rid")
+    return (subs.withColumn("__phl", is_phl)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(~F.col("__phl") | (F.col("__rn") == 1))
+                .select("gisaid_id", "file_chopped", "rid"))
