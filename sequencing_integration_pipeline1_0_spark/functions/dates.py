@@ -149,3 +149,29 @@ def older_than_days(col: Column | str, n: int = 60,
 def year_month(col: Column | str) -> Column:
     """yyyy-MM bucketing (gap_data.Rmd:398-405, wdrs_qa_main.R:85)."""
     return F.date_format(_c(col), "yyyy-MM")
+
+
+# --- MMWR/CDC epidemiological weeks (uw_sgtf.Rmd:66-75) -----------------
+
+def epi_week_start(col: Column | str) -> Column:
+    """Sunday starting the MMWR week containing the date (lubridate
+    floor_date(unit='week') with the Sunday week start the reference
+    uses). Spark's dayofweek: 1=Sunday."""
+    d = _c(col)
+    return F.date_sub(d, F.dayofweek(d) - 1)
+
+
+def epiweek(col: Column | str) -> Column:
+    """CDC/MMWR epidemiological week number (lubridate::epiweek).
+
+    Definition: weeks run Sunday-Saturday; week 1 of a year is the week
+    containing January 4 (equivalently, the first week with >= 4 days
+    in the new year); a date's epi-YEAR is the year of its week's
+    Wednesday. Pure date arithmetic — identical results from any engine
+    (no locale/WEEK_OF_YEAR settings involved), unlike ISO weekofyear
+    which starts Monday and shifts the boundary days."""
+    s = epi_week_start(col)
+    wed = F.date_add(s, 3)
+    jan4 = F.make_date(F.year(wed), F.lit(1), F.lit(4))
+    w1s = F.date_sub(jan4, F.dayofweek(jan4) - 1)
+    return (F.datediff(s, w1s) / 7 + 1).cast("int")

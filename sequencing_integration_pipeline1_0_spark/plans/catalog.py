@@ -4755,3 +4755,64 @@ def w11_conditional_source_dedup(spark, sf_dir):
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(~F.col("__phl") | (F.col("__rn") == 1))
                 .select("gisaid_id", "file_chopped", "rid"))
+
+
+@register("pipe_sgtf_weekly", """
+WITH sgtf AS (
+  SELECT
+    CASE WHEN o_orderkey % 3 = 0 THEN 'OR' ELSE 'WA' END AS client_state,
+    DATE '2021-06-01' + CAST(o_orderkey % 600 AS INTEGER) AS collect_date,
+    o_orderkey % 50 + 7 AS n_all,
+    o_orderkey % 7 AS n_sgtf
+  FROM orders),
+wa AS (
+  SELECT *,
+    collect_date - CAST(dayofweek(collect_date) AS INTEGER) AS ws
+  FROM sgtf WHERE client_state = 'WA'),
+wk AS (
+  SELECT *,
+    CAST(datediff('day',
+      (make_date(year(ws + 3), 1, 4)
+         - CAST(dayofweek(make_date(year(ws + 3), 1, 4)) AS INTEGER)),
+      ws) / 7 + 1 AS INTEGER) AS week_number
+  FROM wa)
+SELECT week_number,
+  strftime(ws, '%m/%d/%Y') AS week_start,
+  strftime(ws + 6, '%m/%d/%Y') AS week_end,
+  CAST(sum(n_all) AS BIGINT) AS total_positives,
+  CAST(sum(n_sgtf) AS BIGINT) AS total_sgtf,
+  round(CAST(sum(n_sgtf) AS DOUBLE) / sum(n_all), 6) AS pct_sgtf
+FROM wk
+GROUP BY week_number, ws
+""")
+def pipe_sgtf_weekly(spark, sf_dir):
+    """UW SGTF weekly rollup (uw_sgtf.Rmd:66-90, minus the OOS web
+    scrape): WA filter, MMWR epiweek number (dates.epiweek — Sunday
+    weeks, week 1 holds Jan 4; engine-portable date arithmetic, NOT
+    ISO weekofyear), Sunday/Saturday week bounds rendered m/d/Y, and
+    per-week positives/SGTF totals with the SGTF share. Grouping is by
+    (week_number, week_start) — year-aware, fixing the reference's
+    cross-year WEEK_NUMBER collision (group_by(WEEK_NUMBER) alone
+    merges 2021-W3 with 2022-W3)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    sgtf = o.select(
+        F.when(k % 3 == 0, "OR").otherwise("WA").alias("client_state"),
+        F.date_add(F.lit("2021-06-01").cast("date"),
+                   (k % 600).cast("int")).alias("collect_date"),
+        (k % 50 + 7).alias("n_all"),
+        (k % 7).alias("n_sgtf"))
+    wa = sgtf.filter(F.col("client_state") == "WA")
+    ws = dates.epi_week_start("collect_date")
+    wk = wa.withColumn("ws", ws).withColumn(
+        "week_number", dates.epiweek("collect_date"))
+    return (wk.groupBy("week_number", "ws")
+              .agg(F.sum("n_all").cast("long").alias("total_positives"),
+                   F.sum("n_sgtf").cast("long").alias("total_sgtf"),
+                   F.round(F.sum("n_sgtf").cast("double")
+                           / F.sum("n_all"), 6).alias("pct_sgtf"))
+              .select("week_number",
+                      F.date_format("ws", "MM/dd/yyyy").alias("week_start"),
+                      F.date_format(F.date_add("ws", 6), "MM/dd/yyyy")
+                       .alias("week_end"),
+                      "total_positives", "total_sgtf", "pct_sgtf"))

@@ -122,3 +122,30 @@ def test_notes_template(spark):
     x = _one(df, vocab.notes_template("lin", F.lit("2023-01-15").cast("date")))
     assert x == ("Lineage identified as BA.2 on 2023-01-15. "
                  "Lineage assignments may change over time.")
+
+
+def test_epiweek_known_mmwr_boundaries(spark):
+    """MMWR epiweek against published boundary cases: weeks start
+    Sunday, week 1 contains Jan 4, year-end days belong to week 52/53
+    of the epi year of their week's Wednesday."""
+    from sequencing_integration_pipeline1_0_spark.functions import dates
+    cases = [
+        ("2021-01-02", 53),  # Saturday of the week of 2020-12-27 -> W53/2020
+        ("2021-01-03", 1),   # Sunday starting MMWR week 1 of 2021
+        ("2021-01-04", 1),
+        ("2024-01-01", 1),   # Jan 4 2024 is Thu; W1 starts 2023-12-31
+        ("2023-12-31", 1),   # Sunday opening 2024's week 1
+        ("2023-12-30", 52),  # last Saturday of 2023's week 52
+        ("2022-07-06", 27),
+    ]
+    df = spark.createDataFrame([(d,) for d, _ in cases], "d string") \
+              .withColumn("d", F.col("d").cast("date"))
+    got = {r["d"].isoformat(): r["w"]
+           for r in df.withColumn("w", dates.epiweek("d")).collect()}
+    for d, want in cases:
+        assert got[d] == want, f"{d}: got {got[d]}, want {want}"
+    # week bounds: Sunday start, Saturday end
+    b = df.select(
+        dates.epi_week_start("d").alias("ws")).collect()
+    import datetime
+    assert all(r["ws"].weekday() == 6 for r in b)  # python: Sunday == 6
