@@ -160,3 +160,61 @@ def elr_synthesize_sca(submitter: Column, filler: Column) -> Column:
          .when(F.upper(submitter).rlike(_UW_SUBMITTER_RE)
                & filler.isNotNull(), filler)
          .otherwise(F.lit(SCA_FAIL)))
+
+
+def tweak_gisaid_id(col: Column | str) -> dict[str, Column]:
+    """GISAID-ID decomposition for PARTIAL matching — the reference's
+    tweak_gisaid_id withColumns bundle (docs/notebooks/scripts/
+    functions.R:79-135), used wherever exact accession equality is too
+    strict (pipeline_counts.qmd:118-124). Returns the 8 derived
+    columns:
+
+      full      trimmed original
+      no_hcov   UPPER(id) with the HCOV-19/ prefix removed
+      cut       no_hcov minus its last /segment
+      year      first /dddd token (digits only), NULL when absent
+      test      cut || 'TEST/' || year — R's paste0(NA) renders 'NA',
+                preserved via coalesce so engines agree byte-for-byte
+      middle    the submitter-specific core id: ALTCOV/ASC hardcodes
+                first (non-standard formats), then USA/<state>- strip,
+                then <prefix>- strip, then bare /year strip
+      no_punct  UPPER(middle) with every non-alphanumeric removed
+      digits    all digit runs (from middle, falling back to no_hcov
+                when middle is NULL), joined with '|'
+
+    Lookbehind-free: R's (?<=ALTCOV-) / (?<=-) extracts become capture
+    groups so the same pattern runs on Java regex and RE2."""
+    c = _c(col)
+    up = F.upper(c)
+    no_hcov = F.regexp_replace(up, "HCOV-19/", "")
+    cut = F.regexp_replace(no_hcov, "/[^/]+$", "")
+    year = F.nullif(F.regexp_extract(no_hcov, "/([0-9]{4})", 1), F.lit(""))
+    test = F.when(F.trim(c).isNotNull(),
+                  F.concat(cut, F.lit("TEST/"),
+                           F.coalesce(year, F.lit("NA"))))
+    middle = (
+        F.when(c.rlike("ALTCOV"),
+               F.regexp_replace(
+                   F.regexp_extract(c, "ALTCOV-(.*)", 1),
+                   "(/[0-9]{4})", ""))
+         .when(c.rlike("ASC[0-9]+-B[0-9]+"),
+               F.regexp_extract(c, "([^-]+)", 1))
+         .when(c.rlike("USA/[A-Za-z]{2}"),
+               F.regexp_replace(
+                   F.regexp_replace(no_hcov, "(USA/[A-Za-z]{2,}-)", ""),
+                   "(/[0-9]{4})", ""))
+         .when(c.rlike("^[A-Za-z]{2,}-"),
+               # R extracts from toupper(id) here (functions.R:119)
+               F.regexp_extract(up, "-(\\S+)", 1))
+         .when(c.rlike("[A-Za-z]{2}"),
+               F.regexp_replace(c, "/[0-9]{4}", "")))
+    no_punct = F.regexp_replace(F.upper(middle), "[^A-Z0-9]", "")
+    digits = F.array_join(
+        F.when(middle.isNull(),
+               F.regexp_extract_all(no_hcov, F.lit("[0-9]+"), 0))
+         .otherwise(F.regexp_extract_all(middle, F.lit("[0-9]+"), 0)), "|")
+    return {
+        "full": F.trim(c), "no_hcov": no_hcov, "cut": cut, "year": year,
+        "test": test, "middle": middle, "no_punct": no_punct,
+        "digits": digits,
+    }

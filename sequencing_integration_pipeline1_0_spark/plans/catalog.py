@@ -4816,3 +4816,85 @@ def pipe_sgtf_weekly(spark, sf_dir):
                       F.date_format(F.date_add("ws", 6), "MM/dd/yyyy")
                        .alias("week_end"),
                       "total_positives", "total_sgtf", "pct_sgtf"))
+
+
+@register("f21_tweak_gisaid_id", """
+WITH ids AS (
+  SELECT o_orderkey AS k,
+    CASE o_orderkey % 6
+      WHEN 0 THEN 'hCoV-19/USA/WA-CDC-' || CAST(o_orderkey AS VARCHAR)
+                  || '/2021'
+      WHEN 1 THEN 'USA/WA-S' || CAST(o_orderkey AS VARCHAR) || '/2021'
+      WHEN 2 THEN 'ALTCOV-' || CAST(o_orderkey AS VARCHAR) || '/2021'
+      WHEN 3 THEN 'ASC' || CAST(o_orderkey AS VARCHAR) || '-B2'
+      WHEN 4 THEN 'QDX-' || CAST(o_orderkey AS VARCHAR)
+      ELSE CASE WHEN o_orderkey % 12 = 5 THEN NULL
+                ELSE CAST(o_orderkey AS VARCHAR) END END AS gid
+  FROM orders),
+d AS (
+  SELECT k, gid,
+    trim(gid) AS "full",
+    regexp_replace(upper(gid), 'HCOV-19/', '') AS no_hcov
+  FROM ids),
+d2 AS (
+  SELECT *,
+    regexp_replace(no_hcov, '/[^/]+$', '') AS cut,
+    NULLIF(regexp_extract(no_hcov, '/([0-9]{4})', 1), '') AS "year",
+    CASE
+      WHEN regexp_matches(gid, 'ALTCOV')
+        THEN regexp_replace(regexp_extract(gid, 'ALTCOV-(.*)', 1),
+                            '(/[0-9]{4})', '')
+      WHEN regexp_matches(gid, 'ASC[0-9]+-B[0-9]+')
+        THEN regexp_extract(gid, '([^-]+)', 1)
+      WHEN regexp_matches(gid, 'USA/[A-Za-z]{2}')
+        THEN regexp_replace(regexp_replace(
+               regexp_replace(upper(gid), 'HCOV-19/', ''),
+               '(USA/[A-Za-z]{2,}-)', ''), '(/[0-9]{4})', '')
+      WHEN regexp_matches(gid, '^[A-Za-z]{2,}-')
+        THEN regexp_extract(upper(gid), '-(\\S+)', 1)
+      WHEN regexp_matches(gid, '[A-Za-z]{2}')
+        THEN regexp_replace(gid, '/[0-9]{4}', '')
+    END AS middle
+  FROM d)
+SELECT k, gid, "full", no_hcov, cut, "year",
+  CASE WHEN trim(gid) IS NOT NULL
+       THEN cut || 'TEST/' || COALESCE("year", 'NA') END AS test,
+  middle,
+  regexp_replace(upper(middle), '[^A-Z0-9]', '', 'g') AS no_punct,
+  array_to_string(
+    CASE WHEN middle IS NULL
+         THEN regexp_extract_all(no_hcov, '[0-9]+')
+         ELSE regexp_extract_all(middle, '[0-9]+') END, '|') AS digits
+FROM d2
+""")
+def f21_tweak_gisaid_id(spark, sf_dir):
+    """F21: the partial-match GISAID-ID decomposition bundle
+    (functions.R:79-135 tweak_gisaid_id; consumed by
+    pipeline_counts.qmd:118-124): 8 derived columns per id — trimmed
+    full form, HCOV-prefix-free uppercase, last-segment cut, /year
+    token, the TEST probe form (R's paste0(NA)->'NA' preserved), the
+    submitter-aware middle core (ALTCOV/ASC hardcodes, USA/<state>
+    strip, <prefix>- strip, bare /year strip), punctuation-free form,
+    and all digit runs joined '|'. All branches exercised across the
+    six synthetic id shapes incl. NULLs. Pure codegen expressions."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    ids = o.select(
+        k.alias("k"),
+        F.when(k % 6 == 0, F.concat(F.lit("hCoV-19/USA/WA-CDC-"), ks,
+                                    F.lit("/2021")))
+         .when(k % 6 == 1, F.concat(F.lit("USA/WA-S"), ks, F.lit("/2021")))
+         .when(k % 6 == 2, F.concat(F.lit("ALTCOV-"), ks, F.lit("/2021")))
+         .when(k % 6 == 3, F.concat(F.lit("ASC"), ks, F.lit("-B2")))
+         .when(k % 6 == 4, F.concat(F.lit("QDX-"), ks))
+         .when(k % 12 == 5, F.lit(None).cast("string"))
+         .otherwise(ks).alias("gid"))
+    cols = acc.tweak_gisaid_id(F.col("gid"))
+    return ids.select(
+        "k", "gid", cols["full"].alias("full"),
+        cols["no_hcov"].alias("no_hcov"), cols["cut"].alias("cut"),
+        cols["year"].alias("year"), cols["test"].alias("test"),
+        cols["middle"].alias("middle"),
+        cols["no_punct"].alias("no_punct"),
+        cols["digits"].alias("digits"))
