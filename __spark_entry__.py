@@ -90,6 +90,7 @@ _PRIORITY = [
     # semantics changed in r3 (scale levers now default; oracle updated)
     # — r1's green row no longer describes current behavior, re-verify:
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cluster_canonical",
+    "ann_ivf_trained_topk", "ann_ivf_recall",  # nprobe 2->4 (measured knee)
 ]
 
 
@@ -97,7 +98,8 @@ _PRIORITY = [
 # force them back into the front-50 window even though they appear in
 # the confirmed sets below.
 _RECHECK = frozenset({"dedup_minhash_lsh", "dedup_ngram_jaccard",
-                      "dedup_cluster_canonical"})
+                      "dedup_cluster_canonical",
+                      "ann_ivf_trained_topk", "ann_ivf_recall"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

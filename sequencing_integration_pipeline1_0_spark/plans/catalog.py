@@ -1166,7 +1166,7 @@ FROM final WHERE rank <= {k}"""
 
 _ANN_IVF_TRAINED_SQL = (
     "WITH " + _ivf_trained_cents_sql(8, 2) + ",\n"
-    + _ivf_search_sql("cents2", 2, 5))
+    + _ivf_search_sql("cents2", 4, 5))
 
 
 @register("ann_ivf_trained_topk", _ANN_IVF_TRAINED_SQL)
@@ -1174,11 +1174,13 @@ def ann_ivf_trained_topk(spark, sf_dir):
     """IVF-flat top-5 with a k-means-TRAINED codebook (2 Lloyd
     iterations from the deterministic seeds) — the production variant
     of ann_ivf_topk; training is the offline step ann_kmeans_
-    centroid_step generalizes. Recall vs brute force measured by
-    ann_ivf_recall."""
+    centroid_step generalizes. nprobe=4 is the measured knee of the
+    recall/latency curve (tools/ivf_recall_sweep.py, table in
+    SCALING.md: 0.50@2 -> 0.76@4 for ~flat latency at this n_cells);
+    recall vs brute force reported by ann_ivf_recall."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, "vec_id", "embedding",
-                               k=5, n_cells=8, nprobe=2, train_iters=2)
+                               k=5, n_cells=8, nprobe=4, train_iters=2)
 
 
 _ANN_IVF_RECALL_SQL = f"""
