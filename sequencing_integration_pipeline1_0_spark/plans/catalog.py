@@ -2957,26 +2957,20 @@ def pipe_roster_compile_chunks(spark, sf_dir):
                        F.concat(F.lit("EPI_ISL_"),
                                 gid.cast("string")).alias("epi_isl"))
                .dropDuplicates())
-    out = P.roster_compile(
+    # ONE tagged plan — the dict-of-routes form filtered the same lazy
+    # plan three times (3x repeated subtrees, 15 exchanges); the routed
+    # frame carries the tag and the upload-only chunk id in one pass
+    routed = P.roster_compile_routed(
         mutated, gisaid=gisaid, chunk_rows=500,
         chunk_order=("CASE_ID", "SEQUENCE_ACCESSION",
                      "SEQUENCE_CLINICAL_ACCESSION"))
-    parts = []
-    for route in ("upload", "dropped", "for_review"):
-        df = out[route]
-        chunk = (F.col("chunk").cast("int") if route == "upload"
-                 else F.lit(None).cast("int"))
-        parts.append(df.select(
-            F.col("CASE_ID").alias("case_id"),
-            F.col("SEQUENCE_CLINICAL_ACCESSION").alias("clinical"),
-            F.col("SEQUENCE_EPI_ISL").alias("epi"),
-            F.col("SEQUENCE_REASON").alias("reason"),
-            F.lit(route).alias("route"),
-            chunk.alias("chunk")))
-    res = parts[0]
-    for p in parts[1:]:
-        res = res.unionByName(p)
-    return res
+    return routed.select(
+        F.col("CASE_ID").alias("case_id"),
+        F.col("SEQUENCE_CLINICAL_ACCESSION").alias("clinical"),
+        F.col("SEQUENCE_EPI_ISL").alias("epi"),
+        F.col("SEQUENCE_REASON").alias("reason"),
+        F.col("route"),
+        F.col("chunk").cast("int").alias("chunk"))
 
 
 _GAP_MONTHS = [f"1995-0{i}" for i in range(1, 7)]

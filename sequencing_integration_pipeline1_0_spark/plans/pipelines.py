@@ -421,13 +421,23 @@ def elr_qa_scan_gate(df: DataFrame, cols: Sequence[str] | None = None) -> DataFr
 # compile stage (all paths converge)
 # ----------------------------------------------------------------------
 
-def roster_compile(rosters: DataFrame, *, gisaid: DataFrame | None = None,
-                   chunk_rows: int = 500,
-                   chunk_order: Sequence[str] = ("CASE_ID", "SEQUENCE_ACCESSION"),
-                   ) -> dict[str, DataFrame]:
-    """ROSTER_COMPILE.Rmd:121-455: union'd roster inputs -> EPI_ISL
-    enrichment -> dedup -> empty-row drop -> QA -> {upload chunks,
-    for_review, dropped}."""
+def roster_compile_routed(rosters: DataFrame, *,
+                          gisaid: DataFrame | None = None,
+                          chunk_rows: int = 500,
+                          chunk_order: Sequence[str] = (
+                              "CASE_ID", "SEQUENCE_ACCESSION"),
+                          ) -> DataFrame:
+    """ROSTER_COMPILE.Rmd:121-455 as ONE tagged plan: union'd roster
+    inputs -> EPI_ISL enrichment -> dedup -> empty-row drop -> QA ->
+    route tag ('upload'/'dropped'/'for_review') + chunk id (upload rows
+    only, via a route-PARTITIONED window so the chunk numbering equals
+    add_chunk_id's global numbering of the upload slice).
+
+    This is the scale shape: consumers that need per-route outputs
+    should write THIS frame once with partitionBy(route) — filtering
+    the lazy dict (roster_compile below) re-executes the whole upstream
+    per route, tripling the compile work (observed: 3x repeated
+    subtrees, 15 exchanges, in the split-union plan)."""
     df = rosters
     # J13 EPI_ISL enrichment with precedence (ROSTER_COMPILE.Rmd:227-245)
     if gisaid is not None:
@@ -471,13 +481,36 @@ def roster_compile(rosters: DataFrame, *, gisaid: DataFrame | None = None,
         F.when(F.col("qa_sum") == 0, "upload")
          .when(drop_policy, "dropped")
          .otherwise("for_review"))
+    w = Window.partitionBy("route").orderBy(
+        *[_qcol(c) for c in chunk_order])
+    return routed.withColumn(
+        "chunk",
+        F.when(F.col("route") == "upload",
+               ((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_rows))
+               .cast("int")))
+
+
+def roster_compile(rosters: DataFrame, *, gisaid: DataFrame | None = None,
+                   chunk_rows: int = 500,
+                   chunk_order: Sequence[str] = ("CASE_ID", "SEQUENCE_ACCESSION"),
+                   ) -> dict[str, DataFrame]:
+    """Dict-of-routes wrapper over roster_compile_routed (upload route
+    rendered to the 17-col contract + chunk). NOTE each dict entry
+    filters the same lazy plan — persist the routed frame (or write it
+    partitionBy(route)) before running one action per route."""
+    routed = roster_compile_routed(rosters, gisaid=gisaid,
+                                   chunk_rows=chunk_rows,
+                                   chunk_order=chunk_order)
     out = _route_split(routed, ("upload", "dropped", "for_review"))
     clean = out["upload"].drop(
         *[c for c in out["upload"].columns if c.startswith("QA_")
           or c == "qa_sum"])
-    contract = clean.select(*[_qcol(c).alias(c) for c in ROSTER_COLUMNS])
-    assert_roster_contract(contract)
-    out["upload"] = sinks.add_chunk_id(contract, list(chunk_order), chunk_rows)
+    contract = clean.select(*[_qcol(c).alias(c) for c in ROSTER_COLUMNS],
+                            F.col("chunk"))
+    assert_roster_contract(contract.drop("chunk"))
+    out["upload"] = contract
+    out["dropped"] = out["dropped"].drop("chunk")
+    out["for_review"] = out["for_review"].drop("chunk")
     return out
 
 
