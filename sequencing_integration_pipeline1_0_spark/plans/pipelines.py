@@ -623,17 +623,21 @@ def month_share_pivot(df: DataFrame, *, row_col: str, ym_col: str,
         F.coalesce(F.sum(F.when(F.col("__ym") == m, F.col("p"))),
                    F.lit(0).cast("decimal(10,2)")).alias(f"m_{m.replace('-', '_')}")
         for m in months]
-    wide = (prop.groupBy("row_key")
-                .agg(*month_aggs, F.sum("p").alias("grand_total")))
     mcols = [f"m_{m.replace('-', '_')}" for m in months]
-    colsum = wide.agg(
-        F.lit(total_label).alias("row_key"),
-        *[F.sum(c).alias(c) for c in mcols],
-        F.sum("grand_total").alias("grand_total"))
-    out = wide.unionByName(colsum)
-    return out.select("row_key",
-                      *[F.col(c).cast("double").alias(c) for c in mcols],
-                      F.col("grand_total").cast("double").alias("grand_total"))
+    # per-row groups AND the closing colsum row from ONE aggregation:
+    # rollup(row_key) emits the () grouping set as the total row, so
+    # the upstream (corpus scans, anti-joins, counts) runs once — the
+    # union-with-agg form re-executed the whole subtree for one totals
+    # row. Decimal sums are associative, so the rollup total is
+    # bit-identical to summing the per-key sums.
+    wide = (prop.rollup("row_key")
+                .agg(*month_aggs, F.sum("p").alias("grand_total"),
+                     F.grouping("row_key").alias("__is_total")))
+    return wide.select(
+        F.when(F.col("__is_total") == 1, total_label)
+         .otherwise(F.col("row_key")).alias("row_key"),
+        *[F.col(c).cast("double").alias(c) for c in mcols],
+        F.col("grand_total").cast("double").alias("grand_total"))
 
 
 def dup_triage(batch: DataFrame, wdrs: DataFrame, *,
