@@ -4894,3 +4894,93 @@ def f21_tweak_gisaid_id(spark, sf_dir):
         cols["middle"].alias("middle"),
         cols["no_punct"].alias("no_punct"),
         cols["digits"].alias("digits"))
+
+
+def _curation_sql() -> str:
+    """Oracle for pipe_corpus_curation — reuses the exact lang/quality
+    formulas of _lang_id_sql plus the pii-scrub regexes."""
+    markers = {
+        "de": "['der','die','das','und','ist']",
+        "en": "['the','and','of','a','is']",
+        "es": "['el','la','de','los','es']",
+        "fr": "['le','la','les','et','est']",
+    }
+    hits = ", ".join(
+        f"len(list_filter(ws, w -> list_contains({arr}, lower(w)))) AS h_{lang}"
+        for lang, arr in markers.items())
+    best_h, best_l = "h_de", "'de'"
+    for lang in ["en", "es", "fr"]:
+        best_l = f"CASE WHEN h_{lang} > {best_h} THEN '{lang}' ELSE {best_l} END"
+        best_h = f"CASE WHEN h_{lang} > {best_h} THEN h_{lang} ELSE {best_h} END"
+    clean = ("(lang_pred <> 'und' AND quality >= 0.5 "
+             "AND n_tokens BETWEEN 5 AND 5000)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+hits AS (SELECT doc_id, text, ws, {hits} FROM base),
+feat AS (
+  SELECT doc_id, text,
+    CASE WHEN {best_h} > 0 THEN {best_l} ELSE 'und' END AS lang_pred,
+    CAST(len(ws) AS INT) AS n_tokens,
+    round(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+          + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
+          + (CAST(length(regexp_replace(text, '[^A-Za-z \\t\\n]', '', 'g'))
+             AS DOUBLE) / length(text)) * 0.3, 6) AS quality
+  FROM hits),
+flagged AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text), {clean}
+                               ORDER BY doc_id) AS rn
+  FROM feat)
+SELECT doc_id,
+  CASE WHEN lang_pred = 'und' THEN 'lang_filtered'
+       WHEN quality < 0.5 THEN 'quality_filtered'
+       WHEN n_tokens NOT BETWEEN 5 AND 5000 THEN 'length_filtered'
+       WHEN rn > 1 THEN 'duplicate'
+       ELSE 'kept' END AS route,
+  lang_pred, n_tokens, quality,
+  md5(regexp_replace(regexp_replace(text, '{textstats.RE_EMAIL}',
+                                    '<EMAIL>', 'g'),
+                     '{textstats.RE_PHONE}', '<PHONE>', 'g'))
+    AS scrubbed_md5
+FROM flagged
+"""
+
+
+@register("pipe_corpus_curation", _curation_sql())
+def pipe_corpus_curation(spark, sf_dir):
+    """LLM-training-corpus curation end-to-end, C4-style, as ONE tagged
+    pass over documents (the pipe_template_route architecture applied
+    to data curation): language-ID gate -> composite quality gate ->
+    token-length fence -> exact-dedup among the surviving docs
+    (first-wins per content hash, counted WITHIN the clean slice via a
+    (hash, is_clean)-partitioned window so a filtered twin never
+    suppresses a clean document) -> PII scrub on the way out. Every
+    document gets a route (kept / lang_filtered / quality_filtered /
+    length_filtered / duplicate) — drop accounting is part of the
+    output, mirroring the reference's conservation discipline.
+
+    Scale shape: features are pure codegen; the only shuffle is the
+    content-hash window; the scrub is map-side regex. At 100 TB swap
+    the exact-dedup window for dedup_exact_content_hash + the LSH
+    near-dup path (same route-tag shape)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "text",
+        textstats.lang_id("text").alias("lang_pred"),
+        textstats.token_count("text").cast("int").alias("n_tokens"),
+        textstats.quality_score("text").alias("quality"))
+    is_clean = ((F.col("lang_pred") != "und")
+                & (F.col("quality") >= 0.5)
+                & F.col("n_tokens").between(5, 5000))
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text"), is_clean).orderBy("doc_id"))
+    flagged = base.withColumn("rn", rn)
+    route = (F.when(F.col("lang_pred") == "und", "lang_filtered")
+              .when(F.col("quality") < 0.5, "quality_filtered")
+              .when(~F.col("n_tokens").between(5, 5000), "length_filtered")
+              .when(F.col("rn") > 1, "duplicate")
+              .otherwise("kept"))
+    return flagged.select(
+        "doc_id", route.alias("route"), "lang_pred", "n_tokens", "quality",
+        F.md5(textstats.pii_scrub("text")).alias("scrubbed_md5"))
