@@ -146,3 +146,32 @@ def test_connected_components_labels_are_fixpoint(spark, edges):
     again = {(r["id"], r["cluster_id"])
              for r in ds2.connected_components(collapsed).collect()}
     assert again == {(r["id"], r["cluster_id"]) for r in rows}
+
+
+@SLOW
+@given(st.lists(
+           st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12)
+             .map(lambda xs: " ".join(xs)),
+           min_size=4, max_size=18),
+       st.sampled_from([0.25, 0.4, 0.6, 0.8]))
+def test_prefix_filter_exactness_property(spark, docs, threshold):
+    """AllPairs prefix-filter exactness over RANDOM corpora: for any
+    corpus and any threshold >= the cutover, the prefix-filtered join
+    must return exactly the brute-force all-pairs result (same pairs,
+    same jaccard values). Small alphabet forces heavy gram sharing —
+    the adversarial case for candidate pruning."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        dedupe_scale as ds)
+    df = spark.createDataFrame(
+        [(i, t, "blk") for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string")
+    df = df.filter(F.size(ds.words("text")) >= 3)
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in ds.ngram_jaccard_join(df, "doc_id", "text", "lang",
+                                          threshold=threshold,
+                                          prefix_filter=True).collect()}
+    want = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in ds.ngram_jaccard_join(df, "doc_id", "text", "lang",
+                                           threshold=threshold,
+                                           prefix_filter=False).collect()}
+    assert got == want
