@@ -2613,12 +2613,17 @@ def fuzzy_band_routing(spark, sf_dir):
          .when(F.col("distance") == 1, "roster_near")
          .otherwise("review"))
     matched = banded.select("rowid", "match_custkey", "distance", "band")
-    unmatched = (probe.join(matched.select("rowid"), "rowid", "left_anti")
-                      .select("rowid",
-                              F.lit(None).cast("long").alias("match_custkey"),
-                              F.lit(None).cast("int").alias("distance"),
-                              F.lit("did_not_match").alias("band")))
-    return matched.unionByName(unmatched)
+    # single-pass completion: LEFT join from the probe key set instead
+    # of matched ∪ (probe ANTI matched) — the union form executed the
+    # whole fuzzy-join subtree twice (once for the union branch, once
+    # inside the anti). Unmatched probes surface as one null row with
+    # the did_not_match band; matched rows pass through unchanged.
+    return (probe.select("rowid")
+            .join(matched, "rowid", "left")
+            .select("rowid", "match_custkey",
+                    F.col("distance").cast("int").alias("distance"),
+                    F.coalesce("band", F.lit("did_not_match"))
+                     .alias("band")))
 
 
 # ----------------------------------------------------------------------
