@@ -62,6 +62,41 @@ def sample_fraction(df: DataFrame, id_col: str, fraction: float, *,
     return df.filter(lcg_bucket(F.col(id_col), rate_denom) < F.lit(keep))
 
 
+def sample_stratified_exact(df: DataFrame, stratum_col: str, id_col: str,
+                            n_per_stratum: int, *,
+                            salt_buckets: int = 16,
+                            rate_denom: int = RATE_DENOM) -> DataFrame:
+    """Exact-N-per-stratum sample: within each stratum keep the N rows
+    with the smallest id-seeded LCG draw (ties -> lower id) — the
+    deterministic analogue of dplyr's slice_sample(n=) the reference
+    leans on for review batches, and the exact-count complement of
+    sample_balanced's rate-based mix.
+
+    Scale shape: a naive window over the stratum key puts each whole
+    stratum (100 TB / #strata) through ONE task. Instead, two lossless
+    stages: (1) rank within (stratum, hash(id) % salt_buckets) — wide
+    parallelism — and keep each salted slice's top N; the global
+    per-stratum top N by (draw, id) must survive, because a row beaten
+    by N rows in its own slice is beaten by N rows globally; (2)
+    re-rank the <= salt_buckets * N survivors per stratum — tiny.
+    Output: (id, stratum, sample_rank), sample_rank in draw order."""
+    from pyspark.sql import Window
+    draw = lcg_bucket(F.col(id_col), rate_denom)
+    t = df.select(F.col(id_col).alias("id"),
+                  F.col(stratum_col).alias("stratum"),
+                  draw.alias("__draw"))
+    w1 = (Window.partitionBy("stratum",
+                             F.pmod(F.xxhash64("id"), F.lit(salt_buckets)))
+                .orderBy("__draw", "id"))
+    cand = (t.withColumn("__rn", F.row_number().over(w1))
+             .filter(F.col("__rn") <= n_per_stratum))
+    w2 = Window.partitionBy("stratum").orderBy("__draw", "id")
+    return (cand.withColumn("sample_rank",
+                            F.row_number().over(w2).cast("int"))
+                .filter(F.col("sample_rank") <= n_per_stratum)
+                .select("id", "stratum", "sample_rank"))
+
+
 def pack_token_budget(df: DataFrame, id_col: str, text_col: str,
                       shard_col: str, budget: int) -> DataFrame:
     """Greedy sequential context-window packing: docs are laid end to

@@ -154,6 +154,68 @@ def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
     return cents
 
 
+def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
+                      n_cells: int = 8, threshold: float = 0.95,
+                      round_to: int = 6, salt_buckets: int = 8) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings into coarse
+    cells (broadcast codebook, single assignment), then within each
+    cell find every vector's nearest neighbor and flag it a duplicate
+    when a LOWER-id vector sits above the cosine threshold — the
+    first-wins rule W1 lifted to embedding space. Emits every vector
+    (id, cell_id, nn_id, nn_sim, is_dup) so the audit trail carries
+    the measured similarity, not just the drop decision.
+
+    Scale shape: the codebook broadcasts; assignment is linear;
+    within-cell pairing is an equi-join on cell id, replicated-bucket
+    salted (index side hash(id)-salted, probe side exploded — every
+    pair meets exactly once) so one cell never caps parallelism at a
+    single task. Within-cell pairing is quadratic in CELL size — the
+    100 TB lever is n_cells ~ n / target_cell_size (same knob as
+    SemDeDup's k), which keeps per-cell work constant as n grows.
+    nn choice and is_dup ride ONE window partitioning (id): the rank
+    and the lower-id-dup flag share the shuffle."""
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    cents = (base.orderBy("id").limit(n_cells)
+                 .select(F.col("id").alias("cell_id"),
+                         F.col("v").alias("cv"), F.col("nv").alias("ncv")))
+    sims = (base.join(F.broadcast(cents))
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")), round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    idx = (sims.withColumn("crank", F.row_number().over(cw))
+               .filter(F.col("crank") == 1)
+               .select("id", "v", "nv", "cell_id"))
+    b = (idx.select(F.col("id").alias("nn_id"), F.col("v").alias("vb"),
+                    F.col("nv").alias("nb"), "cell_id")
+            .withColumn("__b", F.pmod(F.xxhash64("nn_id"),
+                                      F.lit(salt_buckets))))
+    a = (idx.select("id", F.col("v").alias("va"), F.col("nv").alias("na"),
+                    F.col("cell_id").alias("cell_a"))
+            .withColumn("__y", F.explode(F.array(
+                *[F.lit(i) for i in range(salt_buckets)]))))
+    pairs = (a.join(b, (F.col("cell_a") == F.col("cell_id"))
+                    & (F.col("__y") == F.col("__b"))
+                    & (F.col("id") != F.col("nn_id")))
+              .withColumn("nn_sim",
+                          F.round(dot(F.col("va"), F.col("vb"))
+                                  / (F.col("na") * F.col("nb")), round_to)))
+    w = Window.partitionBy("id").orderBy(F.col("nn_sim").desc(), F.col("nn_id"))
+    wid = Window.partitionBy("id")
+    lower_dup = ((F.col("nn_id") < F.col("id"))
+                 & (F.col("nn_sim") >= threshold)).cast("int")
+    best = (pairs.withColumn("__rn", F.row_number().over(w))
+                 .withColumn("is_dup", F.max(lower_dup).over(wid))
+                 .filter(F.col("__rn") == 1)
+                 .select("id", "nn_id", "nn_sim", "is_dup"))
+    return (idx.select("id", "cell_id")
+               .join(best, "id", "left")
+               .select("id", F.col("cell_id").cast("long").alias("cell_id"),
+                       "nn_id", "nn_sim",
+                       F.coalesce("is_dup", F.lit(0)).alias("is_dup")))
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
              k: int = 5, n_cells: int = 8, nprobe: int = 2,
              round_to: int = 6, salt_buckets: int = 8,

@@ -4989,3 +4989,163 @@ def pipe_corpus_curation(spark, sf_dir):
     return flagged.select(
         "doc_id", route.alias("route"), "lang_pred", "n_tokens", "quality",
         F.md5(textstats.pii_scrub("text")).alias("scrubbed_md5"))
+
+
+# ----------------------------------------------------------------------
+# round 3 additions: semantic dedup, exact stratified sampling,
+# retention cohorts, multi-grain rollup
+# ----------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+  ORDER BY vec_id LIMIT 8),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cents c),
+idx AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT vec_id, embedding, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell_id) AS crank
+    FROM sims) WHERE crank = 1),
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS nn_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS nn_sim
+  FROM idx a JOIN idx b
+    ON a.cell_id = b.cell_id AND a.vec_id != b.vec_id),
+best AS (
+  SELECT id, nn_id, nn_sim, is_dup FROM (
+    SELECT id, nn_id, nn_sim,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY nn_sim DESC, nn_id) AS rn,
+           max(CASE WHEN nn_id < id AND nn_sim >= 0.95
+                    THEN 1 ELSE 0 END) OVER (PARTITION BY id) AS is_dup
+    FROM pairs) WHERE rn = 1)
+SELECT i.vec_id AS id, CAST(i.cell_id AS BIGINT) AS cell_id,
+       b.nn_id, b.nn_sim, COALESCE(b.is_dup, 0) AS is_dup
+FROM idx i LEFT JOIN best b ON i.vec_id = b.id
+"""
+
+
+@register("dedup_semantic_cells", _SEMANTIC_DEDUP_SQL)
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup-style semantic dedup: coarse-cell clustering (broadcast
+    8-cell codebook, single assignment) + within-cell nearest neighbor;
+    a vector is a duplicate when a LOWER-id cellmate sits at cosine >=
+    0.95 — W1's first-wins dedup lifted to embedding space. Every
+    vector is emitted with its measured nn_sim so the hash gate
+    certifies the similarity computation, not just the (sparse) drop
+    set. 100 TB lever: n_cells ~ n / target_cell_size keeps within-cell
+    pairing constant-sized per cell; the pair join is salted so one
+    cell never pins a single task (similarity.semantic_nn_dedup)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_nn_dedup(e, "vec_id", "embedding",
+                                        n_cells=8, threshold=0.95)
+
+
+_STRAT_SAMPLE_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+    CAST(floor(((doc_id * 1103515245 + 12345) % 268435456) / 65536)
+         AS BIGINT) AS draw
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY draw, doc_id) AS INT)
+           AS sample_rank
+  FROM s)
+SELECT doc_id AS id, lang AS stratum, sample_rank
+FROM r WHERE sample_rank <= 40
+"""
+
+
+@register("sample_stratified_exact", _STRAT_SAMPLE_SQL)
+def sample_stratified_exact(spark, sf_dir):
+    """Exact-N stratified sample: 40 documents per language, chosen by
+    the engine-portable LCG draw (ties -> lower id) — deterministic
+    slice_sample(n=) for review batches (ref: QA_for_review.Rmd's
+    per-queue review slices; complements rate-based sample_domain_mix).
+    The oracle ranks each stratum directly; the Spark plan runs the
+    lossless two-stage form (salted slice top-N, then re-rank the
+    <= salt*N survivors) so no stratum ever funnels through one task
+    (operators/sampling.py:sample_stratified_exact)."""
+    from ..operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return sampling.sample_stratified_exact(d, "lang", "doc_id", 40)
+
+
+_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events),
+f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+SELECT CAST(f.cohort_wk AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', f.cohort_wk, e.wk) // 7 AS INT) AS week_no,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("evt_retention_cohorts", _RETENTION_SQL)
+def evt_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by first-seen ISO week,
+    counted distinct in each subsequent week offset — the standard
+    product-analytics triangle (generalizes T2's watermark min/max
+    bookkeeping to per-entity onboarding). Plan shape: min-week agg is
+    a map-side-combinable groupBy(user_id); the join back rides the
+    SAME user_id hash partitioning (no extra exchange under AQE); the
+    final count-distinct re-keys on (cohort, offset) — three exchanges
+    total, each on a high-cardinality or tiny key, no window over the
+    full fact table."""
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id",
+                 F.date_trunc("week", F.timestamp_micros("ts_us"))
+                  .cast("date").alias("wk")))
+    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (e.join(f, "user_id")
+             .groupBy(F.col("cohort_wk").cast("string").alias("cohort_week"),
+                      (F.datediff("wk", "cohort_wk") / 7).cast("int")
+                       .alias("week_no"))
+             .agg(F.countDistinct("user_id").cast("long").alias("n_active")))
+
+
+_GRAIN_ROLLUP_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         value
+  FROM events)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CAST(grouping(event_type) * 2 + grouping(day) AS INT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) AS total_value
+FROM e GROUP BY ROLLUP (event_type, day)
+"""
+
+
+@register("evt_rollup_multigrain", _GRAIN_ROLLUP_SQL)
+def evt_rollup_multigrain(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup in ONE pass: per
+    (event_type, day), per event_type, and grand total via ROLLUP,
+    grouping_id disambiguating rollup-NULLs from data-NULLs (A5's
+    total row generalized to the full lattice). Catalyst expands the
+    grouping sets into one Expand + one hash aggregate — each input
+    row is read once, partial-agged map-side, instead of the 3-scan
+    union a manual rollup would cost. Sums ride decimal(18,6) so every
+    grain is partition-order exact."""
+    e = (_t(spark, sf_dir, "events")
+         .select("event_type",
+                 F.date_trunc("day", F.timestamp_micros("ts_us"))
+                  .cast("date").alias("day"),
+                 "value"))
+    return (e.rollup("event_type", "day")
+             .agg(F.grouping_id().cast("int").alias("lvl"),
+                  F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+                   .cast("double").alias("total_value"))
+             .select("event_type", F.col("day").cast("string").alias("day"),
+                     "lvl", "n", "total_value"))

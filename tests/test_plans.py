@@ -30,7 +30,10 @@ SF_DIR = "/root/testdata/sf0.001"
 NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "ann_ivf_trained_topk", "ann_ivf_recall",
                   "text_tfidf_top_terms", "sample_domain_mix",
-                  "pipe_gap_report"}
+                  "pipe_gap_report",
+                  # broadcast codebook assignment: n rows x n_cells
+                  # centroids, linear in n (same shape as ann_ivf_*)
+                  "dedup_semantic_cells"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.

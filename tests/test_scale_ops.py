@@ -418,3 +418,70 @@ def test_pack_token_budget_layout_invariants(spark, sf_dir):
         packs[lang].add(r["pack_id"])
     for lang, ids in packs.items():
         assert ids == set(range(len(ids))), (lang, sorted(ids))
+
+
+def test_semantic_nn_dedup_flags_lower_id_twin(spark):
+    # 4 vectors, 2 cells (seeds = ids 1,2): 3 duplicates 1 exactly,
+    # 4 is 1 slightly perturbed (cos < 0.95 vs nothing... it's close
+    # to cell 1's members but not >= 0.95 of any lower id? compute:
+    # v4 = [1, 0.5] vs v1 [1, 0] -> cos ~ 0.894 < 0.95 -> not dup
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.1]), (3, [1.0, 0.0]),
+         (4, [1.0, 0.5])],
+        "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in
+           sim.semantic_nn_dedup(df, "vec_id", "embedding",
+                                 n_cells=2, threshold=0.95).collect()}
+    assert out[3]["is_dup"] == 1 and out[3]["nn_id"] == 1
+    assert out[3]["nn_sim"] == 1.0
+    assert out[1]["is_dup"] == 0          # first-wins: keeper stays
+    assert out[4]["is_dup"] == 0          # near but below threshold
+    assert out[2]["is_dup"] == 0          # alone in its cell
+    assert out[2]["nn_id"] is None and out[2]["nn_sim"] is None
+    # every vector emitted exactly once
+    assert sorted(out) == [1, 2, 3, 4]
+
+
+def test_semantic_nn_dedup_salt_does_not_change_output(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, sim.semantic_nn_dedup(
+        df, "vec_id", "embedding", n_cells=4, salt_buckets=1).collect()))
+    b = sorted(map(tuple, sim.semantic_nn_dedup(
+        df, "vec_id", "embedding", n_cells=4, salt_buckets=8).collect()))
+    assert a == b
+
+
+def test_sample_stratified_exact_counts_and_determinism(spark, sf_dir):
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.sample_stratified_exact(d, "lang", "doc_id", 7)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["stratum"], []).append(r["sample_rank"])
+    n_langs = d.select("lang").distinct().count()
+    assert len(per) == n_langs
+    for ranks in per.values():
+        # exactly 7 (every stratum has >= 7 docs here), ranks 1..7
+        assert sorted(ranks) == list(range(1, 8))
+    # salted two-stage result == direct single-window result
+    again = sorted(map(tuple,
+                       sampling.sample_stratified_exact(
+                           d, "lang", "doc_id", 7,
+                           salt_buckets=1).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_stratified_sample_smaller_stratum_keeps_all(spark):
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(20)] + [(100, "tiny"), (101, "tiny")],
+        "doc_id long, lang string")
+    out = sampling.sample_stratified_exact(df, "lang", "doc_id", 5)
+    got = {r["stratum"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["stratum"]] = got[r["stratum"]] + 1
+    assert got == {"big": 5, "tiny": 2}   # tiny stratum keeps what it has
