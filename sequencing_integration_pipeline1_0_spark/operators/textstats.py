@@ -151,7 +151,8 @@ def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
 
 
 def ngram_contamination(corpus, bench, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 5):
+                        text_col: str = "text", n: int = 5,
+                        use_bloom: bool = False):
     """Benchmark decontamination: flag corpus docs sharing >=1 word
     n-gram with an evaluation set (the standard pretraining-hygiene
     check). Returns (id, n_shared_ngrams, contaminated) for EVERY
@@ -178,6 +179,14 @@ def ngram_contamination(corpus, bench, id_col: str = "doc_id",
                .select(F.xxhash64("gram").alias("gram_h")).distinct())
     cg = (corpus.select(F.col(id_col), grams)
                 .select(id_col, F.xxhash64("gram").alias("gram_h")))
+    if use_bloom:
+        # 100 TB variant: a Bloom sketch over the bench grams prunes
+        # the corpus side map-side BEFORE the exact join — lossless
+        # (no false negatives; false positives die in the join), and
+        # the verify join can then shuffle instead of broadcast when
+        # the bench set outgrows the broadcast budget
+        from .bloom import bloom_build, bloom_prefilter
+        cg = bloom_prefilter(cg, "gram_h", bloom_build(bg, "gram_h"))
     hits = (cg.join(F.broadcast(bg), "gram_h")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_shared_ngrams")))

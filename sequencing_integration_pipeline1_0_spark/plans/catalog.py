@@ -5149,3 +5149,81 @@ def evt_rollup_multigrain(spark, sf_dir):
                    .cast("double").alias("total_value"))
              .select("event_type", F.col("day").cast("string").alias("day"),
                      "lvl", "n", "total_value"))
+
+
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM e
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'view' AND ts_us > t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'click' AND ts_us > t2 GROUP BY e.user_id),
+s4 AS (
+  SELECT e.user_id, min(ts_us) AS t4 FROM e JOIN s3 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_us > t3 GROUP BY e.user_id)
+SELECT step, step_name, n_users FROM (
+  SELECT 1 AS step, 'signup' AS step_name,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL SELECT 2, 'view', CAST((SELECT count(*) FROM s2) AS BIGINT)
+  UNION ALL SELECT 3, 'click', CAST((SELECT count(*) FROM s3) AS BIGINT)
+  UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT))
+"""
+
+
+@register("evt_funnel_steps", _FUNNEL_SQL)
+def evt_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel: users completing signup -> view ->
+    click -> purchase with each step STRICTLY AFTER the previous
+    one's first completion (the sequenced generalization of P6's flag
+    counting; order matters, so a purchase before signup doesn't
+    count). Four per-user min-aggs chained by semi-join-shaped inner
+    joins — every stage keys on user_id, so under AQE the chain reuses
+    ONE hash partitioning; each stage's input also shrinks
+    monotonically (funnel property). The final four scalar counts
+    union into the (step, step_name, n_users) summary — no window over
+    the fact table, no collect."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    s1 = (e.filter(F.col("event_type") == "signup")
+           .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
+    s2 = (e.filter(F.col("event_type") == "view").join(s1, "user_id")
+           .filter(F.col("ts_us") > F.col("t1"))
+           .groupBy("user_id").agg(F.min("ts_us").alias("t2")))
+    s3 = (e.filter(F.col("event_type") == "click").join(s2, "user_id")
+           .filter(F.col("ts_us") > F.col("t2"))
+           .groupBy("user_id").agg(F.min("ts_us").alias("t3")))
+    s4 = (e.filter(F.col("event_type") == "purchase").join(s3, "user_id")
+           .filter(F.col("ts_us") > F.col("t3"))
+           .groupBy("user_id").agg(F.min("ts_us").alias("t4")))
+    rows = [(1, "signup", s1), (2, "view", s2),
+            (3, "click", s3), (4, "purchase", s4)]
+    parts = [s.agg(F.lit(i).alias("step"),
+                   F.lit(nm).alias("step_name"),
+                   F.count(F.lit(1)).cast("long").alias("n_users"))
+             for i, nm, s in rows]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register("decontam_bloom_prefilter", _DECONTAM_SQL)
+def decontam_bloom_prefilter(spark, sf_dir):
+    """Decontamination via Bloom prefilter + exact verify — the same
+    answer as decontam_ngram_overlap, certified by the SAME oracle.
+    The bench grams build a ~128 KiB Bloom sketch (always
+    broadcastable, unlike an exact set at real eval-suite sizes); the
+    corpus side drops non-matching grams map-side with zero shuffle;
+    only survivors reach the exact join that kills the false
+    positives. No false negatives by construction, so the hash gate
+    proves the prefilter is lossless (operators/bloom.py)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return textstats.ngram_contamination(corpus, bench,
+                                         "doc_id", "text", n=5,
+                                         use_bloom=True)

@@ -33,7 +33,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "pipe_gap_report",
                   # broadcast codebook assignment: n rows x n_cells
                   # centroids, linear in n (same shape as ann_ivf_*)
-                  "dedup_semantic_cells"}
+                  "dedup_semantic_cells",
+                  # 1-row Bloom-map broadcast onto every corpus gram
+                  # (same scalar-broadcast shape as tfidf's corpus size)
+                  "decontam_bloom_prefilter"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.

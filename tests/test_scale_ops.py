@@ -485,3 +485,30 @@ def test_stratified_sample_smaller_stratum_keeps_all(spark):
     for r in out.collect():
         got[r["stratum"]] = got[r["stratum"]] + 1
     assert got == {"big": 5, "tiny": 2}   # tiny stratum keeps what it has
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from sequencing_integration_pipeline1_0_spark.operators import bloom
+    members = spark.range(0, 1000).select(F.col("id").alias("v"))
+    probe = spark.range(0, 20000).select(F.col("id").alias("v"))
+    bf = bloom.bloom_build(members, "v", m_bits=1 << 16)
+    kept = {r["v"] for r in
+            bloom.bloom_prefilter(probe, "v", bf,
+                                  m_bits=1 << 16).collect()}
+    assert set(range(1000)) <= kept          # zero false negatives
+    fp = len(kept) - 1000
+    assert fp / 19000 < 0.02                 # geometry bound ~0.0001
+    # empty filter rejects everything
+    empty = bloom.bloom_build(members.filter("v < 0"), "v")
+    assert bloom.bloom_prefilter(probe, "v", empty).count() == 0
+
+
+def test_bloom_decontam_matches_exact_path(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    exact = sorted(map(tuple, ts.ngram_contamination(
+        corpus, bench, "doc_id", "text", n=5).collect()))
+    via_bloom = sorted(map(tuple, ts.ngram_contamination(
+        corpus, bench, "doc_id", "text", n=5, use_bloom=True).collect()))
+    assert exact == via_bloom
