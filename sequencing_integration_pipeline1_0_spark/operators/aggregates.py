@@ -79,6 +79,40 @@ def with_missing_level(df: DataFrame, col: str,
     return df.withColumn(col, F.coalesce(F.col(col), F.lit(label)))
 
 
+def funnel_steps(df: DataFrame, user_col: str, type_col: str, ts_col: str,
+                 steps: Sequence[str]) -> DataFrame:
+    """Strictly-ordered conversion funnel: for each step i, count users
+    whose first step-i event falls strictly AFTER their first
+    qualifying step-(i-1) event (order matters — a purchase before
+    signup does not convert). Returns (step, step_name, n_users), one
+    row per step.
+
+    Plan shape: a chain of per-user min-aggs, each inner-joined to the
+    previous stage — every stage keys on user_col, so AQE reuses ONE
+    hash partitioning down the chain, and each stage's input shrinks
+    monotonically (the funnel property). The four scalar counts union
+    into the summary; no window over the fact table, no collect."""
+    prev = None
+    stages: list[tuple[int, str, DataFrame]] = []
+    for i, step in enumerate(steps, start=1):
+        s = df.filter(F.col(type_col) == step)
+        if prev is not None:
+            s = (s.join(prev, user_col)
+                  .filter(F.col(ts_col) > F.col(f"__t{i - 1}")))
+        s = (s.groupBy(user_col)
+              .agg(F.min(ts_col).alias(f"__t{i}")))
+        stages.append((i, step, s))
+        prev = s
+    parts = [s.agg(F.lit(i).alias("step"),
+                   F.lit(nm).alias("step_name"),
+                   F.count(F.lit(1)).cast("long").alias("n_users"))
+             for i, nm, s in stages]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def latest_per_group(df: DataFrame, keys: Sequence[str], ts: str) -> DataFrame:
     """A9/S7: latest-by-timestamp row per group (max mtime per dir,
     phl.Rmd:116-133) — window argmax with deterministic tiebreak."""

@@ -173,7 +173,10 @@ def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
     100 TB lever is n_cells ~ n / target_cell_size (same knob as
     SemDeDup's k), which keeps per-cell work constant as n grows.
     nn choice and is_dup ride ONE window partitioning (id): the rank
-    and the lower-id-dup flag share the shuffle."""
+    and the lower-id-dup flag share the shuffle. The lazily-planned
+    form re-derives the cell assignment on each of its three branches
+    (pair left, pair right, emit-all) — linear work; a production run
+    at 100 TB checkpoints the assignment once instead."""
     base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
     cents = (base.orderBy("id").limit(n_cells)

@@ -150,6 +150,40 @@ def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
                        lambda acc, v: (acc * 31 + v) % mod)
 
 
+def repeated_spans(df, id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 20, min_docs: int = 2):
+    """Cross-document repeated-passage detection: word n-gram spans
+    occurring in >= min_docs DISTINCT documents — the discovery half
+    of exact-substring deduplication (boilerplate headers, license
+    blocks, templated passages that survive document-level dedup
+    because the documents differ elsewhere). Returns one row per
+    repeated span hash: (span_h, n_docs, n_occurrences,
+    first_doc_id, first_pos) — the (doc, pos) witness lets a removal
+    pass slice the canonical occurrence back out of the text.
+
+    Scale shape: posexplode to (doc, pos, gram-hash) is map-side; the
+    only shuffle is ONE groupBy(span_h) with map-side partial aggs.
+    Span text is NOT carried through the shuffle — 64-bit hashes
+    stand in (a collision merely merges two span groups; the witness
+    coordinates keep the audit exact). At 100 TB add a frequency
+    prefilter (drop hashes seen once per partition) before the global
+    agg — same pattern as the Bloom decontam prefilter."""
+    g = (df.select(F.col(id_col).alias("__id"),
+                   F.posexplode(ngram_array(text_col, n))
+                    .alias("__pos", "__gram"))
+           .select("__id", "__pos", F.xxhash64("__gram").alias("span_h")))
+    # min_by struct: the (id, pos)-smallest witness occurrence
+    witness = F.min(F.struct("__id", "__pos"))
+    return (g.groupBy("span_h")
+             .agg(F.countDistinct("__id").cast("long").alias("n_docs"),
+                  F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                  witness.alias("__w"))
+             .filter(F.col("n_docs") >= min_docs)
+             .select("span_h", "n_docs", "n_occurrences",
+                     F.col("__w.__id").alias("first_doc_id"),
+                     F.col("__w.__pos").alias("first_pos")))
+
+
 def ngram_contamination(corpus, bench, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         use_bloom: bool = False):

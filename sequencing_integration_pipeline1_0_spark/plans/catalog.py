@@ -5181,34 +5181,12 @@ def evt_funnel_steps(spark, sf_dir):
     click -> purchase with each step STRICTLY AFTER the previous
     one's first completion (the sequenced generalization of P6's flag
     counting; order matters, so a purchase before signup doesn't
-    count). Four per-user min-aggs chained by semi-join-shaped inner
-    joins — every stage keys on user_id, so under AQE the chain reuses
-    ONE hash partitioning; each stage's input also shrinks
-    monotonically (funnel property). The final four scalar counts
-    union into the (step, step_name, n_users) summary — no window over
-    the fact table, no collect."""
+    count). Chained per-user min-aggs, one reused user_id
+    partitioning — see aggregates.funnel_steps (property-tested
+    against a brute-force reference in tests/test_props.py)."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
-    s1 = (e.filter(F.col("event_type") == "signup")
-           .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
-    s2 = (e.filter(F.col("event_type") == "view").join(s1, "user_id")
-           .filter(F.col("ts_us") > F.col("t1"))
-           .groupBy("user_id").agg(F.min("ts_us").alias("t2")))
-    s3 = (e.filter(F.col("event_type") == "click").join(s2, "user_id")
-           .filter(F.col("ts_us") > F.col("t2"))
-           .groupBy("user_id").agg(F.min("ts_us").alias("t3")))
-    s4 = (e.filter(F.col("event_type") == "purchase").join(s3, "user_id")
-           .filter(F.col("ts_us") > F.col("t3"))
-           .groupBy("user_id").agg(F.min("ts_us").alias("t4")))
-    rows = [(1, "signup", s1), (2, "view", s2),
-            (3, "click", s3), (4, "purchase", s4)]
-    parts = [s.agg(F.lit(i).alias("step"),
-                   F.lit(nm).alias("step_name"),
-                   F.count(F.lit(1)).cast("long").alias("n_users"))
-             for i, nm, s in rows]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return agg.funnel_steps(e, "user_id", "event_type", "ts_us",
+                            ["signup", "view", "click", "purchase"])
 
 
 @register("decontam_bloom_prefilter", _DECONTAM_SQL)
@@ -5227,3 +5205,48 @@ def decontam_bloom_prefilter(spark, sf_dir):
     return textstats.ngram_contamination(corpus, bench,
                                          "doc_id", "text", n=5,
                                          use_bloom=True)
+
+
+@register("st_click_attribution", """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events),
+c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id AS user_id_p,
+             ts_us AS purchase_ts_us
+      FROM e WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id, c.user_id,
+       c.click_ts_us, p.purchase_ts_us
+FROM c JOIN p
+  ON c.user_id = p.user_id_p
+ AND p.purchase_ts_us > c.click_ts_us
+ AND p.purchase_ts_us <= c.click_ts_us + 1800000000
+""")
+def st_click_attribution(spark, sf_dir):
+    """Stream-stream interval join run under the oracle gate: each
+    purchase attributed to every click by the same user in the
+    preceding 30 minutes. Both sides are THE SAME watermarked event
+    stream (a self-join) split by type; the time-bounded condition is
+    what lets Spark expire join state instead of holding both streams
+    forever. The drained availableNow result must equal the plain
+    batch interval join the oracle runs — certifying the streaming
+    semantics, not just the arithmetic."""
+    ev = _events_stream(spark, sf_dir)
+    c = (ev.filter(F.col("event_type") == "click")
+           .select(F.col("event_id").alias("click_id"),
+                   "user_id",
+                   F.col("event_time").alias("click_time")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("purchase_id"),
+                   F.col("user_id").alias("user_id_p"),
+                   F.col("event_time").alias("purchase_time")))
+    j = _st.interval_join_streams(c, p, "user_id", "user_id_p",
+                                  "click_time", "purchase_time",
+                                  within="30 minutes", delay="2 hours")
+    out = _st.run_available_now(
+        j.select("click_id", "purchase_id", "user_id",
+                 F.unix_micros("click_time").alias("click_ts_us"),
+                 F.unix_micros("purchase_time").alias("purchase_ts_us")),
+        "st_click_attr", "append")
+    return out

@@ -201,6 +201,30 @@ def foreach_batch_near_dup_dedup(index: DataFrame, id_col: str,
     return _fn
 
 
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key_l: str, key_r: str,
+                          ts_l: str, ts_r: str, *,
+                          within: str = "30 minutes",
+                          delay: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join: every right event that
+    lands strictly after its left partner and within `within` of it —
+    the attribution/correlation primitive (click -> purchase, submit ->
+    ack). Column names must be disjoint across the two sides.
+
+    Both sides carry watermarks and the join condition bounds ts_r in
+    [ts_l, ts_l + within], so Spark can expire state: a left row is
+    held only `within + delay` past the watermark, never forever —
+    the property that makes a stream-stream join runnable at 100 TB/day
+    (unbounded-state joins are rejected by the engine). Also a valid
+    batch plan (unified model), which is how the oracle certifies it."""
+    lw = left.withWatermark(ts_l, delay)
+    rw = right.withWatermark(ts_r, delay)
+    cond = ((F.col(key_l) == F.col(key_r))
+            & (F.col(ts_r) > F.col(ts_l))
+            & (F.col(ts_r) <= F.col(ts_l) + F.expr(f"INTERVAL {within}")))
+    return lw.join(rw, cond, "inner")
+
+
 def run_available_now(stream: DataFrame, name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drain a stream with trigger(availableNow) into a memory sink and

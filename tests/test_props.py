@@ -175,3 +175,118 @@ def test_prefix_filter_exactness_property(spark, docs, threshold):
                                            threshold=threshold,
                                            prefix_filter=False).collect()}
     assert got == want
+
+
+@SLOW
+@given(st.lists(
+    st.tuples(st.integers(1, 6),                  # user
+              st.sampled_from(["signup", "view", "click", "purchase"]),
+              st.integers(0, 20)),                # ts
+    min_size=1, max_size=30))
+def test_funnel_steps_matches_bruteforce(spark, events):
+    """funnel_steps == a per-user sequential scan done in plain Python:
+    first signup, then first view strictly after it, then first click
+    strictly after that, then first purchase — on ANY event set,
+    including duplicate timestamps and out-of-order arrivals."""
+    from sequencing_integration_pipeline1_0_spark.operators import aggregates
+
+    steps = ["signup", "view", "click", "purchase"]
+
+    def brute():
+        counts = [0] * 4
+        users = {u for u, _, _ in events}
+        for u in users:
+            mine = [(t, ty) for (uu, ty, t) in events if uu == u]
+            prev = None
+            for i, step in enumerate(steps):
+                cand = [t for (t, ty) in mine
+                        if ty == step and (prev is None or t > prev)]
+                if not cand:
+                    break
+                prev = min(cand)
+                counts[i] += 1
+        return {(i + 1, steps[i], counts[i]) for i in range(4)}
+
+    df = spark.createDataFrame(
+        [(u, ty, t) for (u, ty, t) in events],
+        "user_id long, event_type string, ts_us long")
+    got = {(r["step"], r["step_name"], r["n_users"])
+           for r in aggregates.funnel_steps(
+               df, "user_id", "event_type", "ts_us", steps).collect()}
+    assert got == brute()
+
+
+@SLOW
+@given(st.lists(
+    st.tuples(st.integers(1, 5),                   # user
+              st.integers(0, 27)),                 # day offset
+    min_size=1, max_size=25))
+def test_retention_cohort_triangle_matches_bruteforce(spark, events):
+    """The cohort triangle == a per-user python scan: cohort = Monday
+    of the user's first event week; each (cohort, week offset) cell
+    counts distinct users active that week."""
+    base = dt.date(2024, 1, 1)
+
+    def monday(d):
+        return d - dt.timedelta(days=d.weekday())
+
+    def brute():
+        firsts = {}
+        for u, off in events:
+            w = monday(base + dt.timedelta(days=off))
+            if u not in firsts or w < firsts[u]:
+                firsts[u] = w
+        cells = {}
+        for u, off in events:
+            w = monday(base + dt.timedelta(days=off))
+            k = (str(firsts[u]), (w - firsts[u]).days // 7)
+            cells.setdefault(k, set()).add(u)
+        return {(c, o, len(us)) for (c, o), us in cells.items()}
+
+    df = spark.createDataFrame(
+        [(u, (dt.datetime(2024, 1, 1) + dt.timedelta(days=off)))
+         for u, off in events],
+        "user_id long, et timestamp")
+    e = df.select("user_id",
+                  F.date_trunc("week", "et").cast("date").alias("wk"))
+    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    got = {(r["cohort_week"], r["week_no"], r["n_active"]) for r in
+           (e.join(f, "user_id")
+             .groupBy(F.col("cohort_wk").cast("string").alias("cohort_week"),
+                      (F.datediff("wk", "cohort_wk") / 7).cast("int")
+                       .alias("week_no"))
+             .agg(F.countDistinct("user_id").cast("long")
+                   .alias("n_active"))).collect()}
+    assert got == brute()
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(1, 4),
+                          st.lists(st.sampled_from("abcd"),
+                                   min_size=0, max_size=8)),
+                min_size=1, max_size=8))
+def test_repeated_spans_matches_bruteforce(spark, docs):
+    """repeated_spans == python: every word 3-gram occurring in >= 2
+    distinct docs, with its (doc, pos)-smallest witness."""
+    from sequencing_integration_pipeline1_0_spark.operators import textstats
+    corpus = [(i, " ".join(ws)) for i, (_, ws) in enumerate(docs)]
+
+    def brute():
+        occ = {}
+        for i, text in corpus:
+            ws = text.split()
+            for p in range(len(ws) - 2):
+                occ.setdefault(" ".join(ws[p:p + 3]), []).append((i, p))
+        out = {}
+        for gram, hits in occ.items():
+            ds = {i for i, _ in hits}
+            if len(ds) >= 2:
+                out[gram] = (len(ds), len(hits), min(hits))
+        return sorted(out.values())
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted((r["n_docs"], r["n_occurrences"],
+                  (r["first_doc_id"], r["first_pos"]))
+                 for r in textstats.repeated_spans(
+                     df, "doc_id", "text", n=3, min_docs=2).collect())
+    assert got == brute()

@@ -512,3 +512,27 @@ def test_bloom_decontam_matches_exact_path(spark, sf_dir):
     via_bloom = sorted(map(tuple, ts.ngram_contamination(
         corpus, bench, "doc_id", "text", n=5, use_bloom=True).collect()))
     assert exact == via_bloom
+
+
+def test_repeated_spans_finds_shared_passage_only(spark):
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, f"alpha beta {shared} gamma"),
+         (2, f"{shared} delta epsilon"),
+         (3, "totally unrelated words here without repeats")],
+        "doc_id long, text string")
+    out = ts.repeated_spans(df, "doc_id", "text", n=5, min_docs=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 2
+    # witness = smallest (doc, pos): doc 1, 0-indexed gram position 2
+    assert r["first_doc_id"] == 1 and r["first_pos"] == 2
+
+
+def test_repeated_spans_within_doc_repeat_not_cross_doc(spark):
+    # a span repeated inside ONE doc only is not cross-document
+    df = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "p q r s t u")],
+        "doc_id long, text string")
+    out = ts.repeated_spans(df, "doc_id", "text", n=3, min_docs=2).collect()
+    assert out == []

@@ -154,3 +154,36 @@ def test_streaming_near_dup_dedup_against_index(spark, sf_dir, tmp_path):
     assert got == want
     n_incoming = full.count() - cut
     assert 0 < len(got) < n_incoming   # some dropped, some kept
+
+
+def test_interval_join_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    schema = spark.read.parquet(events_stream_dir).schema
+
+    def split(df):
+        c = (df.filter(F.col("event_type") == "click")
+               .select(F.col("event_id").alias("click_id"), "user_id",
+                       F.col("event_time").alias("click_time")))
+        p = (df.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("purchase_id"),
+                       F.col("user_id").alias("user_id_p"),
+                       F.col("event_time").alias("purchase_time")))
+        return c, p
+
+    stream = st.read_parquet_stream(spark, events_stream_dir, schema)
+    sc, sp = split(stream)
+    streamed = _run_stream(
+        spark,
+        st.interval_join_streams(sc, sp, "user_id", "user_id_p",
+                                 "click_time", "purchase_time",
+                                 within="30 minutes"),
+        tmp_path, "st_ij")
+
+    batch = spark.read.parquet(events_stream_dir)
+    bc, bp = split(batch)
+    expected = st.interval_join_streams(bc, bp, "user_id", "user_id_p",
+                                        "click_time", "purchase_time",
+                                        within="30 minutes")
+    key = lambda r: (r["click_id"], r["purchase_id"])  # noqa: E731
+    got = sorted(map(key, streamed.collect()))
+    want = sorted(map(key, expected.collect()))
+    assert got == want and len(want) > 0
