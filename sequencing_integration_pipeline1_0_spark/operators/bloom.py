@@ -58,8 +58,14 @@ def bloom_build(df: DataFrame, value_col: str, *,
              .select("w", F.expr(
                  "shiftleft(CAST(1 AS BIGINT), b)").alias("bit")))
     words = pos.groupBy("w").agg(F.bit_or("bit").alias("mask"))
-    return words.agg(F.map_from_entries(
-        F.collect_list(F.struct("w", "mask"))).alias("__bloom"))
+    # geometry rides WITH the sketch: probing with mismatched
+    # (m_bits, k) would silently produce false negatives — the one
+    # failure mode a Bloom prefilter must never have — so
+    # bloom_prefilter hard-fails on a mismatch instead
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask")))
+         .alias("__bloom"),
+        F.lit(m_bits).alias("__m_bits"), F.lit(k).alias("__k"))
 
 
 def bloom_prefilter(df: DataFrame, value_col: str, bloom: DataFrame, *,
@@ -70,7 +76,14 @@ def bloom_prefilter(df: DataFrame, value_col: str, bloom: DataFrame, *,
     The filter itself is a broadcast of the 1-row map + k masked
     lookups per row — map-side, no shuffle of df."""
     out = df.join(F.broadcast(bloom))
-    checks = []
+    # geometry guard: a sketch built with different (m_bits, k) would
+    # miss true members map-side — raise instead. assert_true returns
+    # NULL on success, so isNull() folds it INTO the filter condition
+    # (a standalone unused column would be pruned away by Catalyst)
+    checks = [F.assert_true(
+        (F.col("__m_bits") == F.lit(m_bits)) & (F.col("__k") == F.lit(k)),
+        F.lit("bloom geometry mismatch: probe (m_bits, k) differs from "
+              "the sketch's build geometry")).isNull()]
     for i, p in enumerate(_positions(F.col(value_col), m_bits, k)):
         out = (out.withColumn(f"__w{i}",
                               F.floor(p / 64).cast("long"))
@@ -81,6 +94,6 @@ def bloom_prefilter(df: DataFrame, value_col: str, bloom: DataFrame, *,
     cond = checks[0]
     for c in checks[1:]:
         cond = cond & c
-    drop = ["__bloom"] + [f"__w{i}" for i in range(k)] \
-        + [f"__b{i}" for i in range(k)]
+    drop = ["__bloom", "__m_bits", "__k"] \
+        + [f"__w{i}" for i in range(k)] + [f"__b{i}" for i in range(k)]
     return out.filter(cond).drop(*drop)

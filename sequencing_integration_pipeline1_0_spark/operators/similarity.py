@@ -219,6 +219,35 @@ def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
                        F.coalesce("is_dup", F.lit(0)).alias("is_dup")))
 
 
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               codebook: DataFrame, *, round_to: int = 6) -> DataFrame:
+    """Assign a batch of vectors to an EXISTING codebook's cells —
+    the incremental-maintenance half of the IVF index (mirrors
+    minhash_index/query_minhash_index: the corpus index is built once,
+    new arrivals are assigned without retraining). codebook is
+    (cell_id, cv) as produced by train_ivf_codebook. Returns
+    (id, v, nv, cell_id) rows appendable to a persisted index.
+
+    Scale shape: the codebook broadcasts; assignment is one linear
+    pass (n rows x n_cells centroids); ties break to the lower cell id
+    with the same rounded-cosine rule as ivf_topk, so an appended
+    index is bit-identical to one built from scratch over the union —
+    the invariant the parity test pins."""
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    cb = F.broadcast(codebook.withColumn("ncv", norm(F.col("cv"))))
+    sims = (base.join(cb)
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")),
+                                    round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                          F.col("cell_id"))
+    return (sims.withColumn("__crank", F.row_number().over(cw))
+                .filter(F.col("__crank") == 1)
+                .select("id", "v", "nv", "cell_id"))
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
              k: int = 5, n_cells: int = 8, nprobe: int = 2,
              round_to: int = 6, salt_buckets: int = 8,

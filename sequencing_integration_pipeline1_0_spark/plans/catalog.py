@@ -5250,3 +5250,61 @@ def st_click_attribution(spark, sf_dir):
                  F.unix_micros("purchase_time").alias("purchase_ts_us")),
         "st_click_attr", "append")
     return out
+
+
+_ACTIVE_USERS_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events),
+span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+contrib AS (
+  SELECT e.user_id, e.d + INTERVAL (o) DAY AS wd
+  FROM e CROSS JOIN range(0, 7) r(o)),
+wau AS (
+  SELECT CAST(wd AS DATE) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM contrib GROUP BY 1),
+dau AS (
+  SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM e GROUP BY 1)
+SELECT CAST(w.day AS VARCHAR) AS day, COALESCE(d.dau, 0) AS dau, w.wau,
+       round(COALESCE(d.dau, 0) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM wau w LEFT JOIN dau d ON w.day = d.day, span
+WHERE w.day BETWEEN span.d0 + INTERVAL 6 DAY AND span.d1
+"""
+
+
+@register("evt_active_users", _ACTIVE_USERS_SQL)
+def evt_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the sliding
+    distinct-count that a naive implementation writes as a self-join
+    of every day against its 6 predecessors (7 scans). Here each
+    (user, day) contributes itself to the 7 window-days it is visible
+    in (bounded explode x7, map-side), so ONE distinct-agg shuffle
+    produces every window — the standard scale trick for small sliding
+    windows over massive facts. Days before the first full window are
+    fenced off (partial windows would understate WAU)."""
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id",
+                 F.date_trunc("day", F.timestamp_micros("ts_us"))
+                  .cast("date").alias("d"))
+         .distinct())
+    span = e.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    contrib = e.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"),
+                             F.date_add(F.col("d"), 6))).alias("day"))
+    wau = (contrib.groupBy("day")
+                  .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+    dau = (e.groupBy(F.col("d").alias("day"))
+            .agg(F.countDistinct("user_id").cast("long").alias("dau")))
+    return (wau.join(dau, "day", "left")
+               .join(F.broadcast(span))
+               .filter((F.col("day") >= F.date_add(F.col("d0"), 6))
+                       & (F.col("day") <= F.col("d1")))
+               .select(F.col("day").cast("string").alias("day"),
+                       F.coalesce("dau", F.lit(0).cast("long")).alias("dau"),
+                       "wau",
+                       F.round(F.coalesce("dau", F.lit(0).cast("long"))
+                               / F.col("wau").cast("double"), 6)
+                        .alias("stickiness")))

@@ -36,7 +36,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "dedup_semantic_cells",
                   # 1-row Bloom-map broadcast onto every corpus gram
                   # (same scalar-broadcast shape as tfidf's corpus size)
-                  "decontam_bloom_prefilter"}
+                  "decontam_bloom_prefilter",
+                  # 1-row (min_day, max_day) span broadcast fencing the
+                  # partial leading windows
+                  "evt_active_users"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.

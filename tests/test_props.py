@@ -290,3 +290,51 @@ def test_repeated_spans_matches_bruteforce(spark, docs):
                  for r in textstats.repeated_spans(
                      df, "doc_id", "text", n=3, min_docs=2).collect())
     assert got == brute()
+
+
+@SLOW
+@given(st.lists(
+    st.tuples(st.integers(1, 5),                   # user
+              st.integers(0, 20)),                 # day offset
+    min_size=1, max_size=25))
+def test_active_users_window_matches_bruteforce(spark, events):
+    """DAU / trailing-7-day WAU via the day-explode trick == a python
+    scan over every (window day, 7-day lookback)."""
+    base = dt.date(2024, 1, 1)
+    days = [base + dt.timedelta(days=off) for _, off in events]
+    d0, d1 = min(days), max(days)
+
+    def brute():
+        out = set()
+        d = d0 + dt.timedelta(days=6)
+        while d <= d1:
+            dau = {u for u, off in events
+                   if base + dt.timedelta(days=off) == d}
+            wau = {u for u, off in events
+                   if 0 <= (d - (base + dt.timedelta(days=off))).days <= 6}
+            if wau:  # a window day only exists if someone was active in it
+                out.add((str(d), len(dau), len(wau)))
+            d += dt.timedelta(days=1)
+        return out
+
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(days=off)) for u, off in events],
+        "user_id long, d date").distinct()
+    span = df.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    contrib = df.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+         .alias("day"))
+    wau = (contrib.groupBy("day")
+                  .agg(F.countDistinct("user_id").alias("wau")))
+    dau = (df.groupBy(F.col("d").alias("day"))
+             .agg(F.countDistinct("user_id").alias("dau")))
+    got = {(r["day"], r["dau"], r["wau"]) for r in
+           (wau.join(dau, "day", "left")
+               .join(F.broadcast(span))
+               .filter((F.col("day") >= F.date_add(F.col("d0"), 6))
+                       & (F.col("day") <= F.col("d1")))
+               .select(F.col("day").cast("string").alias("day"),
+                       F.coalesce("dau", F.lit(0)).alias("dau"), "wau")
+            ).collect()}
+    assert got == brute()

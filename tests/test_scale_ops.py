@@ -536,3 +536,33 @@ def test_repeated_spans_within_doc_repeat_not_cross_doc(spark):
         "doc_id long, text string")
     out = ts.repeated_spans(df, "doc_id", "text", n=3, min_docs=2).collect()
     assert out == []
+
+
+def test_bloom_geometry_mismatch_raises(spark):
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+    from sequencing_integration_pipeline1_0_spark.operators import bloom
+    members = spark.range(0, 100).select(F.col("id").alias("v"))
+    bf = bloom.bloom_build(members, "v", m_bits=1 << 16)
+    with _pytest.raises(SparkRuntimeException):
+        bloom.bloom_prefilter(members, "v", bf, m_bits=1 << 20).count()
+
+
+def test_ivf_assign_incremental_parity(spark):
+    """Appending a new batch via ivf_assign against a frozen codebook
+    yields the same assignments those vectors get when the whole
+    corpus is assigned in one pass — the append-only index invariant."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old = full.filter(F.col("vec_id") < 40)
+    new = full.filter(F.col("vec_id") >= 40)
+    cb = sim.train_ivf_codebook(old, "vec_id", "embedding",
+                                n_cells=4, iters=1)
+    all_at_once = sim.ivf_assign(full, "vec_id", "embedding", cb)
+    appended = (sim.ivf_assign(old, "vec_id", "embedding", cb)
+                .unionByName(sim.ivf_assign(new, "vec_id", "embedding", cb)))
+    a = sorted((r["id"], r["cell_id"]) for r in all_at_once.collect())
+    b = sorted((r["id"], r["cell_id"]) for r in appended.collect())
+    assert a == b and len(a) == 60
