@@ -184,6 +184,43 @@ def repeated_spans(df, id_col: str = "doc_id", text_col: str = "text",
                      F.col("__w.__pos").alias("first_pos")))
 
 
+def repeated_span_fraction(df, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n: int = 20, min_docs: int = 2):
+    """Per-document boilerplate score: fraction of a document's word
+    n-grams that also occur in >= min_docs - 1 OTHER documents — the
+    quality-filter feature built on repeated_spans (a doc that is
+    mostly cross-corpus boilerplate is a drop candidate even when no
+    single document duplicates it). Returns (id, n_grams,
+    n_repeated, repeated_frac) for EVERY doc, zero-gram docs included
+    (frac 0.0, never null — filters compose without na handling).
+
+    Scale shape: two shuffles total — repeated_spans' groupBy(span_h)
+    and the per-doc count — joined on the slim 64-bit hash; span text
+    never shuffles."""
+    spans = (repeated_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+             .select("span_h"))
+    g = (df.select(F.col(id_col).alias("__id"),
+                   F.explode(ngram_array(text_col, n)).alias("__gram"))
+           .select("__id", F.xxhash64("__gram").alias("span_h")))
+    per_doc = (g.join(spans, "span_h", "left_semi")
+                .groupBy("__id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_repeated")))
+    totals = (df.select(F.col(id_col).alias("__id"),
+                        F.size(ngram_array(text_col, n)).cast("long")
+                         .alias("n_grams")))
+    return (totals.join(per_doc, "__id", "left")
+                  .select(F.col("__id").alias(id_col), "n_grams",
+                          F.coalesce("n_repeated", F.lit(0).cast("long"))
+                           .alias("n_repeated"),
+                          F.when(F.col("n_grams") > 0,
+                                 F.round(F.coalesce("n_repeated",
+                                                    F.lit(0).cast("long"))
+                                         / F.col("n_grams"), 6))
+                           .otherwise(F.lit(0.0))
+                           .alias("repeated_frac")))
+
+
 def ngram_contamination(corpus, bench, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 5,
                         use_bloom: bool = False):

@@ -338,3 +338,44 @@ def test_active_users_window_matches_bruteforce(spark, events):
                        F.coalesce("dau", F.lit(0)).alias("dau"), "wau")
             ).collect()}
     assert got == brute()
+
+
+@SLOW
+@given(st.lists(
+    st.tuples(st.integers(1, 3),                   # user
+              st.booleans(),                       # click? else purchase
+              st.integers(0, 100)),                # ts (micros scale 1e6)
+    min_size=1, max_size=20))
+def test_interval_join_matches_bruteforce(spark, events):
+    """interval_join_streams' batch form == python: every (click,
+    purchase) same-user pair with purchase strictly after the click
+    and within 30 time units."""
+    from sequencing_integration_pipeline1_0_spark.streaming import (
+        incremental as stream_ops,
+    )
+    rows = [(i, u, "click" if c else "purchase", t * 1_000_000)
+            for i, (u, c, t) in enumerate(events)]
+
+    def brute():
+        out = {(ci, pi)
+               for ci, cu, ct, cts in rows if ct == "click"
+               for pi, pu, pt, pts in rows
+               if pt == "purchase" and pu == cu and pts > cts
+               and pts <= cts + 30 * 60 * 1_000_000}
+        return sorted(out)
+
+    df = spark.createDataFrame(
+        rows, "eid long, user_id long, t string, ts_us long")
+    c = (df.filter(F.col("t") == "click")
+           .select(F.col("eid").alias("click_id"), "user_id",
+                   F.timestamp_micros("ts_us").alias("click_time")))
+    p = (df.filter(F.col("t") == "purchase")
+           .select(F.col("eid").alias("purchase_id"),
+                   F.col("user_id").alias("user_id_p"),
+                   F.timestamp_micros("ts_us").alias("purchase_time")))
+    got = sorted((r["click_id"], r["purchase_id"]) for r in
+                 stream_ops.interval_join_streams(
+                     c, p, "user_id", "user_id_p",
+                     "click_time", "purchase_time",
+                     within="30 minutes").collect())
+    assert got == brute()

@@ -566,3 +566,21 @@ def test_ivf_assign_incremental_parity(spark):
     a = sorted((r["id"], r["cell_id"]) for r in all_at_once.collect())
     b = sorted((r["id"], r["cell_id"]) for r in appended.collect())
     assert a == b and len(a) == 60
+
+
+def test_repeated_span_fraction_hand_values(spark):
+    shared = "a b c"
+    df = spark.createDataFrame(
+        [(1, f"{shared} x y"),       # grams: abc bcx cxy -> 1 repeated
+         (2, f"p q {shared}"),       # grams: pqa qab abc -> 1 repeated
+         (3, "u v w z"),             # 2 grams, none repeated
+         (4, "s t")],                # too short: 0 grams
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ts.repeated_span_fraction(
+        df, "doc_id", "text", n=3, min_docs=2).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_repeated"] == 1
+    assert abs(out[1]["repeated_frac"] - 1 / 3) < 1e-6
+    assert out[2]["n_repeated"] == 1
+    assert out[3]["n_repeated"] == 0 and out[3]["repeated_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["repeated_frac"] == 0.0
+    assert sorted(out) == [1, 2, 3, 4]   # every doc emitted
