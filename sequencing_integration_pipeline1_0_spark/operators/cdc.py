@@ -82,7 +82,13 @@ def era_fence(date_col, *, start=None, end=None, as_of=None,
     if end is not None:
         cond = cond & (c <= end)
     if as_of is not None:
-        cond = cond & (c <= F.date_sub(as_of, lag_days))
+        # a plain-string as_of must become a DATE LITERAL — date_sub
+        # would otherwise resolve it as a column NAME (start/end above
+        # are literal-coerced by the comparison operators, so the
+        # contract stays consistent across all three parts)
+        a = (F.lit(as_of).cast("date")
+             if isinstance(as_of, str) else as_of)
+        cond = cond & (c <= F.date_sub(a, lag_days))
     return cond
 
 

@@ -70,6 +70,19 @@ def _shingle_fingerprint(sh: Column) -> Column:
     return F.md5(F.concat_ws("\x01", sh))
 
 
+def _collapse_key(sh: Column, id_col: Column) -> Column:
+    """Exact-first collapse key: the fingerprint for documents with at
+    least one shingle; a SINGLETON key (own id) for NULL/empty shingle
+    arrays. Without the guard, a NULL-text doc and an empty-text doc
+    both concat_ws to '' and collapse into one 'byte-identical' group,
+    whose intra pair (hardcoded jaccard 1.0) the exact_first=False
+    baseline never emits — breaking the documented output-identical
+    contract. Degenerate docs can't near-dup in the baseline (0/0
+    jaccard is excluded), so each keeps to itself here too."""
+    return (F.when(F.size(sh) >= 1, _shingle_fingerprint(sh))
+             .otherwise(F.concat(F.lit("\x02id:"), id_col.cast("string"))))
+
+
 def gram_tokens(sh: Column) -> Column:
     """Compress string shingles to 64-bit tokens: md5-prefix (15 hex
     chars = 60 bits) to long, ONCE per document. Every downstream
@@ -130,7 +143,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str, *,
     if exact_first:
         from pyspark.sql import Window
         rep = F.min("id").over(
-            Window.partitionBy(_shingle_fingerprint(F.col("sh"))))
+            Window.partitionBy(_collapse_key(F.col("sh"), F.col("id"))))
         m = sig.withColumn("rep", rep)
         members = m.select("id", "rep")
         sig = m.filter(F.col("id") == F.col("rep")).select("id", "sh")
@@ -237,7 +250,16 @@ def prefix_filtered_candidates(base: DataFrame, *, threshold: float,
                       F.array_sort(F.collect_list(F.struct("df", "tok"))),
                       lambda s: s["tok"]).alias("sorted_toks")))
     sz = F.size("sorted_toks")
-    plen = (sz - F.ceil(sz * F.lit(float(threshold))) + 1).cast("int")
+    # ceil(sz * t) in EXACT integer arithmetic: float ceil overshoots
+    # on binary-representation noise (0.55 * 100 -> 55.000000000000007
+    # -> ceil 56), shortening the prefix below the exactness bound and
+    # silently dropping qualifying pairs. t as a 1e9-denominator
+    # rational + integer ceil-division is exact for any doc size.
+    num = int(round(float(threshold) * 10**9))
+    den = 10**9
+    ceil_t = ((sz.cast("long") * F.lit(num) + F.lit(den - 1)) / F.lit(den)) \
+        .cast("long")
+    plen = (sz - ceil_t + 1).cast("int")
     prefix = (ranked.select("id", "blk",
                             F.explode(F.slice("sorted_toks", 1, plen))
                              .alias("ptok")))
@@ -310,7 +332,7 @@ def ngram_jaccard_join(df: DataFrame, id_col: str, text_col: str,
     if exact_first:
         from pyspark.sql import Window
         rep = F.min("id").over(Window.partitionBy(
-            F.col("blk"), _shingle_fingerprint(F.col("sh"))))
+            F.col("blk"), _collapse_key(F.col("sh"), F.col("id"))))
         m = raw.withColumn("rep", rep)
         members = m.select("id", "rep")
         raw = m.filter(F.col("id") == F.col("rep")).select("id", "blk", "sh")

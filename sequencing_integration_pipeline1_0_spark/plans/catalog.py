@@ -3026,19 +3026,17 @@ props AS (
   SELECT gap_lab, ym,
          CAST(round(n * 100.0 / total, 2) AS DECIMAL(10,2)) AS p
   FROM counts CROSS JOIN tot),
-wide AS (
-  SELECT gap_lab,
+full_tbl AS (
+  -- ROLLUP mirrors the engine's one-pass grouping-sets plan exactly,
+  -- INCLUDING the empty-input edge (0 rows -> 0 rows, no stray
+  -- totals row; the old union-with-global-agg form emitted one)
+  SELECT CASE WHEN GROUPING(gap_lab) = 1 THEN 'Grand_Total'
+              ELSE gap_lab END AS gap_lab,
          {", ".join(f"COALESCE(sum(CASE WHEN ym = '{m}' THEN p END), "
                     f"CAST(0 AS DECIMAL(10,2))) AS m_{c}"
                     for m, c in zip(_GAP_MONTHS, _GAP_MCOLS))},
          sum(p) AS grand_total
-  FROM props GROUP BY gap_lab),
-full_tbl AS (
-  SELECT * FROM wide
-  UNION ALL
-  SELECT 'Grand_Total',
-         {", ".join(f"sum(m_{c})" for c in _GAP_MCOLS)}, sum(grand_total)
-  FROM wide)
+  FROM props GROUP BY ROLLUP (gap_lab))
 SELECT gap_lab, {", ".join(f"CAST(m_{c} AS DOUBLE) AS m_{c}"
                            for c in _GAP_MCOLS)},
        CAST(grand_total AS DOUBLE) AS grand_total
@@ -4695,6 +4693,11 @@ def pipe_filtered_observations_check(spark, sf_dir):
          .otherwise(F.concat(F.lit("WA"), ks)).alias("sca_packed"))
 
     def cleaned_values(col):
+        # split+trim+drop-blank intentionally parallels
+        # packed.explode_packed's element hygiene, but this is a
+        # SET-reduction (distinct key values for a broadcast anti),
+        # not a row-preserving explode, and it adds the hCoV-19/
+        # strip — keep the two in sync if separator semantics change
         raw = flat.select(F.explode(F.split(F.col(col), ",")).alias("__r"))
         v = F.replace(F.trim(F.col("__r")), F.lit("hCoV-19/"), F.lit(""))
         return (raw.select(v.alias("v"))

@@ -180,7 +180,14 @@ def read_xlsx(spark: SparkSession, paths: Sequence[str] | str, *,
                     header=0 if header else None,
                     usecols=usecols, skiprows=skiprows, nrows=nrows,
                     engine="openpyxl")
-                raw.columns = [str(c) for c in raw.columns]
+                if header:
+                    raw.columns = [str(c) for c in raw.columns]
+                else:
+                    # header=None gives integer column labels; map them
+                    # POSITIONALLY onto the declared contract (reindex
+                    # against the int labels would silently null out
+                    # every column)
+                    raw.columns = list(columns)[:len(raw.columns)]
                 raw = raw.reindex(columns=list(columns))
                 if provenance:
                     raw[provenance] = path

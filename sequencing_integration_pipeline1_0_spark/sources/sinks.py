@@ -78,20 +78,42 @@ def append_with_reconciliation(df: DataFrame, path: str, *,
     `holding_path` to get that behavior (the batch lands under
     `holding_path`/`run_tag`/ and diverted=True is returned). Without a
     holding path the mismatch raises, matching the strict template
-    paths."""
+    paths.
+
+    Reconciliation happens BEFORE the destination append: the batch is
+    staged aside, its parsed row count checked, and only a reconciled
+    batch is committed — a diverted batch therefore exists ONLY in the
+    holding folder, never also in the ledger (append-then-divert would
+    double-count every held row on the later review/append)."""
+    import shutil
+    import tempfile
+
     spark = df.sparkSession
     try:
         old = spark.read.option("header", True).csv(path).count()
     except Exception:
         old = 0
     appended = df.count()
-    df.write.mode("append").option("header", True).csv(path)
+    stage = tempfile.mkdtemp(prefix="s12_stage_")
+    try:
+        df.write.mode("overwrite").option("header", True).csv(stage)
+        staged = spark.read.option("header", True).csv(stage)
+        staged_n = staged.count()
+        if staged_n != appended:
+            if holding_path is not None:
+                staged.write.mode("overwrite").option("header", True).csv(
+                    f"{holding_path}/{run_tag}")
+                return old, appended, old, True
+            raise AssertionError(
+                f"append reconciliation failed: staged batch parsed as "
+                f"{staged_n} rows, expected {appended}")
+        staged.write.mode("append").option("header", True).csv(path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     new = spark.read.option("header", True).csv(path).count()
     if new != old + appended:
-        if holding_path is not None:
-            df.write.mode("overwrite").option("header", True).csv(
-                f"{holding_path}/{run_tag}")
-            return old, appended, new, True
+        # destination-level corruption after a verified append — a
+        # divert cannot repair this; stop the run
         raise AssertionError(
             f"append reconciliation failed: {old} + {appended} != {new}")
     return old, appended, new, False

@@ -240,5 +240,13 @@ def run_available_now(stream: DataFrame, name: str,
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # a timed-out drain would hand the oracle gate a silently
+        # PARTIAL table (and leave the query squatting on the name) —
+        # fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain of '{name}' did not finish in 300s; "
+            "result would be partial")
     return stream.sparkSession.table(name)

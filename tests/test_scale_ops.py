@@ -584,3 +584,42 @@ def test_repeated_span_fraction_hand_values(spark):
     assert out[3]["n_repeated"] == 0 and out[3]["repeated_frac"] == 0.0
     assert out[4]["n_grams"] == 0 and out[4]["repeated_frac"] == 0.0
     assert sorted(out) == [1, 2, 3, 4]   # every doc emitted
+
+
+def test_prefix_filter_float_ceil_boundary_exact(spark):
+    """Regression: float ceil(0.55 * 20) overshoots to 12 (true 11),
+    shortening the prefix and dropping a pair with jaccard EXACTLY at
+    the threshold. A: 9 unique tokens + 11 shared; B: the 11 shared
+    only. J = 11/20 = 0.55. The 9 unique tokens are rarer (df=1), so
+    A's shared tokens occupy sorted positions 10-20 — the pair's only
+    candidate token sits exactly at A's correct prefix boundary
+    (plen = 20 - ceil(11) + 1 = 10)."""
+    shared = [f"s{i:02d}" for i in range(11)]
+    unique = [f"u{i:02d}" for i in range(9)]
+    df = spark.createDataFrame(
+        [(1, "b", " ".join(unique + shared)),
+         (2, "b", " ".join(shared))],
+        "doc_id long, lang string, text string")
+    out = ds.ngram_jaccard_join(df, "doc_id", "text", "lang",
+                                n=1, threshold=0.55,
+                                exact_first=False, prefix_filter=True)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.55) < 1e-9
+
+
+def test_exact_first_null_vs_empty_text_not_collapsed(spark):
+    """Regression: a NULL-text doc and an empty-text doc must NOT
+    collapse into one byte-identical group (their fingerprints both
+    hashed '' before the guard) — exact_first output must equal the
+    exact_first=False baseline, which never pairs them."""
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "b", ""), (3, "b", "x y z"), (4, "b", "x y z")],
+        "doc_id long, lang string, text string")
+    with_c = sorted(map(tuple, ds.ngram_jaccard_join(
+        df, "doc_id", "text", "lang", n=1, threshold=0.5,
+        exact_first=True, prefix_filter=False).collect()))
+    without = sorted(map(tuple, ds.ngram_jaccard_join(
+        df, "doc_id", "text", "lang", n=1, threshold=0.5,
+        exact_first=False, prefix_filter=False).collect()))
+    assert with_c == without
+    assert [(a, b) for a, b, _ in with_c] == [(3, 4)]

@@ -38,15 +38,24 @@ def main() -> None:
 
     rows = []
     for nprobe in NPROBES:
-        t0 = time.perf_counter()
         ivf = similarity.ivf_topk(e, "vec_id", "embedding", k=5,
                                   n_cells=N_CELLS, nprobe=nprobe,
                                   train_iters=2)
+        # time the IVF query ALONE (full materialization via noop
+        # sink, best of 2 so the published latency is the plan, not
+        # warmup); the brute-force recall join is evaluation overhead
+        # and must not pollute the latency column the nprobe knee is
+        # read from
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ivf.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
         hits = (brute.join(ivf.select("id", "neighbor_id"),
                            ["id", "neighbor_id"], "left_semi").count())
-        dt = time.perf_counter() - t0
         rows.append({"nprobe": nprobe, "recall_at_5": round(hits / brute_pairs, 4),
-                     "seconds": round(dt, 2)})
+                     "seconds": round(best, 2)})
         print(rows[-1])
 
     out = {"sf_dir": SF_DIR, "n_vecs": n_vecs, "n_cells": N_CELLS,
