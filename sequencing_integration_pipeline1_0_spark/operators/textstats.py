@@ -184,6 +184,67 @@ def repeated_spans(df, id_col: str = "doc_id", text_col: str = "text",
                      F.col("__w.__pos").alias("first_pos")))
 
 
+def build_unigram_lm(df, text_col: str = "text", *, topk: int | None = None):
+    """Unigram language model from a corpus: (token, logp) with
+    log-probabilities over the corpus token mass — the model half of
+    the CCNet-style LM quality filter (docs scored by how typical
+    their tokens are; gibberish and boilerplate-with-rare-junk score
+    low). topk keeps only the most frequent tokens (the broadcastable
+    production shape); everything below the cut scores as OOV.
+
+    Returns (lm_df, oov_logp): lm_df is (token, logp); oov_logp is the
+    floor assigned to unseen/cut tokens (log of one observation over
+    the corpus mass, computed from the SAME counts so scoring needs no
+    second pass). Shape: one token-keyed count agg (map-side
+    combinable); the total is a 1-row scalar."""
+    # words('') is [''] — drop empty tokens so blank docs contribute
+    # no mass (and score as OOV, not as a real '' token)
+    toks = df.select(F.explode(
+        F.filter(words(text_col), lambda x: x != "")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    if topk is not None:
+        counts = counts.orderBy(F.col("n").desc(), "tok").limit(topk)
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    lm = (counts.join(F.broadcast(total))
+                .select("tok",
+                        (F.log(F.col("n").cast("double"))
+                         - F.log(F.col("__total").cast("double")))
+                        .alias("logp")))
+    return lm, total.select(
+        (-F.log(F.col("__total").cast("double") + 1.0)).alias("oov_logp"))
+
+
+def unigram_doc_score(df, lm, oov, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Per-document mean token log-probability under a unigram LM
+    (build_unigram_lm) — higher = more typical text; threshold it as a
+    quality gate, or bucket by it for curriculum mixing. Returns
+    (id, n_tokens, mean_logp) for EVERY doc; empty docs get the OOV
+    floor rather than null so gates compose.
+
+    Scale shape: LM broadcasts (token-keyed left join onto the
+    exploded corpus — map-side), OOV floor is a 1-row scalar, one
+    groupBy(id) average. The corpus text never shuffles."""
+    t = df.select(F.col(id_col).alias("__id"),
+                  F.explode_outer(
+                      F.filter(words(text_col), lambda x: x != ""))
+                   .alias("tok"))
+    scored = (t.join(F.broadcast(lm), "tok", "left")
+               .join(F.broadcast(oov))
+               .select("__id",
+                       F.coalesce("logp", F.col("oov_logp")).alias("lp"),
+                       F.col("tok").isNotNull().cast("int").alias("__has")))
+    per_doc = (scored.groupBy("__id")
+                     .agg(F.sum(F.col("lp") * F.col("__has")).alias("__sum"),
+                          F.sum("__has").cast("long").alias("n_tokens")))
+    return (per_doc.join(F.broadcast(oov))
+                   .select(F.col("__id").alias(id_col), "n_tokens",
+                           F.when(F.col("n_tokens") > 0,
+                                  F.col("__sum") / F.col("n_tokens"))
+                            .otherwise(F.col("oov_logp"))
+                            .alias("mean_logp")))
+
+
 def repeated_span_fraction(df, id_col: str = "doc_id",
                            text_col: str = "text",
                            n: int = 20, min_docs: int = 2):

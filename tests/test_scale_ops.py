@@ -623,3 +623,43 @@ def test_exact_first_null_vs_empty_text_not_collapsed(spark):
         exact_first=False, prefix_filter=False).collect()))
     assert with_c == without
     assert [(a, b) for a, b, _ in with_c] == [(3, 4)]
+
+
+def test_unigram_lm_scores_typical_above_rare(spark):
+    import math
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the dog sat on the rug"),
+         (3, "the cat and the dog sat"),
+         (4, "zyx qwv jkl")],          # gibberish: every token unique
+        "doc_id long, text string")
+    lm, oov = ts.build_unigram_lm(corpus, "text")
+    out = {r["doc_id"]: r for r in
+           ts.unigram_doc_score(corpus, lm, oov, "doc_id", "text").collect()}
+    # typical docs outscore the gibberish doc
+    assert out[1]["mean_logp"] > out[4]["mean_logp"]
+    assert out[2]["mean_logp"] > out[4]["mean_logp"]
+    # hand-check doc 4: three singleton tokens over 21 corpus tokens
+    assert out[4]["n_tokens"] == 3
+    assert abs(out[4]["mean_logp"] - math.log(1 / 21)) < 1e-9
+
+
+def test_unigram_lm_topk_cut_sends_tail_to_oov(spark):
+    import math
+    corpus = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string")
+    lm, oov = ts.build_unigram_lm(corpus, "text", topk=1)  # keep only 'a'
+    out = ts.unigram_doc_score(corpus, lm, oov, "doc_id", "text").collect()[0]
+    # 3 tokens at log(3/4), 1 OOV at -log(5)
+    want = (3 * math.log(3 / 4) + (-math.log(5.0))) / 4
+    assert abs(out["mean_logp"] - want) < 1e-9
+
+
+def test_unigram_lm_empty_doc_gets_floor_not_null(spark):
+    corpus = spark.createDataFrame(
+        [(1, "x y z"), (2, "")], "doc_id long, text string")
+    lm, oov = ts.build_unigram_lm(corpus, "text")
+    out = {r["doc_id"]: r for r in
+           ts.unigram_doc_score(corpus, lm, oov, "doc_id", "text").collect()}
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["mean_logp"] is not None and out[2]["mean_logp"] < 0
