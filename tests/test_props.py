@@ -381,3 +381,60 @@ def test_interval_join_matches_bruteforce(spark, events):
                      "click_time", "purchase_time",
                      within="30 minutes").collect())
     assert got == brute()
+
+
+@SLOW
+@given(st.lists(st.lists(st.integers(-4, 4), min_size=3, max_size=3),
+                min_size=3, max_size=14))
+def test_semantic_nn_dedup_matches_bruteforce(spark, vecs):
+    """semantic_nn_dedup == python: seeded-cell assignment (rounded
+    cosine, tie -> lower cell), within-cell nearest neighbor (tie ->
+    lower id), dup iff a lower-id cellmate sits at cosine >= τ."""
+    import math
+
+    from sequencing_integration_pipeline1_0_spark.operators import similarity
+
+    # avoid zero vectors (cosine undefined) by nudging the first axis
+    rows = [(i, [float(v[0]) + 0.25, float(v[1]), float(v[2])])
+            for i, v in enumerate(vecs)]
+    n_cells, tau = 2, 0.9
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    def brute():
+        cents = rows[:n_cells]
+        cell = {}
+        for i, v in rows:
+            best = min(((-cos(v, cv), cid) for cid, cv in cents))
+            cell[i] = best[1]
+        out = {}
+        for i, v in rows:
+            mates = [(j, w) for j, w in rows if j != i and cell[j] == cell[i]]
+            if mates:
+                nn = min(((-cos(v, w), j) for j, w in mates))
+                nn_id, nn_sim = nn[1], -nn[0]
+            else:
+                nn_id = nn_sim = None
+            dup = int(any(j < i and cos(v, w) >= tau for j, w in mates))
+            out[i] = (cell[i], nn_id, nn_sim, dup)
+        return out
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: (r["cell_id"], r["nn_id"], r["nn_sim"], r["is_dup"])
+           for r in similarity.semantic_nn_dedup(
+               df, "vec_id", "embedding",
+               n_cells=n_cells, threshold=tau).collect()}
+    want = brute()
+    assert set(got) == set(want)
+    for i in got:
+        gc, gn, gs, gd = got[i]
+        wc, wn, ws, wd = want[i]
+        assert (gc, gn, gd) == (wc, wn, wd), (i, got[i], want[i])
+        if ws is None:
+            assert gs is None
+        else:
+            assert abs(gs - ws) < 2e-6
