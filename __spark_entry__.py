@@ -94,6 +94,11 @@ _PRIORITY = [
 ]
 
 
+# ROUND-4 FIRST ACTION: read CORRECTNESS_r03.json, add its green rows
+# as _R3_CONFIRMED to the union below, clear _RECHECK entries that
+# re-verified, and re-count unconfirmed BEFORE registering anything
+# new (the window holds exactly 50 as of end of round 3).
+
 # Queries whose behavior changed after their last driver-green row;
 # force them back into the front-50 window even though they appear in
 # the confirmed sets below.

@@ -417,6 +417,48 @@ def hamming16(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_join(df: DataFrame, id_col: str, text_col: str, *,
+                          max_hamming: int = 3,
+                          bands: int = 4) -> DataFrame:
+    """SimHash Hamming-ball join: (id_a, id_b, hamming) for every pair
+    of documents whose 16-bit simhashes differ in <= max_hamming bits —
+    the pairing half that dedup_simhash's fingerprints feed.
+
+    Blocking is the pigeonhole trick: split the 16 bits into `bands`
+    contiguous slices; two hashes within Hamming distance
+    < bands MUST agree exactly on at least one slice, so candidates
+    come from equi-joins on (band_index, band_bits) — never an
+    all-pairs theta-join — and the exact hamming16 post-filter keeps
+    the output identical to brute force whenever max_hamming < bands
+    (the default 3 < 4 preserves exactness; larger radii trade recall,
+    same contract as LSH). Each band's bits come from shiftright+mask
+    (pure codegen); candidate dedup is on the slim (id, id) pair."""
+    bits_per = 16 // bands
+    mask = (1 << bits_per) - 1
+    h = df.select(F.col(id_col).alias("id"),
+                  simhash16(text_col).cast("long").alias("h"))
+    slices = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright(F.col("h"), i * bits_per)
+                  .bitwiseAND(F.lit(mask)).alias("key"))
+        for i in range(bands)])
+    banded = h.select("id", "h", F.explode(slices).alias("s")) \
+              .select("id", "h", F.col("s.band").alias("band"),
+                      F.col("s.key").alias("key"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("h").alias("ha"),
+                      "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("h").alias("hb"),
+                      F.col("band").alias("band_b"),
+                      F.col("key").alias("key_b"))
+    return (a.join(b, (F.col("band") == F.col("band_b"))
+                   & (F.col("key") == F.col("key_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b",
+                     hamming16(F.col("ha"), F.col("hb")).alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .dropDuplicates(["id_a", "id_b"]))
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", *, max_iter: int = 15) -> DataFrame:
     """Duplicate-cluster resolution: min-label connected components over

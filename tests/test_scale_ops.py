@@ -663,3 +663,28 @@ def test_unigram_lm_empty_doc_gets_floor_not_null(spark):
            ts.unigram_doc_score(corpus, lm, oov, "doc_id", "text").collect()}
     assert out[2]["n_tokens"] == 0
     assert out[2]["mean_logp"] is not None and out[2]["mean_logp"] < 0
+
+
+def test_simhash_near_dup_join_matches_bruteforce(spark):
+    """Banded Hamming-ball join == brute-force all-pairs popcount for
+    max_hamming < bands (pigeonhole exactness)."""
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely different words entirely unrelated content"),
+            (5, "another corpus of thoroughly distinct vocabulary here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           ds.simhash_near_dup_join(df, "doc_id", "text",
+                                    max_hamming=3).collect()}
+    hashes = {r["doc_id"]: r["h"] for r in
+              df.select("doc_id",
+                        ds.simhash16("text").alias("h")).collect()}
+    ids = sorted(hashes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want and len(want) > 0
