@@ -459,6 +459,53 @@ def simhash_near_dup_join(df: DataFrame, id_col: str, text_col: str, *,
              .dropDuplicates(["id_a", "id_b"]))
 
 
+def dedup_lines_global(df: DataFrame, id_col: str, text_col: str, *,
+                       min_chars: int = 1) -> DataFrame:
+    """C4-style global line deduplication: every line that occurs more
+    than once ANYWHERE in the corpus survives only at its first
+    occurrence (lowest (doc_id, line_no)); all other copies are
+    removed and each document is reassembled from its surviving lines
+    in order. Returns (id, text, n_lines, n_removed) for every doc —
+    a doc whose lines are all removed comes back with empty text, not
+    dropped (drop accounting stays with the caller).
+
+    Lines shorter than min_chars (after trim) are kept verbatim and
+    never participate in dedup (blank separators would otherwise all
+    collapse to one).
+
+    Scale shape: posexplode to (id, line_no, line) is map-side; the
+    keep/remove decision is ONE window over xxhash64(line) — slim
+    64-bit key, line text rides only to its own partition; reassembly
+    is a per-doc sort+concat on the (id)-keyed groupBy. Two shuffles
+    total, both on high-cardinality keys."""
+    from pyspark.sql import Window
+
+    lines = (df.select(F.col(id_col).alias("__id"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                        .alias("line_no", "line")))
+    eligible = F.length(F.trim("line")) >= min_chars
+    w = Window.partitionBy(F.xxhash64("line")).orderBy("__id", "line_no")
+    first = F.row_number().over(w) == 1
+    kept = (lines.withColumn("__keep", ~eligible | first)
+                 .withColumn("__removed", (~F.col("__keep")).cast("long")))
+    rebuilt = (kept.groupBy("__id")
+                   .agg(F.concat_ws("\n", F.transform(
+                            F.array_sort(F.collect_list(F.when(
+                                F.col("__keep"),
+                                F.struct("line_no", "line")))),
+                            lambda s: s["line"])).alias("text"),
+                        F.count(F.lit(1)).cast("long").alias("n_lines"),
+                        F.sum("__removed").cast("long").alias("n_removed")))
+    return (df.select(F.col(id_col).alias("__id"))
+              .join(rebuilt, "__id", "left")
+              .select(F.col("__id").alias(id_col),
+                      F.coalesce("text", F.lit("")).alias("text"),
+                      F.coalesce("n_lines", F.lit(0).cast("long"))
+                       .alias("n_lines"),
+                      F.coalesce("n_removed", F.lit(0).cast("long"))
+                       .alias("n_removed")))
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", *, max_iter: int = 15) -> DataFrame:
     """Duplicate-cluster resolution: min-label connected components over

@@ -438,3 +438,38 @@ def test_semantic_nn_dedup_matches_bruteforce(spark, vecs):
             assert gs is None
         else:
             assert abs(gs - ws) < 2e-6
+
+
+@SLOW
+@given(st.lists(
+    st.lists(st.sampled_from(["aaa", "bbb", "ccc", "ddd", ""]),
+             min_size=0, max_size=6),
+    min_size=1, max_size=8))
+def test_dedup_lines_global_matches_bruteforce(spark, docs):
+    """dedup_lines_global == python: a non-blank line survives only at
+    its lowest (doc, line_no); blanks always survive; per-doc order
+    preserved; removal counts conserve."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        dedupe_scale as ds)
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    # operate on split segments of the rendered text: ''.split('\n')
+    # is [''] (one blank line), not [] — the operator's line model
+    split_docs = [t.split("\n") for _, t in rows]
+
+    def brute():
+        firsts = {}
+        for i, lines in enumerate(split_docs):
+            for p, ln in enumerate(lines):
+                if ln.strip() and ln not in firsts:
+                    firsts[ln] = (i, p)
+        out = {}
+        for i, lines in enumerate(split_docs):
+            kept = [ln for p, ln in enumerate(lines)
+                    if not ln.strip() or firsts[ln] == (i, p)]
+            out[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+           for r in ds.dedup_lines_global(df, "doc_id", "text").collect()}
+    assert got == brute()

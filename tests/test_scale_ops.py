@@ -688,3 +688,32 @@ def test_simhash_near_dup_join_matches_bruteforce(spark):
             if d <= 3:
                 want[(a, b)] = d
     assert got == want and len(want) > 0
+
+
+def test_dedup_lines_global_keeps_first_occurrence_only(spark):
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [(1, f"intro one\n{boiler}\nbody one"),
+         (2, f"{boiler}\nbody two"),
+         (3, f"body three\n{boiler}")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ds.dedup_lines_global(df, "doc_id", "text").collect()}
+    # first occurrence = (doc 1, line 1): doc 1 keeps it, others lose it
+    assert out[1]["text"] == f"intro one\n{boiler}\nbody one"
+    assert out[2]["text"] == "body two" and out[2]["n_removed"] == 1
+    assert out[3]["text"] == "body three" and out[3]["n_removed"] == 1
+    assert out[1]["n_removed"] == 0
+
+
+def test_dedup_lines_global_blank_lines_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a\n\nb\n\nc"), (2, "x\n\ny"), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ds.dedup_lines_global(df, "doc_id", "text").collect()}
+    # blank separator lines are below min_chars: kept verbatim, never
+    # deduped across docs
+    assert out[1]["text"] == "a\n\nb\n\nc"
+    assert out[2]["text"] == "x\n\ny"
+    assert out[3]["text"] == "" and out[3]["n_lines"] == 0
