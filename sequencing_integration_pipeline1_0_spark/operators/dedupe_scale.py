@@ -254,11 +254,14 @@ def prefix_filtered_candidates(base: DataFrame, *, threshold: float,
     # on binary-representation noise (0.55 * 100 -> 55.000000000000007
     # -> ceil 56), shortening the prefix below the exactness bound and
     # silently dropping qualifying pairs. t as a 1e9-denominator
-    # rational + integer ceil-division is exact for any doc size.
+    # rational + the SQL `div` integer division (NOT `/`, which is a
+    # double divide that loses exactness past 2^53) is exact up to
+    # ~9e9 distinct tokens per doc (int64 ceiling of sz * 1e9).
     num = int(round(float(threshold) * 10**9))
     den = 10**9
-    ceil_t = ((sz.cast("long") * F.lit(num) + F.lit(den - 1)) / F.lit(den)) \
-        .cast("long")
+    ceil_t = F.expr(
+        f"(CAST(size(sorted_toks) AS BIGINT) * {num} + {den - 1}) "
+        f"div {den}")
     plen = (sz - ceil_t + 1).cast("int")
     prefix = (ranked.select("id", "blk",
                             F.explode(F.slice("sorted_toks", 1, plen))
@@ -474,9 +477,11 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str, *,
     collapse to one).
 
     Scale shape: posexplode to (id, line_no, line) is map-side; the
-    keep/remove decision is ONE window over xxhash64(line) — slim
-    64-bit key, line text rides only to its own partition; reassembly
-    is a per-doc sort+concat on the (id)-keyed groupBy. Two shuffles
+    keep/remove decision is ONE window over md5(line) — a slim
+    128-bit key (collision odds ~n²/2^129, negligible even at 1e10+
+    lines, unlike a 64-bit hash whose birthday collisions WOULD
+    falsely delete unique lines at that scale); reassembly is a
+    per-doc sort+concat on the (id)-keyed groupBy. Two shuffles
     total, both on high-cardinality keys."""
     from pyspark.sql import Window
 
@@ -484,7 +489,7 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str, *,
                        F.posexplode(F.split(F.col(text_col), "\n"))
                         .alias("line_no", "line")))
     eligible = F.length(F.trim("line")) >= min_chars
-    w = Window.partitionBy(F.xxhash64("line")).orderBy("__id", "line_no")
+    w = Window.partitionBy(F.md5("line")).orderBy("__id", "line_no")
     first = F.row_number().over(w) == 1
     kept = (lines.withColumn("__keep", ~eligible | first)
                  .withColumn("__removed", (~F.col("__keep")).cast("long")))
@@ -493,13 +498,13 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str, *,
                             F.array_sort(F.collect_list(F.when(
                                 F.col("__keep"),
                                 F.struct("line_no", "line")))),
-                            lambda s: s["line"])).alias("text"),
+                            lambda s: s["line"])).alias("__text"),
                         F.count(F.lit(1)).cast("long").alias("n_lines"),
                         F.sum("__removed").cast("long").alias("n_removed")))
     return (df.select(F.col(id_col).alias("__id"))
               .join(rebuilt, "__id", "left")
               .select(F.col("__id").alias(id_col),
-                      F.coalesce("text", F.lit("")).alias("text"),
+                      F.coalesce("__text", F.lit("")).alias(text_col),
                       F.coalesce("n_lines", F.lit(0).cast("long"))
                        .alias("n_lines"),
                       F.coalesce("n_removed", F.lit(0).cast("long"))

@@ -3027,16 +3027,19 @@ props AS (
          CAST(round(n * 100.0 / total, 2) AS DECIMAL(10,2)) AS p
   FROM counts CROSS JOIN tot),
 full_tbl AS (
-  -- ROLLUP mirrors the engine's one-pass grouping-sets plan exactly,
-  -- INCLUDING the empty-input edge (0 rows -> 0 rows, no stray
-  -- totals row; the old union-with-global-agg form emitted one)
+  -- ROLLUP mirrors the engine's one-pass grouping-sets plan; the
+  -- HAVING clause closes the one remaining divergence: standard SQL
+  -- (DuckDB) still emits the () grouping-set row on EMPTY input,
+  -- Spark's rollup emits nothing — drop the zero-count stray total
+  -- so oracle == engine on every input including the empty relation
   SELECT CASE WHEN GROUPING(gap_lab) = 1 THEN 'Grand_Total'
               ELSE gap_lab END AS gap_lab,
          {", ".join(f"COALESCE(sum(CASE WHEN ym = '{m}' THEN p END), "
                     f"CAST(0 AS DECIMAL(10,2))) AS m_{c}"
                     for m, c in zip(_GAP_MONTHS, _GAP_MCOLS))},
          sum(p) AS grand_total
-  FROM props GROUP BY ROLLUP (gap_lab))
+  FROM props GROUP BY ROLLUP (gap_lab)
+  HAVING NOT (GROUPING(gap_lab) = 1 AND count(*) = 0))
 SELECT gap_lab, {", ".join(f"CAST(m_{c} AS DOUBLE) AS m_{c}"
                            for c in _GAP_MCOLS)},
        CAST(grand_total AS DOUBLE) AS grand_total

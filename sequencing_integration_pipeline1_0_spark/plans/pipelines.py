@@ -611,11 +611,13 @@ def month_share_pivot(df: DataFrame, *, row_col: str, ym_col: str,
     per-key counts (scalar join, not a window over the whole table);
     the pivot itself aggregates #rows × #months cells.
 
-    Empty-input contract: 0 input rows -> 0 output rows (grouping-sets
-    aggregation over an empty relation emits no groups — there is no
-    stray totals row). The SQL oracle uses GROUP BY ROLLUP for the
-    same reason; a consumer needing an always-present totals row must
-    union one in itself.
+    Empty-input contract: 0 input rows -> 0 output rows (Spark's
+    grouping-sets aggregation over an empty relation emits no groups —
+    there is no stray totals row). NOTE this is where Spark departs
+    from standard SQL: a SQL ROLLUP/global aggregate still emits the
+    () grouping-set row on empty input, so the oracle filters that
+    stray row out (HAVING on the grouping flag + count). A consumer
+    needing an always-present totals row must union one in itself.
     """
     counts = (df.groupBy(F.col(row_col).alias("row_key"),
                          F.col(ym_col).alias("__ym"))

@@ -186,7 +186,10 @@ def read_xlsx(spark: SparkSession, paths: Sequence[str] | str, *,
                     # header=None gives integer column labels; map them
                     # POSITIONALLY onto the declared contract (reindex
                     # against the int labels would silently null out
-                    # every column)
+                    # every column). Extra trailing columns beyond the
+                    # contract are dropped first — a stray value in a
+                    # spare column must not fail the whole ingest.
+                    raw = raw.iloc[:, :len(list(columns))]
                     raw.columns = list(columns)[:len(raw.columns)]
                 raw = raw.reindex(columns=list(columns))
                 if provenance:

@@ -89,19 +89,30 @@ def append_with_reconciliation(df: DataFrame, path: str, *,
     import tempfile
 
     spark = df.sparkSession
+
+    def _read(p):
+        # multiLine + escape match the writer's quoting, so a field
+        # with an embedded newline parses back as ONE row — without
+        # them every legal multi-line value would fail reconciliation
+        return (spark.read.option("header", True)
+                .option("multiLine", True).option("escape", '"').csv(p))
+
     try:
-        old = spark.read.option("header", True).csv(path).count()
+        old = _read(path).count()
     except Exception:
         old = 0
     appended = df.count()
     stage = tempfile.mkdtemp(prefix="s12_stage_")
     try:
         df.write.mode("overwrite").option("header", True).csv(stage)
-        staged = spark.read.option("header", True).csv(stage)
+        staged = _read(stage)
         staged_n = staged.count()
         if staged_n != appended:
             if holding_path is not None:
-                staged.write.mode("overwrite").option("header", True).csv(
+                # hold the ORIGINAL rows — the staged parse is the
+                # thing that just failed; writing it would corrupt
+                # the very batch the review is meant to recover
+                df.write.mode("overwrite").option("header", True).csv(
                     f"{holding_path}/{run_tag}")
                 return old, appended, old, True
             raise AssertionError(
@@ -110,7 +121,7 @@ def append_with_reconciliation(df: DataFrame, path: str, *,
         staged.write.mode("append").option("header", True).csv(path)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    new = spark.read.option("header", True).csv(path).count()
+    new = _read(path).count()
     if new != old + appended:
         # destination-level corruption after a verified append — a
         # divert cannot repair this; stop the run

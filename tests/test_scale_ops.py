@@ -717,3 +717,12 @@ def test_dedup_lines_global_blank_lines_and_null_text(spark):
     assert out[1]["text"] == "a\n\nb\n\nc"
     assert out[2]["text"] == "x\n\ny"
     assert out[3]["text"] == "" and out[3]["n_lines"] == 0
+
+
+def test_dedup_lines_global_custom_text_col_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "dup line\nown one"), (2, "dup line\nown two")],
+        "doc_id long, content string")
+    out = {r["doc_id"]: r["content"] for r in
+           ds.dedup_lines_global(df, "doc_id", "content").collect()}
+    assert out[1] == "dup line\nown one" and out[2] == "own two"

@@ -295,3 +295,46 @@ def test_xlsx_roundtrip_with_sheet_and_range(spark, tmp_path):
     assert len(rows) == 2
     assert rows["L2"]["SPECIMEN_COLLECTION_DATE"] is None   # NA vocab
     assert rows["L1"]["index"].endswith("sub.xlsx")         # provenance
+
+
+def test_s12_multiline_field_reconciles_and_appends(spark, tmp_path):
+    """A batch with a legal quoted embedded newline must reconcile
+    (stage re-read uses multiLine+escape to match the writer) and
+    append — regression for the always-divert bug."""
+    df = spark.createDataFrame(
+        [("1", "line one\nline two"), ("2", "plain")], "k string, txt string")
+    path = str(tmp_path / "ml_ledger")
+    old, app, new, div = sinks.append_with_reconciliation(df, path)
+    assert (old, app, new, div) == (0, 2, 2, False)
+    back = (spark.read.option("header", True)
+            .option("multiLine", True).option("escape", '"').csv(path))
+    got = {r["k"]: r["txt"] for r in back.collect()}
+    assert got == {"1": "line one\nline two", "2": "plain"}
+
+
+def test_s12_divert_holds_original_rows(spark, tmp_path, monkeypatch):
+    """The holding folder must receive the ORIGINAL batch rows, not
+    the failed staged parse."""
+    df = spark.createDataFrame(
+        [("1", "alpha"), ("2", "beta")], "k string, txt string")
+    path = str(tmp_path / "dv_ledger")
+    holding = str(tmp_path / "dv_holding")
+    sinks.append_with_reconciliation(df, path)      # seed
+    real_count = type(df).count
+    state = {"n": 0}
+
+    def lying_count(self):
+        state["n"] += 1
+        n = real_count(self)
+        return n + 1 if state["n"] == 3 else n      # staged count lies
+
+    monkeypatch.setattr(type(df), "count", lying_count)
+    old, app, new, div = sinks.append_with_reconciliation(
+        df, path, holding_path=holding, run_tag="orig")
+    monkeypatch.undo()
+    assert div is True
+    held = (spark.read.option("header", True)
+            .option("multiLine", True).option("escape", '"')
+            .csv(f"{holding}/orig"))
+    assert sorted((r["k"], r["txt"]) for r in held.collect()) == \
+        [("1", "alpha"), ("2", "beta")]
