@@ -473,3 +473,60 @@ def test_dedup_lines_global_matches_bruteforce(spark, docs):
     got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
            for r in ds.dedup_lines_global(df, "doc_id", "text").collect()}
     assert got == brute()
+
+
+@SLOW
+@given(st.lists(
+    st.lists(st.sampled_from(["red", "blue", "fox", "dog", "run"]),
+             min_size=2, max_size=8),
+    min_size=2, max_size=10))
+def test_simhash_hamming_join_matches_bruteforce(spark, docs):
+    """Banded Hamming-ball join == all-pairs popcount for radius <
+    bands (pigeonhole exactness) on ANY corpus."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        dedupe_scale as ds)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           ds.simhash_near_dup_join(df, "doc_id", "text",
+                                    max_hamming=3).collect()}
+    hashes = {r["doc_id"]: r["h"] for r in
+              df.select("doc_id", ds.simhash16("text").alias("h")).collect()}
+    ids = sorted(hashes)
+    want = {(a, b): bin(hashes[a] ^ hashes[b]).count("1")
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(hashes[a] ^ hashes[b]).count("1") <= 3}
+    assert got == want
+
+
+@SLOW
+@given(st.lists(
+    st.lists(st.sampled_from("pqrs"), min_size=0, max_size=7),
+    min_size=1, max_size=7))
+def test_repeated_span_fraction_matches_bruteforce(spark, docs):
+    """Per-doc boilerplate fraction == python: of a doc's 2-grams
+    (with multiplicity), the share that occur in >= 2 distinct docs."""
+    from sequencing_integration_pipeline1_0_spark.operators import textstats
+    rows = [(i, " ".join(ws)) for i, (ws) in enumerate(docs)]
+
+    def grams(ws):
+        return [" ".join(ws[p:p + 2]) for p in range(len(ws) - 1)]
+
+    def brute():
+        docs_of = {}
+        for i, ws in enumerate(docs):
+            for g in set(grams(ws)):
+                docs_of.setdefault(g, set()).add(i)
+        out = {}
+        for i, ws in enumerate(docs):
+            gs = grams(ws)
+            rep = sum(1 for g in gs if len(docs_of[g]) >= 2)
+            frac = round(rep / len(gs), 6) if gs else 0.0
+            out[i] = (len(gs), rep, frac)
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_repeated"], r["repeated_frac"])
+           for r in textstats.repeated_span_fraction(
+               df, "doc_id", "text", n=2, min_docs=2).collect()}
+    assert got == brute()
