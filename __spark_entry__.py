@@ -72,39 +72,49 @@ _R2_CONFIRMED = frozenset({
     "pipe_roster_compile_chunks", "pipe_gap_report", "pipe_dup_triage",
 })
 
-_DRIVER_CONFIRMED = _R1_CONFIRMED | _R2_CONFIRMED
-
-# Fixed order for the front of the list (VERDICT r2 item 4): the 14 queries
-# that have never had a driver row, then the 4 that erred in r2 under the
-# ts_us testdata drift. Unconfirmed queries not named here (e.g. newly
-# registered this round) follow in registration order — still inside the
-# front window as long as total unconfirmed stays <= 50.
+# Round-4 priorities: the 5 round-3 LLM ops that only had property
+# tests (VERDICT r3 "Next round" item 1), plus the OSA-delta pin.
+# Unconfirmed queries not named here follow in registration order —
+# still inside the front window while total unconfirmed stays <= 50.
 _PRIORITY = [
-    "decontam_ngram_overlap", "split_leakage_safe", "sample_domain_mix",
-    "pack_token_budget", "j6b_fuzzy_osa_pairs", "qa_prematch_flags",
-    "a10b_week_over_week", "x_packed_coexplode", "skew_salted_agg",
-    "u3_distinct_rows", "p1_select_contract", "u6_review_union_running",
-    "f19_initials", "f20_to_json",
-    "w7_custom_order_dedup", "u7_priority_dedup", "t3_ttl_expiry",
-    "t5_new_arrivals",
-    # semantics changed in r3 (scale levers now default; oracle updated)
-    # — r1's green row no longer describes current behavior, re-verify:
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cluster_canonical",
-    "ann_ivf_trained_topk", "ann_ivf_recall",  # nprobe 2->4 (measured knee)
+    "dedup_lines_global", "simhash_near_dup_join", "unigram_doc_score",
+    "repeated_span_fraction", "minhash_index_probe", "ivf_assign_batch",
+    "j6c_osa_lev_delta",
 ]
 
+# Green rows in CORRECTNESS_r03.json (round-3 driver window; j6b is the
+# deliberate no-oracle rows-only row and stays out).
+_R3_CONFIRMED = frozenset({
+    "decontam_ngram_overlap", "split_leakage_safe", "sample_domain_mix",
+    "pack_token_budget", "qa_prematch_flags", "a10b_week_over_week",
+    "x_packed_coexplode", "skew_salted_agg", "u3_distinct_rows",
+    "p1_select_contract", "u6_review_union_running", "f19_initials",
+    "f20_to_json", "w7_custom_order_dedup", "u7_priority_dedup",
+    "t3_ttl_expiry", "t5_new_arrivals", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_cluster_canonical",
+    "ann_ivf_trained_topk", "ann_ivf_recall", "dedup_ngram_prefix",
+    "pipe_wdrs_qa", "t7_era_fence", "pipe_elr_roster_vars",
+    "qa_match_in_wdrs_keep_na", "pipe_wdrs_qa_summary",
+    "pipe_roster_missing_deleted", "pipe_elr_accessions",
+    "pipe_date_mismatch_triage", "pipe_lab_monitoring",
+    "pipe_missing_lineage_recovery", "st_event_counts_complete",
+    "st_daily_window_counts", "pipe_missing_reason_report",
+    "pipe_filtered_observations_check", "w11_conditional_source_dedup",
+    "pipe_sgtf_weekly", "f21_tweak_gisaid_id", "pipe_corpus_curation",
+    "dedup_semantic_cells", "sample_stratified_exact",
+    "evt_retention_cohorts", "evt_rollup_multigrain", "evt_funnel_steps",
+    "decontam_bloom_prefilter", "st_click_attribution", "evt_active_users",
+})
 
-# ROUND-4 FIRST ACTION: read CORRECTNESS_r03.json, add its green rows
-# as _R3_CONFIRMED to the union below, clear _RECHECK entries that
-# re-verified, and re-count unconfirmed BEFORE registering anything
-# new (the window holds exactly 50 as of end of round 3).
+_DRIVER_CONFIRMED = _R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
 
 # Queries whose behavior changed after their last driver-green row;
 # force them back into the front-50 window even though they appear in
 # the confirmed sets below.
-_RECHECK = frozenset({"dedup_minhash_lsh", "dedup_ngram_jaccard",
-                      "dedup_cluster_canonical",
-                      "ann_ivf_trained_topk", "ann_ivf_recall"})
+# Round 4: semantic-cells n_cells lever became adaptive-by-default and
+# evt_rollup_multigrain gained the empty-input HAVING guard — both
+# oracles updated in lockstep, re-verify under the driver.
+_RECHECK = frozenset({"dedup_semantic_cells", "evt_rollup_multigrain"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

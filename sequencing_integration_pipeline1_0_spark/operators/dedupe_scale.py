@@ -20,6 +20,8 @@ functions come from salting the shingle with the function index.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -257,7 +259,13 @@ def prefix_filtered_candidates(base: DataFrame, *, threshold: float,
     # rational + the SQL `div` integer division (NOT `/`, which is a
     # double divide that loses exactness past 2^53) is exact up to
     # ~9e9 distinct tokens per doc (int64 ceiling of sz * 1e9).
-    num = int(round(float(threshold) * 10**9))
+    # floor, NOT round: rounding UP (e.g. 2/3 -> 666666667e-9 > 2/3)
+    # overestimates t exactly when sz*t is integral, making ceil_t one
+    # too large and the prefix one too short — the silent-pair-drop
+    # this rational encoding exists to prevent. Flooring only ever
+    # UNDERestimates t, which lengthens the prefix: still lossless.
+    # Identical to round() for all thresholds with <= 9 decimals.
+    num = int(math.floor(float(threshold) * 10**9))
     den = 10**9
     ceil_t = F.expr(
         f"(CAST(size(sorted_toks) AS BIGINT) * {num} + {den - 1}) "
@@ -489,7 +497,15 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str, *,
                        F.posexplode(F.split(F.col(text_col), "\n"))
                         .alias("line_no", "line")))
     eligible = F.length(F.trim("line")) >= min_chars
-    w = Window.partitionBy(F.md5("line")).orderBy("__id", "line_no")
+    # Ineligible lines (blank separators, sub-min_chars) are kept
+    # verbatim and must NOT share a window partition: every blank line
+    # in the corpus has md5('') and would land in ONE task — the same
+    # degenerate-key skew _collapse_key guards against for shingles.
+    # Give each ineligible line its own singleton partition key.
+    part_key = F.when(eligible, F.md5("line")).otherwise(
+        F.concat_ws("\x01", F.col("__id").cast("string"),
+                    F.col("line_no").cast("string")))
+    w = Window.partitionBy(part_key).orderBy("__id", "line_no")
     first = F.row_number().over(w) == 1
     kept = (lines.withColumn("__keep", ~eligible | first)
                  .withColumn("__removed", (~F.col("__keep")).cast("long")))

@@ -155,7 +155,9 @@ def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
 
 
 def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
-                      n_cells: int = 8, threshold: float = 0.95,
+                      n_cells: int | None = None,
+                      target_cell_size: int = 128, min_cells: int = 8,
+                      threshold: float = 0.95,
                       round_to: int = 6, salt_buckets: int = 8) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster embeddings into coarse
     cells (broadcast codebook, single assignment), then within each
@@ -172,6 +174,10 @@ def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
     single task. Within-cell pairing is quadratic in CELL size — the
     100 TB lever is n_cells ~ n / target_cell_size (same knob as
     SemDeDup's k), which keeps per-cell work constant as n grows.
+    That lever is the DEFAULT (n_cells=None): n_cells = max(min_cells,
+    n // target_cell_size) from one metadata-scale count() — pass an
+    explicit n_cells only to pin geometry (the oracle models the
+    adaptive formula, so the certified config IS the scale config).
     nn choice and is_dup ride ONE window partitioning (id): the rank
     and the lower-id-dup flag share the shuffle. The lazily-planned
     form re-derives the cell assignment on each of its three branches
@@ -179,6 +185,8 @@ def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
     at 100 TB checkpoints the assignment once instead."""
     base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
+    if n_cells is None:
+        n_cells = max(min_cells, base.count() // target_cell_size)
     cents = (base.orderBy("id").limit(n_cells)
                  .select(F.col("id").alias("cell_id"),
                          F.col("v").alias("cv"), F.col("nv").alias("ncv")))

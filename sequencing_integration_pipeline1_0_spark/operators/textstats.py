@@ -215,12 +215,18 @@ def build_unigram_lm(df, text_col: str = "text", *, topk: int | None = None):
 
 
 def unigram_doc_score(df, lm, oov, id_col: str = "doc_id",
-                      text_col: str = "text"):
+                      text_col: str = "text", *, round_to: int = 6):
     """Per-document mean token log-probability under a unigram LM
     (build_unigram_lm) — higher = more typical text; threshold it as a
     quality gate, or bucket by it for curriculum mixing. Returns
     (id, n_tokens, mean_logp) for EVERY doc; empty docs get the OOV
     floor rather than null so gates compose.
+
+    Per-token logps are quantized to 1e-round_to and summed in
+    DECIMAL(18,6) — the house decimal-exact path (train_ivf_codebook)
+    — so mean_logp is partition-order independent and bit-identical to
+    a SQL oracle running the same arithmetic (a raw double sum's value
+    depends on task scheduling and would flake the hash gate).
 
     Scale shape: LM broadcasts (token-keyed left join onto the
     exploded corpus — map-side), OOV floor is a 1-row scalar, one
@@ -229,19 +235,22 @@ def unigram_doc_score(df, lm, oov, id_col: str = "doc_id",
                   F.explode_outer(
                       F.filter(words(text_col), lambda x: x != ""))
                    .alias("tok"))
+    lp = (F.round(F.coalesce("logp", F.col("oov_logp")), round_to)
+           .cast("decimal(18,6)"))
     scored = (t.join(F.broadcast(lm), "tok", "left")
                .join(F.broadcast(oov))
                .select("__id",
-                       F.coalesce("logp", F.col("oov_logp")).alias("lp"),
+                       F.when(F.col("tok").isNotNull(), lp).alias("lp"),
                        F.col("tok").isNotNull().cast("int").alias("__has")))
     per_doc = (scored.groupBy("__id")
-                     .agg(F.sum(F.col("lp") * F.col("__has")).alias("__sum"),
+                     .agg(F.sum("lp").alias("__sum"),
                           F.sum("__has").cast("long").alias("n_tokens")))
     return (per_doc.join(F.broadcast(oov))
                    .select(F.col("__id").alias(id_col), "n_tokens",
                            F.when(F.col("n_tokens") > 0,
-                                  F.col("__sum") / F.col("n_tokens"))
-                            .otherwise(F.col("oov_logp"))
+                                  F.round(F.col("__sum").cast("double")
+                                          / F.col("n_tokens"), round_to))
+                            .otherwise(F.round(F.col("oov_logp"), round_to))
                             .alias("mean_logp")))
 
 

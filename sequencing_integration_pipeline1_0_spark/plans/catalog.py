@@ -1099,20 +1099,22 @@ def ann_kmeans_centroid_step(spark, sf_dir):
                      F.col("n_members")))
 
 
-def _ivf_trained_cents_sql(n_cells: int, iters: int) -> str:
+def _ivf_trained_cents_sql(n_cells: int, iters: int,
+                           src: str = "embeddings") -> str:
     """CTE chain producing the k-means-trained codebook `cents{iters}`
     (cell_id, cv) — the SQL twin of similarity.train_ivf_codebook: same
     seeds, same rounded-cosine assignment with the same tie-break, same
     decimal-exact component means, same keep-previous-on-empty-cell
-    rule. Returned string starts after WITH."""
+    rule. `src` is the (vec_id, embedding) relation to train over.
+    Returned string starts after WITH."""
     parts = [f"""cents0 AS (
-  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+  SELECT vec_id AS cell_id, embedding AS cv FROM {src}
   ORDER BY vec_id LIMIT {n_cells})"""]
     for t in range(iters):
         parts.append(f"""sims_t{t} AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          {_cos_sql('e.embedding', 'c.cv')} AS csim
-  FROM embeddings e CROSS JOIN cents{t} c),
+  FROM {src} e CROSS JOIN cents{t} c),
 assign_t{t} AS (
   SELECT cell_id, embedding FROM (
     SELECT cell_id, embedding,
@@ -5005,7 +5007,8 @@ def pipe_corpus_curation(spark, sf_dir):
 _SEMANTIC_DEDUP_SQL = f"""
 WITH cents AS (
   SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
-  ORDER BY vec_id LIMIT 8),
+  ORDER BY vec_id
+  LIMIT greatest(8, (SELECT count(*) FROM embeddings) // 128)),
 sims AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          {_cos_sql('e.embedding', 'c.cv')} AS csim
@@ -5043,12 +5046,15 @@ def dedup_semantic_cells(spark, sf_dir):
     0.95 — W1's first-wins dedup lifted to embedding space. Every
     vector is emitted with its measured nn_sim so the hash gate
     certifies the similarity computation, not just the (sparse) drop
-    set. 100 TB lever: n_cells ~ n / target_cell_size keeps within-cell
-    pairing constant-sized per cell; the pair join is salted so one
-    cell never pins a single task (similarity.semantic_nn_dedup)."""
+    set. 100 TB lever: n_cells = max(8, n // 128) is the DEFAULT
+    (since round 4 — previously a documented knob pinned at 8), which
+    keeps within-cell pairing constant-sized per cell as n grows; the
+    oracle models the same formula, so the driver certifies the
+    adaptive production geometry. The pair join is salted so one cell
+    never pins a single task (similarity.semantic_nn_dedup)."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_nn_dedup(e, "vec_id", "embedding",
-                                        n_cells=8, threshold=0.95)
+                                        threshold=0.95)
 
 
 _STRAT_SAMPLE_SQL = """
@@ -5130,6 +5136,8 @@ SELECT event_type, CAST(day AS VARCHAR) AS day,
        CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
             AS DOUBLE) AS total_value
 FROM e GROUP BY ROLLUP (event_type, day)
+HAVING NOT (grouping(event_type) = 1 AND grouping(day) = 1
+            AND count(*) = 0)
 """
 
 
@@ -5314,3 +5322,335 @@ def evt_active_users(spark, sf_dir):
                        F.round(F.coalesce("dau", F.lit(0).cast("long"))
                                / F.col("wau").cast("double"), 6)
                         .alias("stickiness")))
+
+
+# ----------------------------------------------------------------------
+# round 4 additions: driver-oracle certification for the round-3
+# library ops (C4 line dedup, SimHash Hamming-ball join, unigram LM
+# scoring, boilerplate span fraction, incremental minhash/IVF index
+# maintenance) + the OSA/levenshtein delta pin
+# ----------------------------------------------------------------------
+
+_LINES_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, (len(ws)+4)//5),
+           i -> array_to_string(list_slice(ws, i*5+1, i*5+5), ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents)),
+l AS (
+  SELECT doc_id, u.line_no, u.line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
+        i -> {'line_no': i, 'line': arr[i]})) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM src))),
+k AS (
+  SELECT doc_id, line_no, line,
+         length(trim(line)) >= 1 AS eligible,
+         row_number() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, line_no) AS rn
+  FROM l),
+agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY line_no)
+           FILTER (WHERE NOT eligible OR rn = 1) AS text,
+         count(*) AS n_lines,
+         sum(CASE WHEN eligible AND rn > 1 THEN 1 ELSE 0 END) AS n_removed
+  FROM k GROUP BY doc_id)
+SELECT s.doc_id, coalesce(a.text, '') AS text,
+       CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM src s LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_lines_global", _LINES_SQL)
+def dedup_lines_global_q(spark, sf_dir):
+    """C4-style global line deduplication: documents are re-laid-out
+    as 5-word lines (the testdata ships single-line texts; the chunking
+    is deterministic and oracle-mirrored), then every line occurring
+    more than once ANYWHERE in the corpus survives only at its first
+    (doc_id, line_no) occurrence and documents are reassembled from
+    their surviving lines (operators/dedupe_scale.dedup_lines_global;
+    C4 per Raffel et al.). Output carries per-doc removal accounting —
+    the reference's conservation discipline (read_all_data.Rmd row
+    reconciliation) applied to line-level dedup.
+
+    Scale shape: the keep/remove decision is ONE window over the slim
+    md5(line) key (ineligible short/blank lines get singleton keys so
+    they never pile into one task); reassembly is a per-doc groupBy.
+    Two shuffles, both high-cardinality."""
+    d = _t(spark, sf_dir, "documents")
+    w = dedupe_scale.words("text")
+    nchunks = F.floor((F.size(w) + F.lit(4)) / F.lit(5)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nchunks - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 5 + 1, 5)))
+    multi = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return dedupe_scale.dedup_lines_global(multi, "doc_id", "text",
+                                           min_chars=1)
+
+
+_SIMHASH_BALL_SQL = f"""
+WITH sh AS ({_simhash_sql()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("simhash_near_dup_join", _SIMHASH_BALL_SQL)
+def simhash_near_dup_join_q(spark, sf_dir):
+    """SimHash Hamming-ball join: every document pair whose 16-bit
+    simhashes differ in <= 3 bits, found via pigeonhole banding (4
+    contiguous 4-bit slices; distance < 4 forces exact agreement on
+    >= 1 slice, so candidates come from band equi-joins — never an
+    all-pairs theta join) with the exact popcount post-filter
+    (operators/dedupe_scale.simhash_near_dup_join). The ORACLE is the
+    brute-force all-pairs xor-popcount, so the driver's value-hash
+    equality is a machine proof of the pigeonhole exactness claim
+    (max_hamming < bands => zero false negatives) on this corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return (dedupe_scale.simhash_near_dup_join(d, "doc_id", "text",
+                                               max_hamming=3, bands=4)
+            .select("id_a", "id_b", F.col("hamming").cast("int")
+                     .alias("hamming")))
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+      regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+topk AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 256),
+total AS (SELECT count(*) AS t FROM toks),
+lm AS (SELECT tok, ln(CAST(n AS DOUBLE)) - ln(CAST(t AS DOUBLE)) AS logp
+       FROM topk CROSS JOIN total),
+oov AS (SELECT -ln(CAST(t AS DOUBLE) + 1.0) AS oov_logp FROM total),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(coalesce(lm.logp, o.oov_logp), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM toks t LEFT JOIN lm ON t.tok = lm.tok CROSS JOIN oov o),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logp
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.mean_logp, (SELECT round(oov_logp, 6) FROM oov))
+         AS mean_logp
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("unigram_doc_score", _UNIGRAM_SQL)
+def unigram_doc_score_q(spark, sf_dir):
+    """CCNet-style unigram-LM quality score: a top-256-token language
+    model built from the corpus itself (build_unigram_lm), every
+    document scored by mean token log-probability with below-cut
+    tokens at the OOV floor (textstats.unigram_doc_score) — the
+    perplexity-bucketing signal of LLM data curation. Per-token logps
+    quantize to 1e-6 and sum in DECIMAL so the mean is partition-order
+    exact (the same decimal-exact discipline as the IVF centroids).
+
+    Scale shape: the LM is a broadcast top-k; scoring is a map-side
+    join on the exploded corpus + one groupBy(doc) — corpus text never
+    shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    lm, oov = textstats.build_unigram_lm(d, "text", topk=256)
+    return textstats.unigram_doc_score(d, lm, oov, "doc_id", "text")
+
+
+_SPAN_FRAC_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+      i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS gram
+  FROM w WHERE len(ws) >= 5),
+rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
+  FROM g SEMI JOIN rep USING (gram) GROUP BY doc_id),
+tot AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END
+              AS BIGINT) AS n_grams
+  FROM w)
+SELECT t.doc_id, t.n_grams,
+       coalesce(p.n_repeated, 0) AS n_repeated,
+       CASE WHEN t.n_grams > 0
+            THEN round(coalesce(p.n_repeated, 0) / t.n_grams, 6)
+            ELSE 0.0 END AS repeated_frac
+FROM tot t LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("repeated_span_fraction", _SPAN_FRAC_SQL)
+def repeated_span_fraction_q(spark, sf_dir):
+    """Per-document boilerplate score: fraction of a doc's word
+    5-grams that also occur in >= 1 OTHER document
+    (textstats.repeated_span_fraction on repeated_spans) — the
+    quality-filter feature that catches mostly-boilerplate documents
+    no document-level dedup would drop. The Spark side rides 64-bit
+    gram hashes through both shuffles (span text never shuffles); the
+    oracle recomputes over the gram STRINGS, so the hash gate also
+    certifies the engine's hashes are collision-free on this corpus.
+
+    Scale shape: two shuffles — repeated_spans' groupBy(span_h) and
+    the per-doc count — joined on the slim hash key."""
+    d = _t(spark, sf_dir, "documents")
+    return (textstats.repeated_span_fraction(d, "doc_id", "text",
+                                             n=5, min_docs=2)
+            .select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+                    "n_repeated", "repeated_frac"))
+
+
+_SHINGLE3_SQL = """list_distinct(CASE WHEN len(ws) >= 3
+    THEN list_transform(range(0, len(ws) - 2),
+         i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]))
+    ELSE [array_to_string(ws, ' ')] END)"""
+
+_MINHASH_PROBE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+corpus AS (
+  SELECT doc_id AS id, {_SHINGLE3_SQL} AS sh
+  FROM w WHERE doc_id % 10 != 0),
+batch AS (
+  SELECT doc_id AS id, {_SHINGLE3_SQL} AS sh
+  FROM w WHERE doc_id % 10 = 0),
+ci AS ({_minhash_sig_sql(8, "corpus")}),
+bi AS ({_minhash_sig_sql(8, "batch")}),
+cb AS (
+  SELECT id, sh, b AS band_idx,
+         md5(array_to_string(list_slice(sig, b*2+1, b*2+2), '|'))
+           AS band_key
+  FROM ci, unnest([0,1,2,3]) AS t(b)),
+bb AS (
+  SELECT id, sh, b AS band_idx,
+         md5(array_to_string(list_slice(sig, b*2+1, b*2+2), '|'))
+           AS band_key
+  FROM bi, unnest([0,1,2,3]) AS t(b)),
+cand AS (
+  SELECT DISTINCT p.id AS batch_id, i.id AS corpus_id
+  FROM bb p JOIN cb i
+    ON p.band_idx = i.band_idx AND p.band_key = i.band_key),
+scored AS (
+  SELECT c.batch_id, c.corpus_id,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 6)
+           AS jaccard
+  FROM cand c JOIN batch x ON c.batch_id = x.id
+              JOIN corpus y ON c.corpus_id = y.id)
+SELECT batch_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.7
+"""
+
+
+@register("minhash_index_probe", _MINHASH_PROBE_SQL)
+def minhash_index_probe(spark, sf_dir):
+    """Incremental near-dup maintenance: the corpus (doc_id % 10 != 0)
+    is hashed ONCE into a persistable LSH index
+    (dedupe_scale.minhash_index); an arriving batch (doc_id % 10 == 0)
+    is deduped against it by banding with the SAME parameters and
+    probing on (band_idx, band_key) with the true-Jaccard verify
+    (query_minhash_index) — the 100 TB pattern where the corpus is
+    never re-shingled per batch (persist the index bucketed on
+    band_key and the probe join co-locates with zero corpus shuffle).
+    The oracle re-derives both sides from scratch, so the green row
+    certifies probe-an-existing-index == rebuild-over-the-union on
+    the cross pairs."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    idx = dedupe_scale.minhash_index(corpus, "doc_id", "text",
+                                     shingle_n=3, k=8, bands=4)
+    return dedupe_scale.query_minhash_index(
+        idx, batch, "doc_id", "text",
+        shingle_n=3, k=8, bands=4, threshold=0.7)
+
+
+_IVF_ASSIGN_SQL = (
+    "WITH emb_c AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 10 != 0),\n"
+    + _ivf_trained_cents_sql(8, 2, src="emb_c") + f""",
+batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+sims_b AS (
+  SELECT b.vec_id, c.cell_id, {_cos_sql('b.embedding', 'c.cv')} AS csim
+  FROM batch b CROSS JOIN cents2 c)
+SELECT vec_id AS id, CAST(cell_id AS BIGINT) AS cell_id FROM (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id) AS rn
+  FROM sims_b) WHERE rn = 1
+""")
+
+
+@register("ivf_assign_batch", _IVF_ASSIGN_SQL)
+def ivf_assign_batch(spark, sf_dir):
+    """Incremental IVF index maintenance: a codebook k-means-trained
+    on the existing corpus (vec_id % 10 != 0, 2 Lloyd iterations —
+    similarity.train_ivf_codebook) assigns an arriving batch
+    (vec_id % 10 == 0) to cells WITHOUT retraining
+    (similarity.ivf_assign: broadcast codebook, one linear pass,
+    rounded-cosine tie-break to the lower cell id). The oracle
+    retrains and reassigns from scratch in SQL, so the green row is
+    the machine proof that an appended index is bit-identical to one
+    rebuilt over the union — the invariant incremental maintenance
+    rests on (minhash_index_probe's twin for the embedding path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    cb = similarity.train_ivf_codebook(corpus, "vec_id", "embedding",
+                                       n_cells=8, iters=2)
+    return (similarity.ivf_assign(batch, "vec_id", "embedding", cb)
+            .select("id", F.col("cell_id").cast("long").alias("cell_id")))
+
+
+_OSA_DELTA_SQL = """
+SELECT a.c_custkey AS l_custkey, b.c_custkey AS r_custkey,
+       CAST(damerau_levenshtein(a.c_name, b.c_name) AS INT) AS osa,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE damerau_levenshtein(a.c_name, b.c_name) = 1
+  AND levenshtein(a.c_name, b.c_name) = 2
+"""
+
+
+@register("j6c_osa_lev_delta", _OSA_DELTA_SQL)
+def j6c_osa_lev_delta(spark, sf_dir):
+    """Pins the OSA-vs-levenshtein delta with a hash-green row: the
+    blocked pairs where OSA = 1 but levenshtein = 2 — exactly the
+    adjacent-transposition pairs, the one edit class where the
+    reference's stringdist 'osa' metric (fuzzy.Rmd:16) diverges from
+    plain levenshtein (and the reason j6b carries no SQL oracle).
+    Oracle-able because at distance 1 the restricted (OSA) and
+    unrestricted (DuckDB damerau_levenshtein) variants provably
+    coincide: a single-op edit script can never violate OSA's
+    no-re-edit restriction, so OSA = 1 <=> DL = 1; the divergence
+    (e.g. 'CA'->'ABC': DL 2, OSA 3) needs >= 2 ops. Same blocked
+    equi-join plan as j6/j6b (nationkey blocks; the banded-DP OSA
+    scorer runs only on the lev <= 2 prefilter survivors)."""
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(F.col("c_custkey").alias("l_custkey"),
+                    F.col("c_name").alias("l_name"),
+                    F.col("c_nationkey").alias("block"))
+    right = c.select(F.col("c_custkey").alias("r_custkey"),
+                     F.col("c_name").alias("r_name"),
+                     F.col("c_nationkey").alias("block"))
+    out = fuzzy.blocked_distance_join(
+        left, right, left_key="l_name", right_key="r_name",
+        block_keys=["block"], max_dist=1, how="inner", metric="osa")
+    lev = F.levenshtein("l_name", "r_name")
+    return (out.filter((F.col("l_custkey") < F.col("r_custkey"))
+                       & (lev == 2))
+               .select("l_custkey", "r_custkey",
+                       F.col("distance").cast("int").alias("osa"),
+                       lev.cast("int").alias("lev")))

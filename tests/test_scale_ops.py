@@ -641,7 +641,7 @@ def test_unigram_lm_scores_typical_above_rare(spark):
     assert out[2]["mean_logp"] > out[4]["mean_logp"]
     # hand-check doc 4: three singleton tokens over 21 corpus tokens
     assert out[4]["n_tokens"] == 3
-    assert abs(out[4]["mean_logp"] - math.log(1 / 21)) < 1e-9
+    assert abs(out[4]["mean_logp"] - math.log(1 / 21)) < 2e-6
 
 
 def test_unigram_lm_topk_cut_sends_tail_to_oov(spark):
@@ -652,7 +652,7 @@ def test_unigram_lm_topk_cut_sends_tail_to_oov(spark):
     out = ts.unigram_doc_score(corpus, lm, oov, "doc_id", "text").collect()[0]
     # 3 tokens at log(3/4), 1 OOV at -log(5)
     want = (3 * math.log(3 / 4) + (-math.log(5.0))) / 4
-    assert abs(out["mean_logp"] - want) < 1e-9
+    assert abs(out["mean_logp"] - want) < 2e-6
 
 
 def test_unigram_lm_empty_doc_gets_floor_not_null(spark):
