@@ -46,7 +46,8 @@ _R1_CONFIRMED = frozenset({
     "dedup_cluster_canonical", "dedup_simhash", "ann_brute_force_topk",
     "ann_lsh_bucket_topk", "ann_ivf_topk", "ann_kmeans_centroid_step",
     "text_tfidf_top_terms", "text_lang_quality_fingerprint",
-    "text_repetition_metrics", "text_pii_scrub", "mm_decode_stub",
+    "text_repetition_metrics", "text_pii_scrub",
+    # mm_decode_stub retired r4 (replaced by mm_decode_image, real decoder)
     "mm_frame_sample", "j2_inner_exact", "j3_full_outer", "j9_coalesce_fill",
     "j10_suffix_compare",
 })

@@ -30,6 +30,11 @@ HEADLINE = [
     "t4_snapshot_diff",        # CDC exceptAll
     "dedup_exact_content_hash",  # content-hash dedup
     "text_token_stats",        # text analysis
+    # scale family (added r4): driver-recorded history now catches
+    # dedup-path perf regressions without an idle-machine scale_probe
+    "dedup_minhash_lsh",       # LSH near-dup path w/ default levers
+    "decontam_bloom_prefilter",  # Bloom map-side prune + exact verify
+    "pipe_corpus_curation",    # C4-style curation composite
 ]
 
 

@@ -10,14 +10,16 @@ have no false negatives, so the composition is provably lossless —
 `decontam_bloom_prefilter` is certified against the SAME oracle as the
 exact path.
 
-Representation: a broadcastable 1-row map<long, long> from 64-bit-word
-index to bitmask, built with one distinct + one bit_or aggregation —
-only words with at least one set bit are materialized, so a sparse
-filter costs proportional to its set bits, not to m_bits. k index
-positions per element come from xxhash64(value, seed_i); both build
-and probe are pure JVM expressions (no UDFs), and the probe is a
-conjunction of k masked lookups the optimizer keeps inside
-whole-stage codegen.
+Representation: a broadcastable 1-row DENSE array<long> of
+m_bits/64 words (128 KiB at the default geometry), built with one
+distinct + one bit_or aggregation padded over the word range. Dense
+on purpose: Spark's element_at on a MAP literal is a LINEAR scan of
+the entries (the r4 bench caught the sparse-map variant spending 14 s
+scanning a 16k-entry map per probed gram), while array element_at is
+O(1) indexing. k index positions per element come from
+xxhash64(value, seed_i); both build and probe are pure JVM
+expressions (no UDFs), and the probe is a conjunction of k masked
+lookups the optimizer keeps inside whole-stage codegen.
 
 Spark-side only by design: the sketch never crosses engines (the
 oracle sees the exact semantics, not the filter), so engine-private
@@ -46,10 +48,13 @@ def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
 def bloom_build(df: DataFrame, value_col: str, *,
                 m_bits: int = M_BITS, k: int = K_HASHES) -> DataFrame:
     """Build a Bloom filter over a column: 1-row DataFrame with a
-    `__bloom` map<long,long> (word index -> bitmask). Shape: explode
-    to k positions per value, distinct (map-side combinable), bit_or
-    per 64-bit word, collect the non-zero words into one map row —
-    the only driver-visible object is the final broadcastable map."""
+    `__bloom` DENSE array<long> (word 0..m_bits/64-1 -> bitmask).
+    Shape: explode to k positions per value, distinct (map-side
+    combinable), bit_or per 64-bit word, pad over the full word range
+    (spark.range join — tiny), collect in word order into one array
+    row — the only driver-visible object is the final broadcastable
+    array, and probing it is O(1) indexing (a map here would make
+    every probe a linear scan of the entry list)."""
     pos = (df.select(F.explode(F.array(
                *_positions(F.col(value_col), m_bits, k))).alias("p"))
              .distinct()
@@ -58,13 +63,18 @@ def bloom_build(df: DataFrame, value_col: str, *,
              .select("w", F.expr(
                  "shiftleft(CAST(1 AS BIGINT), b)").alias("bit")))
     words = pos.groupBy("w").agg(F.bit_or("bit").alias("mask"))
+    allw = (df.sparkSession.range(m_bits // 64)
+              .select(F.col("id").cast("long").alias("w")))
+    padded = (allw.join(words, "w", "left")
+                  .select("w", F.coalesce("mask", F.lit(0).cast("long"))
+                               .alias("mask")))
     # geometry rides WITH the sketch: probing with mismatched
     # (m_bits, k) would silently produce false negatives — the one
     # failure mode a Bloom prefilter must never have — so
     # bloom_prefilter hard-fails on a mismatch instead
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "mask")))
-         .alias("__bloom"),
+    return padded.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("w", "mask"))),
+                    lambda s: s["mask"]).alias("__bloom"),
         F.lit(m_bits).alias("__m_bits"), F.lit(k).alias("__k"))
 
 
@@ -85,11 +95,12 @@ def bloom_prefilter(df: DataFrame, value_col: str, bloom: DataFrame, *,
         F.lit("bloom geometry mismatch: probe (m_bits, k) differs from "
               "the sketch's build geometry")).isNull()]
     for i, p in enumerate(_positions(F.col(value_col), m_bits, k)):
+        # array element_at is 1-based and O(1) on the dense sketch
         out = (out.withColumn(f"__w{i}",
-                              F.floor(p / 64).cast("long"))
+                              (F.floor(p / 64) + 1).cast("int"))
                   .withColumn(f"__b{i}", (p % 64).cast("int")))
         checks.append(F.expr(
-            f"(coalesce(element_at(__bloom, __w{i}), CAST(0 AS BIGINT))"
+            f"(element_at(__bloom, __w{i})"
             f" & shiftleft(CAST(1 AS BIGINT), __b{i})) != 0"))
     cond = checks[0]
     for c in checks[1:]:

@@ -31,16 +31,34 @@ def words(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate `col` ONCE per row and hand the bound value to `fn` as
+    a lambda variable. Higher-order-function lambdas run interpreted
+    (outside whole-stage codegen, outside subexpression elimination),
+    so an expression referenced k times inside one is re-evaluated k
+    times PER ELEMENT — an n-gram transform that indexes a words()
+    split n times re-runs the regex split n times per gram (the r4
+    bench caught decontamination spending 13 s re-splitting 5000 docs
+    ~275x each). The one-element transform trick turns the expression
+    into a lambda-bound value: computed once, then O(1) references."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct). n=1 -> distinct words."""
     w = words(col)
     if n == 1:
         return F.array_distinct(w)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[
-        F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]))
-    return F.array_distinct(
-        F.when(F.size(w) >= n, sh).otherwise(F.array(F.concat_ws(" ", w))))
+
+    def grams(ws: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(ws) - n)
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", *[
+            F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]))
+        return F.array_distinct(
+            F.when(F.size(ws) >= n, sh)
+             .otherwise(F.array(F.concat_ws(" ", ws))))
+
+    return bind_once(w, grams)
 
 
 def minhash_signature(shingles: Column, k: int = 8) -> Column:
@@ -403,23 +421,31 @@ def ngram_jaccard_join(df: DataFrame, id_col: str, text_col: str,
 def simhash16(col: Column | str) -> Column:
     """16-bit SimHash over words: per-word 16-bit hash from md5 hex
     prefix; each bit contributes +1/-1; sign of the sum is the output
-    bit. Near-dups differ in few bits (hamming distance)."""
+    bit. Near-dups differ in few bits (hamming distance).
+
+    The per-word md5 array is lambda-bound (bind_once) before the 16
+    per-bit folds — the 16 aggregate() calls would otherwise each
+    re-hash every word (16x md5 per token per row)."""
     w = words(col)
     h = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10)
                     .cast("long"))
+
     def bit_contrib(mask: int):
         return lambda acc, v: acc + F.when(v.bitwiseAND(F.lit(mask)) > 0,
                                            F.lit(1)).otherwise(F.lit(-1))
 
-    bits = []
-    for j in range(16):
-        mask = 1 << j
-        contrib = F.aggregate(h, F.lit(0), bit_contrib(mask))
-        bits.append(F.when(contrib > 0, F.lit(mask)).otherwise(F.lit(0)))
-    total = bits[0]
-    for bcol in bits[1:]:
-        total = total + bcol
-    return total
+    def total_of(hh: Column) -> Column:
+        bits = []
+        for j in range(16):
+            mask = 1 << j
+            contrib = F.aggregate(hh, F.lit(0), bit_contrib(mask))
+            bits.append(F.when(contrib > 0, F.lit(mask)).otherwise(F.lit(0)))
+        total = bits[0]
+        for bcol in bits[1:]:
+            total = total + bcol
+        return total
+
+    return bind_once(h, total_of)
 
 
 def hamming16(a: Column, b: Column) -> Column:

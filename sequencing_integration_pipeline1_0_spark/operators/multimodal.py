@@ -4,65 +4,165 @@ the reference's closest analog is raw-JSON archival F20
 functions.R:229-236 — payload travels as an opaque column with
 lineage).
 
-The image/audio decode libraries are NOT in this container, so the
-decode step is STUBBED (deterministic fake features) behind
-`decode_stub`; the Spark-side plumbing — schema, batch iteration,
-partitioning, UDF signature — is real and tested. Swap `_fake_decode`
-for a real PIL/librosa call on a cluster that has them.
+The decode step is REAL: a pure-stdlib (struct + zlib) byte-level
+parser for BMP (BITMAPINFOHEADER / BITMAPCOREHEADER) and PNG (magic +
+IHDR with CRC verification) recovers true width/height/bit-depth from
+actual file bytes — no PIL required. The payload SYNTHESIS is the
+fixture half (this container ships no image files): `synth_image_bytes`
+writes byte-exact spec-conformant BMP/PNG files, so the decoder is
+exercised against real formats end to end. Swap the synthesizer for
+`spark.read.format("binaryFile")` on a cluster with real assets; the
+decode stage is production code as-is. Exotic codecs (JPEG/audio/video)
+would follow the same mapInPandas shape with a library decoder.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: output schema of the stubbed decoder
+#: output schema of the real decoder
 DECODE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("payload_md5", T.StringType()),
-    T.StructField("fake_width", T.IntegerType()),
-    T.StructField("fake_height", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
 ])
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text",
                           out: str = "payload") -> DataFrame:
     """Demo payload builder: utf-8 bytes of the text column stand in
-    for an image/audio blob (binary type + metadata columns)."""
+    for an opaque blob (binary type + metadata columns)."""
     return df.withColumn(out, F.encode(F.col(text_col), "utf-8"))
 
 
-def _fake_decode(payload: bytes) -> tuple[int, str, int, int]:
-    """Deterministic fake 'decode': byte length, md5, and fake
-    dimensions derived from the hash. A real implementation would be
-    `PIL.Image.open(io.BytesIO(payload)).size` — not available here."""
-    md5 = hashlib.md5(payload).hexdigest()
-    w = 64 + int(md5[:2], 16)
-    h = 64 + int(md5[2:4], 16)
-    return len(payload), md5, w, h
+def _px(x: int, y: int) -> int:
+    """Deterministic pixel value — makes every synthesized image
+    byte-unique per (w, h) without any RNG."""
+    return (x * 7 + y * 13) % 256
 
 
-def decode_stub(df: DataFrame, id_col: str = "doc_id",
-                payload_col: str = "payload") -> DataFrame:
-    """mapInPandas decode: Arrow batches in, feature rows out — the
-    real plumbing for a decode/resize/feature-extract stage. One
-    Python worker per partition, vectorized transfer."""
+def synth_image_bytes(width: int, height: int, fmt: str) -> bytes:
+    """Write a real, spec-conformant image file from scratch.
+
+    fmt='bmp': 24-bit BITMAPINFOHEADER BMP with 4-byte row padding.
+    fmt='png': 8-bit grayscale PNG — signature, IHDR (+CRC), one
+    zlib-deflated IDAT of filter-0 scanlines, IEND.
+    """
+    if fmt == "bmp":
+        row = (width * 3 + 3) // 4 * 4
+        size = 54 + row * height
+        header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                          row * height, 2835, 2835, 0, 0)
+        px = bytearray()
+        for y in range(height):          # BMP stores rows bottom-up
+            for x in range(width):
+                px += bytes((_px(x, y),)) * 3
+            px += b"\x00" * (row - width * 3)
+        return header + dib + bytes(px)
+    if fmt == "png":
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + bytes(_px(x, y) for x in range(width))
+            for y in range(height))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def decode_image_bytes(payload: bytes) -> tuple[str, int | None,
+                                                int | None, int | None]:
+    """Parse real image bytes -> (format, width, height, bit_depth).
+
+    PNG: 8-byte signature, then IHDR must be the first chunk (per
+    spec); its CRC is verified with zlib.crc32 — a corrupt header
+    yields ('png_corrupt', None, None, None) rather than garbage
+    dimensions. BMP: 'BM' magic; BITMAPINFOHEADER (dib >= 40, signed
+    dims, |height| handles top-down files) or the legacy
+    BITMAPCOREHEADER (dib == 12, unsigned 16-bit dims). Anything else
+    is ('unknown', ...) — decode failures are data, not exceptions,
+    so one bad blob never kills a 100 TB scan task."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 33:
+        (length,) = struct.unpack(">I", payload[8:12])
+        typ, data = payload[12:16], payload[16:16 + length]
+        (crc,) = struct.unpack(">I", payload[16 + length:20 + length])
+        if typ != b"IHDR" or length < 10 \
+                or zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            return ("png_corrupt", None, None, None)
+        w, h, depth, _color = struct.unpack(">IIBB", data[:10])
+        return ("png", w, h, depth)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        (dib,) = struct.unpack("<I", payload[14:18])
+        if dib >= 40 and len(payload) >= 30:
+            w, h = struct.unpack("<ii", payload[18:26])
+            (bpp,) = struct.unpack("<H", payload[28:30])
+            return ("bmp", w, abs(h), bpp)
+        if dib == 12:
+            w, h, _planes, bpp = struct.unpack("<HHHH", payload[18:26])
+            return ("bmp", w, h, bpp)
+    return ("unknown", None, None, None)
+
+
+def synth_image_payload(df: DataFrame, id_col: str = "doc_id",
+                        out: str = "payload") -> DataFrame:
+    """Fixture payload synthesis: one REAL image file per row, geometry
+    derived from the id (width = 1 + id % 64, height = 1 + id % 48,
+    even ids PNG / odd ids BMP) — deterministic, so an oracle can
+    predict what the decoder must recover. mapInPandas keeps synthesis
+    distributed (Arrow batches, no driver materialization)."""
+    id_name = id_col
+    schema = T.StructType([
+        T.StructField(id_name, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_name].astype("int64")
+            blobs = [synth_image_bytes(1 + int(i) % 64, 1 + int(i) % 48,
+                                       "png" if int(i) % 2 == 0 else "bmp")
+                     for i in ids]
+            yield pd.DataFrame({id_name: ids.values, out: blobs})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode stage: Arrow batches of binary blobs in,
+    typed feature rows out (n_bytes, md5, format, width, height,
+    bit_depth) via the byte-level parser above. One Python worker per
+    partition, vectorized transfer — the production shape for
+    decode/resize/feature-extract over a multimodal corpus."""
     id_name, payload_name = id_col, payload_col
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
         for pdf in batches:
-            feats = [_fake_decode(bytes(p)) for p in pdf[payload_name]]
-            out = pd.DataFrame(feats,
-                               columns=["n_bytes", "payload_md5",
-                                        "fake_width", "fake_height"])
-            out.insert(0, "doc_id", pdf[id_name].values)
-            yield out
+            rows = []
+            for i, p in zip(pdf[id_name], pdf[payload_name]):
+                b = bytes(p)
+                fmt, w, h, depth = decode_image_bytes(b)
+                rows.append((int(i), len(b),
+                             hashlib.md5(b).hexdigest(), fmt, w, h, depth))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_bytes", "payload_md5", "format",
+                "width", "height", "bit_depth"])
 
     return df.select(id_col, payload_col).mapInPandas(run, DECODE_SCHEMA)
 
@@ -71,8 +171,7 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str,
                  every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per N-byte window
     (what video frame extraction looks like shape-wise: one input row
-    -> many output rows, exploded on the Spark side, decode stubbed).
-    """
+    -> many output rows, exploded on the Spark side)."""
     n_frames = (F.length(F.col(payload_col)) / every_n_bytes).cast("int") + 1
     return (df.select(id_col, payload_col)
               .withColumn("frame_idx",

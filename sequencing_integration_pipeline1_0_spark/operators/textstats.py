@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .dedupe_scale import words
+from .dedupe_scale import bind_once, words
 
 #: tiny per-language stopword marker sets for the n-gram/stopword
 #: language-ID heuristic (public-knowledge common words)
@@ -87,24 +87,35 @@ def ngram_array(col: Column | str, n: int) -> Column:
     """Contiguous word n-grams as space-joined strings; empty array when
     the document has fewer than n words. Pure per-row expression —
     repetition filters built on this run fully map-side (zero shuffle),
-    which is exactly what a 100 TB quality-filter pass wants."""
+    which is exactly what a 100 TB quality-filter pass wants. The
+    words() split is lambda-bound (bind_once) so the n element_at
+    references per gram index a computed array instead of re-running
+    the regex split n times per gram."""
     w = words(col)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]))
-    # sequence(1, k) with k < 1 would generate a DESCENDING sequence —
-    # guard short docs to an empty gram list instead
-    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    def grams(ws: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+        g = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j)
+                                              for j in range(n)]))
+        # sequence(1, k) with k < 1 would generate a DESCENDING
+        # sequence — guard short docs to an empty gram list instead
+        return (F.when(F.size(ws) >= n, g)
+                 .otherwise(F.array().cast("array<string>")))
+
+    return bind_once(w, grams)
 
 
 def top_word_frac(col: Column | str) -> Column:
     """Fraction of tokens taken by the single most frequent token (the
     Gopher-style repetition signal). O(distinct x total) per doc via
     array HOFs — stays inside codegen, no explode, no shuffle."""
-    w = words(col)
-    counts = F.transform(F.array_distinct(w),
-                         lambda x: F.size(F.filter(w, lambda y: y == x)))
-    return F.round(F.array_max(counts).cast("double") / F.size(w), 6)
+    def frac(ws: Column) -> Column:
+        counts = F.transform(F.array_distinct(ws),
+                             lambda x: F.size(F.filter(ws, lambda y: y == x)))
+        return F.round(F.array_max(counts).cast("double") / F.size(ws), 6)
+
+    return bind_once(words(col), frac)
 
 
 def dup_ngram_frac(col: Column | str, n: int) -> Column:
@@ -338,3 +349,71 @@ def ngram_contamination(corpus, bench, id_col: str = "doc_id",
                      .alias("n_shared_ngrams"),
                     F.when(F.col("n_shared_ngrams").isNotNull(), F.lit(1))
                      .otherwise(F.lit(0)).alias("contaminated")))
+
+
+#: Gopher quality-rule stopword probe set (Rae et al. 2021 §A1.1 use
+#: the same "must contain common English function words" idea; the
+#: exact probe list is a free parameter)
+GOPHER_STOPWORDS = ["the", "be", "is", "to", "of", "and",
+                    "that", "have", "with"]
+
+
+def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text", *,
+                 min_tokens: int = 5, max_tokens: int = 5000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stopword_hits: int = 2):
+    """Gopher-style document quality rules (Rae et al. 2021, table A1)
+    as ONE map-side pass: token-count fence, mean-word-length band,
+    symbol(#/ellipsis)-to-word ratio cap, alphabetic-word fraction
+    floor, and a stopword-presence floor. Emits the measured features,
+    the composite pass flag, and a deterministic fail_reasons string
+    (pipe-joined, fixed rule order) — filters should explain their
+    drops, the same accounting discipline as pipe_corpus_curation's
+    route column.
+
+    All pure column expressions over one lambda-bound words() split
+    (zero shuffle, zero Python) — the shape a 100 TB quality sweep
+    needs. Ratios are single divisions of exact integer counts,
+    rounded at 1e-6, so the oracle reproduces them bit-for-bit."""
+    w = words(text_col)
+
+    def feats(ws: Column) -> Column:
+        n = F.size(ws)
+        char_sum = F.aggregate(ws, F.lit(0).cast("long"),
+                               lambda acc, x: acc + F.length(x))
+        alpha_n = F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+        sym_n = F.size(F.filter(
+            ws, lambda x: x.startswith("#") | x.contains("...")))
+        stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        stop_n = F.size(F.filter(
+            ws, lambda x: F.array_contains(stop_arr, F.lower(x))))
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.round(char_sum / n, 6).alias("mean_word_len"),
+            F.round(sym_n / n, 6).alias("symbol_ratio"),
+            F.round(alpha_n / n, 6).alias("alpha_word_frac"),
+            stop_n.cast("long").alias("stopword_hits"))
+
+    out = df.select(F.col(id_col), bind_once(w, feats).alias("__f")) \
+            .select(id_col, "__f.*")
+    rules = [
+        ("token_count", F.col("n_tokens").between(min_tokens, max_tokens)),
+        ("mean_word_len", F.col("mean_word_len")
+         .between(min_mean_word_len, max_mean_word_len)),
+        ("symbol_ratio", F.col("symbol_ratio") <= max_symbol_ratio),
+        ("alpha_word_frac",
+         F.col("alpha_word_frac") >= min_alpha_word_frac),
+        ("stopwords", F.col("stopword_hits") >= min_stopword_hits),
+    ]
+    passed = rules[0][1]
+    for _, c in rules[1:]:
+        passed = passed & c
+    reasons = F.concat_ws("|", *[F.when(~c, F.lit(name)) for name, c in rules])
+    return out.select(
+        id_col, "n_tokens", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "stopword_hits",
+        passed.cast("int").alias("gopher_pass"),
+        reasons.alias("fail_reasons"))

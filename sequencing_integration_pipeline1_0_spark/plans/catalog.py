@@ -1392,26 +1392,36 @@ def text_pii_scrub(spark, sf_dir):
         textstats.pii_scrub(aug).alias("redacted"))
 
 
+# The decoder parses REAL bytes; the oracle predicts what it must
+# recover because the fixture geometry is a pure function of doc_id
+# (synth_image_payload: real spec-conformant PNG/BMP files written
+# with struct+zlib). Retired round 4: mm_decode_stub (fake decode).
 _MM_SQL = """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS payload_md5,
-       CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS INT) AS fake_width,
-       CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS INT) AS fake_height
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       CAST(1 + doc_id % 64 AS INT) AS width,
+       CAST(1 + doc_id % 48 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT)
+         AS bit_depth
 FROM documents
 """
 
 
-@register("mm_decode_stub", _MM_SQL)
-def mm_decode_stub(spark, sf_dir):
-    """Multimodal decode plumbing: binary payload column -> Arrow
-    batches -> mapInPandas stub decoder (deterministic fake features).
-    The oracle checks the REAL plumbing (byte counts + md5 through the
-    Python worker); the decode itself is stubbed — no image libs in
-    this container (see operators/multimodal.py)."""
+@register("mm_decode_image", _MM_SQL)
+def mm_decode_image(spark, sf_dir):
+    """Multimodal decode, REAL: per-row spec-conformant PNG/BMP bytes
+    (geometry a pure function of doc_id) flow through the Arrow
+    mapInPandas decode stage, whose stdlib byte parser (PNG IHDR with
+    CRC check, BMP BITMAPINFOHEADER) must recover exactly the
+    dimensions/format/bit-depth the oracle predicts from doc_id —
+    hash-green means the decoder truly read the bytes
+    (operators/multimodal.py:decode_image_bytes). n_bytes/payload_md5
+    are produced too but excluded here: they depend on zlib's exact
+    deflate stream, which SQL cannot re-derive; pytest pins them."""
     d = _t(spark, sf_dir, "documents")
-    payload = multimodal.attach_binary_payload(d, "text")
-    return multimodal.decode_stub(payload, "doc_id", "payload")
+    payload = multimodal.synth_image_payload(d, "doc_id")
+    return (multimodal.decode_image(payload, "doc_id", "payload")
+            .select("doc_id", "format", "width", "height", "bit_depth"))
 
 
 _FRAME_SQL = """
@@ -5654,3 +5664,54 @@ def j6c_osa_lev_delta(spark, sf_dir):
                .select("l_custkey", "r_custkey",
                        F.col("distance").cast("int").alias("osa"),
                        lev.cast("int").alias("lev")))
+
+
+_GOPHER_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    round(list_sum(list_transform(ws, x -> length(x))) / len(ws), 6)
+      AS mean_word_len,
+    round(len(list_filter(ws,
+          x -> starts_with(x, '#') OR contains(x, '...'))) / len(ws), 6)
+      AS symbol_ratio,
+    round(len(list_filter(ws,
+          x -> regexp_matches(x, '[A-Za-z]'))) / len(ws), 6)
+      AS alpha_word_frac,
+    CAST(len(list_filter(ws, x -> list_contains(
+          ['the','be','is','to','of','and','that','have','with'],
+          lower(x)))) AS BIGINT) AS stopword_hits
+  FROM w)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_frac,
+  stopword_hits,
+  CAST(CASE WHEN n_tokens BETWEEN 5 AND 5000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass,
+  concat_ws('|',
+    CASE WHEN NOT (n_tokens BETWEEN 5 AND 5000) THEN 'token_count' END,
+    CASE WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0)
+         THEN 'mean_word_len' END,
+    CASE WHEN NOT (symbol_ratio <= 0.1) THEN 'symbol_ratio' END,
+    CASE WHEN NOT (alpha_word_frac >= 0.8) THEN 'alpha_word_frac' END,
+    CASE WHEN NOT (stopword_hits >= 2) THEN 'stopwords' END)
+    AS fail_reasons
+FROM f
+"""
+
+
+@register("text_gopher_rules", _GOPHER_SQL)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule bundle (Rae et al. 2021 table A1):
+    token-count fence, mean-word-length band, #/ellipsis symbol-ratio
+    cap, alphabetic-word floor, stopword-presence floor — measured
+    features + composite pass flag + a deterministic pipe-joined
+    fail_reasons audit column (textstats.gopher_rules). One map-side
+    pass over a single lambda-bound words() split; zero shuffle, zero
+    Python — the 100 TB quality-sweep shape."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.gopher_rules(d, "doc_id", "text")

@@ -88,14 +88,107 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
         return read_csv_allstring(spark, path, sep="\t" if inner in ("tsv", "tab") else ",", **kw)
     if ext == "parquet":
         return read_parquet(spark, path)
-    if ext in ("xlsx", "xls"):
-        try:
-            import pandas as pd
-            pdf = pd.read_excel(path, dtype=str)
-            return spark.createDataFrame(pdf)
-        except ImportError as e:  # openpyxl not installed in this container
-            raise NotImplementedError(f"xlsx reader unavailable: {e}") from e
+    if ext == "xlsx":
+        import pandas as pd
+        grid = _xlsx_grid(path, sheet=kw.get("sheet", 0))
+        hdr = ["" if v is None else str(v) for v in (grid[0] if grid else [])]
+        return spark.createDataFrame(
+            pd.DataFrame(grid[1:], columns=hdr, dtype="object"))
     raise ValueError(f"unsupported extension: {path}")
+
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_RNS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+             "relationships}")
+_XLSX_RELNS = ("{http://schemas.openxmlformats.org/package/2006/"
+               "relationships}")
+
+
+def _xlsx_sheet_rows(path: str,
+                     sheet: str | int = 0) -> list[tuple[int, dict]]:
+    """Parse one worksheet of an .xlsx with NOTHING but the stdlib: an
+    xlsx file is a zip of SpreadsheetML XML (ECMA-376), so
+    zipfile + ElementTree suffice — no openpyxl. Resolves the sheet by
+    name or position through workbook.xml + its rels, decodes shared
+    strings / inline strings / booleans / raw numerics as strings
+    (the all-string ingest contract, S1), and returns
+    [(row_number, {0-based col idx: value})] sorted by row number.
+    Cells carrying only a style (no value) read as absent. Date cells
+    surface as raw Excel serial numbers — the reference's linelists
+    carry dates as text, and F12's multi-format parser owns
+    string->date anyway."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        entries = [(s.get("name"), s.get(f"{_XLSX_RNS}id"))
+                   for s in wb.find(f"{_XLSX_NS}sheets")]
+        if isinstance(sheet, int):
+            if sheet >= len(entries):
+                raise ValueError(f"sheet index {sheet} out of range "
+                                 f"({len(entries)} sheets)")
+            _, rid = entries[sheet]
+        else:
+            hits = [r for n, r in entries if n == sheet]
+            if not hits:
+                raise ValueError(f"sheet {sheet!r} not found; workbook has "
+                                 f"{[n for n, _ in entries]}")
+            rid = hits[0]
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = next(r.get("Target") for r in rels.iter(f"{_XLSX_RELNS}Relationship")
+                      if r.get("Id") == rid)
+        member = target.lstrip("/") if target.startswith("/") \
+            else f"xl/{target}"
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                      for si in ss.findall(f"{_XLSX_NS}si")]
+        ws = ET.fromstring(z.read(member))
+        out: list[tuple[int, dict]] = []
+        for rowel in ws.iter(f"{_XLSX_NS}row"):
+            rnum = int(rowel.get("r", len(out) + 1))
+            cells: dict[int, str] = {}
+            for c in rowel.findall(f"{_XLSX_NS}c"):
+                letters = "".join(ch for ch in (c.get("r") or "")
+                                  if ch.isalpha())
+                ci = col_letters_to_idx(letters) if letters else len(cells)
+                ctype = c.get("t")
+                if ctype == "inlineStr":
+                    node = c.find(f"{_XLSX_NS}is")
+                    val = ("".join(t.text or ""
+                                   for t in node.iter(f"{_XLSX_NS}t"))
+                           if node is not None else None)
+                else:
+                    v = c.find(f"{_XLSX_NS}v")
+                    if v is None or v.text is None:
+                        val = None
+                    elif ctype == "s":
+                        val = shared[int(v.text)]
+                    elif ctype == "b":
+                        val = "True" if v.text.strip() == "1" else "False"
+                    else:  # numeric / formula-string ('str') / error
+                        val = v.text
+                if val is not None:
+                    cells[ci] = val
+            out.append((rnum, cells))
+        out.sort(key=lambda rc: rc[0])
+        return out
+
+
+def _xlsx_grid(path: str, sheet: str | int = 0,
+               usecols: Sequence[int] | None = None,
+               skiprows: int | None = None) -> list[list]:
+    """Worksheet -> rectangular grid of str/None (rows in sheet order),
+    restricted to `usecols` (0-based positions) and with the first
+    `skiprows` rows dropped — the slicing vocabulary read_xlsx's
+    cell_range maps onto."""
+    parsed = _xlsx_sheet_rows(path, sheet)
+    rows = [cells for _, cells in parsed][skiprows or 0:]
+    width = max((max(c) + 1 for c in rows if c), default=0)
+    sel = list(usecols) if usecols is not None else list(range(width))
+    return [[cells.get(i) for i in sel] for cells in rows]
 
 
 def col_letters_to_idx(letters: str) -> int:
@@ -142,21 +235,11 @@ def read_xlsx(spark: SparkSession, paths: Sequence[str] | str, *,
     columns read as NULL, like the reference's is-missing warning path).
 
     Scale shape: parsing distributes over FILES — the path list becomes
-    a DataFrame and each task parses its files via pandas/openpyxl
-    inside mapInPandas (Arrow-batched). A thousand submission files =
-    one job with 32-way file parallelism, no driver loop.
-
-    Optional dependency: raises NotImplementedError when openpyxl is
-    absent (this container ships without it — the range/letters logic
-    above is tested regardless; the full round-trip test is
-    skip-marked)."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "xlsx ingestion needs openpyxl (not installed here); "
-            "range/sheet semantics are implemented and unit-tested — "
-            "install openpyxl to activate") from e
+    a DataFrame and each task parses its files with the stdlib
+    SpreadsheetML reader (_xlsx_sheet_rows: zipfile + ElementTree — no
+    openpyxl dependency) inside mapInPandas (Arrow-batched). A thousand
+    submission files = one job with 32-way file parallelism, no driver
+    loop."""
     import pandas as pd
 
     path_list = [paths] if isinstance(paths, str) else list(paths)
@@ -175,20 +258,24 @@ def read_xlsx(spark: SparkSession, paths: Sequence[str] | str, *,
         for pdf in batches:
             frames = []
             for path in pdf["path"]:
-                raw = pd.read_excel(
-                    path, sheet_name=sheet, dtype=str,
-                    header=0 if header else None,
-                    usecols=usecols, skiprows=skiprows, nrows=nrows,
-                    engine="openpyxl")
+                grid = _xlsx_grid(path, sheet=sheet,
+                                  usecols=usecols, skiprows=skiprows)
                 if header:
-                    raw.columns = [str(c) for c in raw.columns]
+                    hdr = ["" if v is None else str(v)
+                           for v in (grid[0] if grid else [])]
+                    data = grid[1:]
+                    if nrows is not None:
+                        data = data[:nrows]
+                    raw = pd.DataFrame(data, columns=hdr, dtype="object")
                 else:
-                    # header=None gives integer column labels; map them
-                    # POSITIONALLY onto the declared contract (reindex
-                    # against the int labels would silently null out
-                    # every column). Extra trailing columns beyond the
-                    # contract are dropped first — a stray value in a
-                    # spare column must not fail the whole ingest.
+                    # no header row: map values POSITIONALLY onto the
+                    # declared contract (label reindex over positions
+                    # would silently null out every column). Extra
+                    # trailing columns beyond the contract are dropped
+                    # first — a stray value in a spare column must not
+                    # fail the whole ingest.
+                    data = grid if nrows is None else grid[:nrows]
+                    raw = pd.DataFrame(data, dtype="object")
                     raw = raw.iloc[:, :len(list(columns))]
                     raw.columns = list(columns)[:len(raw.columns)]
                 raw = raw.reindex(columns=list(columns))

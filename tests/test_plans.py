@@ -39,14 +39,23 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "decontam_bloom_prefilter",
                   # 1-row (min_day, max_day) span broadcast fencing the
                   # partial leading windows
-                  "evt_active_users"}
+                  "evt_active_users",
+                  # 1-row OOV-floor scalar + broadcast LM joined onto
+                  # the exploded corpus (same scalar-broadcast shape
+                  # as tfidf's corpus-size row)
+                  "unigram_doc_score",
+                  # broadcast codebook assignment: batch x n_cells
+                  # centroids, linear in batch (same as semantic cells)
+                  "ivf_assign_batch"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
 #: j6b's OSA scorer is an Arrow-batched post-join filter on the
 #: blocked+JVM-prefiltered candidate pairs only; the join itself is the
 #: same equi-join as j6 (asserted in test_fuzzy_join_is_blocked_not_nested).
-PANDAS_OK = {"mm_decode_stub", "mm_frame_sample", "j6b_fuzzy_osa_pairs"}
+PANDAS_OK = {"mm_decode_image", "mm_frame_sample",
+             # OSA banded-DP Arrow scorer on blocked candidates
+             "j6b_fuzzy_osa_pairs", "j6c_osa_lev_delta"}
 
 
 def _plan(spark, name: str) -> str:

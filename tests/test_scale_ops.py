@@ -132,16 +132,38 @@ def test_fingerprint_order_sensitive(spark):
     assert out[0] == out[2] and out[0] != out[1]
 
 
-def test_multimodal_decode_stub_roundtrip(spark):
-    df = spark.createDataFrame([(1, "hello world"), (2, "x")],
-                               "doc_id long, text string")
-    payload = mm.attach_binary_payload(df, "text")
+def test_decode_image_bytes_real_formats():
+    """The byte-level parser recovers true geometry from real files
+    and degrades to typed failure rows on corrupt/unknown bytes."""
+    png = mm.synth_image_bytes(17, 9, "png")
+    bmp = mm.synth_image_bytes(33, 21, "bmp")
+    assert mm.decode_image_bytes(png) == ("png", 17, 9, 8)
+    assert mm.decode_image_bytes(bmp) == ("bmp", 33, 21, 24)
+    # flip one IHDR byte -> CRC check must catch it
+    bad = bytearray(png)
+    bad[18] ^= 0xFF
+    assert mm.decode_image_bytes(bytes(bad))[0] == "png_corrupt"
+    assert mm.decode_image_bytes(b"not an image")[0] == "unknown"
+    # legacy BITMAPCOREHEADER (dib=12, 16-bit dims)
+    import struct
+    core = (struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 5, 7, 1, 24))
+    assert mm.decode_image_bytes(core) == ("bmp", 5, 7, 24)
+
+
+def test_multimodal_decode_image_roundtrip(spark):
+    df = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    payload = mm.synth_image_payload(df, "doc_id")
     out = {r["doc_id"]: r for r in
-           mm.decode_stub(payload, "doc_id", "payload").collect()}
+           mm.decode_image(payload, "doc_id", "payload").collect()}
     import hashlib
-    assert out[1]["n_bytes"] == 11
-    assert out[1]["payload_md5"] == hashlib.md5(b"hello world").hexdigest()
-    assert 64 <= out[1]["fake_width"] <= 64 + 255
+    assert (out[2]["format"], out[2]["width"], out[2]["height"],
+            out[2]["bit_depth"]) == ("png", 3, 3, 8)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"],
+            out[3]["bit_depth"]) == ("bmp", 4, 4, 24)
+    blob3 = mm.synth_image_bytes(4, 4, "bmp")
+    assert out[3]["n_bytes"] == len(blob3)
+    assert out[3]["payload_md5"] == hashlib.md5(blob3).hexdigest()
 
 
 def test_frame_sample_explodes(spark):
@@ -726,3 +748,25 @@ def test_dedup_lines_global_custom_text_col_roundtrip(spark):
     out = {r["doc_id"]: r["content"] for r in
            ds.dedup_lines_global(df, "doc_id", "content").collect()}
     assert out[1] == "dup line\nown one" and out[2] == "own two"
+
+
+def test_gopher_rules_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown foxes jumped over the lazy sleeping dogs "
+             "and that cat will have dinner with them"),
+         (2, "zz qq ## ... ### ...x"),          # symbols, no stopwords
+         (3, "x")],                             # too short
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ts.gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["gopher_pass"] == 1 and out[1]["fail_reasons"] == ""
+    assert out[1]["n_tokens"] == 18
+    assert out[1]["stopword_hits"] >= 2
+    r2 = out[2]
+    assert r2["gopher_pass"] == 0
+    assert "symbol_ratio" in r2["fail_reasons"]
+    assert "stopwords" in r2["fail_reasons"]
+    # 4 of 6 tokens start with '#' or contain '...'
+    assert abs(r2["symbol_ratio"] - 4 / 6) < 1e-6
+    r3 = out[3]
+    assert r3["gopher_pass"] == 0 and "token_count" in r3["fail_reasons"]

@@ -258,34 +258,96 @@ def test_xlsx_cell_range_parsing():
         parse_cell_range("1:6")        # not letters
 
 
-def _openpyxl_available():
-    try:
-        import openpyxl  # noqa: F401
-        return True
-    except ImportError:
-        return False
+def _write_xlsx(path, sheets):
+    """Minimal ECMA-376 SpreadsheetML writer (stdlib zipfile, test
+    fixture only): sheets = [(name, rows, inline)] with rows of
+    str/int/float/None. inline=True stores strings as inlineStr cells,
+    inline=False routes them through sharedStrings.xml — covering both
+    decode paths of ingest._xlsx_sheet_rows."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def colref(ci, r):
+        letters, ci = "", ci + 1
+        while ci:
+            ci, rem = divmod(ci - 1, 26)
+            letters = chr(65 + rem) + letters
+        return f"{letters}{r}"
+
+    shared, sidx = [], {}
+
+    def sid(s):
+        if s not in sidx:
+            sidx[s] = len(shared)
+            shared.append(s)
+        return sidx[s]
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    relns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    sheet_members = []
+    for name, rows, inline in sheets:
+        body = []
+        for ri, row in enumerate(rows, start=1):
+            cells = []
+            for ci, v in enumerate(row):
+                if v is None:
+                    continue
+                ref = colref(ci, ri)
+                if isinstance(v, (int, float)):
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                elif inline:
+                    cells.append(f'<c r="{ref}" t="inlineStr">'
+                                 f"<is><t>{escape(str(v))}</t></is></c>")
+                else:
+                    cells.append(f'<c r="{ref}" t="s">'
+                                 f"<v>{sid(str(v))}</v></c>")
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        sheet_members.append(
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+            f'<sheetData>{"".join(body)}</sheetData></worksheet>')
+    wb_sheets = "".join(
+        f'<sheet name="{escape(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, (n, _, _) in enumerate(sheets))
+    wb = (f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}">'
+          f"<sheets>{wb_sheets}</sheets></workbook>")
+    rels = "".join(
+        f'<Relationship Id="rId{i+1}" Type="{rns}/worksheet" '
+        f'Target="worksheets/sheet{i+1}.xml"/>'
+        for i in range(len(sheets)))
+    rels = (f'<?xml version="1.0"?><Relationships xmlns="{relns}">{rels}'
+            f'<Relationship Id="rIdSS" Type="{rns}/sharedStrings" '
+            f'Target="sharedStrings.xml"/></Relationships>')
+    sst = "".join(f"<si><t>{escape(s)}</t></si>" for s in shared)
+    sst = (f'<?xml version="1.0"?><sst xmlns="{ns}" count="{len(shared)}" '
+           f'uniqueCount="{len(shared)}">{sst}</sst>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml",
+                   f'<?xml version="1.0"?><Types xmlns="http://schemas.'
+                   f'openxmlformats.org/package/2006/content-types"/>')
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        for i, m in enumerate(sheet_members):
+            z.writestr(f"xl/worksheets/sheet{i+1}.xml", m)
 
 
-@pytest.mark.skipif(not _openpyxl_available(),
-                    reason="openpyxl not installed in this container")
 def test_xlsx_roundtrip_with_sheet_and_range(spark, tmp_path):
-    """S2 round-trip: write a 2-sheet workbook, read the named sheet
-    through a column range, check contract reindex + NA normalization
-    + provenance (SGTF_template_matching.Rmd:64-66 semantics)."""
-    import pandas as pd
+    """S2 round-trip, fully live (stdlib reader, no openpyxl): write a
+    2-sheet workbook, read the named sheet through a column range,
+    check contract reindex + NA normalization + provenance
+    (SGTF_template_matching.Rmd:64-66 semantics)."""
     from sequencing_integration_pipeline1_0_spark.sources import ingest
     p = str(tmp_path / "sub.xlsx")
-    with pd.ExcelWriter(p, engine="openpyxl") as xw:
-        pd.DataFrame({"X": [9]}).to_excel(xw, "Other", index=False)
-        pd.DataFrame({
-            "LAB_ACCESSION_ID": ["L1", "L2"],
-            "SPECIMEN_COLLECTION_DATE": ["2024-01-02", "N/A"],
-            "FIRST_NAME": ["ann", ""],
-            "LAST_NAME": ["lee", "wu"],
-            "MIDDLE_NAME": [None, "q"],
-            "DOB": ["1980-01-15", "1990-02-20"],
-            "EXTRA_BEYOND_RANGE": ["drop", "me"],
-        }).to_excel(xw, "Linelist", index=False)
+    _write_xlsx(p, [
+        ("Other", [["X"], [9]], True),                    # inlineStr path
+        ("Linelist", [
+            ["LAB_ACCESSION_ID", "SPECIMEN_COLLECTION_DATE", "FIRST_NAME",
+             "LAST_NAME", "MIDDLE_NAME", "DOB", "EXTRA_BEYOND_RANGE"],
+            ["L1", "2024-01-02", "ann", "lee", None, "1980-01-15", "drop"],
+            ["L2", "N/A", "", "wu", "q", "1990-02-20", "me"],
+        ], False),                                        # sharedStrings path
+    ])
     cols = ["LAB_ACCESSION_ID", "SPECIMEN_COLLECTION_DATE", "FIRST_NAME",
             "LAST_NAME", "MIDDLE_NAME", "DOB"]
     out = ingest.read_xlsx(spark, [p], columns=cols, sheet="Linelist",
@@ -294,7 +356,16 @@ def test_xlsx_roundtrip_with_sheet_and_range(spark, tmp_path):
     assert set(out.columns) == {*cols, "index"}
     assert len(rows) == 2
     assert rows["L2"]["SPECIMEN_COLLECTION_DATE"] is None   # NA vocab
+    assert rows["L1"]["MIDDLE_NAME"] is None                # absent cell
+    assert rows["L2"]["MIDDLE_NAME"] == "q"
     assert rows["L1"]["index"].endswith("sub.xlsx")         # provenance
+    # sheet addressed by position + numeric cell read as its raw text
+    other = ingest.read_any(spark, p, sheet="Other")
+    assert [r["X"] for r in other.collect()] == ["9"]
+    # unknown sheet name fails loudly with the available names (the
+    # ValueError surfaces wrapped in Spark's executor PythonException)
+    with pytest.raises(Exception, match="Linelist"):
+        ingest.read_xlsx(spark, [p], columns=cols, sheet="Nope").collect()
 
 
 def test_s12_multiline_field_reconciles_and_appends(spark, tmp_path):

@@ -187,3 +187,85 @@ def test_interval_join_stream_matches_batch(spark, events_stream_dir, tmp_path):
     got = sorted(map(key, streamed.collect()))
     want = sorted(map(key, expected.collect()))
     assert got == want and len(want) > 0
+
+
+def test_ledger_dedup_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Checkpoint-recovery proof for the T1 ledger: drain batch 1,
+    RESTART against the same checkpoint with batch 2 = full
+    re-delivery of batch 1 plus new records — the re-delivered rows
+    must be suppressed by the RESTORED dedup state (not by this run's
+    memory), or the second drain would double-emit them. File sink
+    (fault-tolerant) so output accumulates across restarts exactly as
+    a production job's would."""
+    from sequencing_integration_pipeline1_0_spark.plans.catalog import _t
+    e = (_t(spark, sf_dir, "events")
+         .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+         .select("event_id", "user_id", "event_type", "event_time"))
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = e.filter(F.col("event_id") % 3 != 2)
+    b1.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = st.read_parquet_stream(spark, src, schema)
+        dd = st.ledger_dedup_stream(stream, ["event_id"], "event_time",
+                                    delay="3650 days")
+        q = (dd.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == b1.select("event_id").distinct().count()
+    # batch 2: EVERYTHING again (old rows re-delivered + the new third)
+    e.write.mode("append").parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    n_all = e.select("event_id").distinct().count()
+    assert got.count() == n_all                      # no double emission
+    assert got.select("event_id").distinct().count() == n_all
+
+
+def test_interval_join_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpoint-recovery proof for the stream-stream interval join:
+    phase-2 purchases match CLICKS DELIVERED IN PHASE 1 — the click
+    side gets no new files after the restart, so the only way user 2
+    can attribute is the click state restored from the checkpoint."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame([(u, base) for u in (1, 2, 3, 4)],
+                          "user_id long, click_time timestamp") \
+         .write.mode("append").parquet(cdir)
+    spark.createDataFrame([(1, base + dt.timedelta(minutes=5))],
+                          "user_id_p long, purchase_time timestamp") \
+         .write.mode("append").parquet(pdir)
+    cschema = spark.read.parquet(cdir).schema
+    pschema = spark.read.parquet(pdir).schema
+
+    def drain():
+        c = st.read_parquet_stream(spark, cdir, cschema)
+        p = st.read_parquet_stream(spark, pdir, pschema)
+        j = st.interval_join_streams(c, p, "user_id", "user_id_p",
+                                     "click_time", "purchase_time",
+                                     within="30 minutes", delay="2 hours")
+        q = (j.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    drain()
+    assert spark.read.parquet(out).count() == 1
+    spark.createDataFrame(
+        [(2, base + dt.timedelta(minutes=10)),    # matches phase-1 click
+         (5, base + dt.timedelta(minutes=10)),    # no click at all
+         (3, base + dt.timedelta(minutes=45))],   # outside the 30-min window
+        "user_id_p long, purchase_time timestamp") \
+        .write.mode("append").parquet(pdir)
+    drain()
+    got = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]
