@@ -63,7 +63,11 @@ def bloom_build(df: DataFrame, value_col: str, *,
              .select("w", F.expr(
                  "shiftleft(CAST(1 AS BIGINT), b)").alias("bit")))
     words = pos.groupBy("w").agg(F.bit_or("bit").alias("mask"))
-    allw = (df.sparkSession.range(m_bits // 64)
+    # ceil-div: a non-multiple-of-64 m_bits still owns a final partial
+    # word — flooring would drop it from the pad range and the inner
+    # side of the left join would silently discard its set bits
+    # (probe-side false negatives, the forbidden failure mode)
+    allw = (df.sparkSession.range((m_bits + 63) // 64)
               .select(F.col("id").cast("long").alias("w")))
     padded = (allw.join(words, "w", "left")
                   .select("w", F.coalesce("mask", F.lit(0).cast("long"))

@@ -98,9 +98,13 @@ def decode_image_bytes(payload: bytes) -> tuple[str, int | None,
     so one bad blob never kills a 100 TB scan task."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 33:
         (length,) = struct.unpack(">I", payload[8:12])
+        # a lying/truncating chunk length must degrade to corrupt, not
+        # crash the unpack below on an empty CRC slice
+        if length < 10 or 20 + length > len(payload):
+            return ("png_corrupt", None, None, None)
         typ, data = payload[12:16], payload[16:16 + length]
         (crc,) = struct.unpack(">I", payload[16 + length:20 + length])
-        if typ != b"IHDR" or length < 10 \
+        if typ != b"IHDR" \
                 or zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             return ("png_corrupt", None, None, None)
         w, h, depth, _color = struct.unpack(">IIBB", data[:10])
@@ -110,9 +114,15 @@ def decode_image_bytes(payload: bytes) -> tuple[str, int | None,
         if dib >= 40 and len(payload) >= 30:
             w, h = struct.unpack("<ii", payload[18:26])
             (bpp,) = struct.unpack("<H", payload[28:30])
+            # negative height is the legitimate top-down encoding;
+            # non-positive width (or zero height) is only ever corrupt
+            if w <= 0 or h == 0:
+                return ("bmp_corrupt", None, None, None)
             return ("bmp", w, abs(h), bpp)
         if dib == 12:
             w, h, _planes, bpp = struct.unpack("<HHHH", payload[18:26])
+            if w == 0 or h == 0:
+                return ("bmp_corrupt", None, None, None)
             return ("bmp", w, h, bpp)
     return ("unknown", None, None, None)
 

@@ -246,8 +246,10 @@ def unigram_doc_score(df, lm, oov, id_col: str = "doc_id",
                   F.explode_outer(
                       F.filter(words(text_col), lambda x: x != ""))
                    .alias("tok"))
+    # decimal scale follows round_to — a fixed (18,6) cast would
+    # silently re-quantize any finer round_to back to 1e-6
     lp = (F.round(F.coalesce("logp", F.col("oov_logp")), round_to)
-           .cast("decimal(18,6)"))
+           .cast(f"decimal(28,{round_to})"))
     scored = (t.join(F.broadcast(lm), "tok", "left")
                .join(F.broadcast(oov))
                .select("__id",

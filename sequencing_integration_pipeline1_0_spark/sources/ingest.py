@@ -54,6 +54,34 @@ def read_csv_allstring(spark: SparkSession, paths: Sequence[str] | str, *,
     return df
 
 
+def read_jsonl_allstring(spark: SparkSession,
+                         paths: Sequence[str] | str, *,
+                         na_strings: Iterable[str] = NA_STRINGS,
+                         provenance: str | None = "index",
+                         corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """JSON-lines ingestion under the same all-string contract as S1 —
+    the de-facto LLM corpus interchange format (one JSON doc per line,
+    .jsonl/.ndjson). primitivesAsString keeps numbers/booleans as
+    strings (schema drift across shards can't flip a column's type
+    mid-read); PERMISSIVE mode lands malformed lines in `corrupt_col`
+    instead of failing the scan — corrupt rows are data to triage, the
+    reference's divert-to-holding discipline (S12) applied per line.
+
+    Scale shape: one spark.read over the whole path list (native JSON
+    source, partition-parallel, pushdown-capable); provenance via
+    input_file_name()."""
+    df = (spark.read
+          .option("primitivesAsString", True)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt_col)
+          .json(list(paths) if not isinstance(paths, str) else paths))
+    if provenance:
+        df = df.withColumn(provenance, F.input_file_name())
+    exclude = {provenance, corrupt_col} if provenance else {corrupt_col}
+    return normalize_na_df(df, [c for c in df.columns if c not in exclude],
+                           na_strings)
+
+
 def read_parquet(spark: SparkSession, path: str,
                  provenance: str | None = None) -> DataFrame:
     df = spark.read.parquet(path)
@@ -88,13 +116,42 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
         return read_csv_allstring(spark, path, sep="\t" if inner in ("tsv", "tab") else ",", **kw)
     if ext == "parquet":
         return read_parquet(spark, path)
+    if ext in ("json", "jsonl", "ndjson"):
+        return read_jsonl_allstring(spark, path, **kw)
     if ext == "xlsx":
         import pandas as pd
         grid = _xlsx_grid(path, sheet=kw.get("sheet", 0))
-        hdr = ["" if v is None else str(v) for v in (grid[0] if grid else [])]
+        hdr = _mangle_dupes(
+            ["" if v is None else str(v) for v in (grid[0] if grid else [])])
         return spark.createDataFrame(
             pd.DataFrame(grid[1:], columns=hdr, dtype="object"))
+    if ext == "xls":
+        # legacy BIFF is NOT a zip-of-XML — the stdlib reader cannot
+        # parse it; route through pandas' xls engine where available
+        try:
+            import pandas as pd
+            return spark.createDataFrame(pd.read_excel(path, dtype=str))
+        except ImportError as e:
+            raise NotImplementedError(
+                f"legacy .xls needs a pandas excel engine: {e}") from e
     raise ValueError(f"unsupported extension: {path}")
+
+
+def _mangle_dupes(hdr: list[str]) -> list[str]:
+    """Pandas-style duplicate-header mangling ('X', 'X.1', 'X.2') —
+    duplicate labels would make the downstream contract reindex raise
+    on an axis with duplicate labels, failing the whole ingest for one
+    sloppy submission sheet."""
+    seen: dict[str, int] = {}
+    out = []
+    for h in hdr:
+        if h in seen:
+            seen[h] += 1
+            out.append(f"{h}.{seen[h]}")
+        else:
+            seen[h] = 0
+            out.append(h)
+    return out
 
 
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
@@ -150,10 +207,13 @@ def _xlsx_sheet_rows(path: str,
         for rowel in ws.iter(f"{_XLSX_NS}row"):
             rnum = int(rowel.get("r", len(out) + 1))
             cells: dict[int, str] = {}
+            next_ci = 0  # ECMA-376: an unreferenced <c> occupies the
+            #              column after the PREVIOUS cell, value or not
             for c in rowel.findall(f"{_XLSX_NS}c"):
                 letters = "".join(ch for ch in (c.get("r") or "")
                                   if ch.isalpha())
-                ci = col_letters_to_idx(letters) if letters else len(cells)
+                ci = col_letters_to_idx(letters) if letters else next_ci
+                next_ci = ci + 1
                 ctype = c.get("t")
                 if ctype == "inlineStr":
                     node = c.find(f"{_XLSX_NS}is")
@@ -180,12 +240,21 @@ def _xlsx_sheet_rows(path: str,
 def _xlsx_grid(path: str, sheet: str | int = 0,
                usecols: Sequence[int] | None = None,
                skiprows: int | None = None) -> list[list]:
-    """Worksheet -> rectangular grid of str/None (rows in sheet order),
-    restricted to `usecols` (0-based positions) and with the first
-    `skiprows` rows dropped — the slicing vocabulary read_xlsx's
-    cell_range maps onto."""
+    """Worksheet -> rectangular grid of str/None (rows in SHEET-ROW
+    order), restricted to `usecols` (0-based positions) and with the
+    first `skiprows` rows dropped — the slicing vocabulary read_xlsx's
+    cell_range maps onto.
+
+    Empty rows that Excel omitted from the XML entirely (no <row>
+    element) are materialized as all-None rows, so skiprows/header
+    positions stay aligned with what the spreadsheet SHOWS — slicing
+    the serialized rows positionally would silently shift every row
+    below a blank one (the pandas path preserved blanks as NaN rows)."""
     parsed = _xlsx_sheet_rows(path, sheet)
-    rows = [cells for _, cells in parsed][skiprows or 0:]
+    by_rnum = dict(parsed)
+    max_rnum = max(by_rnum, default=0)
+    rows = [by_rnum.get(r, {}) for r in range(1, max_rnum + 1)]
+    rows = rows[skiprows or 0:]
     width = max((max(c) + 1 for c in rows if c), default=0)
     sel = list(usecols) if usecols is not None else list(range(width))
     return [[cells.get(i) for i in sel] for cells in rows]
@@ -261,8 +330,9 @@ def read_xlsx(spark: SparkSession, paths: Sequence[str] | str, *,
                 grid = _xlsx_grid(path, sheet=sheet,
                                   usecols=usecols, skiprows=skiprows)
                 if header:
-                    hdr = ["" if v is None else str(v)
-                           for v in (grid[0] if grid else [])]
+                    hdr = _mangle_dupes(
+                        ["" if v is None else str(v)
+                         for v in (grid[0] if grid else [])])
                     data = grid[1:]
                     if nrows is not None:
                         data = data[:nrows]

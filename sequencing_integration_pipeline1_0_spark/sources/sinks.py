@@ -239,3 +239,16 @@ def compact(spark, path: str, *, target_files: int | None = None,
     fs.rename(src, dst)
     return len([f for f in fs.listStatus(dst)
                 if f.getPath().getName().endswith(".parquet")])
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite",
+                compression: str | None = "gzip") -> None:
+    """JSON-lines corpus sink (one JSON object per row — the LLM
+    training-shard interchange format; pairs with
+    ingest.read_jsonl_allstring). Gzip by default: text corpora
+    compress ~5-10x and every downstream reader splits per FILE, so
+    shard count (df's partitioning), not codec, sets parallelism."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -770,3 +770,37 @@ def test_gopher_rules_hand_values(spark):
     assert abs(r2["symbol_ratio"] - 4 / 6) < 1e-6
     r3 = out[3]
     assert r3["gopher_pass"] == 0 and "token_count" in r3["fail_reasons"]
+
+
+def test_decode_image_bytes_adversarial_payloads():
+    """Corrupt blobs must come back as typed failure rows, never
+    exceptions (one bad blob must not kill a whole scan task)."""
+    import struct
+    # PNG header with a lying chunk length (0xFFFFFFFF) — the CRC
+    # slice is empty and must not crash the unpack
+    lying = b"\x89PNG\r\n\x1a\n" + b"\xff" * 25
+    assert mm.decode_image_bytes(lying)[0] == "png_corrupt"
+    # truncated right after the signature+length
+    assert mm.decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30)[0] \
+        == "png_corrupt"
+    # BMP with negative width is corrupt; negative HEIGHT is the
+    # legitimate top-down form
+    neg_w = (struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+             + struct.pack("<IiiHHIIiiII", 40, -5, 7, 1, 24, 0, 0,
+                           0, 0, 0, 0))
+    assert mm.decode_image_bytes(neg_w)[0] == "bmp_corrupt"
+    top_down = (struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, 5, -7, 1, 24, 0, 0,
+                              0, 0, 0, 0))
+    assert mm.decode_image_bytes(top_down) == ("bmp", 5, 7, 24)
+
+
+def test_bloom_partial_final_word(spark):
+    """m_bits not a multiple of 64: bits in the final partial word
+    must survive the dense padding (dropping them would be probe-side
+    false negatives)."""
+    from sequencing_integration_pipeline1_0_spark.operators import bloom
+    members = spark.range(200).select(F.col("id").alias("v"))
+    bf = bloom.bloom_build(members, "v", m_bits=100, k=3)
+    kept = bloom.bloom_prefilter(members, "v", bf, m_bits=100, k=3)
+    assert kept.count() == 200  # every true member admitted

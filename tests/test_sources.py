@@ -409,3 +409,96 @@ def test_s12_divert_holds_original_rows(spark, tmp_path, monkeypatch):
             .csv(f"{holding}/orig"))
     assert sorted((r["k"], r["txt"]) for r in held.collect()) == \
         [("1", "alpha"), ("2", "beta")]
+
+
+def test_xlsx_blank_row_and_duplicate_headers(spark, tmp_path):
+    """A fully-empty sheet row (omitted from the XML entirely, as
+    Excel writes them) must still occupy its row position so
+    header/skiprows alignment matches what the spreadsheet SHOWS;
+    duplicate header labels mangle pandas-style ('A', 'A.1') instead
+    of crashing the contract reindex."""
+    import zipfile
+    from sequencing_integration_pipeline1_0_spark.sources import ingest
+    p2 = str(tmp_path / "gap_src.xlsx")
+    _write_xlsx(p2, [("S", [["title junk"],
+                            ["A", "B", "A"],     # duplicate header label
+                            ["1", "2", "3"]], False)])
+    with zipfile.ZipFile(p2) as z:
+        members = {m: z.read(m) for m in z.namelist()}
+    # renumber rows 2,3 -> 3,4, leaving a TRUE gap at row 2 (no <row>)
+    sheet = members["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace('<row r="3">', '<row r="4">')
+    sheet = sheet.replace('<row r="2">', '<row r="3">')
+    members["xl/worksheets/sheet1.xml"] = sheet.encode()
+    p3 = str(tmp_path / "gap.xlsx")
+    with zipfile.ZipFile(p3, "w") as z:
+        for m, data in members.items():
+            z.writestr(m, data)
+    grid = ingest._xlsx_grid(p3, 0)
+    assert grid[1] == [None, None, None]          # the blank row exists
+    assert grid[2][0] == "A"                      # header at its shown row
+    # range starting at the shown header row; dup labels must not raise
+    out = ingest.read_xlsx(spark, [p3], columns=["A", "B"],
+                           sheet=0, cell_range="A3:C4")
+    rows_out = out.collect()
+    assert len(rows_out) == 1
+    assert rows_out[0]["A"] == "1" and rows_out[0]["B"] == "2"
+
+
+def test_xlsx_unreferenced_cell_position():
+    """Per ECMA-376 an unreferenced <c> occupies the column AFTER the
+    previous cell, not the count of populated cells."""
+    import zipfile
+    from sequencing_integration_pipeline1_0_spark.sources import ingest
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships")
+    relns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "sparse.xlsx")
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+             '<row r="1"><c r="C1"><v>1</v></c><c><v>2</v></c></row>'
+             "</sheetData></worksheet>")
+    wb = (f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}">'
+          f'<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+          f"</workbook>")
+    rels = (f'<?xml version="1.0"?><Relationships xmlns="{relns}">'
+            f'<Relationship Id="rId1" Type="{rns}/worksheet" '
+            f'Target="worksheets/sheet1.xml"/></Relationships>')
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    (rnum, cells), = ingest._xlsx_sheet_rows(p, 0)
+    assert cells == {2: "1", 3: "2"}   # C1 then the cell after it (D1)
+
+
+def test_jsonl_roundtrip_allstring_with_corrupt_line(spark, tmp_path):
+    """S6 widening: JSONL in/out under the all-string contract —
+    numbers arrive as strings (schema drift can't flip a column type),
+    NA vocabulary normalizes, malformed lines land in _corrupt_record
+    instead of failing the scan, provenance rides along."""
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "score": 0.5}\n'
+        '{"doc_id": 2, "text": "N/A", "score": 3}\n'
+        "this line is not json at all\n")
+    df = ingest.read_any(spark, str(p))
+    data_cols = [c for c in df.columns if c not in ("index",
+                                                    "_corrupt_record")]
+    assert all(dict(df.dtypes)[c] == "string" for c in data_cols)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows["1"]["score"] == "0.5"            # number -> string
+    assert rows["2"]["text"] is None              # NA vocab -> NULL
+    assert rows["1"]["index"].endswith("shard.jsonl")
+    corrupt = [r for r in df.collect()
+               if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1                      # bad line captured
+    # sink roundtrip (write shards, read back)
+    out = str(tmp_path / "out")
+    clean = df.filter(F.col("_corrupt_record").isNull()) \
+              .select("doc_id", "text", "score")
+    sinks.write_jsonl(clean, out)
+    back = ingest.read_jsonl_allstring(spark, out + "/*.json*",
+                                       provenance=None)
+    assert back.count() == 2
