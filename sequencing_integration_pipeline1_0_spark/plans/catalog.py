@@ -5715,3 +5715,120 @@ def text_gopher_rules(spark, sf_dir):
     Python — the 100 TB quality-sweep shape."""
     d = _t(spark, sf_dir, "documents")
     return textstats.gopher_rules(d, "doc_id", "text")
+
+
+_REMOVE_SPANS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, u.pos, u.gram FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws) - 4),
+        i -> {'pos': i,
+              'gram': array_to_string(list_slice(ws, i+1, i+5), ' ')}))
+      AS u
+    FROM w WHERE len(ws) >= 5)),
+rep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (
+  SELECT g.doc_id, g.pos,
+         row_number() OVER (PARTITION BY g.gram
+                            ORDER BY g.doc_id, g.pos) AS rn
+  FROM g SEMI JOIN rep USING (gram)),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS i
+  FROM occ WHERE rn > 1),
+wx AS (
+  SELECT doc_id, u.i, u.tok FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        i -> {'i': i, 'tok': ws[i+1]})) AS u FROM w)),
+kept AS (
+  SELECT wx.doc_id, wx.i, wx.tok FROM wx ANTI JOIN cov USING (doc_id, i)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w)
+SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_words,
+       CAST(t.n_words - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_removed_words
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("text_remove_repeated_spans", _REMOVE_SPANS_SQL)
+def text_remove_repeated_spans(spark, sf_dir):
+    """Exact-substring deduplication, removal half (Lee et al. 2022):
+    every cross-document repeated word 5-gram keeps exactly one
+    occurrence (the (doc, pos)-smallest witness); words covered by any
+    other occurrence are cut and documents reassembled in order with
+    removal accounting (textstats.remove_repeated_spans — the pass
+    repeated_spans' witness coordinates exist for). The Spark side
+    rides 64-bit gram hashes; the oracle recomputes over gram strings,
+    so hash-green also re-certifies collision-freeness on this corpus.
+    Output text is whitespace-normalized by contract (both engines
+    rebuild from the words split)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.remove_repeated_spans(d, "doc_id", "text",
+                                           n=5, min_docs=2)
+
+
+def _mojibake_sql() -> str:
+    """Oracle for text_fix_mojibake, generated from the SAME
+    MOJIBAKE_MAP the engine uses — the replace chain can never drift
+    from the Spark implementation. DuckDB regexp_replace needs the
+    explicit 'g' flag (first-match-only by default, unlike Spark)."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+    expr = "corrupted"
+    for bad, good in textstats.MOJIBAKE_MAP:
+        expr = f"replace({expr}, '{q(bad)}', '{q(good)}')"
+    expr = f"replace({expr}, chr(160), ' ')"
+    expr = (f"regexp_replace({expr}, "
+            f"'[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')")
+    inj_pre = ("CASE doc_id % 4 WHEN 0 THEN '\u00c3\u00a9' "
+               "WHEN 1 THEN '\u00e2\u20ac\u2122' "
+               "WHEN 2 THEN '\u00c2\u00a0' ELSE '' END")
+    inj_post = ("CASE WHEN doc_id % 3 = 0 THEN '\u00e2\u20ac\u00a6' "
+                "ELSE '' END || CASE WHEN doc_id % 7 = 0 THEN chr(7) "
+                "ELSE '' END")
+    return f"""
+WITH c AS (
+  SELECT doc_id, {inj_pre} || text || {inj_post} AS corrupted
+  FROM documents)
+SELECT doc_id,
+       md5({expr}) AS clean_md5,
+       CAST(length(corrupted) AS BIGINT) AS n_chars_dirty,
+       CAST(length(corrupted) - length({expr}) AS BIGINT) AS n_chars_fixed
+FROM c
+"""
+
+
+@register("text_fix_mojibake", _mojibake_sql())
+def text_fix_mojibake(spark, sf_dir):
+    """Encoding-artifact repair (ftfy-subset, the first step of every
+    C4-style cleaning pass): UTF-8-decoded-as-Latin-1 sequences
+    un-mangled, NBSP normalized, control chars stripped
+    (textstats.fix_mojibake). The testdata is clean ASCII, so the
+    query INJECTS deterministic artifacts keyed on doc_id (the same
+    fault-injection pattern as the wdrs QA battery) and certifies the
+    repair by md5 + char-delta; the oracle's replace chain is
+    GENERATED from the engine's own MOJIBAKE_MAP, so the two can
+    never drift."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    corrupted = F.concat(
+        F.when(k % 4 == 0, F.lit("\u00c3\u00a9"))
+         .when(k % 4 == 1, F.lit("\u00e2\u20ac\u2122"))
+         .when(k % 4 == 2, F.lit("\u00c2\u00a0"))
+         .otherwise(F.lit("")),
+        F.col("text"),
+        F.when(k % 3 == 0, F.lit("\u00e2\u20ac\u00a6"))
+         .otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.expr("char(7)")).otherwise(F.lit("")))
+    cleaned = textstats.fix_mojibake(corrupted)
+    return d.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(corrupted).cast("long").alias("n_chars_dirty"),
+        (F.length(corrupted) - F.length(cleaned)).cast("long")
+         .alias("n_chars_fixed"))

@@ -115,11 +115,20 @@ _SESSION_STATE_SCHEMA = T.StructType([
 ])
 
 
-def sessionize_fn(gap_us: int):
+def sessionize_fn(gap_us: int, use_timeout: bool = True):
     """applyInPandasWithState session builder: events within gap_us of
     each other belong to one session; a longer silence (or state
     timeout) closes it. The custom-stateful-operator pattern for
-    anything the built-in windows can't express."""
+    anything the built-in windows can't express.
+
+    use_timeout=False skips the processing-time timeout registration —
+    required for trigger(availableNow) drains: a registered
+    ProcessingTimeTimeout makes the multi-batch executor keep
+    scheduling batches until the timeout fires (observed: 60+ no-data
+    micro-batches spinning on state commits), so a drain never
+    terminates promptly. Timeout-based session closure belongs to
+    CONTINUOUS triggers; drains close sessions by gap only and leave
+    the trailing open session in state for the next run."""
     def _fn(key, pdfs, state):
         import pandas as pd
         (user_id,) = key
@@ -145,7 +154,8 @@ def sessionize_fn(gap_us: int):
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
         state.update((start, last, n))
-        state.setTimeoutDuration(60_000)
+        if use_timeout:
+            state.setTimeoutDuration(60_000)
         if closed:
             yield pd.DataFrame([
                 {"user_id": user_id, "session_start_us": s,
@@ -153,16 +163,24 @@ def sessionize_fn(gap_us: int):
     return _fn
 
 
-def sessionize(stream: DataFrame, gap_us: int = 3_600_000_000) -> DataFrame:
-    """Group events per user into gap-bounded sessions (stateful)."""
+def sessionize(stream: DataFrame, gap_us: int = 3_600_000_000, *,
+               timeout_conf: str = "ProcessingTimeTimeout") -> DataFrame:
+    """Group events per user into gap-bounded sessions (stateful).
+
+    timeout_conf="NoTimeout" for availableNow drains (see
+    sessionize_fn: a processing-time timeout keeps the multi-batch
+    executor spinning and the drain never terminates); the default
+    ProcessingTimeTimeout is the continuous-trigger production mode
+    where silence closes the trailing session."""
     return (stream
             .groupBy("user_id")
             .applyInPandasWithState(
-                sessionize_fn(gap_us),
+                sessionize_fn(gap_us,
+                              use_timeout=timeout_conf != "NoTimeout"),
                 outputStructType=SESSION_SCHEMA,
                 stateStructType=_SESSION_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf="ProcessingTimeTimeout"))
+                timeoutConf=timeout_conf))
 
 
 def near_dup_filter_batch(index: DataFrame, batch: DataFrame,

@@ -804,3 +804,33 @@ def test_bloom_partial_final_word(spark):
     bf = bloom.bloom_build(members, "v", m_bits=100, k=3)
     kept = bloom.bloom_prefilter(members, "v", bf, m_bits=100, k=3)
     assert kept.count() == 200  # every true member admitted
+
+
+def test_remove_repeated_spans_hand_values(spark):
+    """Non-witness occurrences are cut; the witness doc is untouched;
+    unaffected docs pass through; accounting is exact."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e x"),
+         (2, "a b c d e y"),    # shares the 5-gram 'a b c d e' with doc 1
+         (3, "p q r s t")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ts.remove_repeated_spans(df, "doc_id", "text",
+                                    n=5, min_docs=2).collect()}
+    assert out[1]["text"] == "a b c d e x"       # witness keeps its copy
+    assert out[1]["n_removed_words"] == 0
+    assert out[2]["text"] == "y"                 # covered words cut
+    assert out[2]["n_removed_words"] == 5
+    assert out[2]["n_words"] == 6
+    assert out[3]["text"] == "p q r s t"         # untouched
+
+
+def test_fix_mojibake_hand_values(spark):
+    dirty = ("caf\u00c3\u00a9 \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d "
+             "it\u00e2\u20ac\u2122s fine\u00e2\u20ac\u00a6 nb\u00c2\u00a0sp"
+             " ctl\x07char")
+    df = spark.createDataFrame([(dirty,), ("already clean",)], "t string")
+    out = [r["x"] for r in df.select(ts.fix_mojibake("t").alias("x")).collect()]
+    assert out[0] == ("caf\u00e9 \u201cquoted\u201d it\u2019s "
+                      "fine\u2026 nb sp ctlchar")
+    assert out[1] == "already clean"

@@ -28,7 +28,9 @@ def _run_stream(spark, df, tmp_path, name):
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # assert: an unterminated drain would silently hand back a PARTIAL
+    # memory table and leak a spinning query into later tests
+    assert q.awaitTermination(120), f"drain of {name} did not finish"
     return spark.table(name)
 
 
@@ -94,7 +96,8 @@ def test_sessionize_state_logic(spark, events_stream_dir, tmp_path):
     schema = spark.read.parquet(events_stream_dir).schema
     stream = st.read_parquet_stream(spark, events_stream_dir, schema)
     gap = 6 * 3_600_000_000
-    sessions = st.sessionize(stream.select("user_id", "ts_us"), gap_us=gap)
+    sessions = st.sessionize(stream.select("user_id", "ts_us"), gap_us=gap,
+                         timeout_conf="NoTimeout")
     got = _run_stream(spark, sessions, tmp_path, "sessions")
     # batch oracle: same session split via lag window
     from pyspark.sql import Window
@@ -269,3 +272,44 @@ def test_interval_join_resumes_from_checkpoint(spark, tmp_path):
     drain()
     got = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2]
+
+
+def test_sessionize_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpoint-recovery proof for the custom stateful sessionizer
+    (applyInPandasWithState): phase 2's first event continues the OPEN
+    session from phase 1, so the closed session it eventually emits
+    must start at phase 1's first timestamp — possible only if the
+    (start, last, n) state tuple was restored from the checkpoint; a
+    cold restart would emit a session starting at the phase-2 event."""
+    import glob as globmod
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, 0), (1, 10)], "user_id long, ts_us long") \
+         .write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = st.read_parquet_stream(spark, src, schema)
+        s = st.sessionize(stream, gap_us=100, timeout_conf="NoTimeout")
+        q = (s.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    drain()
+    # phase 1 leaves one OPEN session in state; nothing closed/emitted
+    n1 = (spark.read.parquet(out).count()
+          if globmod.glob(out + "/*.parquet") else 0)
+    assert n1 == 0
+    # phase 2: ts=20 joins the open session (gap 100), ts=1_000_000
+    # closes it and opens a new one
+    spark.createDataFrame([(1, 20), (1, 1_000_000)],
+                          "user_id long, ts_us long") \
+         .write.mode("append").parquet(src)
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["session_start_us"], r["session_end_us"], r["n_events"]) \
+        == (0, 20, 3)
