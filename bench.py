@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",       # LSH near-dup path w/ default levers
     "decontam_bloom_prefilter",  # Bloom map-side prune + exact verify
     "pipe_corpus_curation",    # C4-style curation composite
+    "pipe_incremental_corpus",  # incremental ingest capstone (r4)
 ]
 
 

@@ -5772,19 +5772,24 @@ def text_remove_repeated_spans(spark, sf_dir):
                                            n=5, min_docs=2)
 
 
-def _mojibake_sql() -> str:
-    """Oracle for text_fix_mojibake, generated from the SAME
-    MOJIBAKE_MAP the engine uses — the replace chain can never drift
-    from the Spark implementation. DuckDB regexp_replace needs the
-    explicit 'g' flag (first-match-only by default, unlike Spark)."""
+def _mojibake_chain_sql(src: str) -> str:
+    """The fix_mojibake replace chain over an arbitrary SQL
+    expression, generated from the SAME MOJIBAKE_MAP the engine uses —
+    the two can never drift. DuckDB regexp_replace needs the explicit
+    'g' flag (first-match-only by default, unlike Spark)."""
     def q(s: str) -> str:
         return s.replace("'", "''")
-    expr = "corrupted"
+    expr = src
     for bad, good in textstats.MOJIBAKE_MAP:
         expr = f"replace({expr}, '{q(bad)}', '{q(good)}')"
     expr = f"replace({expr}, chr(160), ' ')"
-    expr = (f"regexp_replace({expr}, "
+    return (f"regexp_replace({expr}, "
             f"'[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')")
+
+
+def _mojibake_sql() -> str:
+    """Oracle for text_fix_mojibake (see _mojibake_chain_sql)."""
+    expr = _mojibake_chain_sql("corrupted")
     inj_pre = ("CASE doc_id % 4 WHEN 0 THEN '\u00c3\u00a9' "
                "WHEN 1 THEN '\u00e2\u20ac\u2122' "
                "WHEN 2 THEN '\u00c2\u00a0' ELSE '' END")
@@ -5832,3 +5837,177 @@ def text_fix_mojibake(spark, sf_dir):
         F.length(corrupted).cast("long").alias("n_chars_dirty"),
         (F.length(corrupted) - F.length(cleaned)).cast("long")
          .alias("n_chars_fixed"))
+
+
+def _incremental_corpus_sql() -> str:
+    """Oracle for pipe_incremental_corpus — assembled from the same
+    generated pieces the component queries use (mojibake chain,
+    gopher thresholds, trigram-shingle minhash banding)."""
+    fix = _mojibake_chain_sql("text")
+    sig = _minhash_sig_sql(8, "cshin").replace("SELECT id, sh, ",
+                                               "SELECT id, sh, ")
+    return f"""
+WITH inj AS (
+  SELECT a.doc_id,
+         coalesce(CASE WHEN a.doc_id % 40 = 0 THEN b.text END,
+                  a.text) AS text
+  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+fixed AS (
+  SELECT doc_id, {fix} AS text,
+         CAST(length(text) - length({fix}) AS BIGINT) AS n_chars_fixed
+  FROM inj),
+corpus AS (SELECT * FROM fixed WHERE doc_id % 10 != 0),
+batch AS (SELECT * FROM fixed WHERE doc_id % 10 = 0),
+gw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM batch),
+gf AS (
+  SELECT doc_id,
+    CAST(CASE WHEN len(ws) BETWEEN 5 AND 5000
+          AND round(list_sum(list_transform(ws, x -> length(x)))
+                    / len(ws), 6) BETWEEN 3.0 AND 10.0
+          AND round(len(list_filter(ws, x -> starts_with(x, '#')
+                    OR contains(x, '...'))) / len(ws), 6) <= 0.1
+          AND round(len(list_filter(ws,
+                    x -> regexp_matches(x, '[A-Za-z]'))) / len(ws), 6)
+                >= 0.8
+          AND len(list_filter(ws, x -> list_contains(
+                ['the','be','is','to','of','and','that','have','with'],
+                lower(x)))) >= 2
+          THEN 1 ELSE 0 END AS INT) AS gopher_pass
+  FROM gw),
+cmd5 AS (SELECT md5(text) AS h, min(doc_id) AS cid
+         FROM corpus GROUP BY 1),
+bmd5 AS (SELECT doc_id, md5(text) AS h,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS first_b
+         FROM batch),
+exact AS (
+  SELECT b.doc_id,
+         CASE WHEN c.cid IS NOT NULL THEN c.cid
+              WHEN b.first_b < b.doc_id THEN b.first_b END
+           AS exact_dup_of
+  FROM bmd5 b LEFT JOIN cmd5 c USING (h)),
+cw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       FROM corpus),
+bw2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM batch),
+cshin AS (SELECT doc_id AS id, {_SHINGLE3_SQL} AS sh FROM cw),
+bshin AS (SELECT doc_id AS id, {_SHINGLE3_SQL} AS sh FROM bw2),
+ci AS ({_minhash_sig_sql(8, "cshin")}),
+bi AS ({_minhash_sig_sql(8, "bshin")}),
+cb AS (
+  SELECT id, sh, b AS band_idx,
+         md5(array_to_string(list_slice(sig, b*2+1, b*2+2), '|'))
+           AS band_key
+  FROM ci, unnest([0,1,2,3]) AS t(b)),
+bb AS (
+  SELECT id, sh, b AS band_idx,
+         md5(array_to_string(list_slice(sig, b*2+1, b*2+2), '|'))
+           AS band_key
+  FROM bi, unnest([0,1,2,3]) AS t(b)),
+cand AS (
+  SELECT DISTINCT p.id AS batch_id, i.id AS corpus_id
+  FROM bb p JOIN cb i
+    ON p.band_idx = i.band_idx AND p.band_key = i.band_key),
+scored AS (
+  SELECT c.batch_id, c.corpus_id,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 6)
+           AS jaccard
+  FROM cand c JOIN bshin x ON c.batch_id = x.id
+              JOIN cshin y ON c.corpus_id = y.id),
+best AS (
+  SELECT batch_id, corpus_id AS near_dup_of, jaccard AS near_jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY batch_id
+          ORDER BY jaccard DESC, corpus_id) AS rn
+        FROM scored WHERE jaccard >= 0.7) WHERE rn = 1)
+SELECT b.doc_id,
+  CASE WHEN g.gopher_pass = 0 THEN 'quality_filtered'
+       WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+       WHEN n.near_dup_of IS NOT NULL THEN 'near_dup'
+       ELSE 'ingested' END AS route,
+  b.n_chars_fixed, g.gopher_pass, e.exact_dup_of,
+  n.near_dup_of, n.near_jaccard
+FROM batch b
+JOIN gf g USING (doc_id)
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN best n ON b.doc_id = n.batch_id
+"""
+
+
+@register("pipe_incremental_corpus", _incremental_corpus_sql())
+def pipe_incremental_corpus(spark, sf_dir):
+    """Capstone: incremental corpus ingestion end-to-end — the shape a
+    production LLM data pipeline runs per arriving batch. The existing
+    corpus (doc_id % 10 != 0) is indexed ONCE (content-hash dim +
+    trigram minhash band index); each batch document (doc_id % 10 = 0)
+    flows: encoding repair (fix_mojibake) -> Gopher quality gate ->
+    exact dedup against corpus AND first-wins within the batch ->
+    near-dup probe of the minhash index (trigram shingles, jaccard >=
+    0.7, best match reported) -> route tag with full audit columns
+    (n_chars_fixed, gopher_pass, exact_dup_of, near_dup_of,
+    near_jaccard). Every batch doc gets exactly one route — the
+    reference's conservation discipline (template_submitters routing)
+    applied to corpus curation.
+
+    Scale shape: the md5 dim is a per-hash min agg (broadcastable);
+    the near-dup probe co-locates on the persisted band index with no
+    corpus re-shingling (minhash_index_probe's pattern); gates are
+    map-side. Flags are computed for ALL batch docs (no cascaded
+    filtering) so the route CASE is pure precedence — same plan the
+    oracle runs."""
+    d = _t(spark, sf_dir, "documents")
+    # deterministic dup injection: batch docs = 0 mod 40 copy their
+    # corpus neighbor's text (the testdata ships zero byte-identical
+    # docs, which would leave the exact-dup branch forever untested —
+    # same fault-injection pattern as the wdrs QA battery)
+    nbr = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.col("text").alias("nbr_text"))
+    inj = (d.join(nbr, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(
+                        F.when(F.col("doc_id") % 40 == 0,
+                               F.col("nbr_text")),
+                        F.col("text")).alias("text")))
+    fixed_text = textstats.fix_mojibake("text")
+    fixed = inj.select("doc_id", fixed_text.alias("text"),
+                       (F.length("text") - F.length(fixed_text))
+                       .cast("long").alias("n_chars_fixed"))
+    corpus = fixed.filter(F.col("doc_id") % 10 != 0)
+    batch = fixed.filter(F.col("doc_id") % 10 == 0)
+    gf = (textstats.gopher_rules(batch, "doc_id", "text")
+          .select("doc_id", "gopher_pass"))
+    cmd5 = (corpus.groupBy(F.md5("text").alias("h"))
+                  .agg(F.min("doc_id").alias("cid")))
+    first_b = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    bmd5 = batch.select("doc_id", F.md5("text").alias("h"),
+                        first_b.alias("first_b"))
+    exact = (bmd5.join(F.broadcast(cmd5), "h", "left")
+                 .select("doc_id",
+                         F.when(F.col("cid").isNotNull(), F.col("cid"))
+                          .when(F.col("first_b") < F.col("doc_id"),
+                                F.col("first_b"))
+                          .alias("exact_dup_of")))
+    idx = dedupe_scale.minhash_index(corpus, "doc_id", "text",
+                                     shingle_n=3, k=8, bands=4)
+    probe = dedupe_scale.query_minhash_index(
+        idx, batch, "doc_id", "text",
+        shingle_n=3, k=8, bands=4, threshold=0.7)
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id"))
+    best = (probe.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select(F.col("batch_id").alias("doc_id"),
+                         F.col("corpus_id").alias("near_dup_of"),
+                         F.col("jaccard").alias("near_jaccard")))
+    route = (F.when(F.col("gopher_pass") == 0, "quality_filtered")
+              .when(F.col("exact_dup_of").isNotNull(), "exact_dup")
+              .when(F.col("near_dup_of").isNotNull(), "near_dup")
+              .otherwise("ingested"))
+    return (batch.select("doc_id", "n_chars_fixed")
+                 .join(gf, "doc_id")
+                 .join(exact, "doc_id", "left")
+                 .join(best, "doc_id", "left")
+                 .select("doc_id", route.alias("route"), "n_chars_fixed",
+                         "gopher_pass", "exact_dup_of",
+                         "near_dup_of", "near_jaccard"))
