@@ -35,13 +35,6 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(frags)
 
 
-def marker_hits(col: Column | str, markers: list[str]) -> Column:
-    """How many tokens of the text are in the marker set."""
-    w = words(col)
-    arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(w, lambda x: F.array_contains(arr, F.lower(x))))
-
-
 def lang_id(col: Column | str) -> Column:
     """Stopword-marker language ID: argmax language by marker hits,
     'und' (undetermined) when nothing matches. Deterministic tie-break
@@ -172,6 +165,19 @@ def fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
                        lambda acc, v: (acc * 31 + v) % mod)
 
 
+def _gram_occurrences(df, id_col: str, text_col: str, n: int):
+    """(__id, __pos, span_h) for every word n-gram occurrence — the
+    shared map-side front of repeated_spans / repeated_span_fraction /
+    remove_repeated_spans (one definition, zero drift risk). Each
+    caller's job re-runs this scan over its lineage; a 100 TB run
+    persists the gram pass once and feeds all three."""
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.posexplode(ngram_array(text_col, n))
+                       .alias("__pos", "__gram"))
+              .select("__id", "__pos",
+                      F.xxhash64("__gram").alias("span_h")))
+
+
 def repeated_spans(df, id_col: str = "doc_id", text_col: str = "text",
                    n: int = 20, min_docs: int = 2):
     """Cross-document repeated-passage detection: word n-gram spans
@@ -190,10 +196,7 @@ def repeated_spans(df, id_col: str = "doc_id", text_col: str = "text",
     coordinates keep the audit exact). At 100 TB add a frequency
     prefilter (drop hashes seen once per partition) before the global
     agg — same pattern as the Bloom decontam prefilter."""
-    g = (df.select(F.col(id_col).alias("__id"),
-                   F.posexplode(ngram_array(text_col, n))
-                    .alias("__pos", "__gram"))
-           .select("__id", "__pos", F.xxhash64("__gram").alias("span_h")))
+    g = _gram_occurrences(df, id_col, text_col, n)
     # min_by struct: the (id, pos)-smallest witness occurrence
     witness = F.min(F.struct("__id", "__pos"))
     return (g.groupBy("span_h")
@@ -294,9 +297,7 @@ def repeated_span_fraction(df, id_col: str = "doc_id",
     never shuffles."""
     spans = (repeated_spans(df, id_col, text_col, n=n, min_docs=min_docs)
              .select("span_h"))
-    g = (df.select(F.col(id_col).alias("__id"),
-                   F.explode(ngram_array(text_col, n)).alias("__gram"))
-           .select("__id", F.xxhash64("__gram").alias("span_h")))
+    g = _gram_occurrences(df, id_col, text_col, n).drop("__pos")
     per_doc = (g.join(spans, "span_h", "left_semi")
                 .groupBy("__id")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_repeated")))
@@ -451,11 +452,9 @@ def remove_repeated_spans(df, id_col: str = "doc_id",
     rebuild is a map-side HOF over one lambda-bound (words, covered)
     pair — the full text crosses the wire exactly once, in the final
     per-doc join."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     spans = repeated_spans(df, id_col, text_col, n=n, min_docs=min_docs)
-    g = (df.select(F.col(id_col).alias("__id"),
-                   F.posexplode(ngram_array(text_col, n))
-                    .alias("__pos", "__gram"))
-           .select("__id", "__pos", F.xxhash64("__gram").alias("span_h")))
+    g = _gram_occurrences(df, id_col, text_col, n)
     doomed = (g.join(spans.select("span_h", "first_doc_id", "first_pos"),
                      "span_h")
                .filter(~((F.col("__id") == F.col("first_doc_id"))
@@ -515,13 +514,18 @@ def fix_mojibake(col: Column | str) -> Column:
     """Encoding-artifact repair (the ftfy-subset every C4-style
     cleaning pass starts with): undo the most common
     UTF-8-bytes-decoded-as-Latin-1 sequences, normalize NBSP to
-    space, and strip C0/C1 control characters (keeping tab and
-    newline). A fixed, ordered replace chain — deterministic,
-    cross-engine expressible, pure codegen (literal-string replace,
-    then one regex for the control-char class)."""
+    space, and strip C0 (keeping tab and newline), DEL, and C1
+    control characters — C1 strays (U+0080-U+009F) are exactly what a
+    half-mangled cp1252 round-trip leaves behind, and the strip runs
+    AFTER the artifact replaces so sequences containing C1 bytes (the
+    right-double-quote artifact ends in U+009D) repair first. A fixed,
+    ordered replace chain — deterministic, cross-engine expressible,
+    pure codegen (literal-string replace, then one regex for the
+    control-char classes)."""
     c = F.col(col) if isinstance(col, str) else col
     out = c
     for bad, good in MOJIBAKE_MAP:
         out = F.replace(out, F.lit(bad), F.lit(good))
     out = F.replace(out, F.lit("\u00a0"), F.lit(" "))
-    return F.regexp_replace(out, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+    return F.regexp_replace(
+        out, "[\\x00-\\x08\\x0B-\\x1F\\x7F\u0080-\u009F]", "")

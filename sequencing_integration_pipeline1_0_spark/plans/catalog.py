@@ -5666,10 +5666,17 @@ def j6c_osa_lev_delta(spark, sf_dir):
                        lev.cast("int").alias("lev")))
 
 
-_GOPHER_SQL = """
+def _gopher_sql(src: str = "documents") -> str:
+    """Gopher-rule oracle over any (doc_id, text) relation, generated
+    with the stopword probe list from textstats.GOPHER_STOPWORDS —
+    one source of truth shared by text_gopher_rules and the
+    pipe_incremental_corpus gate (a second hand-copied threshold set
+    would silently drift)."""
+    stop = ",".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
+    return f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-  FROM documents),
+  FROM {src}),
 f AS (
   SELECT doc_id,
     CAST(len(ws) AS BIGINT) AS n_tokens,
@@ -5682,8 +5689,7 @@ f AS (
           x -> regexp_matches(x, '[A-Za-z]'))) / len(ws), 6)
       AS alpha_word_frac,
     CAST(len(list_filter(ws, x -> list_contains(
-          ['the','be','is','to','of','and','that','have','with'],
-          lower(x)))) AS BIGINT) AS stopword_hits
+          [{stop}], lower(x)))) AS BIGINT) AS stopword_hits
   FROM w)
 SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_frac,
   stopword_hits,
@@ -5704,7 +5710,7 @@ FROM f
 """
 
 
-@register("text_gopher_rules", _GOPHER_SQL)
+@register("text_gopher_rules", _gopher_sql())
 def text_gopher_rules(spark, sf_dir):
     """Gopher-style quality-rule bundle (Rae et al. 2021 table A1):
     token-count fence, mean-word-length band, #/ellipsis symbol-ratio
@@ -5719,7 +5725,8 @@ def text_gopher_rules(spark, sf_dir):
 
 _REMOVE_SPANS_SQL = """
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws
   FROM documents),
 g AS (
   SELECT doc_id, u.pos, u.gram FROM (
@@ -5784,7 +5791,8 @@ def _mojibake_chain_sql(src: str) -> str:
         expr = f"replace({expr}, '{q(bad)}', '{q(good)}')"
     expr = f"replace({expr}, chr(160), ' ')"
     return (f"regexp_replace({expr}, "
-            f"'[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')")
+            f"'[\\x00-\\x08\\x0B-\\x1F\\x7F"
+            f"\\x{{0080}}-\\x{{009F}}]', '', 'g')")
 
 
 def _mojibake_sql() -> str:
@@ -5844,38 +5852,26 @@ def _incremental_corpus_sql() -> str:
     generated pieces the component queries use (mojibake chain,
     gopher thresholds, trigram-shingle minhash banding)."""
     fix = _mojibake_chain_sql("text")
-    sig = _minhash_sig_sql(8, "cshin").replace("SELECT id, sh, ",
-                                               "SELECT id, sh, ")
     return f"""
-WITH inj AS (
+WITH art AS (
+  SELECT doc_id,
+         CASE doc_id % 5 WHEN 1 THEN '\u00c3\u00a9'
+              WHEN 3 THEN '\u00e2\u20ac\u2122' ELSE '' END || text
+           AS text
+  FROM documents),
+inj AS (
   SELECT a.doc_id,
          coalesce(CASE WHEN a.doc_id % 40 = 0 THEN b.text END,
                   a.text) AS text
-  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+  FROM art a LEFT JOIN art b ON b.doc_id = a.doc_id + 1),
 fixed AS (
   SELECT doc_id, {fix} AS text,
          CAST(length(text) - length({fix}) AS BIGINT) AS n_chars_fixed
   FROM inj),
 corpus AS (SELECT * FROM fixed WHERE doc_id % 10 != 0),
 batch AS (SELECT * FROM fixed WHERE doc_id % 10 = 0),
-gw AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-  FROM batch),
 gf AS (
-  SELECT doc_id,
-    CAST(CASE WHEN len(ws) BETWEEN 5 AND 5000
-          AND round(list_sum(list_transform(ws, x -> length(x)))
-                    / len(ws), 6) BETWEEN 3.0 AND 10.0
-          AND round(len(list_filter(ws, x -> starts_with(x, '#')
-                    OR contains(x, '...'))) / len(ws), 6) <= 0.1
-          AND round(len(list_filter(ws,
-                    x -> regexp_matches(x, '[A-Za-z]'))) / len(ws), 6)
-                >= 0.8
-          AND len(list_filter(ws, x -> list_contains(
-                ['the','be','is','to','of','and','that','have','with'],
-                lower(x)))) >= 2
-          THEN 1 ELSE 0 END AS INT) AS gopher_pass
-  FROM gw),
+  SELECT doc_id, gopher_pass FROM ({_gopher_sql("batch")})),
 cmd5 AS (SELECT md5(text) AS h, min(doc_id) AS cid
          FROM corpus GROUP BY 1),
 bmd5 AS (SELECT doc_id, md5(text) AS h,
@@ -5957,18 +5953,27 @@ def pipe_incremental_corpus(spark, sf_dir):
     filtering) so the route CASE is pure precedence — same plan the
     oracle runs."""
     d = _t(spark, sf_dir, "documents")
-    # deterministic dup injection: batch docs = 0 mod 40 copy their
-    # corpus neighbor's text (the testdata ships zero byte-identical
-    # docs, which would leave the exact-dup branch forever untested —
-    # same fault-injection pattern as the wdrs QA battery)
-    nbr = d.select((F.col("doc_id") - 1).alias("doc_id"),
-                   F.col("text").alias("nbr_text"))
-    inj = (d.join(nbr, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce(
-                        F.when(F.col("doc_id") % 40 == 0,
-                               F.col("nbr_text")),
-                        F.col("text")).alias("text")))
+    # deterministic fault injection (wdrs-battery pattern), two layers:
+    # (a) mojibake artifacts on doc_id % 5 in {1,3} so the encoding-
+    # repair stage and n_chars_fixed are certified on NON-zero work
+    # (the testdata ships clean ASCII); (b) batch docs = 0 mod 40 copy
+    # their corpus neighbor's POST-ARTIFACT text so the exact-dup
+    # branch fires (zero byte-identical docs otherwise) — artifacts
+    # first, so the copy stays byte-identical to its source.
+    k = F.col("doc_id")
+    art = d.select("doc_id", F.concat(
+        F.when(k % 5 == 1, F.lit("\u00c3\u00a9"))
+         .when(k % 5 == 3, F.lit("\u00e2\u20ac\u2122"))
+         .otherwise(F.lit("")),
+        F.col("text")).alias("text"))
+    nbr = art.select((F.col("doc_id") - 1).alias("doc_id"),
+                     F.col("text").alias("nbr_text"))
+    inj = (art.join(nbr, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce(
+                          F.when(F.col("doc_id") % 40 == 0,
+                                 F.col("nbr_text")),
+                          F.col("text")).alias("text")))
     fixed_text = textstats.fix_mojibake("text")
     fixed = inj.select("doc_id", fixed_text.alias("text"),
                        (F.length("text") - F.length(fixed_text))
