@@ -121,3 +121,49 @@ def pack_token_budget(df: DataFrame, id_col: str, text_col: str,
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return t.withColumn("pack_id",
                         F.floor(start / F.lit(budget)).cast("long"))
+
+
+def sample_temperature(df: DataFrame, domain_col: str, id_col: str, *,
+                       alpha: float = 0.5, budget_frac: float = 0.5,
+                       rate_denom: int = RATE_DENOM) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual-LM alpha-
+    sampling rule): target share of domain d is n_d^alpha normalized —
+    alpha < 1 flattens the mixture toward low-resource domains without
+    the uniform mix's brutal downsampling of the head. Every row is
+    emitted with its decision (domain count, keep_buckets, kept flag)
+    so the sample is auditable, re-runnable, and engine-portable.
+
+    Determinism: alpha=0.5 rides F.sqrt (IEEE correctly-rounded, so
+    bit-identical across engines — pow() is NOT and would flake a
+    cross-engine gate; other alphas are supported but carry that
+    caveat). sqrt values quantize to 1e-6 and sum in DECIMAL (the
+    house partition-order-exact pattern); the keep decision is the
+    engine-portable lcg_bucket, never rand().
+
+    Plan shape: tiny per-domain agg + two 1-row scalars broadcast back
+    onto the corpus; the keep predicate is map-side; the corpus never
+    shuffles."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = df.agg(F.expr(f"CAST(floor(count(1) * {budget_frac}) AS BIGINT)")
+                 .alias("budget"))
+    w = F.sqrt(F.col("cnt")) if alpha == 0.5 \
+        else F.pow(F.col("cnt"), F.lit(alpha))
+    sq = counts.select(domain_col, "cnt",
+                       F.round(w, 6).cast("decimal(18,6)").alias("sq"))
+    tt = sq.agg(F.sum("sq").cast("double").alias("total"))
+    rate = F.round(
+        F.least(F.lit(1.0),
+                (F.col("budget") * F.col("sq").cast("double")
+                 / F.col("total")) / F.col("cnt")), 6)
+    rates = (sq.join(F.broadcast(tt)).join(F.broadcast(tot))
+               .select(domain_col, "cnt",
+                       F.greatest(F.lit(1).cast("long"),
+                                  F.floor(rate * rate_denom).cast("long"))
+                        .alias("keep_buckets")))
+    return (df.join(F.broadcast(rates), domain_col)
+              .select(F.col(id_col),
+                      F.col(domain_col).alias("domain"),
+                      F.col("cnt").cast("long").alias("n_domain"),
+                      "keep_buckets",
+                      (lcg_bucket(F.col(id_col), rate_denom)
+                       < F.col("keep_buckets")).cast("int").alias("kept")))

@@ -6016,3 +6016,107 @@ def pipe_incremental_corpus(spark, sf_dir):
                  .select("doc_id", route.alias("route"), "n_chars_fixed",
                          "gopher_pass", "exact_dup_of",
                          "near_dup_of", "near_jaccard"))
+
+
+_TEMPERATURE_SQL = """
+WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+b AS (SELECT CAST(floor(count(*) * 0.5) AS BIGINT) AS budget
+      FROM documents),
+sq AS (SELECT lang, cnt,
+              CAST(round(sqrt(cnt), 6) AS DECIMAL(18,6)) AS sq FROM n),
+tt AS (SELECT CAST(sum(sq) AS DOUBLE) AS total FROM sq),
+r AS (SELECT lang, cnt,
+        greatest(CAST(1 AS BIGINT),
+          CAST(floor(round(least(1.0,
+            (budget * CAST(sq AS DOUBLE) / total) / cnt), 6) * 4096)
+            AS BIGINT)) AS keep_buckets
+      FROM sq CROSS JOIN tt CROSS JOIN b)
+SELECT d.doc_id, d.lang AS domain, r.cnt AS n_domain, r.keep_buckets,
+  CAST(CASE WHEN CAST(floor(((d.doc_id * 1103515245 + 12345)
+                             % 268435456) / 65536) AS BIGINT)
+                 < r.keep_buckets THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents d JOIN r ON d.lang = r.lang
+"""
+
+
+@register("sample_temperature", _TEMPERATURE_SQL)
+def sample_temperature_q(spark, sf_dir):
+    """Temperature (alpha=0.5) domain mixing over the language slices:
+    target share proportional to sqrt(n_lang), half-corpus budget —
+    the multilingual-LM sampling rule that boosts low-resource domains
+    without flattening to uniform (sampling.sample_temperature;
+    complements sample_domain_mix's uniform floor). Every document is
+    emitted with its decision columns, so the hash gate certifies the
+    whole mixture arithmetic (decimal-exact sqrt mass, scalar budget,
+    engine-portable LCG picks), not just the surviving rows."""
+    from ..operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    return sampling.sample_temperature(d, "lang", "doc_id")
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, day, cnt,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s1,
+    sum(cnt * cnt) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s2,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily)
+SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+  round(s1 / 7.0, 6) AS trailing_mean,
+  round((s2 - (s1 * s1) / 7.0) / 6.0, 6) AS trailing_var,
+  CASE WHEN (s2 - (s1 * s1) / 7.0) / 6.0 > 0
+       THEN round((cnt - s1 / 7.0)
+                  / sqrt((s2 - (s1 * s1) / 7.0) / 6.0), 6) END AS z,
+  CAST(CASE WHEN (s2 - (s1 * s1) / 7.0) / 6.0 > 0
+        AND abs((cnt - s1 / 7.0)
+                / sqrt((s2 - (s1 * s1) / 7.0) / 6.0)) > 3.0
+       THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM w WHERE rn > 7
+"""
+
+
+@register("evt_anomaly_zscore", _ANOMALY_SQL)
+def evt_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection: each (event_type, day) count scored
+    against its own trailing 7-day window — z = (x - mean) / std,
+    flagged at |z| > 3 (the ops-monitoring generalization of the
+    reference's submission-gap lab watch, gap_data.Rmd's per-day
+    counts). Days without a full 7-day history are fenced off
+    (partial windows would understate variance).
+
+    Cross-engine exactness the easy way: the window sums are over
+    INTEGER counts (exact in both engines), and mean/variance/z are
+    spelled as literally identical arithmetic expressions on those
+    exact sums — no stddev() builtin, whose internal accumulation
+    (Welford vs naive, partition order) differs across engines at the
+    last ulp. One shuffle on (event_type); the window rides it."""
+    e = (_t(spark, sf_dir, "events")
+         .select("event_type",
+                 F.date_trunc("day", F.timestamp_micros("ts_us"))
+                  .cast("date").alias("day")))
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    win = (Window.partitionBy("event_type").orderBy("day")
+           .rowsBetween(-7, -1))
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("day"))
+    s1 = F.sum("cnt").over(win)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(win)
+    base = (daily.withColumn("s1", s1).withColumn("s2", s2)
+                 .withColumn("rn", rn).filter(F.col("rn") > 7))
+    mean = F.col("s1") / 7.0
+    var = (F.col("s2") - (F.col("s1") * F.col("s1")) / 7.0) / 6.0
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return base.select(
+        "event_type", F.col("day").cast("string").alias("day"), "cnt",
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(var, 6).alias("trailing_var"),
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+        F.when((var > 0) & (F.abs(z) > 3.0), 1).otherwise(0)
+         .cast("int").alias("is_anomaly"))

@@ -46,7 +46,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "unigram_doc_score",
                   # broadcast codebook assignment: batch x n_cells
                   # centroids, linear in batch (same as semantic cells)
-                  "ivf_assign_batch"}
+                  "ivf_assign_batch",
+                  # two 1-row scalars (sqrt-mass total, budget) joined
+                  # onto the tiny per-domain dim — scalar-join shape
+                  "sample_temperature"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.

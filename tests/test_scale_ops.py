@@ -834,3 +834,28 @@ def test_fix_mojibake_hand_values(spark):
     assert out[0] == ("caf\u00e9 \u201cquoted\u201d it\u2019s "
                       "fine\u2026 nb sp ctlchar")
     assert out[1] == "already clean"
+
+
+def test_sample_temperature_flattens_toward_tail(spark):
+    """alpha=0.5 keeps a larger FRACTION of small domains than big
+    ones (the whole point of temperature sampling), is deterministic
+    across runs, and never annihilates a domain."""
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+    rows = [(i, "big") for i in range(400)] + \
+           [(400 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = sampling.sample_temperature(df, "domain", "doc_id")
+    agg = {r["domain"]: r for r in
+           out.groupBy("domain")
+              .agg(F.sum("kept").alias("k"),
+                   F.count(F.lit(1)).alias("n")).collect()}
+    frac_big = agg["big"]["k"] / agg["big"]["n"]
+    frac_small = agg["small"]["k"] / agg["small"]["n"]
+    assert frac_small > frac_big          # tail boosted
+    assert agg["small"]["k"] >= 1         # never annihilated
+    # deterministic: second run picks the SAME rows
+    a = sorted(r["doc_id"] for r in out.filter("kept = 1").collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.sample_temperature(df, "domain", "doc_id")
+               .filter("kept = 1").collect())
+    assert a == b
