@@ -130,8 +130,18 @@ def sample_temperature(df: DataFrame, domain_col: str, id_col: str, *,
     sampling rule): target share of domain d is n_d^alpha normalized —
     alpha < 1 flattens the mixture toward low-resource domains without
     the uniform mix's brutal downsampling of the head. Every row is
-    emitted with its decision (domain count, keep_buckets, kept flag)
-    so the sample is auditable, re-runnable, and engine-portable.
+    emitted with its decision (domain count, keep_buckets, kept flag),
+    including rows whose domain is NULL (null-safe join; NULL is a
+    domain like any other), so the sample is auditable, re-runnable,
+    and engine-portable.
+
+    Budget handling: domains whose n^alpha share exceeds their size
+    cap at keep-everything, and ONE redistribution round hands their
+    unused budget to the uncapped domains (exact waterfilling when at
+    most one cap round triggers — the common case; a second-round cap
+    keeps everything in that domain too, slightly under-filling the
+    budget rather than over-drawing). The no-annihilation floor of
+    sample_balanced applies: no domain drops below 1/rate_denom.
 
     Determinism: alpha=0.5 rides F.sqrt (IEEE correctly-rounded, so
     bit-identical across engines — pow() is NOT and would flake a
@@ -140,27 +150,45 @@ def sample_temperature(df: DataFrame, domain_col: str, id_col: str, *,
     house partition-order-exact pattern); the keep decision is the
     engine-portable lcg_bucket, never rand().
 
-    Plan shape: tiny per-domain agg + two 1-row scalars broadcast back
-    onto the corpus; the keep predicate is map-side; the corpus never
+    Plan shape: ONE pass over the corpus for the per-domain counts
+    (the budget derives from their sum, not a second scan), scalar +
+    dim broadcasts back, map-side keep predicate; the corpus never
     shuffles."""
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("cnt"))
-    tot = df.agg(F.expr(f"CAST(floor(count(1) * {budget_frac}) AS BIGINT)")
-                 .alias("budget"))
     w = F.sqrt(F.col("cnt")) if alpha == 0.5 \
         else F.pow(F.col("cnt"), F.lit(alpha))
-    sq = counts.select(domain_col, "cnt",
+    sq = counts.select(F.col(domain_col).alias("__dom"), "cnt",
                        F.round(w, 6).cast("decimal(18,6)").alias("sq"))
-    tt = sq.agg(F.sum("sq").cast("double").alias("total"))
+    tot = sq.agg(
+        F.sum("sq").alias("total_dec"),
+        F.expr(f"CAST(floor(sum(cnt) * {budget_frac}) AS BIGINT)")
+         .alias("budget"))
+    r0 = (sq.join(F.broadcast(tot))
+            .withColumn("rate0",
+                        (F.col("budget") * F.col("sq").cast("double")
+                         / F.col("total_dec").cast("double"))
+                        / F.col("cnt")))
+    capped = F.col("rate0") >= 1.0
+    adj = r0.agg(
+        F.coalesce(F.sum(F.when(capped, F.col("cnt"))),
+                   F.lit(0).cast("long")).alias("cap_n"),
+        F.coalesce(F.sum(F.when(capped, F.col("sq"))),
+                   F.lit(0).cast("decimal(18,6)")).alias("cap_sq"))
     rate = F.round(
         F.least(F.lit(1.0),
-                (F.col("budget") * F.col("sq").cast("double")
-                 / F.col("total")) / F.col("cnt")), 6)
-    rates = (sq.join(F.broadcast(tt)).join(F.broadcast(tot))
-               .select(domain_col, "cnt",
-                       F.greatest(F.lit(1).cast("long"),
-                                  F.floor(rate * rate_denom).cast("long"))
+                ((F.col("budget") - F.col("cap_n"))
+                 * F.col("sq").cast("double")
+                 / (F.col("total_dec") - F.col("cap_sq")).cast("double"))
+                / F.col("cnt")), 6)
+    rates = (r0.join(F.broadcast(adj))
+               .select("__dom", "cnt",
+                       F.when(capped, F.lit(rate_denom).cast("long"))
+                        .otherwise(F.greatest(
+                            F.lit(1).cast("long"),
+                            F.floor(rate * rate_denom).cast("long")))
                         .alias("keep_buckets")))
-    return (df.join(F.broadcast(rates), domain_col)
+    return (df.join(F.broadcast(rates),
+                    F.col(domain_col).eqNullSafe(F.col("__dom")))
               .select(F.col(id_col),
                       F.col(domain_col).alias("domain"),
                       F.col("cnt").cast("long").alias("n_domain"),

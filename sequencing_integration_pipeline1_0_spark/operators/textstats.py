@@ -438,11 +438,10 @@ def remove_repeated_spans(df, id_col: str = "doc_id",
                           n: int = 20, min_docs: int = 2):
     """Exact-substring deduplication, the REMOVAL half (Lee et al.
     2022 'Deduplicating Training Data Makes Language Models Better'):
-    every word n-gram span occurring in >= min_docs documents keeps
-    exactly ONE occurrence — the (doc_id, pos)-smallest witness from
-    repeated_spans — and every word covered by a non-witness
-    occurrence is cut; documents are reassembled from their surviving
-    words in order. Returns (id, text, n_words, n_removed_words) for
+    for every word n-gram span occurring in >= min_docs documents,
+    every word covered by a NON-witness occurrence (the witness is the
+    (doc_id, pos)-smallest from repeated_spans) is cut; documents are
+    reassembled from their surviving words in order. Returns (id, text, n_words, n_removed_words) for
     EVERY doc. Output text is whitespace-normalized (single spaces) —
     both the rebuild and its oracle work on the words() split.
 

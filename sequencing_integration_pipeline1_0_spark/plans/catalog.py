@@ -5765,10 +5765,11 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 @register("text_remove_repeated_spans", _REMOVE_SPANS_SQL)
 def text_remove_repeated_spans(spark, sf_dir):
     """Exact-substring deduplication, removal half (Lee et al. 2022):
-    every cross-document repeated word 5-gram keeps exactly one
-    occurrence (the (doc, pos)-smallest witness); words covered by any
-    other occurrence are cut and documents reassembled in order with
-    removal accounting (textstats.remove_repeated_spans — the pass
+    words covered by any NON-witness occurrence of a cross-document
+    repeated word 5-gram (witness = the (doc, pos)-smallest) are cut
+    and documents reassembled in order with removal accounting —
+    per-position greedy byte-range semantics, so overlapping removals
+    may clip a witness too (see operators/textstats.py) (textstats.remove_repeated_spans — the pass
     repeated_spans' witness coordinates exist for). The Spark side
     rides 64-bit gram hashes; the oracle recomputes over gram strings,
     so hash-green also re-certifies collision-freeness on this corpus.
@@ -6020,45 +6021,67 @@ def pipe_incremental_corpus(spark, sf_dir):
 
 _TEMPERATURE_SQL = """
 WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
-b AS (SELECT CAST(floor(count(*) * 0.5) AS BIGINT) AS budget
-      FROM documents),
 sq AS (SELECT lang, cnt,
               CAST(round(sqrt(cnt), 6) AS DECIMAL(18,6)) AS sq FROM n),
-tt AS (SELECT CAST(sum(sq) AS DOUBLE) AS total FROM sq),
+t AS (SELECT sum(sq) AS total_dec,
+             CAST(floor(sum(cnt) * 0.5) AS BIGINT) AS budget FROM sq),
+r0 AS (SELECT lang, cnt, sq, budget, total_dec,
+              (budget * CAST(sq AS DOUBLE) / CAST(total_dec AS DOUBLE))
+                / cnt AS rate0
+       FROM sq CROSS JOIN t),
+adj AS (SELECT
+          coalesce(sum(CASE WHEN rate0 >= 1.0 THEN cnt END), 0) AS cap_n,
+          CAST(coalesce(sum(CASE WHEN rate0 >= 1.0 THEN sq END), 0)
+               AS DECIMAL(18,6)) AS cap_sq
+        FROM r0),
 r AS (SELECT lang, cnt,
-        greatest(CAST(1 AS BIGINT),
-          CAST(floor(round(least(1.0,
-            (budget * CAST(sq AS DOUBLE) / total) / cnt), 6) * 4096)
-            AS BIGINT)) AS keep_buckets
-      FROM sq CROSS JOIN tt CROSS JOIN b)
+        CASE WHEN rate0 >= 1.0 THEN CAST(4096 AS BIGINT)
+             ELSE greatest(CAST(1 AS BIGINT),
+               CAST(floor(round(least(1.0,
+                 ((budget - cap_n) * CAST(sq AS DOUBLE)
+                  / CAST(total_dec - cap_sq AS DOUBLE)) / cnt), 6)
+                 * 4096) AS BIGINT))
+        END AS keep_buckets
+      FROM r0 CROSS JOIN adj)
 SELECT d.doc_id, d.lang AS domain, r.cnt AS n_domain, r.keep_buckets,
   CAST(CASE WHEN CAST(floor(((d.doc_id * 1103515245 + 12345)
                              % 268435456) / 65536) AS BIGINT)
                  < r.keep_buckets THEN 1 ELSE 0 END AS INT) AS kept
-FROM documents d JOIN r ON d.lang = r.lang
+FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
 """
 
 
 @register("sample_temperature", _TEMPERATURE_SQL)
 def sample_temperature_q(spark, sf_dir):
     """Temperature (alpha=0.5) domain mixing over the language slices:
-    target share proportional to sqrt(n_lang), half-corpus budget —
+    target share proportional to sqrt(n_lang), half-corpus budget,
+    ONE waterfill round redistributing capped domains' unused budget —
     the multilingual-LM sampling rule that boosts low-resource domains
     without flattening to uniform (sampling.sample_temperature;
     complements sample_domain_mix's uniform floor). Every document is
     emitted with its decision columns, so the hash gate certifies the
-    whole mixture arithmetic (decimal-exact sqrt mass, scalar budget,
-    engine-portable LCG picks), not just the surviving rows."""
+    whole mixture arithmetic (decimal-exact sqrt mass, cap
+    redistribution, engine-portable LCG picks), not just the
+    surviving rows."""
     from ..operators import sampling
     d = _t(spark, sf_dir, "documents")
     return sampling.sample_temperature(d, "lang", "doc_id")
 
 
 _ANOMALY_SQL = """
-WITH daily AS (
+WITH daily0 AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         FROM daily0 GROUP BY 1),
+cal AS (SELECT event_type,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM span),
+daily AS (
+  SELECT c.event_type, c.day, coalesce(d.cnt, 0) AS cnt
+  FROM cal c LEFT JOIN daily0 d USING (event_type, day)),
 w AS (
   SELECT event_type, day, cnt,
     sum(cnt) OVER (PARTITION BY event_type ORDER BY day
@@ -6087,8 +6110,12 @@ def evt_anomaly_zscore(spark, sf_dir):
     against its own trailing 7-day window — z = (x - mean) / std,
     flagged at |z| > 3 (the ops-monitoring generalization of the
     reference's submission-gap lab watch, gap_data.Rmd's per-day
-    counts). Days without a full 7-day history are fenced off
-    (partial windows would understate variance).
+    counts). The calendar is DENSIFIED per event type (min..max day,
+    absent days zero-filled) so an outage day gets a row — and a huge
+    negative z — instead of silently vanishing from a ROWS window
+    that would stitch pre- and post-gap days together. Days without a
+    full 7-day history are fenced off (partial windows would
+    understate variance).
 
     Cross-engine exactness the easy way: the window sums are over
     INTEGER counts (exact in both engines), and mean/variance/z are
@@ -6100,8 +6127,16 @@ def evt_anomaly_zscore(spark, sf_dir):
          .select("event_type",
                  F.date_trunc("day", F.timestamp_micros("ts_us"))
                   .cast("date").alias("day")))
-    daily = e.groupBy("event_type", "day").agg(
+    daily0 = e.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"))
+    cal = (daily0.groupBy("event_type")
+                 .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+                 .select("event_type",
+                         F.explode(F.sequence("d0", "d1")).alias("day")))
+    daily = (cal.join(daily0, ["event_type", "day"], "left")
+                .select("event_type", "day",
+                        F.coalesce("cnt", F.lit(0).cast("long"))
+                         .alias("cnt")))
     win = (Window.partitionBy("event_type").orderBy("day")
            .rowsBetween(-7, -1))
     rn = F.row_number().over(

@@ -852,10 +852,48 @@ def test_sample_temperature_flattens_toward_tail(spark):
     frac_big = agg["big"]["k"] / agg["big"]["n"]
     frac_small = agg["small"]["k"] / agg["small"]["n"]
     assert frac_small > frac_big          # tail boosted
-    assert agg["small"]["k"] >= 1         # never annihilated
+    # small's sqrt-share (212*5/25=42.4) exceeds its 25 rows: it caps
+    # at keep-everything and its unused budget redistributes to big
+    assert agg["small"]["k"] == 25
+    total_kept = agg["small"]["k"] + agg["big"]["k"]
+    assert abs(total_kept - 212) <= 25    # waterfill refills the budget
     # deterministic: second run picks the SAME rows
     a = sorted(r["doc_id"] for r in out.filter("kept = 1").collect())
     b = sorted(r["doc_id"] for r in
                sampling.sample_temperature(df, "domain", "doc_id")
                .filter("kept = 1").collect())
     assert a == b
+
+
+def test_sample_temperature_null_domain_kept(spark):
+    """NULL domain is a domain like any other: its rows get decision
+    columns (null-safe join) instead of silently vanishing while
+    still deflating everyone else's keep rate."""
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+    rows = [(i, "en") for i in range(40)] + [(100 + i, None)
+                                             for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = sampling.sample_temperature(df, "domain", "doc_id")
+    assert out.count() == 80                      # every row decided
+    nulls = out.filter(F.col("domain").isNull())
+    assert nulls.count() == 40
+    assert nulls.filter("kept = 1").count() >= 1
+
+
+def test_anomaly_zscore_outage_day_flags(spark, sf_dir):
+    """A zero-volume calendar day inside the span must appear (dense
+    calendar) and carry a large NEGATIVE z — the outage the op
+    exists to catch; a ROWS window over observed days would skip it."""
+    import __spark_entry__ as e
+    out = e.queries()["evt_anomaly_zscore"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "no scored days"
+    # dense calendar: every (type, day) between the fences is present
+    by_type = {}
+    import datetime as dt
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            dt.date.fromisoformat(r["day"]))
+    for t, days in by_type.items():
+        days.sort()
+        assert (days[-1] - days[0]).days == len(days) - 1, t
