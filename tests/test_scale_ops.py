@@ -897,3 +897,34 @@ def test_anomaly_zscore_outage_day_flags(spark, sf_dir):
     for t, days in by_type.items():
         days.sort()
         assert (days[-1] - days[0]).days == len(days) - 1, t
+
+
+def test_pq_encode_seed_roundtrip_and_adc_sanity(spark):
+    """Seed vectors encode to their own centroid in every subspace
+    (distance 0), ADC ranks an exact duplicate's code-distance at 0,
+    and codes stay within [0, k)."""
+    import random
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    rows.append((20, list(rows[5][1])))           # exact dup of id 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enc = sim.pq_encode(df, "vec_id", "embedding", m=2, k=4)
+    codes = {(r["id"], r["subspace"]): r["code"] for r in enc.collect()}
+    assert all(0 <= c < 4 for c in codes.values())
+    for sid in range(4):                          # the 4 seeds
+        for j in range(2):
+            assert codes[(sid, j)] == sid
+    # identical vectors encode to identical code tuples
+    assert all(codes[(20, j)] == codes[(5, j)] for j in range(2))
+    top = sim.pq_adc_topk(df, "vec_id", "embedding",
+                          k_neighbors=21, m=2, k=4)
+    t = {(r["id"], r["neighbor_id"]): r["approx_dist"]
+         for r in top.collect()}
+    # ADC distance is query-to-CENTROID, so the dup pair's distance is
+    # the (nonzero) quantization error — but identical queries build
+    # identical LUTs, so the pair is exactly symmetric...
+    assert t[(20, 5)] == t[(5, 20)]
+    # ...and no candidate can beat the dup's distance for query 20:
+    # the dup's codes are by construction 20's own argmin centroids
+    best20 = min(v for (q, _), v in t.items() if q == 20)
+    assert t[(20, 5)] == best20
