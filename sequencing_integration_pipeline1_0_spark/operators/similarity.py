@@ -339,6 +339,33 @@ def l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int,
+                out_id: str = "id") -> DataFrame:
+    """Explode vectors into their m contiguous subvectors:
+    (out_id, subspace, sv) — the ONE copy of the subspace slicing
+    arithmetic pq_codebooks/pq_encode/pq_adc_topk share (it must stay
+    in lockstep with the oracle's list_slice bounds). Guards that the
+    dimension divides m: a silent dim % m truncation would quietly
+    quantize the wrong vector, and the oracle (truncating identically)
+    could never catch it (the x_packed length-guard precedent —
+    assert_true folded into a used filter so Catalyst keeps it)."""
+    c = F.col(vec_col)
+    guarded = df.filter(F.assert_true(
+        F.size(c) % m == 0,
+        F.concat(F.lit(f"vector dim not divisible by m={m}: "),
+                 F.size(c).cast("string"))).isNull())
+    sub = (F.size(c) / m).cast("int")
+    return (guarded.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice(c, (F.lit(j) * sub + 1).cast("int"), sub)
+                      .alias("sv"))
+            for j in range(m)])).alias("s"))
+        .select(out_id, F.col("s.subspace").alias("subspace"),
+                F.col("s.sv").alias("sv")))
+
+
 def pq_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
                  m: int = 4, k: int = 8) -> DataFrame:
     """Product-quantization codebooks: the vector space splits into m
@@ -351,18 +378,11 @@ def pq_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
     The row_number over the k seed rows is a global window over <= k
     rows — the shrink-then-rank exemption (w9's pattern)."""
     seeds = (df.orderBy(id_col).limit(k)
-               .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("v")))
+               .select(F.col(id_col).alias("sid"), F.col(vec_col)))
     seeds = seeds.withColumn(
         "cid", F.row_number().over(Window.orderBy("sid")) - 1)
-    sub = (F.size("v") / m).cast("int")
-    slices = F.array(*[
-        F.struct(F.lit(j).alias("subspace"),
-                 F.slice("v", (F.lit(j) * sub + 1).cast("int"), sub)
-                  .alias("cv"))
-        for j in range(m)])
-    return (seeds.select("cid", F.explode(slices).alias("s"))
-                 .select(F.col("s.subspace").alias("subspace"), "cid",
-                         F.col("s.cv").alias("cv")))
+    return (_subvectors(seeds, "cid", vec_col, m, out_id="cid")
+            .select("subspace", "cid", F.col("sv").alias("cv")))
 
 
 def pq_encode(df: DataFrame, id_col: str, vec_col: str, *,
@@ -379,16 +399,7 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str, *,
     window over the fact table."""
     cb = codebooks if codebooks is not None \
         else pq_codebooks(df, id_col, vec_col, m=m, k=k)
-    sub = (F.size(vec_col) / m).cast("int")
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("subspace"),
-                     F.slice(vec_col, (F.lit(j) * sub + 1).cast("int"), sub)
-                      .alias("sv"))
-            for j in range(m)])).alias("s")) \
-        .select("id", F.col("s.subspace").alias("subspace"),
-                F.col("s.sv").alias("sv"))
+    vecs = _subvectors(df, id_col, vec_col, m)
     scored = (vecs.join(F.broadcast(cb), "subspace")
                   .withColumn("d", F.round(l2sq(F.col("sv"), F.col("cv")),
                                            round_to)))
@@ -417,16 +428,7 @@ def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, *,
     enc = pq_encode(df, id_col, vec_col, m=m, k=k,
                     round_to=round_to, codebooks=cb) \
         .select(F.col("id").alias("neighbor_id"), "subspace", "code")
-    sub = (F.size(vec_col) / m).cast("int")
-    q = df.select(
-        F.col(id_col).alias("qid"),
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("subspace"),
-                     F.slice(vec_col, (F.lit(j) * sub + 1).cast("int"), sub)
-                      .alias("sv"))
-            for j in range(m)])).alias("s")) \
-        .select("qid", F.col("s.subspace").alias("subspace"),
-                F.col("s.sv").alias("sv"))
+    q = _subvectors(df, id_col, vec_col, m, out_id="qid")
     lut = (q.join(F.broadcast(cb), "subspace")
              .select("qid", "subspace", F.col("cid").alias("code"),
                      F.round(l2sq(F.col("sv"), F.col("cv")), round_to)

@@ -6202,26 +6202,27 @@ WITH {_PQ_COMMON_SQL}
 SELECT id, subspace, code FROM enc
 """
 
-_PQ_TOPK_BODY = f"""
-lut AS (
+_PQ_LUT_SQL = f"""lut AS (
   SELECT s.id AS qid, s.subspace, c.cid AS code,
          CAST(round({_l2sq_sql("s.sv", "c.cv")}, 6)
               AS DECIMAL(18,6)) AS d
-  FROM sv s JOIN cb c USING (subspace)),
-pairs AS (
+  FROM sv s JOIN cb c USING (subspace))"""
+
+_PQ_PAIRS_SQL = """pairs AS (
   SELECT l.qid AS id, e.id AS neighbor_id,
          CAST(sum(l.d) AS DOUBLE) AS approx_dist
   FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
   WHERE l.qid != e.id
-  GROUP BY 1, 2)
-SELECT id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY id
-       ORDER BY approx_dist, neighbor_id) AS rank FROM pairs)
-WHERE rank <= 5"""
+  GROUP BY 1, 2)"""
 
 _PQ_TOPK_SQL = f"""
 WITH {_PQ_COMMON_SQL},
-{_PQ_TOPK_BODY}
+{_PQ_LUT_SQL},
+{_PQ_PAIRS_SQL}
+SELECT id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+       ORDER BY approx_dist, neighbor_id) AS rank FROM pairs)
+WHERE rank <= 5
 """
 
 
@@ -6245,9 +6246,9 @@ def ann_pq_encode(spark, sf_dir):
 @register("ann_pq_topk", _PQ_TOPK_SQL)
 def ann_pq_topk(spark, sf_dir):
     """PQ asymmetric-distance (ADC) approximate top-5: each query
-    precomputes a 4x8 lookup table of rounded subspace distances (one
-    broadcast join); a candidate's approximate distance is the
-    exact-DECIMAL sum of its 4 table entries — candidates are never
+    precomputes a 16x16 lookup table of rounded subspace distances
+    (one broadcast join); a candidate's approximate distance is the
+    exact-DECIMAL sum of its 16 table entries — candidates are never
     decoded (similarity.pq_adc_topk). Locally the pairing is
     all-candidates (the recall-measurement shape); at 100 TB ADC rides
     an IVF coarse index so the LUT join only meets probed cells — the
@@ -6259,17 +6260,10 @@ def ann_pq_topk(spark, sf_dir):
 
 _PQ_RECALL_SQL = f"""
 WITH {_PQ_COMMON_SQL},
-lut AS (
-  SELECT s.id AS qid, s.subspace, c.cid AS code,
-         CAST(round({_l2sq_sql("s.sv", "c.cv")}, 6)
-              AS DECIMAL(18,6)) AS d
-  FROM sv s JOIN cb c USING (subspace)),
+{_PQ_LUT_SQL},
+{_PQ_PAIRS_SQL},
 pq AS (
-  SELECT id, neighbor_id FROM (
-    SELECT l.qid AS id, e.id AS neighbor_id,
-           CAST(sum(l.d) AS DOUBLE) AS approx_dist
-    FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
-    WHERE l.qid != e.id GROUP BY 1, 2)
+  SELECT id, neighbor_id FROM pairs
   QUALIFY row_number() OVER (PARTITION BY id
       ORDER BY approx_dist, neighbor_id) <= 5),
 truth AS (
@@ -6303,8 +6297,9 @@ def ann_pq_recall(spark, sf_dir):
     exists precisely to MEASURE that honestly, like ann_ivf_recall's
     0.50-seeded/0.76-trained curve."""
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id"),
-                 F.col("embedding").alias("va"))
+    a = spread_for_compute(
+        e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").alias("va")))
     b = e.select(F.col("vec_id").alias("neighbor_id"),
                  F.col("embedding").alias("vb"))
     pairs = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
