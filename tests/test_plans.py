@@ -139,7 +139,8 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # PQ codebook seeding ranks the k=16 lowest-id
                     # vectors (shrink-then-rank over <= k rows; the
                     # orderBy().limit() feeding it is the real fence)
-                    "ann_pq_encode", "ann_pq_topk", "ann_pq_recall"}
+                    "ann_pq_encode", "ann_pq_topk", "ann_pq_trained_topk",
+                    "ann_pq_recall"}
 
 
 def _global_windows(plan: str) -> int:
