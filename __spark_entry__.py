@@ -107,6 +107,12 @@ _R3_CONFIRMED = frozenset({
     "decontam_bloom_prefilter", "st_click_attribution", "evt_active_users",
 })
 
+# ROUND-5 FIRST ACTION: read CORRECTNESS_r04.json, add its green rows
+# as _R4_CONFIRMED to the union below, clear the _RECHECK entries that
+# re-verified, and re-count unconfirmed BEFORE registering anything
+# new (round 4 ended at 21 unconfirmed of 158 registered — 29 spare
+# window slots; j6b_fuzzy_osa_pairs stays rows-only by design).
+
 _DRIVER_CONFIRMED = _R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
 
 # Queries whose behavior changed after their last driver-green row;
