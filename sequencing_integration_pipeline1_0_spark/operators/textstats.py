@@ -70,10 +70,14 @@ def unique_token_ratio(col: Column | str) -> Column:
 
 
 def alpha_ratio(col: Column | str) -> Column:
-    """Share of characters that are alphabetic or whitespace."""
+    """Share of characters that are alphabetic or whitespace; 0.0 for
+    the empty string (the bare division is a DIVIDE_BY_ZERO under
+    Spark 4 ANSI the moment an empty doc appears — caught by the
+    cross-engine edge harness, tests/test_oracle_edges.py)."""
     c = F.col(col) if isinstance(col, str) else col
     kept = F.length(F.regexp_replace(c, r"[^A-Za-z\s]", ""))
-    return kept.cast("double") / F.length(c)
+    return (F.when(F.length(c) > 0, kept.cast("double") / F.length(c))
+             .otherwise(F.lit(0.0)))
 
 
 def quality_score(col: Column | str) -> Column:
@@ -391,8 +395,10 @@ def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text", *,
     All pure column expressions over one lambda-bound words() split
     (zero shuffle, zero Python) — the shape a 100 TB quality sweep
     needs. Ratios are single divisions of exact integer counts,
-    rounded at 1e-6, so the oracle reproduces them bit-for-bit."""
-    w = words(text_col)
+    rounded at 1e-6, so the oracle reproduces them bit-for-bit.
+    NULL text is treated as empty (coalesced before the split) so the
+    engine and the SQL oracle agree on null inputs."""
+    w = words(F.coalesce(F.col(text_col), F.lit("")))
 
     def feats(ws: Column) -> Column:
         n = F.size(ws)

@@ -1293,8 +1293,10 @@ SELECT doc_id,
     AS bpe_tokens,
   round(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
         + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
-        + (CAST(length(regexp_replace(text, '[^A-Za-z \\t\\n]', '', 'g')) AS DOUBLE)
-           / length(text)) * 0.3, 6) AS quality,
+        + (CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^A-Za-z \\t\\n]', '', 'g'))
+                  AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3, 6)
+        AS quality,
   list_reduce(list_transform(ws, w -> CAST(length(w)*131 + ascii(substr(w,1,1)) AS BIGINT)),
               (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
 FROM hits
@@ -4948,8 +4950,10 @@ feat AS (
     CAST(len(ws) AS INT) AS n_tokens,
     round(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
           + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.3
-          + (CAST(length(regexp_replace(text, '[^A-Za-z \\t\\n]', '', 'g'))
-             AS DOUBLE) / length(text)) * 0.3, 6) AS quality
+          + (CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^A-Za-z \\t\\n]', '', 'g'))
+                  AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3, 6)
+          AS quality
   FROM hits),
 flagged AS (
   SELECT *, row_number() OVER (PARTITION BY md5(text), {clean}
@@ -5347,7 +5351,9 @@ WITH src AS (
          array_to_string(list_transform(range(0, (len(ws)+4)//5),
            i -> array_to_string(list_slice(ws, i*5+1, i*5+5), ' ')),
            chr(10)) AS text
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+                 AS ws
         FROM documents)),
 l AS (
   SELECT doc_id, u.line_no, u.line FROM (
@@ -5391,7 +5397,7 @@ def dedup_lines_global_q(spark, sf_dir):
     they never pile into one task); reassembly is a per-doc groupBy.
     Two shuffles, both high-cardinality."""
     d = _t(spark, sf_dir, "documents")
-    w = dedupe_scale.words("text")
+    w = dedupe_scale.words(F.coalesce(F.col("text"), F.lit("")))
     nchunks = F.floor((F.size(w) + F.lit(4)) / F.lit(5)).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), nchunks - F.lit(1)),
@@ -5675,7 +5681,8 @@ def _gopher_sql(src: str = "documents") -> str:
     stop = ",".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
     return f"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws
   FROM {src}),
 f AS (
   SELECT doc_id,
@@ -5857,8 +5864,8 @@ def _incremental_corpus_sql() -> str:
 WITH art AS (
   SELECT doc_id,
          CASE doc_id % 5 WHEN 1 THEN '\u00c3\u00a9'
-              WHEN 3 THEN '\u00e2\u20ac\u2122' ELSE '' END || text
-           AS text
+              WHEN 3 THEN '\u00e2\u20ac\u2122' ELSE '' END
+           || coalesce(text, '') AS text
   FROM documents),
 inj AS (
   SELECT a.doc_id,
@@ -5966,7 +5973,7 @@ def pipe_incremental_corpus(spark, sf_dir):
         F.when(k % 5 == 1, F.lit("\u00c3\u00a9"))
          .when(k % 5 == 3, F.lit("\u00e2\u20ac\u2122"))
          .otherwise(F.lit("")),
-        F.col("text")).alias("text"))
+        F.coalesce(F.col("text"), F.lit(""))).alias("text"))
     nbr = art.select((F.col("doc_id") - 1).alias("doc_id"),
                      F.col("text").alias("nbr_text"))
     inj = (art.join(nbr, "doc_id", "left")
