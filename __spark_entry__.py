@@ -7,7 +7,10 @@ oracle_sql()   -> DuckDB-equivalent SQL per query for the value-hash gate
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -20,15 +23,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 entries of queries() against the DuckDB
-# oracle each round. We order NEVER-driver-green queries first so that after
-# enough rounds every registered query has at least one driver-green row.
-# All registered queries pass the identical local replica gate
-# (tools/selfcheck.py) regardless of order.
+# oracle each round. Ordering policy (round 5+):
+#   1. _PRIORITY: this round's new/changed queries, explicit order.
+#   2. Any registered query with NO driver-green row yet (incl. _RECHECK).
+#   3. All driver-confirmed queries sorted STALEST-GREEN FIRST — the latest
+#      round in which each query hash-matched, read directly from the
+#      CORRECTNESS_r*.json files next to this file. This rotates the whole
+#      confirmed catalog through the 50-slot window every ~3 rounds instead
+#      of re-verifying the same registration-order prefix forever
+#      (VERDICT r4 "What's wrong" 2 / "Next round" 3).
+# All registered queries also pass the identical local replica gate
+# (tools/selfcheck.py) every round regardless of driver-window position.
 #
-# Round-2 lesson: count the front list AFTER adding new queries — 4 late
-# registrations pushed the intended slots 1-4 to 51-54. queries() now sorts
-# by confirmation status, so any query NOT in the union below is automatically
-# in front; the explicit _PRIORITY list only fixes the order within the front.
+# Round-2 lesson: count the front list AFTER adding new queries — keep
+# len(_PRIORITY) + unconfirmed <= 50 so nothing new lands outside the window.
 
 # Green rows in CORRECTNESS_r01.json (round-1 driver window).
 _R1_CONFIRMED = frozenset({
@@ -52,8 +60,7 @@ _R1_CONFIRMED = frozenset({
     "j10_suffix_compare",
 })
 
-# Green rows in CORRECTNESS_r02.json (round-2 driver window; the 4 err rows
-# w7/u7/t3/t5 are deliberately NOT here — they need a green row in r3).
+# Green rows in CORRECTNESS_r02.json.
 _R2_CONFIRMED = frozenset({
     "ann_ivf_trained_topk", "ann_ivf_recall", "j11_variant_expansion",
     "j13_precedence_backfill", "w8_cascade_dup_flags", "w9_group_id",
@@ -73,18 +80,8 @@ _R2_CONFIRMED = frozenset({
     "pipe_roster_compile_chunks", "pipe_gap_report", "pipe_dup_triage",
 })
 
-# Round-4 priorities: the 5 round-3 LLM ops that only had property
-# tests (VERDICT r3 "Next round" item 1), plus the OSA-delta pin.
-# Unconfirmed queries not named here follow in registration order —
-# still inside the front window while total unconfirmed stays <= 50.
-_PRIORITY = [
-    "dedup_lines_global", "simhash_near_dup_join", "unigram_doc_score",
-    "repeated_span_fraction", "minhash_index_probe", "ivf_assign_batch",
-    "j6c_osa_lev_delta",
-]
-
-# Green rows in CORRECTNESS_r03.json (round-3 driver window; j6b is the
-# deliberate no-oracle rows-only row and stays out).
+# Green rows in CORRECTNESS_r03.json (j6b is the deliberate no-oracle
+# rows-only row and stays out of every confirmed set).
 _R3_CONFIRMED = frozenset({
     "decontam_ngram_overlap", "split_leakage_safe", "sample_domain_mix",
     "pack_token_budget", "qa_prematch_flags", "a10b_week_over_week",
@@ -107,32 +104,82 @@ _R3_CONFIRMED = frozenset({
     "decontam_bloom_prefilter", "st_click_attribution", "evt_active_users",
 })
 
-# ROUND-5 FIRST ACTION: read CORRECTNESS_r04.json, add its green rows
-# as _R4_CONFIRMED to the union below, clear the _RECHECK entries that
-# re-verified, and re-count unconfirmed BEFORE registering anything
-# new (round 4 ended at 21 unconfirmed of 158 registered — 29 spare
-# window slots; j6b_fuzzy_osa_pairs stays rows-only by design).
+# Green rows in CORRECTNESS_r04.json (49 hash-green; j6b stays rows-only).
+# Both round-4 _RECHECK entries (dedup_semantic_cells,
+# evt_rollup_multigrain) re-verified green and are folded back in here.
+_R4_CONFIRMED = frozenset({
+    "dedup_lines_global", "simhash_near_dup_join", "unigram_doc_score",
+    "repeated_span_fraction", "minhash_index_probe", "ivf_assign_batch",
+    "j6c_osa_lev_delta", "mm_decode_image", "dedup_semantic_cells",
+    "evt_rollup_multigrain", "text_gopher_rules",
+    "text_remove_repeated_spans", "text_fix_mojibake",
+    "pipe_incremental_corpus", "sample_temperature", "evt_anomaly_zscore",
+    "ann_pq_encode", "ann_pq_topk", "ann_pq_trained_topk", "ann_pq_recall",
+    "s5_scan_distinct", "p3_compound_filter", "p6_flag_sum_groups",
+    "f1_name_normalize", "f4_accession_synthesize", "f12_multiformat_dates",
+    "f13_date_window_flag", "w1_dedup_first", "w2_singletons",
+    "w4_argmin_per_group", "w6_dup_flag", "j1_left_link",
+    "j4_anti_new_records", "j5_semi", "j6_fuzzy_name_pairs", "j8_range_join",
+    "a1_group_count", "a2_distinct_count", "a4_share_of_total",
+    "a5_rollup_total", "a6_pivot_counts", "a9_latest_per_group",
+    "u2_union_by_name", "t4_snapshot_diff", "t2_watermark",
+    "qa_roster_filters", "dedup_exact_key", "dedup_exact_content_hash",
+    "text_token_stats",
+})
 
-_DRIVER_CONFIRMED = _R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
+# Round-5 priorities: the new IVF-PQ composition + its recall sweep, the
+# PQ incremental-parity proof, and the JPEG-capable decode re-check.
+_PRIORITY = [
+    "ann_ivfpq_topk", "ann_ivfpq_recall", "pq_encode_batch",
+    "mm_decode_image",
+]
 
-# Queries whose behavior changed after their last driver-green row;
-# force them back into the front-50 window even though they appear in
-# the confirmed sets below.
-# Round 4: semantic-cells n_cells lever became adaptive-by-default and
-# evt_rollup_multigrain gained the empty-input HAVING guard — both
-# oracles updated in lockstep, re-verify under the driver.
-_RECHECK = frozenset({"dedup_semantic_cells", "evt_rollup_multigrain"})
+_DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
+                     | _R4_CONFIRMED)
+
+# Queries whose behavior changed after their last driver-green row; force
+# them back into the front-50 window even though they are confirmed.
+# Round 5: mm_decode_image gained JPEG SOF parsing and the PNG zero/overflow
+# width guards (oracle updated in lockstep) — listed in _PRIORITY above.
+_RECHECK = frozenset()
+
+
+def _latest_green_round() -> dict[str, int]:
+    """Latest round each query hash-matched, from CORRECTNESS_r*.json.
+
+    Used to rotate the confirmed tail of queries() stalest-first so every
+    confirmed query gets a fresh driver-green row every ~3 rounds. Falls
+    back to {} (registration order) if the files are unreadable.
+    """
+    latest: dict[str, int] = {}
+    try:
+        here = Path(__file__).resolve().parent
+        for p in sorted(here.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"_r(\d+)\.json$", p.name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            data = json.loads(p.read_text())
+            for name, row in data.items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    except Exception:
+        return {}
+    return latest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(catalog.Q)
+    reg_idx = {n: i for i, n in enumerate(names)}
     prio = [n for n in _PRIORITY if n in catalog.Q]
     rest_unconfirmed = [n for n in names
                         if (n not in _DRIVER_CONFIRMED or n in _RECHECK)
                         and n not in prio]
-    confirmed = [n for n in names
-                 if n in _DRIVER_CONFIRMED and n not in _RECHECK
-                 and n not in prio]
+    stale = _latest_green_round()
+    confirmed = sorted(
+        (n for n in names
+         if n in _DRIVER_CONFIRMED and n not in _RECHECK and n not in prio),
+        key=lambda n: (stale.get(n, 0), reg_idx[n]))
     ordered = prio + rest_unconfirmed + confirmed
     return {n: catalog.Q[n] for n in ordered}
 
