@@ -448,6 +448,100 @@ def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, *,
                           .alias("rank")))
 
 
+def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
+                    n_cells: int = 8, nprobe: int = 4, m: int = 4,
+                    k: int = 8, coarse_iters: int = 2, round_to: int = 6,
+                    coarse: DataFrame | None = None,
+                    codebooks: DataFrame | None = None) -> DataFrame:
+    """Composed IVF-PQ candidate scoring — the FAISS IVF-PQ layout
+    pq_adc_topk's docstring promises: a coarse IVF index restricts
+    WHICH candidates a query meets, PQ-ADC scores HOW (Jegou et al.
+    2011 §V). Returns pair-level (qid, neighbor_id, approx_dist,
+    probe_rank) where probe_rank is the rank of the candidate's cell
+    in the query's probe list — so one pass at nprobe=max serves a
+    whole recall-vs-nprobe sweep by filtering probe_rank.
+
+    Composition of the already-certified parts: coarse codebook =
+    train_ivf_codebook (cosine Lloyd, ivf_assign's tie-break), index
+    side single-assigned exactly as ivf_topk/ivf_assign; fine side =
+    pq_codebooks/pq_encode codes and the per-query LUT of pq_adc_topk.
+    A candidate's approximate distance is the exact-DECIMAL sum of its
+    m LUT entries — candidates are never decoded.
+
+    Scale shape (the reason this exists): pq_adc_topk's LUT join is
+    all-pairs (n_q x n_d); here the probe->index equi-join on cell id
+    restricts candidates to the nprobe probed cells FIRST, so ADC rows
+    ride n_q x (nprobe/n_cells) x n_d x m — cells, not n^2. Coarse
+    codebook and PQ codebooks both broadcast; the only wide shuffles
+    are the cell-keyed candidate join and the (qid, neighbor) ADC sum
+    (partial-agg, map-side combine). Each (query, candidate) pair
+    appears at most once because the index side is single-assignment.
+    """
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    if coarse is None:
+        coarse = train_ivf_codebook(df, id_col, vec_col, n_cells=n_cells,
+                                    iters=coarse_iters, round_to=round_to)
+    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
+    sims = (base.join(cb)
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")),
+                                    round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                          F.col("cell_id"))
+    ranked = (sims.withColumn("crank", F.row_number().over(cw))
+                  .select("id", "cell_id", "crank"))
+    idxc = (ranked.filter(F.col("crank") == 1)
+                  .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    probe = (ranked.filter(F.col("crank") <= nprobe)
+                   .select(F.col("id").alias("qid"),
+                           F.col("cell_id").alias("probe_cell"),
+                           F.col("crank").alias("probe_rank")))
+    pqcb = codebooks if codebooks is not None \
+        else pq_codebooks(df, id_col, vec_col, m=m, k=k)
+    enc = pq_encode(df, id_col, vec_col, m=m, k=k,
+                    round_to=round_to, codebooks=pqcb)
+    enc_cells = (enc.join(idxc, enc["id"] == idxc["neighbor_id"])
+                    .select("neighbor_id", "cell_id", "subspace", "code"))
+    qsv = _subvectors(df, id_col, vec_col, m, out_id="qid")
+    lut = (qsv.join(F.broadcast(pqcb), "subspace")
+              .select("qid", "subspace", F.col("cid").alias("code"),
+                      F.round(l2sq(F.col("sv"), F.col("cv")), round_to)
+                       .cast("decimal(18,6)").alias("d")))
+    cand = probe.join(enc_cells,
+                      (F.col("probe_cell") == F.col("cell_id"))
+                      & (F.col("qid") != F.col("neighbor_id")))
+    # probe_rank is constant per (qid, neighbor) — the candidate's one
+    # cell is probed at one rank — min() just rides the existing agg
+    return (cand.join(lut, ["qid", "subspace", "code"])
+                .groupBy("qid", "neighbor_id")
+                .agg(F.sum("d").cast("double").alias("approx_dist"),
+                     F.min("probe_rank").alias("probe_rank")))
+
+
+def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, *,
+               k_neighbors: int = 5, n_cells: int = 8, nprobe: int = 4,
+               m: int = 4, k: int = 8, coarse_iters: int = 2,
+               round_to: int = 6, coarse: DataFrame | None = None,
+               codebooks: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ approximate top-k: rank ivfpq_adc_pairs per query by
+    (approx_dist, neighbor_id). Returns (id, neighbor_id, approx_dist,
+    rank) — same contract as pq_adc_topk with the candidate set
+    restricted to the nprobe probed cells."""
+    pairs = ivfpq_adc_pairs(df, id_col, vec_col, n_cells=n_cells,
+                            nprobe=nprobe, m=m, k=k,
+                            coarse_iters=coarse_iters, round_to=round_to,
+                            coarse=coarse, codebooks=codebooks)
+    w = Window.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_neighbors)
+                 .select(F.col("qid").alias("id"), "neighbor_id",
+                         "approx_dist",
+                         F.col("rank").cast("int").alias("rank")))
+
+
 def pq_train_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
                        m: int = 4, k: int = 8, iters: int = 1,
                        round_to: int = 6) -> DataFrame:

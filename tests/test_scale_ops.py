@@ -928,3 +928,48 @@ def test_pq_encode_seed_roundtrip_and_adc_sanity(spark):
     # the dup's codes are by construction 20's own argmin centroids
     best20 = min(v for (q, _), v in t.items() if q == 20)
     assert t[(20, 5)] == best20
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark):
+    """Probing every coarse cell removes the IVF restriction entirely:
+    ivfpq_topk(nprobe=n_cells) must equal pq_adc_topk bit-for-bit under
+    the same codebooks — the compositional identity that pins the
+    cell-restricted join as a pure candidate filter (and the reason
+    ann_ivfpq_recall's nprobe=8 row matches ann_pq_recall's seeded
+    recall exactly)."""
+    import random
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = sim.pq_codebooks(df, "vec_id", "embedding", m=2, k=4)
+    full = sim.ivfpq_topk(df, "vec_id", "embedding", k_neighbors=5,
+                          n_cells=4, nprobe=4, m=2, k=4,
+                          coarse_iters=1, codebooks=cb)
+    adc = sim.pq_adc_topk(df, "vec_id", "embedding", k_neighbors=5,
+                          m=2, k=4, codebooks=cb)
+    key = lambda r: (r["id"], r["rank"])
+    a = sorted(((r["id"], r["neighbor_id"], r["approx_dist"], r["rank"])
+                for r in full.collect()))
+    b = sorted(((r["id"], r["neighbor_id"], r["approx_dist"], r["rank"])
+                for r in adc.collect()))
+    assert a == b
+
+
+def test_ivfpq_pairs_ride_probed_cells(spark):
+    """The candidate set is exactly the probed cells: at nprobe=1 every
+    surviving pair carries probe_rank 1 (the neighbor sits in the
+    query's single nearest cell), and widening nprobe only ADDS pairs
+    (monotone candidate growth — the recall/latency dial)."""
+    import random
+    rnd = random.Random(12)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    counts = {}
+    for np_ in (1, 2, 4):
+        pairs = sim.ivfpq_adc_pairs(df, "vec_id", "embedding",
+                                    n_cells=4, nprobe=np_, m=2, k=4,
+                                    coarse_iters=1).collect()
+        assert all(r["probe_rank"] <= np_ for r in pairs)
+        counts[np_] = len(pairs)
+    assert counts[1] <= counts[2] <= counts[4]
+    assert counts[4] == 30 * 29  # full probe = all ordered pairs
