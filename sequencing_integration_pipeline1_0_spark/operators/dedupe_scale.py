@@ -282,7 +282,9 @@ def prefix_filtered_candidates(base: DataFrame, *, threshold: float,
     # too large and the prefix one too short — the silent-pair-drop
     # this rational encoding exists to prevent. Flooring only ever
     # UNDERestimates t, which lengthens the prefix: still lossless.
-    # Identical to round() for all thresholds with <= 9 decimals.
+    # May differ from round() by at most 1e-9 (representation +
+    # multiplication rounding can land one ulp below the integer),
+    # always in the safe prefix-LENGTHENING direction.
     num = int(math.floor(float(threshold) * 10**9))
     den = 10**9
     ceil_t = F.expr(

@@ -23,6 +23,11 @@ from .dedupe_scale import lcg_bucket
 #: bucket space for keep-rates; rate resolution = 1/4096
 RATE_DENOM = 4096
 
+#: sample_temperature's default corpus-budget fraction — module-level
+#: so the SQL oracle (catalog._TEMPERATURE_SQL) interpolates the SAME
+#: value the keyword default binds (advice r4: no hand-copied literal)
+TEMPERATURE_BUDGET_FRAC = 0.5
+
 
 def sample_balanced(df: DataFrame, domain_col: str, id_col: str, *,
                     rate_denom: int = RATE_DENOM) -> DataFrame:
@@ -124,7 +129,8 @@ def pack_token_budget(df: DataFrame, id_col: str, text_col: str,
 
 
 def sample_temperature(df: DataFrame, domain_col: str, id_col: str, *,
-                       alpha: float = 0.5, budget_frac: float = 0.5,
+                       alpha: float = 0.5,
+                       budget_frac: float = TEMPERATURE_BUDGET_FRAC,
                        rate_denom: int = RATE_DENOM) -> DataFrame:
     """Temperature-based domain mixing (the multilingual-LM alpha-
     sampling rule): target share of domain d is n_d^alpha normalized —

@@ -375,14 +375,27 @@ def ngram_contamination(corpus, bench, id_col: str = "doc_id",
 GOPHER_STOPWORDS = ["the", "be", "is", "to", "of", "and",
                     "that", "have", "with"]
 
+#: Gopher rule thresholds — module-level so the SQL oracle generator
+#: (catalog._gopher_sql) interpolates the SAME values the keyword
+#: defaults below use; a hand-copied literal set would silently drift
+#: if these change (advice r4).
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 5000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
 
 def gopher_rules(df, id_col: str = "doc_id", text_col: str = "text", *,
-                 min_tokens: int = 5, max_tokens: int = 5000,
-                 min_mean_word_len: float = 3.0,
-                 max_mean_word_len: float = 10.0,
-                 max_symbol_ratio: float = 0.1,
-                 min_alpha_word_frac: float = 0.8,
-                 min_stopword_hits: int = 2):
+                 min_tokens: int = GOPHER_MIN_TOKENS,
+                 max_tokens: int = GOPHER_MAX_TOKENS,
+                 min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+                 max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+                 max_symbol_ratio: float = GOPHER_MAX_SYMBOL_RATIO,
+                 min_alpha_word_frac: float = GOPHER_MIN_ALPHA_WORD_FRAC,
+                 min_stopword_hits: int = GOPHER_MIN_STOPWORD_HITS):
     """Gopher-style document quality rules (Rae et al. 2021, table A1)
     as ONE map-side pass: token-count fence, mean-word-length band,
     symbol(#/ellipsis)-to-word ratio cap, alphabetic-word fraction

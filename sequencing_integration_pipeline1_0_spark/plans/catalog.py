@@ -1400,10 +1400,11 @@ def text_pii_scrub(spark, sf_dir):
 # with struct+zlib). Retired round 4: mm_decode_stub (fake decode).
 _MM_SQL = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+            ELSE 'jpeg' END AS format,
        CAST(1 + doc_id % 64 AS INT) AS width,
        CAST(1 + doc_id % 48 AS INT) AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT)
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 24 ELSE 8 END AS INT)
          AS bit_depth
 FROM documents
 """
@@ -1411,10 +1412,11 @@ FROM documents
 
 @register("mm_decode_image", _MM_SQL)
 def mm_decode_image(spark, sf_dir):
-    """Multimodal decode, REAL: per-row spec-conformant PNG/BMP bytes
-    (geometry a pure function of doc_id) flow through the Arrow
-    mapInPandas decode stage, whose stdlib byte parser (PNG IHDR with
-    CRC check, BMP BITMAPINFOHEADER) must recover exactly the
+    """Multimodal decode, REAL: per-row spec-conformant PNG/BMP/JPEG
+    bytes (geometry a pure function of doc_id, doc_id % 3 routes the
+    format) flow through the Arrow mapInPandas decode stage, whose
+    stdlib byte parser (PNG IHDR with CRC check, BMP
+    BITMAPINFOHEADER, JPEG SOFn marker walk) must recover exactly the
     dimensions/format/bit-depth the oracle predicts from doc_id —
     hash-green means the decoder truly read the bytes
     (operators/multimodal.py:decode_image_bytes). n_bytes/payload_md5
@@ -5674,11 +5676,18 @@ def j6c_osa_lev_delta(spark, sf_dir):
 
 def _gopher_sql(src: str = "documents") -> str:
     """Gopher-rule oracle over any (doc_id, text) relation, generated
-    with the stopword probe list from textstats.GOPHER_STOPWORDS —
-    one source of truth shared by text_gopher_rules and the
-    pipe_incremental_corpus gate (a second hand-copied threshold set
-    would silently drift)."""
+    with the stopword probe list AND the five rule thresholds from
+    textstats module constants (the same values gopher_rules' keyword
+    defaults bind) — one source of truth shared by text_gopher_rules
+    and the pipe_incremental_corpus gate (a second hand-copied
+    threshold set would silently drift)."""
     stop = ",".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
+    tok_lo, tok_hi = textstats.GOPHER_MIN_TOKENS, textstats.GOPHER_MAX_TOKENS
+    mwl_lo = textstats.GOPHER_MIN_MEAN_WORD_LEN
+    mwl_hi = textstats.GOPHER_MAX_MEAN_WORD_LEN
+    sym_max = textstats.GOPHER_MAX_SYMBOL_RATIO
+    alpha_min = textstats.GOPHER_MIN_ALPHA_WORD_FRAC
+    stop_min = textstats.GOPHER_MIN_STOPWORD_HITS
     return f"""
 WITH w AS (
   SELECT doc_id,
@@ -5700,18 +5709,21 @@ f AS (
   FROM w)
 SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_frac,
   stopword_hits,
-  CAST(CASE WHEN n_tokens BETWEEN 5 AND 5000
-        AND mean_word_len BETWEEN 3.0 AND 10.0
-        AND symbol_ratio <= 0.1
-        AND alpha_word_frac >= 0.8
-        AND stopword_hits >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass,
+  CAST(CASE WHEN n_tokens BETWEEN {tok_lo} AND {tok_hi}
+        AND mean_word_len BETWEEN {mwl_lo} AND {mwl_hi}
+        AND symbol_ratio <= {sym_max}
+        AND alpha_word_frac >= {alpha_min}
+        AND stopword_hits >= {stop_min} THEN 1 ELSE 0 END AS INT)
+    AS gopher_pass,
   concat_ws('|',
-    CASE WHEN NOT (n_tokens BETWEEN 5 AND 5000) THEN 'token_count' END,
-    CASE WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0)
+    CASE WHEN NOT (n_tokens BETWEEN {tok_lo} AND {tok_hi})
+         THEN 'token_count' END,
+    CASE WHEN NOT (mean_word_len BETWEEN {mwl_lo} AND {mwl_hi})
          THEN 'mean_word_len' END,
-    CASE WHEN NOT (symbol_ratio <= 0.1) THEN 'symbol_ratio' END,
-    CASE WHEN NOT (alpha_word_frac >= 0.8) THEN 'alpha_word_frac' END,
-    CASE WHEN NOT (stopword_hits >= 2) THEN 'stopwords' END)
+    CASE WHEN NOT (symbol_ratio <= {sym_max}) THEN 'symbol_ratio' END,
+    CASE WHEN NOT (alpha_word_frac >= {alpha_min})
+         THEN 'alpha_word_frac' END,
+    CASE WHEN NOT (stopword_hits >= {stop_min}) THEN 'stopwords' END)
     AS fail_reasons
 FROM f
 """
@@ -6026,12 +6038,18 @@ def pipe_incremental_corpus(spark, sf_dir):
                          "near_dup_of", "near_jaccard"))
 
 
-_TEMPERATURE_SQL = """
+from ..operators import sampling  # noqa: E402
+
+# budget fraction + bucket denominator interpolated from the sampling
+# module constants sample_temperature's keyword defaults bind — the
+# oracle cannot drift from the engine (advice r4)
+_TEMPERATURE_SQL = f"""
 WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
 sq AS (SELECT lang, cnt,
               CAST(round(sqrt(cnt), 6) AS DECIMAL(18,6)) AS sq FROM n),
 t AS (SELECT sum(sq) AS total_dec,
-             CAST(floor(sum(cnt) * 0.5) AS BIGINT) AS budget FROM sq),
+             CAST(floor(sum(cnt) * {sampling.TEMPERATURE_BUDGET_FRAC})
+                  AS BIGINT) AS budget FROM sq),
 r0 AS (SELECT lang, cnt, sq, budget, total_dec,
               (budget * CAST(sq AS DOUBLE) / CAST(total_dec AS DOUBLE))
                 / cnt AS rate0
@@ -6042,12 +6060,12 @@ adj AS (SELECT
                AS DECIMAL(18,6)) AS cap_sq
         FROM r0),
 r AS (SELECT lang, cnt,
-        CASE WHEN rate0 >= 1.0 THEN CAST(4096 AS BIGINT)
+        CASE WHEN rate0 >= 1.0 THEN CAST({sampling.RATE_DENOM} AS BIGINT)
              ELSE greatest(CAST(1 AS BIGINT),
                CAST(floor(round(least(1.0,
                  ((budget - cap_n) * CAST(sq AS DOUBLE)
                   / CAST(total_dec - cap_sq AS DOUBLE)) / cnt), 6)
-                 * 4096) AS BIGINT))
+                 * {sampling.RATE_DENOM}) AS BIGINT))
         END AS keep_buckets
       FROM r0 CROSS JOIN adj)
 SELECT d.doc_id, d.lang AS domain, r.cnt AS n_domain, r.keep_buckets,

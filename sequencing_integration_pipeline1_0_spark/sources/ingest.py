@@ -121,10 +121,23 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
     if ext == "xlsx":
         import pandas as pd
         grid = _xlsx_grid(path, sheet=kw.get("sheet", 0))
+        if not grid or not grid[0]:
+            # zero-column pd.DataFrame -> createDataFrame raises an
+            # opaque schema error; name the real problem instead
+            raise ValueError(f"xlsx sheet has no header row: {path}")
         hdr = _mangle_dupes(
-            ["" if v is None else str(v) for v in (grid[0] if grid else [])])
-        return spark.createDataFrame(
+            ["" if v is None else str(v) for v in grid[0]])
+        df = spark.createDataFrame(
             pd.DataFrame(grid[1:], columns=hdr, dtype="object"))
+        # same all-string ingest contract as the csv/jsonl branches:
+        # NA vocabulary -> NULL, provenance column (advice r4)
+        prov = kw.get("provenance", "index")
+        if prov:
+            df = df.withColumn(prov, F.lit(path))
+        exclude = {prov} if prov else set()
+        return normalize_na_df(
+            df, [c for c in df.columns if c not in exclude],
+            kw.get("na_strings", NA_STRINGS))
     if ext == "xls":
         # legacy BIFF is NOT a zip-of-XML — the stdlib reader cannot
         # parse it; route through pandas' xls engine where available
@@ -141,16 +154,26 @@ def _mangle_dupes(hdr: list[str]) -> list[str]:
     """Pandas-style duplicate-header mangling ('X', 'X.1', 'X.2') —
     duplicate labels would make the downstream contract reindex raise
     on an axis with duplicate labels, failing the whole ingest for one
-    sloppy submission sheet."""
+    sloppy submission sheet. The candidate loops (h.1, h.2, ...) until
+    it collides with neither an already-emitted label nor a yet-to-come
+    ORIGINAL header — a sheet mixing a duplicate with a pre-existing
+    mangled name (A, A, A.1) must not re-create the duplicate it
+    exists to prevent (advice r4): -> A, A.2, A.1."""
     seen: dict[str, int] = {}
     out = []
-    for h in hdr:
-        if h in seen:
-            seen[h] += 1
-            out.append(f"{h}.{seen[h]}")
-        else:
+    for i, h in enumerate(hdr):
+        if h not in seen:
             seen[h] = 0
             out.append(h)
+            continue
+        k = seen[h] + 1
+        cand = f"{h}.{k}"
+        while cand in seen or cand in hdr[i + 1:]:
+            k += 1
+            cand = f"{h}.{k}"
+        seen[h] = k
+        seen[cand] = 0
+        out.append(cand)
     return out
 
 

@@ -137,8 +137,10 @@ def test_decode_image_bytes_real_formats():
     and degrades to typed failure rows on corrupt/unknown bytes."""
     png = mm.synth_image_bytes(17, 9, "png")
     bmp = mm.synth_image_bytes(33, 21, "bmp")
+    jpg = mm.synth_image_bytes(41, 13, "jpeg")
     assert mm.decode_image_bytes(png) == ("png", 17, 9, 8)
     assert mm.decode_image_bytes(bmp) == ("bmp", 33, 21, 24)
+    assert mm.decode_image_bytes(jpg) == ("jpeg", 41, 13, 8)
     # flip one IHDR byte -> CRC check must catch it
     bad = bytearray(png)
     bad[18] ^= 0xFF
@@ -152,18 +154,20 @@ def test_decode_image_bytes_real_formats():
 
 
 def test_multimodal_decode_image_roundtrip(spark):
-    df = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    df = spark.createDataFrame([(3,), (4,), (5,)], "doc_id long")
     payload = mm.synth_image_payload(df, "doc_id")
     out = {r["doc_id"]: r for r in
            mm.decode_image(payload, "doc_id", "payload").collect()}
     import hashlib
-    assert (out[2]["format"], out[2]["width"], out[2]["height"],
-            out[2]["bit_depth"]) == ("png", 3, 3, 8)
     assert (out[3]["format"], out[3]["width"], out[3]["height"],
-            out[3]["bit_depth"]) == ("bmp", 4, 4, 24)
-    blob3 = mm.synth_image_bytes(4, 4, "bmp")
-    assert out[3]["n_bytes"] == len(blob3)
-    assert out[3]["payload_md5"] == hashlib.md5(blob3).hexdigest()
+            out[3]["bit_depth"]) == ("png", 4, 4, 8)
+    assert (out[4]["format"], out[4]["width"], out[4]["height"],
+            out[4]["bit_depth"]) == ("bmp", 5, 5, 24)
+    assert (out[5]["format"], out[5]["width"], out[5]["height"],
+            out[5]["bit_depth"]) == ("jpeg", 6, 6, 8)
+    blob4 = mm.synth_image_bytes(5, 5, "bmp")
+    assert out[4]["n_bytes"] == len(blob4)
+    assert out[4]["payload_md5"] == hashlib.md5(blob4).hexdigest()
 
 
 def test_frame_sample_explodes(spark):
@@ -793,6 +797,38 @@ def test_decode_image_bytes_adversarial_payloads():
                 + struct.pack("<IiiHHIIiiII", 40, 5, -7, 1, 24, 0, 0,
                               0, 0, 0, 0))
     assert mm.decode_image_bytes(top_down) == ("bmp", 5, 7, 24)
+
+    def png_with_ihdr(w, h):
+        import zlib
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + ihdr + struct.pack(
+                    ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    # CRC-VALID zero / >2^31-1 dimensions must degrade to corrupt, not
+    # overflow the IntegerType Arrow conversion (advice r4)
+    assert mm.decode_image_bytes(png_with_ihdr(0, 5))[0] == "png_corrupt"
+    assert mm.decode_image_bytes(png_with_ihdr(5, 0))[0] == "png_corrupt"
+    assert mm.decode_image_bytes(png_with_ihdr(2**31, 5))[0] \
+        == "png_corrupt"
+    assert mm.decode_image_bytes(png_with_ihdr(5, 2**32 - 1))[0] \
+        == "png_corrupt"
+
+    # JPEG adversarial: truncated before any SOF; SOS before SOF;
+    # lying segment length; zero dimensions in a well-formed SOF0
+    assert mm.decode_image_bytes(b"\xff\xd8\xff\xe0")[0] == "jpeg_corrupt"
+    sos_first = b"\xff\xd8\xff\xda\x00\x04\x01\x00"
+    assert mm.decode_image_bytes(sos_first)[0] == "jpeg_corrupt"
+    lying_len = b"\xff\xd8\xff\xe0\xff\xff" + b"\x00" * 8
+    assert mm.decode_image_bytes(lying_len)[0] == "jpeg_corrupt"
+    zero_sof = (b"\xff\xd8\xff\xc0\x00\x0b"
+                + struct.pack(">BHH", 8, 0, 5) + bytes((1, 1, 0x11, 0)))
+    assert mm.decode_image_bytes(zero_sof)[0] == "jpeg_corrupt"
+    # garbage after SOI (marker byte not 0xFF)
+    assert mm.decode_image_bytes(b"\xff\xd8junkjunk")[0] == "jpeg_corrupt"
+    # progressive SOF2 parses the same frame header
+    sof2 = (b"\xff\xd8\xff\xc2\x00\x0b"
+            + struct.pack(">BHH", 8, 7, 9) + bytes((1, 1, 0x11, 0)))
+    assert mm.decode_image_bytes(sof2) == ("jpeg", 9, 7, 8)
 
 
 def test_bloom_partial_final_word(spark):

@@ -502,3 +502,36 @@ def test_jsonl_roundtrip_allstring_with_corrupt_line(spark, tmp_path):
     back = ingest.read_jsonl_allstring(spark, out + "/*.json*",
                                        provenance=None)
     assert back.count() == 2
+
+
+def test_mangle_dupes_avoids_preexisting_mangled_names():
+    """A sheet mixing a duplicate with a pre-existing mangled label
+    (A, A, A.1) must not re-create the duplicate the mangler exists to
+    prevent (advice r4): the candidate loops past names already taken
+    by emitted OR upcoming original headers."""
+    m = ingest._mangle_dupes
+    assert m(["A", "A", "A.1"]) == ["A", "A.2", "A.1"]
+    assert m(["A", "A.1", "A"]) == ["A", "A.1", "A.2"]
+    assert m(["A", "A", "A"]) == ["A", "A.1", "A.2"]
+    out = m(["A", "A", "A.1", "A.1", "A.2"])
+    assert len(set(out)) == len(out)
+    assert m(["x", "y"]) == ["x", "y"]
+
+
+def test_read_any_xlsx_contract_parity(spark, tmp_path):
+    """read_any's xlsx quick path carries the SAME all-string ingest
+    contract as the csv/jsonl branches (advice r4): NA vocabulary ->
+    NULL, provenance column, and an empty sheet fails with a clear
+    error instead of an opaque zero-column schema crash."""
+    p = str(tmp_path / "q.xlsx")
+    _write_xlsx(p, [("S", [["id", "val"], ["1", "N/A"], ["2", "ok"]],
+                     True)])
+    df = ingest.read_any(spark, p)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["1"]["val"] is None                 # NA vocab applied
+    assert rows["2"]["val"] == "ok"
+    assert rows["1"]["index"].endswith("q.xlsx")    # provenance rides
+    empty = str(tmp_path / "empty.xlsx")
+    _write_xlsx(empty, [("S", [], True)])
+    with pytest.raises(ValueError, match="no header row"):
+        ingest.read_any(spark, empty)
