@@ -119,35 +119,40 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
     if ext in ("json", "jsonl", "ndjson"):
         return read_jsonl_allstring(spark, path, **kw)
     if ext == "xlsx":
-        import pandas as pd
-        grid = _xlsx_grid(path, sheet=kw.get("sheet", 0))
-        if not grid or not grid[0]:
-            # zero-column pd.DataFrame -> createDataFrame raises an
-            # opaque schema error; name the real problem instead
-            raise ValueError(f"xlsx sheet has no header row: {path}")
-        hdr = _mangle_dupes(
-            ["" if v is None else str(v) for v in grid[0]])
-        df = spark.createDataFrame(
-            pd.DataFrame(grid[1:], columns=hdr, dtype="object"))
-        # same all-string ingest contract as the csv/jsonl branches:
-        # NA vocabulary -> NULL, provenance column (advice r4)
-        prov = kw.get("provenance", "index")
-        if prov:
-            df = df.withColumn(prov, F.lit(path))
-        exclude = {prov} if prov else set()
-        return normalize_na_df(
-            df, [c for c in df.columns if c not in exclude],
-            kw.get("na_strings", NA_STRINGS))
+        return _grid_to_df(spark, _xlsx_grid(path, sheet=kw.get("sheet", 0)),
+                           path, kw)
     if ext == "xls":
-        # legacy BIFF is NOT a zip-of-XML — the stdlib reader cannot
-        # parse it; route through pandas' xls engine where available
-        try:
-            import pandas as pd
-            return spark.createDataFrame(pd.read_excel(path, dtype=str))
-        except ImportError as e:
-            raise NotImplementedError(
-                f"legacy .xls needs a pandas excel engine: {e}") from e
+        # legacy BIFF is NOT a zip-of-XML — the SpreadsheetML reader
+        # cannot parse it; the vendored stdlib CFB+BIFF8 subset reader
+        # (xls_biff.py) produces the identical grid contract, so both
+        # Excel generations post-process through one path
+        from .xls_biff import xls_grid
+        return _grid_to_df(spark, xls_grid(path, sheet=kw.get("sheet", 0)),
+                           path, kw)
     raise ValueError(f"unsupported extension: {path}")
+
+
+def _grid_to_df(spark: SparkSession, grid: list[list],
+                path: str, kw: dict) -> DataFrame:
+    """Shared xlsx/xls tail of read_any: first row is the header
+    (pandas-style duplicate mangling), remaining rows all-string, NA
+    vocabulary -> NULL, provenance column — the same ingest contract
+    as the csv/jsonl branches (advice r4)."""
+    import pandas as pd
+    if not grid or not grid[0]:
+        # zero-column pd.DataFrame -> createDataFrame raises an
+        # opaque schema error; name the real problem instead
+        raise ValueError(f"spreadsheet has no header row: {path}")
+    hdr = _mangle_dupes(["" if v is None else str(v) for v in grid[0]])
+    df = spark.createDataFrame(
+        pd.DataFrame(grid[1:], columns=hdr, dtype="object"))
+    prov = kw.get("provenance", "index")
+    if prov:
+        df = df.withColumn(prov, F.lit(path))
+    exclude = {prov} if prov else set()
+    return normalize_na_df(
+        df, [c for c in df.columns if c not in exclude],
+        kw.get("na_strings", NA_STRINGS))
 
 
 def _mangle_dupes(hdr: list[str]) -> list[str]:
