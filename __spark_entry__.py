@@ -128,10 +128,12 @@ _R4_CONFIRMED = frozenset({
 })
 
 # Round-5 priorities: the new IVF-PQ composition + its recall sweep, the
-# PQ incremental-parity proof, and the JPEG-capable decode re-check.
+# PQ incremental-parity proof, the JPEG-capable decode re-check, and the
+# two new curation operators (URL dedup, hashed linear quality gate).
 _PRIORITY = [
     "ann_ivfpq_topk", "ann_ivfpq_recall", "pq_encode_batch",
-    "mm_decode_image",
+    "mm_decode_image", "dedup_url_canonical", "quality_linear_classifier",
+    "text_chunk_windows",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -547,3 +547,100 @@ def fix_mojibake(col: Column | str) -> Column:
     out = F.replace(out, F.lit("\u00a0"), F.lit(" "))
     return F.regexp_replace(
         out, "[\\x00-\\x08\\x0B-\\x1F\\x7F\u0080-\u009F]", "")
+
+
+#: hashed-feature geometry for the linear quality classifier: 4 hex
+#: chars of md5 -> 16 bits, folded mod N_BUCKETS; weights live on a
+#: fixed integer lattice of WEIGHT_DENOM steps so the per-doc sum is
+#: an exact BIGINT (partition-order independent, oracle-portable)
+QUALITY_N_BUCKETS = 1024
+QUALITY_WEIGHT_DENOM = 4096
+
+
+def quality_weight_sum(col: Column | str) -> Column:
+    """Exact BIGINT feature-weight sum of the hashed-unigram linear
+    classifier — the order-independent core quality_linear_logit and
+    the pass flag both derive from. Each word hashes to one of
+    QUALITY_N_BUCKETS buckets (md5 prefix — the house engine-portable
+    hash); each bucket carries a fixed lattice weight in
+    [-QUALITY_WEIGHT_DENOM/2, QUALITY_WEIGHT_DENOM/2) derived from the
+    bucket id through the house LCG — standing in for trained
+    coefficients, which a real pipeline substitutes one-for-one as a
+    literal array or broadcast join.
+
+    HOF discipline: the md5 bucket is computed in its own transform()
+    so the weight lambda's arithmetic re-evaluates cheap integers,
+    never the hash (SCALING.md round-4 lesson)."""
+    c = F.col(col) if isinstance(col, str) else col
+    buckets = F.transform(
+        words(c),
+        lambda w: F.conv(F.substring(F.md5(F.lower(w)), 1, 4), 16, 10)
+                   .cast("bigint") % QUALITY_N_BUCKETS)
+    return F.aggregate(
+        buckets, F.lit(0).cast("bigint"),
+        lambda acc, b: acc + (
+            F.floor(((b * 1103515245 + 12345) % 268435456) / 65536)
+            .cast("bigint") - QUALITY_WEIGHT_DENOM // 2))
+
+
+def quality_linear_logit(col: Column | str) -> Column:
+    """fastText-style linear quality classifier over hashed unigrams,
+    entirely map-side: the document's score is the mean lattice weight
+    of its words — the LOGIT of the usual sigmoid output. The sigmoid
+    is monotone, so thresholding the logit at 0 IS thresholding the
+    probability at 0.5, and emitting the logit keeps the certified
+    value free of exp() (libm-dependent across engines); the integer
+    weight sum is exact, and the two double divisions + round(6)
+    happen once per document in a fixed order.
+
+    Scale shape: ZERO shuffle — no explode, no groupBy; one projection
+    pass. The hash trick is what makes the classifier shippable at
+    100 TB: the model is O(buckets), not O(vocabulary), and scoring
+    never materializes a feature vector."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(quality_weight_sum(c).cast("double")
+                   / QUALITY_WEIGHT_DENOM / F.size(words(c)), 6)
+
+
+#: default sliding-window chunking geometry; the oracle SQL
+#: interpolates THESE (advice-r4 single-source rule), so changing a
+#: default cannot silently drift the certified query
+CHUNK_WINDOW = 128
+CHUNK_STRIDE = 96
+
+
+def chunk_token_windows(col: Column | str, *, window: int = CHUNK_WINDOW,
+                        stride: int = CHUNK_STRIDE) -> Column:
+    """Split a document into overlapping token windows — the
+    context-window chunking step that precedes embedding or training
+    over long documents (stride < window gives the standard
+    sliding-window overlap so no boundary-straddling span is lost).
+    Returns an array of structs (chunk_idx, chunk_start, chunk_len,
+    chunk_text) ready to explode; windows start at 0, stride, 2*stride
+    ... while the start is inside the document, and the last window is
+    allowed to run short.
+
+    Map-side only: one words() split, one sequence() of starts, one
+    slice per window — no shuffle; at 100 TB chunking rides the scan.
+
+    HOF discipline: the split binds once (bind_once) — each of the k
+    window slices indexes the SAME evaluated array, not k re-splits
+    (the round-4 ngram lesson)."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1: "
+                         f"{window}, {stride}")
+    c = F.col(col) if isinstance(col, str) else col
+
+    def chunks(ws: Column) -> Column:
+        starts = F.sequence(F.lit(0), F.size(ws) - 1, F.lit(stride))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                s.cast("int").alias("chunk_start"),
+                F.least(F.lit(window), F.size(ws) - s).cast("int")
+                 .alias("chunk_len"),
+                F.array_join(F.slice(ws, s + 1, window), " ")
+                 .alias("chunk_text")))
+
+    return bind_once(words(c), chunks)

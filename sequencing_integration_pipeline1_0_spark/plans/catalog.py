@@ -6615,3 +6615,204 @@ def pq_encode_batch(spark, sf_dir):
                                  m=_PQ_M, k=_PQ_K)
     return similarity.pq_encode(batch, "vec_id", "embedding",
                                 m=_PQ_M, k=_PQ_K, codebooks=cb)
+
+
+from ..operators import urls  # noqa: E402
+
+# The documents table carries no URL column, so the query SYNTHESIZES
+# dirty URLs deterministically from (doc_id, source) — identically in
+# both engines — and the canonicalization chain is what the hash gate
+# certifies: case folding, www/default-port stripping, tracking-param
+# removal, param sort, fragment drop, trailing-slash rule, and the
+# non-URL -> NULL review route. Groups collide across doc_ids by
+# construction (path = doc_id % 50), so kept/group_n exercise real
+# multi-member dedup groups.
+_URL_SYNTH_SQL = """
+  CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE
+    concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END,
+      lower(coalesce(source, '')), '.Example.COM',
+      CASE WHEN doc_id % 4 = 0 THEN
+             CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+           WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,
+      '/Docs/', CAST(doc_id % 50 AS VARCHAR),
+      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+           WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+  END"""
+
+_URL_DEDUP_SQL = f"""
+WITH u0 AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+parsed AS (
+  SELECT doc_id,
+    lower(coalesce(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+    lower(coalesce(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hostport,
+    coalesce(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path0,
+    coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query0
+  FROM u0),
+canon0 AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           ELSE hostport END,
+      '^www\\.', '') AS host,
+    CASE WHEN path0 = '' THEN '/'
+         ELSE regexp_replace(path0, '(.)/$', '\\1') END AS path,
+    array_to_string(list_sort(list_filter(string_split(query0, '&'),
+      p -> p != '' AND NOT regexp_matches(p,
+        '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&') AS qcanon
+  FROM parsed),
+c AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' THEN NULL
+         ELSE concat(scheme, '://', host, path,
+                     CASE WHEN qcanon = '' THEN ''
+                          ELSE '?' || qcanon END) END AS canon_url
+  FROM canon0)
+SELECT doc_id, canon_url,
+  CAST(CASE WHEN canon_url IS NULL THEN 1
+       ELSE count(*) OVER (PARTITION BY canon_url) END AS BIGINT)
+    AS group_n,
+  CAST(CASE WHEN canon_url IS NULL THEN 1
+       WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url) THEN 1
+       ELSE 0 END AS INT) AS kept
+FROM c
+"""
+
+
+@register("dedup_url_canonical", _URL_DEDUP_SQL)
+def dedup_url_canonical(spark, sf_dir):
+    """Web-corpus URL dedup (operators/urls.py): canonicalize — lower
+    scheme/host, drop www + default ports + fragments + tracking
+    params, sort surviving params, root empty paths, trim non-root
+    trailing slashes — then first-wins dedup per canonical URL with a
+    group-size audit; non-URLs canonicalize to NULL and keep
+    themselves (review route, never one giant '' group). The C4-style
+    crawl pre-pass that runs BEFORE content dedup.
+
+    Scale shape: canonicalization is a pure expression chain (codegen;
+    the only HOF is the short per-URL param filter/sort); the dedup is
+    ONE window over the canonical key — a single hash shuffle of slim
+    rows."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 97 == 0, F.lit("not a url")).otherwise(F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW."))
+             .otherwise(F.lit("https://")),
+            F.lower(F.coalesce(F.col("source"), F.lit(""))),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.when(F.col("doc_id") % 2 == 0, F.lit(":80"))
+                    .otherwise(F.lit(":443")))
+             .when(F.col("doc_id") % 11 == 0, F.lit(":8080"))
+             .otherwise(F.lit("")),
+            F.lit("/Docs/"), (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/"))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("?utm_source=feed&b=2&a=1"))
+             .when(F.col("doc_id") % 3 == 1, F.lit("?b=2&a=1"))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#sec"))
+             .otherwise(F.lit(""))))
+    return (urls.dedup_by_canonical_url(
+                d.select("doc_id", url.alias("url")), "url", "doc_id")
+            .select("doc_id", "canon_url", "group_n", "kept"))
+
+
+_QUALITY_LINEAR_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(ws,
+      x -> CAST(floor((((CAST(('0x' || substr(md5(lower(x)), 1, 4))
+                          AS BIGINT) % {textstats.QUALITY_N_BUCKETS})
+                 * 1103515245 + 12345) % 268435456) / 65536) AS BIGINT)
+           - {textstats.QUALITY_WEIGHT_DENOM // 2})) AS BIGINT) AS wsum
+  FROM w)
+SELECT doc_id, n_tokens,
+  round(CAST(wsum AS DOUBLE) / {textstats.QUALITY_WEIGHT_DENOM}
+        / n_tokens, 6) AS quality_logit,
+  CAST(CASE WHEN wsum >= 0 THEN 1 ELSE 0 END AS INT) AS pass_quality
+FROM s
+"""
+
+
+@register("quality_linear_classifier", _QUALITY_LINEAR_SQL)
+def quality_linear_classifier(spark, sf_dir):
+    """fastText-style hashed-unigram linear quality classifier
+    (textstats.quality_weight_sum / quality_linear_logit): each word
+    hashes to one of 1024 buckets (md5 prefix), each bucket carries a
+    fixed lattice weight, a document's score is the mean weight — the
+    LOGIT of the usual sigmoid output, so the certified value needs
+    no exp() (libm-varying across engines) and the pass flag is an
+    exact integer sign test (sigmoid >= 0.5 <=> logit >= 0). The
+    lattice weights stand in for trained coefficients; a real model
+    drops in one-for-one.
+
+    Scale shape: zero shuffle — no explode, no groupBy, one projection
+    pass; the model is O(buckets), not O(vocab). The quality-classifier
+    gate every serious pretraining mix runs (CCNet, LLaMA wiki-ref)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    return (d.select(
+                "doc_id",
+                F.size(dedupe_scale.words(text)).cast("bigint")
+                 .alias("n_tokens"),
+                textstats.quality_weight_sum(text).alias("wsum"))
+             .select(
+                "doc_id", "n_tokens",
+                F.round(F.col("wsum").cast("double")
+                        / textstats.QUALITY_WEIGHT_DENOM
+                        / F.col("n_tokens"), 6).alias("quality_logit"),
+                (F.col("wsum") >= 0).cast("int").alias("pass_quality")))
+
+
+_CHUNK_WINDOWS_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id, ws,
+         unnest(range(0, len(ws), {textstats.CHUNK_STRIDE})) AS st
+  FROM w)
+SELECT doc_id,
+  CAST(st // {textstats.CHUNK_STRIDE} AS INT) AS chunk_idx,
+  CAST(st AS INT) AS chunk_start,
+  CAST(least({textstats.CHUNK_WINDOW}, len(ws) - st) AS INT) AS chunk_len,
+  array_to_string(list_slice(ws, st + 1,
+                             st + {textstats.CHUNK_WINDOW}), ' ')
+    AS chunk_text
+FROM s
+"""
+
+
+@register("text_chunk_windows", _CHUNK_WINDOWS_SQL)
+def text_chunk_windows(spark, sf_dir):
+    """Sliding token-window chunking (textstats.chunk_token_windows):
+    every document splits into overlapping windows of CHUNK_WINDOW
+    tokens starting every CHUNK_STRIDE — the context-window prep step
+    before embedding or training long documents (overlap = no span is
+    lost at a boundary; the trailing window runs short rather than
+    dropping tokens). One row per (doc, window) with the window's
+    index, start offset, actual length, and text.
+
+    Scale shape: fully map-side — one lambda-bound words() split per
+    doc, one sequence of starts, one slice per window, one explode; no
+    shuffle, chunking rides the scan at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    return (d.select(
+                "doc_id",
+                F.explode(textstats.chunk_token_windows(text)).alias("c"))
+             .select("doc_id", "c.chunk_idx", "c.chunk_start",
+                     "c.chunk_len", "c.chunk_text"))

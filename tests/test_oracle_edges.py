@@ -35,6 +35,8 @@ EDGE_QUERIES = [
     "repeated_span_fraction", "pipe_corpus_curation",
     "text_lang_quality_fingerprint", "text_token_stats",
     "pipe_incremental_corpus", "sample_temperature",
+    "quality_linear_classifier", "dedup_url_canonical",
+    "text_chunk_windows",
 ]
 
 
