@@ -36,6 +36,9 @@ HEADLINE = [
     "decontam_bloom_prefilter",  # Bloom map-side prune + exact verify
     "pipe_corpus_curation",    # C4-style curation composite
     "pipe_incremental_corpus",  # incremental ingest capstone (r4)
+    # ANN family joined r5: the composed IVF-PQ production search gets
+    # driver-recorded history the round it stops being the weak spot
+    "ann_ivfpq_topk",          # coarse-cell-restricted PQ-ADC top-k
 ]
 
 

@@ -6,10 +6,15 @@ local replica of everything the external driver checks, in one run.
 
 Steps (each prints PASS/FAIL; exit code is the AND):
   1. selfcheck at sf0.001 (engine session)
-  2. selfcheck at sf0.01 with --vanilla (bare ANSI SparkSession —
+  2. cross-engine edge-input harness (tests/test_oracle_edges.py —
+     the null/empty/unicode corpus both engines must agree on; it
+     has caught real bugs the shipped testdata cannot, commit
+     e0e9888)
+  3. selfcheck at sf0.01 with --vanilla (bare ANSI SparkSession —
      the driver's environment)
-  3. entry() smoke on a vanilla session (rows > 0)
-  4. bench.py at sf0.1 (one JSON line, rc=0)
+  4. entry() smoke on a vanilla session (rows > 0)
+  5. bench.py at sf0.1 (one JSON line, rc=0)
+--fast runs 1 + 2 + 4 only.
 
 Run nothing else concurrently — bench/probe numbers inflate 1.5-3x
 under contention (SCALING.md history).
@@ -46,6 +51,9 @@ def main() -> int:
     py = sys.executable
     ok = run("selfcheck sf0.001",
              [py, "tools/selfcheck.py", "/root/testdata/sf0.001"])
+    ok &= run("edge harness",
+              [py, "-m", "pytest", "tests/test_oracle_edges.py", "-q",
+               "--no-header", "-x"])
     if not fast:
         ok &= run("selfcheck sf0.01 (vanilla)",
                   [py, "tools/selfcheck.py", "--vanilla",
