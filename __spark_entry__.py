@@ -143,7 +143,10 @@ _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
 # them back into the front-50 window even though they are confirmed.
 # Round 5: mm_decode_image gained JPEG SOF parsing and the PNG zero/overflow
 # width guards (oracle updated in lockstep) — listed in _PRIORITY above.
-_RECHECK = frozenset()
+# lang_id widened from 4 to 7 languages (markers now single-sourced into
+# the oracle), changing lang_pred/route outputs of its two consumers:
+_RECHECK = frozenset({"text_lang_quality_fingerprint",
+                      "pipe_corpus_curation"})
 
 
 def _latest_green_round() -> dict[str, int]:

@@ -47,7 +47,12 @@ def canonicalize_url(col: Column | str) -> Column:
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")) \
             .otherwise(F.regexp_replace(path, r"(.)/$", r"$1"))
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # strip the fragment BEFORE finding the query: '\\?([^#]*)' on the
+    # raw URL would happily match a '?' living inside the fragment
+    # ('http://h/p#a?c=1' has NO query) — caught by the python-reference
+    # property test before certification
+    query = F.regexp_extract(F.regexp_replace(u, r"#.*", ""),
+                             r"\?(.*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))

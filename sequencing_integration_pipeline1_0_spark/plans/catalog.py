@@ -1266,21 +1266,30 @@ def text_tfidf_top_terms(spark, sf_dir):
                   .select("doc_id", "word", "tfidf", "rnk"))
 
 
-def _lang_id_sql() -> str:
-    markers = {
-        "de": "['der','die','das','und','ist']",
-        "en": "['the','and','of','a','is']",
-        "es": "['el','la','de','los','es']",
-        "fr": "['le','la','les','et','est']",
-    }
+def _lang_hits_sql() -> tuple[str, str, str]:
+    """(hits_columns, best_h, best_lang) SQL fragments for the
+    stopword language-ID heuristic, GENERATED from
+    textstats.LANG_MARKERS (single source — advice-r4 rule: a
+    hand-copied marker dict here silently drifts the moment the
+    engine's markers change, which is exactly what widening to 7
+    languages in r5 would have done). The fold walks languages in
+    alphabetical order with strictly-greater replacement, preserving
+    the engine's earliest-alphabetical tie-break."""
+    langs = sorted(textstats.LANG_MARKERS)
     hits = ", ".join(
-        f"len(list_filter(ws, w -> list_contains({arr}, lower(w)))) AS h_{lang}"
-        for lang, arr in markers.items())
-    # fold in alphabetical order with strictly-greater replacement
-    best_h, best_l = "h_de", "'de'"
-    for lang in ["en", "es", "fr"]:
+        "len(list_filter(ws, w -> list_contains(["
+        + ",".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang])
+        + f"], lower(w)))) AS h_{lang}"
+        for lang in langs)
+    best_h, best_l = f"h_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
         best_l = f"CASE WHEN h_{lang} > {best_h} THEN '{lang}' ELSE {best_l} END"
         best_h = f"CASE WHEN h_{lang} > {best_h} THEN h_{lang} ELSE {best_h} END"
+    return hits, best_h, best_l
+
+
+def _lang_id_sql() -> str:
+    hits, best_h, best_l = _lang_hits_sql()
     return f"""
 WITH base AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws
@@ -4925,20 +4934,10 @@ def f21_tweak_gisaid_id(spark, sf_dir):
 
 def _curation_sql() -> str:
     """Oracle for pipe_corpus_curation — reuses the exact lang/quality
-    formulas of _lang_id_sql plus the pii-scrub regexes."""
-    markers = {
-        "de": "['der','die','das','und','ist']",
-        "en": "['the','and','of','a','is']",
-        "es": "['el','la','de','los','es']",
-        "fr": "['le','la','les','et','est']",
-    }
-    hits = ", ".join(
-        f"len(list_filter(ws, w -> list_contains({arr}, lower(w)))) AS h_{lang}"
-        for lang, arr in markers.items())
-    best_h, best_l = "h_de", "'de'"
-    for lang in ["en", "es", "fr"]:
-        best_l = f"CASE WHEN h_{lang} > {best_h} THEN '{lang}' ELSE {best_l} END"
-        best_h = f"CASE WHEN h_{lang} > {best_h} THEN h_{lang} ELSE {best_h} END"
+    formulas of _lang_id_sql (markers generated from
+    textstats.LANG_MARKERS via _lang_hits_sql, never hand-copied) plus
+    the pii-scrub regexes."""
+    hits, best_h, best_l = _lang_hits_sql()
     clean = ("(lang_pred <> 'und' AND quality >= 0.5 "
              "AND n_tokens BETWEEN 5 AND 5000)")
     return f"""
@@ -6652,7 +6651,8 @@ parsed AS (
       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hostport,
     coalesce(regexp_extract(url,
       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path0,
-    coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query0
+    coalesce(regexp_extract(regexp_replace(url, '#.*', ''),
+                            '\\?(.*)', 1), '') AS query0
   FROM u0),
 canon0 AS (
   SELECT doc_id, scheme,

@@ -25,6 +25,11 @@ EDGE_ROWS = [
      "fr", "web", 40),
     (6, "x", "es", "web", 1),
     (7, "a b a b a b a b a b a b", "en", "web", 23),
+    # round 5: harder unicode + degenerate-token shapes
+    (8, "🙂🙂 emoji 🚀 mixed 中文 text العربية rtl", "en", "web", 38),
+    (9, "single" + "x" * 5000 + " giant token doc", "en", "web", 5022),
+    (10, "\tleading tab\nand newline   runs\t\t", "de", None, 34),
+    (11, "word", None, "web", 4),
 ]
 
 #: every registered query that reads ONLY `documents` and has a SQL

@@ -52,7 +52,14 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "sample_temperature",
                   # exact-L2 truth set for the recall measurement is
                   # deliberately brute-force (like ann_brute_force_topk)
-                  "ann_pq_recall"}
+                  "ann_pq_recall",
+                  # composed IVF-PQ: the coarse-codebook assignment is
+                  # the same broadcast n x n_cells NLJ as ann_ivf_*
+                  # (linear in n); the ADC itself is a cell equi-join
+                  "ann_ivfpq_topk",
+                  # same coarse-assignment NLJ + the deliberate
+                  # brute-force truth baseline (like ann_ivf_recall)
+                  "ann_ivfpq_recall"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
@@ -140,7 +147,13 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # vectors (shrink-then-rank over <= k rows; the
                     # orderBy().limit() feeding it is the real fence)
                     "ann_pq_encode", "ann_pq_topk", "ann_pq_trained_topk",
-                    "ann_pq_recall"}
+                    "ann_pq_recall",
+                    # same <= k-row codebook-seeding rank: pq_encode_batch
+                    # seeds the frozen corpus codebooks once; the IVF-PQ
+                    # composition seeds both its PQ codebooks (<= k rows)
+                    # and its coarse centroids (<= n_cells rows)
+                    "pq_encode_batch", "ann_ivfpq_topk",
+                    "ann_ivfpq_recall"}
 
 
 def _global_windows(plan: str) -> int:

@@ -530,3 +530,60 @@ def test_repeated_span_fraction_matches_bruteforce(spark, docs):
            for r in textstats.repeated_span_fraction(
                df, "doc_id", "text", n=2, min_docs=2).collect()}
     assert got == brute()
+
+
+def _py_canonicalize_url(u: str) -> str | None:
+    """Independent Python reference of urls.canonicalize_url (written
+    from the documented rules, not from the Spark expressions)."""
+    import re
+    u = u.strip()
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+                 r"(?:\?([^#]*))?(?:#.*)?$", u)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    hostport = m.group(2).lower()
+    if scheme == "http":
+        hostport = re.sub(r":80$", "", hostport)
+    elif scheme == "https":
+        hostport = re.sub(r":443$", "", hostport)
+    host = re.sub(r"^www\.", "", hostport)
+    path = m.group(3)
+    path = "/" if path == "" else re.sub(r"(.)/$", r"\1", path)
+    params = [p for p in (m.group(4) or "").split("&")
+              if p != "" and not re.match(
+                  r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)", p)]
+    q = "&".join(sorted(params))
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+
+_URL_PARTS = dict(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.sampled_from(["e.com", "Ex-1.ORG", "a.b.co"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/A/b", "/A/b/", "/x%20y/"]),
+    query=st.lists(st.sampled_from(
+        ["a=1", "B=2", "utm_source=x", "utm_x", "fbclid=9", "ref",
+         "ref=z", "refresh=1", "", "z"]), max_size=4),
+    frag=st.sampled_from(["", "#f", "#a/b?c=1"]),
+)
+
+
+@SLOW
+@given(st.lists(st.fixed_dictionaries(_URL_PARTS), min_size=1,
+                max_size=12))
+def test_canonicalize_url_matches_python_reference(spark, parts):
+    from sequencing_integration_pipeline1_0_spark.operators import urls
+    raws = []
+    for p in parts:
+        q = "&".join(p["query"])
+        raws.append(f"{p['scheme']}://{p['www']}{p['host']}{p['port']}"
+                    f"{p['path']}" + (f"?{q}" if q else "") + p["frag"])
+    raws += ["no scheme here", ""]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(raws)],
+                               "i int, u string")
+    got = dict(df.select("i", urls.canonicalize_url("u").alias("c"))
+                 .collect())
+    for i, r in enumerate(raws):
+        assert got[i] == _py_canonicalize_url(r), r

@@ -112,9 +112,18 @@ def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [("the cat and the dog is here",),
          ("el gato de la casa es grande los dias",),
+         # r5 widening: it / pt / nl marker sets
+         ("il libro di mare che leggo per te",),
+         ("o que o menino do mar faz que o",),
+         ("de man en het kind van een huis en de",),
          ("xyz qqq zzz",)], "t string")
     out = [r["x"] for r in df.select(ts.lang_id("t").alias("x")).collect()]
-    assert out == ["en", "es", "und"]
+    assert out == ["en", "es", "it", "pt", "nl", "und"]
+    # ties break to the alphabetically-earliest language: 'de' is an
+    # es/fr/nl/pt marker (1 hit each) -> resolves to es
+    [[tie]] = (spark.createDataFrame([("de",)], "t string")
+               .select(ts.lang_id("t").alias("x")).collect())
+    assert tie == "es"
 
 
 def test_quality_score_range(spark):

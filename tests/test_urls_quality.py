@@ -31,6 +31,8 @@ CANON_CASES = [
      "http://e.com/p"),
     # 'ref' matches only exactly (refresh= survives); bare flag param
     ("http://e.com/p?refresh=1&ref", "http://e.com/p?refresh=1"),
+    # a '?' INSIDE the fragment is not a query
+    ("http://e.com/p#a/b?c=1", "http://e.com/p"),
     # non-URLs -> NULL (review route)
     ("not a url", None),
     ("", None),
