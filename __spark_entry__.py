@@ -133,7 +133,10 @@ _R4_CONFIRMED = frozenset({
 _PRIORITY = [
     "ann_ivfpq_topk", "ann_ivfpq_recall", "pq_encode_batch",
     "mm_decode_image", "dedup_url_canonical", "quality_linear_classifier",
-    "text_chunk_windows",
+    "text_chunk_windows", "mm_decode_audio", "mm_audio_features",
+    "mm_audio_window_energy", "mm_probe_media", "bpe_merge_topk",
+    "train_shard_manifest", "emb_random_projection",
+    "html_boilerplate_strip",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

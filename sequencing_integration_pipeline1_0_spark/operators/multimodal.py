@@ -238,6 +238,347 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(run, DECODE_SCHEMA)
 
 
+# ----------------------------------------------------------------------
+# audio: real WAV (RIFF) files — synthesis + chunk-walking decoder
+# ----------------------------------------------------------------------
+
+#: output schema of the audio decoder (PCM samples ride along as an
+#: interleaved array<int> so every downstream feature is a Spark HOF)
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("samples", T.ArrayType(T.IntegerType())),
+])
+
+#: deterministic audio fixture geometry (pure functions of doc_id so a
+#: DuckDB oracle can re-derive everything the decoder must recover)
+AUDIO_RATES = (8000, 16000, 44100)
+AUDIO_BASE_FRAMES = 64
+AUDIO_FRAME_MOD = 97
+
+
+def audio_geometry(doc_id: int) -> tuple[int, int, int]:
+    """(channels, sample_rate, n_frames) for a fixture doc_id."""
+    return (1 + doc_id % 2, AUDIO_RATES[doc_id % 3],
+            AUDIO_BASE_FRAMES + doc_id % AUDIO_FRAME_MOD)
+
+
+def audio_sample(doc_id: int, k: int) -> int:
+    """Deterministic interleaved PCM sample k (int16 range, no RNG) —
+    mirrored verbatim in the oracle SQL."""
+    return (doc_id * 31 + k * 17) % 2003 - 1001
+
+
+def synth_wav_bytes(doc_id: int) -> bytes:
+    """Write a real RIFF/WAVE file: canonical 16-byte PCM fmt chunk,
+    interleaved 16-bit little-endian data chunk. Every 5th file gets a
+    LIST metadata chunk with an ODD payload length between fmt and
+    data — per the RIFF spec chunks are word-aligned, so the decoder
+    must honor the pad byte or misparse everything after it."""
+    channels, rate, n_frames = audio_geometry(doc_id)
+    n = channels * n_frames
+    pcm = struct.pack(f"<{n}h", *(audio_sample(doc_id, k) for k in range(n)))
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align,
+                      block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if doc_id % 5 == 0:
+        meta = b"INFOart"                                    # odd length 7
+        body += b"LIST" + struct.pack("<I", len(meta)) + meta + b"\x00"
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_bytes(payload: bytes) -> tuple[str, int | None, int | None,
+                                              int | None, int | None,
+                                              list[int] | None]:
+    """Parse real WAV bytes -> (format, channels, sample_rate,
+    bit_depth, n_frames, samples).
+
+    Chunk-walks the RIFF body in file order (fmt is not guaranteed
+    first; unknown chunks are skipped with the spec's word-alignment
+    pad byte), validates every declared size against the payload, and
+    derives n_frames from the data chunk via block_align. Only
+    uncompressed PCM (format tag 1) yields samples; non-PCM tags
+    degrade to 'wav_nonpcm' with metadata intact, and only 16-bit PCM
+    is decoded to ints (other depths keep metadata, samples None).
+    Any structural lie — truncated header, chunk overrunning the
+    payload, data before fmt, zero channels — is 'wav_corrupt':
+    decode failures are data, not exceptions."""
+    bad = ("wav_corrupt", None, None, None, None, None)
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return ("unknown", None, None, None, None, None) \
+            if payload[:4] != b"RIFF" else bad
+    pos, n = 12, len(payload)
+    tag = channels = rate = bits = block_align = None
+    data_size = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        start = pos + 8
+        if start + csize > n:
+            return bad
+        if cid == b"fmt ":
+            if csize < 16:
+                return bad
+            tag, channels, rate, _brate, block_align, bits = struct.unpack(
+                "<HHIIHH", payload[start:start + 16])
+            if channels == 0 or rate == 0 or block_align == 0:
+                return bad
+        elif cid == b"data":
+            if tag is None:
+                return bad          # data before fmt: undecodable
+            data_size = csize
+            if tag == 1 and bits == 16:
+                n_frames = csize // block_align
+                count = n_frames * channels
+                samples = list(struct.unpack(
+                    f"<{count}h", payload[start:start + count * 2]))
+            else:
+                samples = None
+            break
+        pos = start + csize + (csize & 1)   # RIFF chunks are word-aligned
+    if tag is None or data_size is None:
+        return bad
+    n_frames = data_size // block_align
+    if tag != 1:
+        return ("wav_nonpcm", channels, rate, bits, n_frames, None)
+    return ("wav", channels, rate, bits, n_frames, samples)
+
+
+def synth_audio_payload(df: DataFrame, id_col: str = "doc_id",
+                        out: str = "payload") -> DataFrame:
+    """One real WAV file per row, geometry a pure function of the id
+    (audio_geometry / audio_sample) — distributed synthesis via
+    mapInPandas, same fixture contract as synth_image_payload."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                id_col: ids.values,
+                out: [synth_wav_bytes(int(i)) for i in ids]})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """mapInPandas audio decode stage: binary blobs in, typed metadata
+    + interleaved PCM array out. Decode happens ONCE here; every
+    downstream feature (energy, peaks, zero-crossings, windowed
+    aggregates) is then a declarative Spark HOF over the samples array
+    — JVM-side, codegen'd, no second Python hop."""
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                fmt, ch, rate, bits, nf, samples = decode_wav_bytes(bytes(p))
+                rows.append((int(i), fmt, ch, rate, bits, nf, samples))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "format", "channels", "sample_rate",
+                "bit_depth", "n_frames", "samples"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# video: real MP4 (ISO BMFF) containers — synthesis + box-tree probe
+# ----------------------------------------------------------------------
+
+PROBE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_streams", T.IntegerType()),
+])
+
+#: deterministic MP4 fixture geometry
+MP4_TIMESCALES = (600, 1000, 90000)
+
+
+def mp4_geometry(doc_id: int) -> tuple[int, int, int, int]:
+    """(version, timescale, duration_units, n_tracks) for a fixture id.
+    Odd ids get a version-1 mvhd (64-bit times) so both layouts are
+    exercised end to end."""
+    timescale = MP4_TIMESCALES[doc_id % 3]
+    duration = (doc_id % 5000 + 1) * timescale // 10   # 0.1s granularity
+    return (doc_id % 2, timescale, duration, 1 + doc_id % 3)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def synth_mp4_bytes(doc_id: int) -> bytes:
+    """Write a real minimal ISO BMFF file: ftyp, then moov holding an
+    mvhd (version 0 or 1 by doc_id) and n_tracks empty trak boxes,
+    then a free box and a tiny mdat — the exact top-level layout a
+    camera MP4 has, at metadata-probe fidelity (no codec payload)."""
+    version, timescale, duration, n_tracks = mp4_geometry(doc_id)
+    if version == 0:
+        times = struct.pack(">IIII", 0, 0, timescale, duration)
+    else:
+        times = struct.pack(">QQIQ", 0, 0, timescale, duration)
+    mvhd = (bytes((version, 0, 0, 0)) + times
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10) + bytes(36) + bytes(24)
+            + struct.pack(">I", n_tracks + 1))
+    moov = _box(b"mvhd", mvhd) + b"".join(
+        _box(b"trak", b"") for _ in range(n_tracks))
+    return (_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+            + _box(b"moov", moov) + _box(b"free", b"")
+            + _box(b"mdat", bytes((doc_id % 251,))))
+
+
+def probe_mp4_bytes(payload: bytes) -> tuple[str, int | None, int | None]:
+    """Walk the top-level box tree -> ('mp4', duration_ms, n_tracks).
+
+    Handles both mvhd versions (32/64-bit times), the size-1
+    64-bit-largesize escape, and size-0 box-runs-to-EOF. Every
+    declared size is validated against the payload; a lying size,
+    missing moov/mvhd, or zero timescale degrades to
+    ('mp4_corrupt', None, None)."""
+    bad = ("mp4_corrupt", None, None)
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return ("unknown", None, None)
+
+    def walk(lo: int, hi: int) -> list[tuple[bytes, int, int]] | None:
+        """Box list in [lo, hi), or None on any structural lie."""
+        boxes, pos = [], lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[pos:pos + 4])
+            typ = payload[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:                     # 64-bit largesize escape
+                if body + 8 > hi:
+                    return None
+                (size,) = struct.unpack(">Q", payload[body:body + 8])
+                body = pos + 16
+                if size < 16:
+                    return None
+            elif size == 0:                   # box runs to end of scope
+                size = hi - pos
+            elif size < 8:
+                return None
+            if pos + size > hi:
+                return None
+            boxes.append((typ, body, pos + size))
+            pos += size
+        return boxes
+
+    duration_ms = n_tracks = None
+    top = walk(0, len(payload))
+    if top is None:
+        return bad
+    for typ, body, end in top:
+        if typ != b"moov":
+            continue
+        n_tracks = 0
+        inner = walk(body, end)
+        if inner is None:
+            return bad
+        for ityp, ibody, iend in inner:
+            if ityp == b"trak":
+                n_tracks += 1
+            elif ityp == b"mvhd":
+                if ibody + 4 > iend:
+                    return bad
+                version = payload[ibody]
+                if version == 0:
+                    need = ibody + 4 + 16
+                    if need > iend:
+                        return bad
+                    _c, _m, timescale, dur = struct.unpack(
+                        ">IIII", payload[ibody + 4:need])
+                else:
+                    need = ibody + 4 + 28
+                    if need > iend:
+                        return bad
+                    _c, _m, timescale, dur = struct.unpack(
+                        ">QQIQ", payload[ibody + 4:need])
+                if timescale == 0:
+                    return bad
+                duration_ms = dur * 1000 // timescale
+        break
+    if duration_ms is None or n_tracks is None:
+        return bad
+    return ("mp4", duration_ms, n_tracks)
+
+
+def synth_media_payload(df: DataFrame, id_col: str = "doc_id",
+                        out: str = "payload") -> DataFrame:
+    """Mixed-container fixture: doc_id % 4 routes WAV / MP4 / PNG /
+    bare text bytes — the realistic 'unknown pile of blobs' input a
+    media-probe stage faces."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                r = i % 4
+                if r == 0:
+                    blobs.append(synth_wav_bytes(i))
+                elif r == 1:
+                    blobs.append(synth_mp4_bytes(i))
+                elif r == 2:
+                    blobs.append(synth_image_bytes(1 + i % 64,
+                                                   1 + i % 48, "png"))
+                else:
+                    blobs.append(f"plain text blob {i}".encode())
+            yield pd.DataFrame({id_col: ids.values, out: blobs})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def probe_media(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Container-sniffing probe: magic-dispatch each blob to the WAV /
+    MP4 / image parser and emit one uniform metadata row — container,
+    duration_ms (media only), n_streams (wav channels / mp4 tracks).
+    The triage pass a multimodal ingest runs BEFORE routing blobs to
+    per-modality decode stages."""
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                if b[:4] == b"RIFF":
+                    fmt, ch, rate, _bits, nf, _s = decode_wav_bytes(b)
+                    dur = (nf * 1000 // rate
+                           if nf is not None and rate else None)
+                    rows.append((int(i), fmt, dur, ch))
+                elif len(b) >= 8 and b[4:8] == b"ftyp":
+                    fmt, dur, trk = probe_mp4_bytes(b)
+                    rows.append((int(i), fmt, dur, trk))
+                else:
+                    fmt, _w, _h, _d = decode_image_bytes(b)
+                    rows.append((int(i), fmt, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "container", "duration_ms", "n_streams"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, PROBE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, id_col: str, payload_col: str,
                  every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per N-byte window

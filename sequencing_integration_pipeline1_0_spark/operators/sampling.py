@@ -201,3 +201,47 @@ def sample_temperature(df: DataFrame, domain_col: str, id_col: str, *,
                       "keep_buckets",
                       (lcg_bucket(F.col(id_col), rate_denom)
                        < F.col("keep_buckets")).cast("int").alias("kept")))
+
+
+#: training-shard manifest defaults; oracle SQL interpolates these
+TRAIN_N_SHARDS = 16
+
+
+def train_shard_manifest(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", *,
+                         n_shards: int = TRAIN_N_SHARDS) -> DataFrame:
+    """Deterministic global corpus shuffle + shard layout — the step
+    that turns a curated corpus into training shards (WebDataset/MDS
+    style): every doc gets a shard by id-hash, a pseudo-random
+    position within its shard (ordering by the md5 hash IS the
+    shuffle — reproducible, seedless, and independent of input
+    order), its token count, and the exclusive prefix-sum token
+    offset a sequential shard writer would place it at.
+
+    Scale shape: ONE hash shuffle of slim (id, hash, n_tokens) rows
+    into n_shards groups, then a per-shard sort — never a global
+    ordering (a single total order funnels 100 TB through one
+    partition; per-shard order is exactly what a shard writer needs).
+    md5-hex order is engine-portable (lowercase hex compares
+    identically as binary in Spark and DuckDB)."""
+    from pyspark.sql import Window
+
+    from .dedupe_scale import words
+    h = F.md5(F.col(id_col).cast("string"))
+    n_tokens = F.size(
+        words(F.coalesce(F.col(text_col), F.lit("")))).cast("int")
+    t = df.select(
+        F.col(id_col),
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+         % n_shards).cast("int").alias("shard_id"),
+        n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("shard_id").orderBy("h", id_col)
+    prefix = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (t.select(
+                id_col, "shard_id",
+                (F.row_number().over(w) - 1).cast("int")
+                 .alias("pos_in_shard"),
+                "n_tokens",
+                F.coalesce(F.sum("n_tokens").over(prefix), F.lit(0))
+                 .cast("bigint").alias("token_offset")))

@@ -616,3 +616,56 @@ def pq_train_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
                 .select("subspace", "cid",
                         F.coalesce("cv_new", "cv").alias("cv")))
     return cb
+
+
+#: Johnson-Lindenstrauss sign-projection defaults; the oracle SQL is
+#: GENERATED from rp_sign_matrix (single-source rule). K=16 keeps the
+#: 1/sqrt(K) normalization an EXACT division by 4 (no libm sqrt).
+RP_K = 16
+
+
+def rp_sign_matrix(d: int, k: int = RP_K) -> list[list[int]]:
+    """Deterministic ±1 projection matrix, k rows x d cols, generated
+    from md5 of the (i, j) coordinate — crypto-mixed so columns are
+    balanced and mutually near-orthogonal (a linear parity lattice is
+    NOT: any affine combination mod 2 collapses to parity(i+j) and
+    the matrix is rank-2). The JL lemma only needs iid signs; a fixed
+    pseudo-random matrix is what a production pipeline ships so
+    embeddings project identically across engines and reruns. The
+    matrix is plan-time LITERAL data (k*d ints — tiny), constant-
+    folded by Catalyst and interpolated verbatim into the oracle SQL,
+    so the two engines share one source of truth."""
+    import hashlib
+    return [[1 - 2 * (hashlib.md5(f"rp:{i}:{j}".encode()).digest()[0] & 1)
+             for i in range(d)] for j in range(k)]
+
+
+def random_projection(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", *, d: int,
+                      k: int = RP_K) -> DataFrame:
+    """Johnson-Lindenstrauss random-sign projection: dim-d float
+    embeddings down to k dims via the fixed ±1 matrix, scaled by
+    1/sqrt(k) — the cheap dimensionality reduction that runs BEFORE
+    expensive ANN indexing at 100 TB (±1 dots are adds/subtracts
+    only; no trained model, no shuffle, one map-side pass).
+
+    Output is exploded long-form (id, dim, value) — engine-portable
+    value hashing never depends on array rendering. Each projected
+    coordinate is a sequential left fold over the input order, double
+    precision, rounded 1e-6 — reproducible bit-for-bit and matched by
+    an oracle folding in the same order."""
+    if k == 16:
+        scale = F.lit(0.25)
+    else:        # 1/sqrt(k) is libm-free only for perfect squares
+        scale = F.lit(1.0) / F.sqrt(F.lit(float(k)))
+    m = rp_sign_matrix(d, k)
+    v = F.col(vec_col)
+    proj = F.array(*[
+        F.round(F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(s) for s in m[j]]),
+                       lambda x, sg: x.cast("double") * sg.cast("double")),
+            F.lit(0.0), lambda acc, t: acc + t) * scale, 6)
+        for j in range(k)])
+    return (df.select(F.col(id_col), F.posexplode(proj)
+                      .alias("dim", "value"))
+              .select(id_col, F.col("dim").cast("int"), "value"))

@@ -653,3 +653,115 @@ def chunk_token_windows(col: Column | str, *, window: int = CHUNK_WINDOW,
                  .alias("chunk_text")))
 
     return bind_once(words(c), chunks)
+
+
+#: BPE merge-step defaults; the oracle SQL interpolates THESE
+#: (single-source rule)
+BPE_TOPK = 20
+
+
+def bpe_pair_counts(df, text_col: str = "text") -> "DataFrame":
+    """One iteration of BPE tokenizer training: weighted adjacent
+    symbol-pair counts, computed the way a 100 TB corpus has to.
+
+    The trick that makes distributed BPE feasible (and the reason
+    Sentencepiece/HF train from a word-count table, not raw text): the
+    corpus is collapsed to its word-frequency table FIRST — one
+    map-side-combine groupBy over exploded words — and pair extraction
+    then runs over DISTINCT words weighted by count, a
+    vocabulary-sized table (~10^6 rows) instead of a corpus-sized one
+    (~10^11). Each further merge iteration re-derives pairs from the
+    same word table; only this first pair-count step is corpus-bound.
+
+    Returns (left_sym, right_sym, pair_count): every adjacent
+    character pair within each distinct word, weighted by word
+    frequency. Generalizes the reference's character-frequency checks
+    (F16 wdrs_qa_functions.R:154-167) from QA counting to tokenizer
+    training.
+
+    HOF discipline: pair extraction is one transform over
+    sequence(1, len-1) indexing the word with substring — no
+    re-evaluation of the split (bind is trivial here: the word is
+    already a scalar column)."""
+    w = (df.select(F.explode(words(
+               F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("w").agg(F.count("*").alias("n")))
+    pair = F.explode(F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(
+            F.substring(F.col("w"), i, F.lit(1)).alias("left_sym"),
+            F.substring(F.col("w"), i + 1, F.lit(1)).alias("right_sym"))))
+    return (w.where(F.length("w") >= 2)
+             .select(pair.alias("p"), "n")
+             .groupBy("p.left_sym", "p.right_sym")
+             .agg(F.sum("n").cast("bigint").alias("pair_count")))
+
+
+def bpe_topk_merges(df, text_col: str = "text",
+                    k: int = BPE_TOPK) -> "DataFrame":
+    """Top-k BPE merge candidates with an engine-portable total order:
+    count desc, then codepoint of each symbol asc (ascii()/unicode()
+    agree on codepoints across engines where raw string collation
+    might not). Rank is dense-free row_number so exactly k rows
+    survive."""
+    from pyspark.sql import Window
+    c = bpe_pair_counts(df, text_col)
+    w = Window.orderBy(F.col("pair_count").desc(),
+                       F.ascii("left_sym"), F.ascii("right_sym"),
+                       "left_sym", "right_sym")
+    return (c.withColumn("rank", F.row_number().over(w).cast("int"))
+             .where(F.col("rank") <= k))
+
+
+#: boilerplate-line threshold; oracle SQL interpolates this
+HTML_MIN_LINE_TOKENS = 3
+
+#: block-level closers that become line breaks before tag stripping —
+#: the line structure is what the per-line length heuristic runs on
+HTML_BLOCK_CLOSE_RE = (r"</(p|div|nav|footer|header|aside|h[1-6]|li|"
+                       r"ul|ol|title|tr|table|section|article)>|<br */?>")
+HTML_TAG_RE = r"<[^>]*>"
+
+#: minimal entity decode on the certified path (ASCII-only; full
+#: entity tables are a dictionary swap)
+HTML_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", '"'), ("&amp;", "&")]   # &amp; LAST
+
+
+def strip_html_boilerplate(col: Column | str) -> Column:
+    """jusText-lite boilerplate removal for crawled HTML — the
+    Common-Crawl-to-text step every web corpus runs before any other
+    curation: block-closing tags become line breaks (the heuristic
+    needs the page's LINE structure), remaining tags are stripped,
+    minimal entities decode, every line is whitespace-normalized, and
+    lines shorter than HTML_MIN_LINE_TOKENS tokens are dropped — nav
+    menus, button labels, copyright footers die; sentences survive.
+    Returns struct(clean_text, n_lines_kept, n_lines_dropped).
+
+    Map-side only: a fixed regexp_replace chain + one split + array
+    HOFs; no shuffle, rides the scan at 100 TB. Link-density scoring
+    (the full jusText) drops into the same per-line filter lambda.
+
+    HOF discipline: the normalized non-empty line array binds once;
+    kept/dropped both index the same evaluated array."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(c, HTML_BLOCK_CLOSE_RE, "\n")
+    x = F.regexp_replace(x, HTML_TAG_RE, "")
+    for ent, rep in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    lines = F.transform(
+        F.split(x, "\n"),
+        lambda ln: F.trim(F.regexp_replace(ln, r"\s+", " ")))
+
+    def out(nonempty: Column) -> Column:
+        kept = F.filter(
+            nonempty,
+            lambda ln: F.size(F.split(ln, " ")) >= HTML_MIN_LINE_TOKENS)
+        return F.struct(
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size(kept).cast("int").alias("n_lines_kept"),
+            (F.size(nonempty) - F.size(kept)).cast("int")
+             .alias("n_lines_dropped"))
+
+    return bind_once(F.filter(lines, lambda ln: ln != ""), out)

@@ -6816,3 +6816,382 @@ def text_chunk_windows(spark, sf_dir):
                 F.explode(textstats.chunk_token_windows(text)).alias("c"))
              .select("doc_id", "c.chunk_idx", "c.chunk_start",
                      "c.chunk_len", "c.chunk_text"))
+
+
+# ----------------------------------------------------------------------
+# wave 9 (round 5): audio / video multimodal family — real WAV + MP4
+# bytes through mapInPandas decode, features as declarative HOFs
+# ----------------------------------------------------------------------
+
+# Geometry formulas mirrored from multimodal.audio_geometry /
+# audio_sample — the oracle predicts what the RIFF chunk-walker must
+# recover from real bytes (same certification pattern as mm_decode_image).
+_AUDIO_CH = "(1 + doc_id % 2)"
+_AUDIO_RATE = ("CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+               "ELSE 44100 END")
+_AUDIO_NF = (f"({multimodal.AUDIO_BASE_FRAMES} + doc_id % "
+             f"{multimodal.AUDIO_FRAME_MOD})")
+_AUDIO_SAMPLE = "((doc_id * 31 + {k} * 17) % 2003 - 1001)"
+
+_MM_AUDIO_SQL = f"""
+SELECT doc_id, 'wav' AS format,
+  CAST({_AUDIO_CH} AS INT) AS channels,
+  CAST({_AUDIO_RATE} AS INT) AS sample_rate,
+  CAST(16 AS INT) AS bit_depth,
+  CAST({_AUDIO_NF} AS INT) AS n_frames,
+  CAST({_AUDIO_NF} * 1000 // ({_AUDIO_RATE}) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+@register("mm_decode_audio", _MM_AUDIO_SQL)
+def mm_decode_audio(spark, sf_dir):
+    """Audio decode, REAL: per-row spec-conformant RIFF/WAVE files
+    (geometry a pure function of doc_id; every 5th file carries an
+    odd-length LIST chunk so the word-alignment pad byte is exercised)
+    flow through the Arrow mapInPandas chunk-walker
+    (operators/multimodal.py:decode_wav_bytes), which must recover
+    exactly the channels/rate/depth/frame-count the oracle predicts
+    from doc_id. duration_ms is integer-exact (no float division).
+
+    Scale shape: decode is one Arrow-batched Python stage, metadata-
+    only output — blobs never shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    payload = multimodal.synth_audio_payload(d, "doc_id")
+    return (multimodal.decode_audio(payload, "doc_id", "payload")
+            .select("doc_id", "format", "channels", "sample_rate",
+                    "bit_depth", "n_frames",
+                    F.expr("CAST(n_frames * 1000 div sample_rate AS BIGINT)")
+                     .alias("duration_ms")))
+
+
+_MM_AUDIO_FEAT_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+    {_AUDIO_CH} AS ch, {_AUDIO_NF} AS nf,
+    list_transform(range(0, {_AUDIO_CH} * {_AUDIO_NF}),
+                   k -> {_AUDIO_SAMPLE.format(k='k')}) AS s
+  FROM documents),
+c AS (
+  SELECT doc_id, nf,
+    list_transform(range(0, nf),
+                   f -> s[f * ch + 1]) AS ch0, s
+  FROM g)
+SELECT doc_id,
+  CAST(list_sum(list_transform(s, x -> CAST(x * x AS BIGINT)))
+       AS BIGINT) AS energy,
+  CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+  CAST(list_sum(list_transform(range(1, nf),
+       i -> CASE WHEN (ch0[i] >= 0) <> (ch0[i+1] >= 0)
+            THEN 1 ELSE 0 END)) AS INT) AS zero_cross
+FROM c
+"""
+
+
+@register("mm_audio_features", _MM_AUDIO_FEAT_SQL)
+def mm_audio_features(spark, sf_dir):
+    """Audio feature extraction with decode-once architecture: the
+    mapInPandas stage parses PCM to an interleaved array<int> ONCE;
+    energy (sum of squares, integer-exact), peak amplitude, and
+    channel-0 zero-crossing count are then declarative Spark HOFs over
+    that array — JVM-side, no second Python hop, the shape that keeps
+    a 100 TB audio sweep map-side. The oracle re-derives the PCM from
+    the fixture formula, so hash-green proves the decoder read the
+    samples bit-exactly, not just the header."""
+    d = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_audio(
+        multimodal.synth_audio_payload(d, "doc_id"), "doc_id", "payload")
+    ch0 = F.filter("samples", lambda x, i: i % F.col("channels") == 0)
+    return (dec.withColumn("ch0", ch0)
+            .select(
+                "doc_id",
+                F.aggregate("samples", F.lit(0).cast("bigint"),
+                            lambda acc, x: acc + (x * x).cast("bigint"))
+                 .alias("energy"),
+                F.array_max(F.transform("samples", F.abs)).cast("int")
+                 .alias("peak"),
+                F.size(F.filter(
+                    F.zip_with(F.slice("ch0", 1, F.size("ch0") - 1),
+                               F.slice("ch0", 2, F.size("ch0") - 1),
+                               lambda a, b: (a >= 0) != (b >= 0)),
+                    lambda v: v)).cast("int").alias("zero_cross")))
+
+
+_AUDIO_WIN = 32
+
+_MM_AUDIO_WIN_SQL = f"""
+WITH g AS (
+  SELECT doc_id, {_AUDIO_CH} AS ch, {_AUDIO_NF} AS nf
+  FROM documents),
+c AS (
+  SELECT doc_id, nf,
+    list_transform(range(0, nf),
+                   f -> {_AUDIO_SAMPLE.format(k='(f * ch)')}) AS ch0
+  FROM g),
+w AS (
+  SELECT doc_id, nf, ch0,
+         unnest(range(0, (nf + {_AUDIO_WIN - 1}) // {_AUDIO_WIN})) AS wi
+  FROM c)
+SELECT doc_id, CAST(wi AS INT) AS window_idx,
+  CAST(least({_AUDIO_WIN}, nf - wi * {_AUDIO_WIN}) AS INT) AS window_len,
+  CAST(list_sum(list_transform(
+         list_slice(ch0, wi * {_AUDIO_WIN} + 1, (wi + 1) * {_AUDIO_WIN}),
+         x -> CAST(x * x AS BIGINT))) AS BIGINT) AS window_energy
+FROM w
+"""
+
+
+@register("mm_audio_window_energy", _MM_AUDIO_WIN_SQL)
+def mm_audio_window_energy(spark, sf_dir):
+    """Windowed audio aggregation: channel-0 PCM split into fixed
+    32-frame windows (1 decode row -> N window rows, the audio analog
+    of video frame sampling), per-window energy as an integer-exact
+    sum of squares. Explode + slice + aggregate are all Spark-side
+    over the decoded array — window fan-out never re-enters Python."""
+    d = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_audio(
+        multimodal.synth_audio_payload(d, "doc_id"), "doc_id", "payload")
+    w = F.lit(_AUDIO_WIN)
+    n_win = ((F.col("n_frames") + _AUDIO_WIN - 1) / _AUDIO_WIN).cast("int")
+    return (dec.withColumn(
+                "ch0", F.filter("samples",
+                                lambda x, i: i % F.col("channels") == 0))
+            .withColumn("window_idx",
+                        F.explode(F.sequence(F.lit(0), n_win - 1)))
+            .select(
+                "doc_id",
+                F.col("window_idx").cast("int"),
+                F.least(w, F.col("n_frames") - F.col("window_idx") * w)
+                 .cast("int").alias("window_len"),
+                F.aggregate(
+                    F.slice("ch0", F.col("window_idx") * w + 1, w),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + (x * x).cast("bigint"))
+                 .alias("window_energy")))
+
+
+# mp4 duration collapses to (doc_id % 5000 + 1) * 100 ms because every
+# fixture timescale is divisible by 10 (mp4_geometry: duration_units =
+# (doc_id % 5000 + 1) * timescale // 10).
+_MM_PROBE_SQL = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+       WHEN 2 THEN 'png' ELSE 'unknown' END AS container,
+  CAST(CASE doc_id % 4
+       WHEN 0 THEN (64 + doc_id % 97) * 1000
+                   // (CASE doc_id % 3 WHEN 0 THEN 8000
+                       WHEN 1 THEN 16000 ELSE 44100 END)
+       WHEN 1 THEN (doc_id % 5000 + 1) * 100
+       END AS BIGINT) AS duration_ms,
+  CAST(CASE doc_id % 4
+       WHEN 0 THEN 1 + doc_id % 2
+       WHEN 1 THEN 1 + doc_id % 3
+       END AS INT) AS n_streams
+FROM documents
+"""
+
+
+@register("mm_probe_media", _MM_PROBE_SQL)
+def mm_probe_media(spark, sf_dir):
+    """Container-sniffing media probe over a mixed blob pile: doc_id %
+    4 routes real WAV / real MP4 (ISO BMFF with both mvhd versions and
+    empty trak boxes) / real PNG / bare text bytes; the probe
+    magic-dispatches each blob to the matching stdlib parser and emits
+    one uniform triage row — container, duration_ms, stream count.
+    This is the pass a multimodal ingest runs FIRST, before routing
+    blobs to per-modality decode stages; failures are data
+    ('*_corrupt'/'unknown'), never task deaths."""
+    d = _t(spark, sf_dir, "documents")
+    payload = multimodal.synth_media_payload(d, "doc_id")
+    return multimodal.probe_media(payload, "doc_id", "payload")
+
+
+_BPE_SQL = f"""
+WITH wf AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')),
+                                            '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+p AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+         substr(w, CAST(i + 1 AS INT), 1) AS right_sym, n
+  FROM wf, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2),
+c AS (
+  SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM p GROUP BY 1, 2)
+SELECT left_sym, right_sym, pair_count,
+  CAST(row_number() OVER (ORDER BY pair_count DESC, unicode(left_sym),
+                          unicode(right_sym), left_sym, right_sym)
+       AS INT) AS rank
+FROM c QUALIFY rank <= {textstats.BPE_TOPK}
+"""
+
+
+@register("bpe_merge_topk", _BPE_SQL)
+def bpe_merge_topk(spark, sf_dir):
+    """One BPE tokenizer-training iteration over the corpus: weighted
+    adjacent symbol-pair counts, top-BPE_TOPK merge candidates with an
+    engine-portable total order (count desc, then symbol CODEPOINTS —
+    ascii()/unicode() agree where raw collation might not)
+    (textstats.bpe_topk_merges).
+
+    Scale shape: the corpus collapses to its word-frequency table
+    first (one map-side-combine groupBy) and pair extraction runs
+    over DISTINCT words weighted by count — vocabulary-sized, not
+    corpus-sized; this is why Sentencepiece/HF train from word counts.
+    The final rank window is global but over the symbol-PAIR table
+    (at most |alphabet|^2 rows — thousands, regardless of corpus
+    size), so the single-partition top-k is bounded by construction."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_topk_merges(d, "text")
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {sampling.TRAIN_N_SHARDS} AS INT) AS shard_id,
+    CAST(len(regexp_split_to_array(trim(coalesce(text, '')),
+                                   '\\s+')) AS INT) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard_id,
+  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) - 1
+       AS INT) AS pos_in_shard,
+  n_tokens,
+  CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY shard_id ORDER BY h, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       AS BIGINT) AS token_offset
+FROM t
+"""
+
+
+@register("train_shard_manifest", _SHARD_MANIFEST_SQL)
+def train_shard_manifest(spark, sf_dir):
+    """Deterministic global corpus shuffle + training-shard manifest
+    (sampling.train_shard_manifest): shard by id-md5, pseudo-random
+    position within shard (md5 order IS the shuffle — seedless,
+    reproducible, input-order independent), token counts, and the
+    exclusive prefix-sum token offset a sequential shard writer needs
+    — the WebDataset/MDS layout step between curation and training.
+
+    Scale shape: ONE hash shuffle of slim rows into TRAIN_N_SHARDS
+    groups + per-shard sort; never a global total order (that funnels
+    100 TB through one partition)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.train_shard_manifest(d, "doc_id", "text")
+
+
+def _rp_sql() -> str:
+    """Oracle for emb_random_projection, GENERATED from the engine's
+    own rp_sign_matrix literals (single-source: the Spark plan and the
+    SQL interpolate the identical ±1 matrix; fold order matches — the
+    0.0-seeded Spark aggregate and the seedless DuckDB list_reduce
+    produce the same left-to-right addition sequence because
+    0.0 + p1 == p1 exactly)."""
+    from ..operators import similarity
+    m = similarity.rp_sign_matrix(64, similarity.RP_K)
+    mat = "[" + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in m) + "]"
+    return f"""
+WITH m AS (SELECT {mat} AS mat)
+SELECT vec_id, CAST(j AS INT) AS dim,
+  round(list_reduce(
+    list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(mat[CAST(j AS INT) + 1][i] AS DOUBLE)),
+    (x, y) -> x + y) * 0.25, 6) AS value
+FROM embeddings, m, unnest(range(0, {similarity.RP_K})) AS t(j)
+"""
+
+
+@register("emb_random_projection", _rp_sql())
+def emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random-sign projection of the embeddings
+    table: 64-dim float vectors down to RP_K=16 dims through a fixed
+    md5-derived ±1 matrix, scaled by the exact 1/4 = 1/sqrt(16)
+    (similarity.random_projection). The cheap pre-ANN dimensionality
+    reduction: ±1 dots are adds/subtracts, the matrix is k*d literal
+    ints constant-folded by Catalyst, and the pass is map-side only —
+    zero shuffle at any corpus size. Long-form (id, dim, value) output
+    keeps value hashing independent of array rendering."""
+    from ..operators import similarity
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.random_projection(e, "vec_id", "embedding", d=64)
+
+
+_HTML_STRIP_SQL = f"""
+WITH ws AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
+  FROM documents),
+page AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title></head><body><nav>Home About</nav>'
+    || '<div class="ad">Buy now</div><p>'
+    || array_to_string(w[1:8], ' ') || '</p><p>'
+    || array_to_string(w[9:10], ' ') || '</p><p>'
+    || coalesce(array_to_string(list_slice(w, 11, 100000), ' '), '')
+    || '</p><footer>Copyright 2024</footer></body></html>' AS html
+  FROM ws),
+stripped AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(html, '{textstats.HTML_BLOCK_CLOSE_RE}',
+                       chr(10), 'g'),
+        '{textstats.HTML_TAG_RE}', '', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&amp;', '&') AS flat
+  FROM page),
+ln AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(flat, chr(10)),
+                l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+                l -> l <> '') AS nonempty
+  FROM stripped),
+k AS (
+  SELECT doc_id, nonempty,
+    list_filter(nonempty,
+      l -> len(string_split(l, ' '))
+           >= {textstats.HTML_MIN_LINE_TOKENS}) AS kept
+  FROM ln)
+SELECT doc_id,
+  array_to_string(kept, chr(10)) AS clean_text,
+  CAST(len(kept) AS INT) AS n_lines_kept,
+  CAST(len(nonempty) - len(kept) AS INT) AS n_lines_dropped
+FROM k
+"""
+
+
+@register("html_boilerplate_strip", _HTML_STRIP_SQL)
+def html_boilerplate_strip(spark, sf_dir):
+    """Crawled-HTML boilerplate removal (jusText-lite,
+    textstats.strip_html_boilerplate): each doc is wrapped into a
+    deterministic page — title, nav menu, ad block, three <p>
+    paragraphs from its own words, copyright footer — and the
+    stripper must recover exactly the content lines: block closers
+    become line breaks, tags strip, entities decode, and lines under
+    HTML_MIN_LINE_TOKENS tokens (nav/ads/footer and the short middle
+    paragraph) are dropped with kept/dropped line counts as the
+    audit. The Common-Crawl-to-text step before every other curation
+    op; map-side regexp chain + array HOFs, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><nav>Home About</nav>'
+              '<div class="ad">Buy now</div><p>'),
+        F.array_join(F.slice(ws, 1, 8), " "), F.lit("</p><p>"),
+        F.array_join(F.slice(ws, 9, 2), " "), F.lit("</p><p>"),
+        F.array_join(F.slice(ws, 11, 100000), " "),
+        F.lit("</p><footer>Copyright 2024</footer></body></html>"))
+    return (d.select(
+                "doc_id",
+                textstats.strip_html_boilerplate(html).alias("s"))
+             .select("doc_id", "s.clean_text", "s.n_lines_kept",
+                     "s.n_lines_dropped"))

@@ -1,0 +1,169 @@
+"""Audio (WAV/RIFF) and video (MP4/ISO-BMFF) multimodal family:
+byte-level round trips, spec edge cases (odd-chunk pad byte, mvhd
+version 1, 64-bit largesize), and corrupt-degrades-to-data contracts.
+Extends the reference's opaque-payload pattern (functions.R:229-236)
+to audio/video containers, per the SURVEY north-star extension."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequencing_integration_pipeline1_0_spark.operators import (
+    multimodal as mm,
+)
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_all_geometries():
+    for i in range(0, 30):
+        fmt, ch, rate, bits, nf, samples = mm.decode_wav_bytes(
+            mm.synth_wav_bytes(i))
+        ech, erate, enf = mm.audio_geometry(i)
+        assert (fmt, ch, rate, bits, nf) == ("wav", ech, erate, 16, enf)
+        assert samples == [mm.audio_sample(i, k) for k in range(ech * enf)]
+
+
+def test_wav_odd_list_chunk_pad_byte():
+    # every 5th fixture carries a 7-byte LIST chunk; without honoring
+    # the RIFF pad byte the data chunk after it would misparse
+    b = mm.synth_wav_bytes(10)
+    assert b"LIST" in b
+    assert mm.decode_wav_bytes(b)[0] == "wav"
+
+
+def test_wav_corrupt_paths():
+    assert mm.decode_wav_bytes(b"junk")[0] == "unknown"
+    assert mm.decode_wav_bytes(b"RIFF\x00\x00\x00\x00WAVE")[0] \
+        == "wav_corrupt"                        # no chunks at all
+    good = bytearray(mm.synth_wav_bytes(4))
+    lying = bytearray(good)
+    lying[16] = 200                             # fmt size overruns payload
+    assert mm.decode_wav_bytes(bytes(lying))[0] == "wav_corrupt"
+    # truncated mid-data: data size now overruns -> corrupt, not crash
+    assert mm.decode_wav_bytes(bytes(good[:-10]))[0] == "wav_corrupt"
+    # zero channels in fmt
+    zero_ch = bytearray(good)
+    struct.pack_into("<H", zero_ch, 22, 0)
+    assert mm.decode_wav_bytes(bytes(zero_ch))[0] == "wav_corrupt"
+
+
+def test_wav_nonpcm_keeps_metadata():
+    b = bytearray(mm.synth_wav_bytes(6))
+    struct.pack_into("<H", b, 20, 3)            # format tag 3 = IEEE float
+    fmt, ch, rate, bits, nf, samples = mm.decode_wav_bytes(bytes(b))
+    ech, erate, enf = mm.audio_geometry(6)
+    assert fmt == "wav_nonpcm" and samples is None
+    assert (ch, rate, nf) == (ech, erate, enf)
+
+
+def test_wav_data_before_fmt_is_corrupt():
+    pcm = struct.pack("<4h", 1, -2, 3, -4)
+    body = b"WAVE" + b"data" + struct.pack("<I", len(pcm)) + pcm
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert mm.decode_wav_bytes(raw)[0] == "wav_corrupt"
+
+
+# ---------------------------------------------------------------- MP4
+
+
+def test_mp4_roundtrip_both_mvhd_versions():
+    for i in range(0, 12):                      # covers v0 and v1
+        c, dur, trk = mm.probe_mp4_bytes(mm.synth_mp4_bytes(i))
+        ver, ts, du, nt = mm.mp4_geometry(i)
+        assert c == "mp4" and trk == nt
+        assert dur == du * 1000 // ts == (i % 5000 + 1) * 100
+
+
+def test_mp4_largesize_and_size0_boxes():
+    # rebuild moov with a size-1 + 64-bit largesize header, and make
+    # the trailing mdat a size-0 run-to-EOF box — both must parse
+    i = 2
+    ver, ts, du, nt = mm.mp4_geometry(i)
+    base = mm.synth_mp4_bytes(i)
+    # locate the moov box in the synthesized layout: ftyp is first
+    (ftyp_size,) = struct.unpack(">I", base[:4])
+    moov_start = ftyp_size
+    (moov_size,) = struct.unpack(">I", base[moov_start:moov_start + 4])
+    moov_payload = base[moov_start + 8:moov_start + moov_size]
+    rebuilt = (base[:moov_start]
+               + struct.pack(">I", 1) + b"moov"
+               + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload
+               + struct.pack(">I", 0) + b"mdat" + b"\x00\x07")
+    c, dur, trk = mm.probe_mp4_bytes(rebuilt)
+    assert c == "mp4" and trk == nt and dur == du * 1000 // ts
+
+
+def test_mp4_corrupt_paths():
+    assert mm.probe_mp4_bytes(b"not media")[0] == "unknown"
+    good = bytearray(mm.synth_mp4_bytes(3))
+    lying = bytearray(good)
+    lying[0] = 0xFF                             # ftyp size overruns
+    assert mm.probe_mp4_bytes(bytes(lying))[0] == "mp4_corrupt"
+    # ftyp alone, no moov/mvhd
+    assert mm.probe_mp4_bytes(
+        struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
+    )[0] == "mp4_corrupt"
+    # zero timescale
+    zt = bytearray(mm.synth_mp4_bytes(2))       # even id -> v0 mvhd
+    idx = zt.find(b"mvhd")
+    struct.pack_into(">I", zt, idx + 4 + 4 + 8, 0)
+    assert mm.probe_mp4_bytes(bytes(zt))[0] == "mp4_corrupt"
+
+
+# ------------------------------------------------------- Spark stages
+
+
+def test_decode_audio_stage_and_hof_features(spark):
+    df = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    dec = mm.decode_audio(mm.synth_audio_payload(df, "doc_id"),
+                          "doc_id", "payload")
+    rows = {r["doc_id"]: r for r in dec.collect()}
+    for i in (7, 8):
+        ech, erate, enf = mm.audio_geometry(i)
+        r = rows[i]
+        assert (r["format"], r["channels"], r["sample_rate"],
+                r["bit_depth"], r["n_frames"]) == ("wav", ech, erate,
+                                                   16, enf)
+        assert list(r["samples"]) == [mm.audio_sample(i, k)
+                                      for k in range(ech * enf)]
+    # channel-0 deinterleave via indexed HOF filter matches python
+    ch0 = dec.select(
+        "doc_id",
+        F.filter("samples",
+                 lambda x, i: i % F.col("channels") == 0).alias("c0"))
+    got = {r["doc_id"]: list(r["c0"]) for r in ch0.collect()}
+    for i in (7, 8):
+        ech, _, enf = mm.audio_geometry(i)
+        assert got[i] == [mm.audio_sample(i, f * ech) for f in range(enf)]
+
+
+def test_probe_media_mixed_pile(spark):
+    df = spark.createDataFrame([(4,), (5,), (6,), (7,)], "doc_id long")
+    out = {r["doc_id"]: r for r in mm.probe_media(
+        mm.synth_media_payload(df, "doc_id"), "doc_id",
+        "payload").collect()}
+    assert out[4]["container"] == "wav" and out[4]["n_streams"] == 1
+    assert out[5]["container"] == "mp4" \
+        and out[5]["duration_ms"] == (5 % 5000 + 1) * 100 \
+        and out[5]["n_streams"] == 1 + 5 % 3
+    assert out[6]["container"] == "png" \
+        and out[6]["duration_ms"] is None
+    assert out[7]["container"] == "unknown"
+
+
+def test_probe_media_corrupt_blob_degrades(spark):
+    # a corrupt WAV in the pile must yield a wav_corrupt ROW, not a
+    # task failure — the 100 TB contract
+    import pandas as pd
+    schema = "doc_id long, payload binary"
+    pdf = pd.DataFrame({"doc_id": [1],
+                        "payload": [b"RIFF\xff\xff\xff\xffWAVE"]})
+    df = spark.createDataFrame(pdf, schema)
+    out = mm.probe_media(df, "doc_id", "payload").collect()
+    assert out[0]["container"] == "wav_corrupt"
+    assert out[0]["duration_ms"] is None

@@ -67,6 +67,11 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
 #: blocked+JVM-prefiltered candidate pairs only; the join itself is the
 #: same equi-join as j6 (asserted in test_fuzzy_join_is_blocked_not_nested).
 PANDAS_OK = {"mm_decode_image", "mm_frame_sample",
+             # audio/video family (r5): WAV synth+chunk-walk decode and
+             # the mixed-container probe are the designed Arrow stages;
+             # all post-decode features are Spark HOFs over the PCM array
+             "mm_decode_audio", "mm_audio_features",
+             "mm_audio_window_energy", "mm_probe_media",
              # OSA banded-DP Arrow scorer on blocked candidates
              "j6b_fuzzy_osa_pairs", "j6c_osa_lev_delta"}
 

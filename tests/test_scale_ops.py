@@ -1018,3 +1018,88 @@ def test_ivfpq_pairs_ride_probed_cells(spark):
         counts[np_] = len(pairs)
     assert counts[1] <= counts[2] <= counts[4]
     assert counts[4] == 30 * 29  # full probe = all ordered pairs
+
+
+def test_bpe_topk_merges_hand_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the the cat"), (2, "hat"), (3, None), (4, "x")],
+        "doc_id long, text string")
+    out = {(r["left_sym"], r["right_sym"]): (r["pair_count"], r["rank"])
+           for r in ts.bpe_topk_merges(df, "text").collect()}
+    # 'the' x2 -> th:2, he:2; 'cat' -> ca:1, at:1; 'hat' -> ha:1, at:1
+    assert out[("t", "h")][0] == 2 and out[("h", "e")][0] == 2
+    assert out[("a", "t")][0] == 2          # cat + hat
+    assert out[("c", "a")][0] == 1 and out[("h", "a")][0] == 1
+    # single-char word 'x' and null doc contribute no pairs
+    assert len(out) == 5
+    # rank: count desc then codepoint order -> at(2) < he(2) < th(2)
+    assert out[("a", "t")][1] == 1
+    assert out[("h", "e")][1] == 2
+    assert out[("t", "h")][1] == 3
+
+
+def test_train_shard_manifest_layout(spark):
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 4 + 1)) for i in range(40)],
+        "doc_id long, text string")
+    rows = sampling.train_shard_manifest(df, "doc_id", "text").collect()
+    assert len(rows) == 40
+    import hashlib
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        exp_shard = int(hashlib.md5(str(r["doc_id"]).encode())
+                        .hexdigest()[:8], 16) % sampling.TRAIN_N_SHARDS
+        assert r["shard_id"] == exp_shard
+        assert r["n_tokens"] == r["doc_id"] % 4 + 1
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos_in_shard"])
+        # positions are 0..n-1, offsets are exact exclusive prefix sums,
+        # and md5 order within the shard is respected
+        off = 0
+        hashes = []
+        for i, r in enumerate(rs):
+            assert r["pos_in_shard"] == i
+            assert r["token_offset"] == off
+            off += r["n_tokens"]
+            hashes.append(hashlib.md5(str(r["doc_id"]).encode())
+                          .hexdigest())
+        assert hashes == sorted(hashes)
+
+
+def test_strip_html_boilerplate_hand_values(spark):
+    html = ('<html><head><title>My Page</title></head><body>'
+            '<nav>Home About</nav>'
+            '<p>this sentence has plenty of words</p>'
+            '<div class="ad">Buy now</div>'
+            '<p>tiny one</p>'
+            '<p>a &amp; b &lt;tag&gt; stays here</p>'
+            '<footer>Copyright 2024</footer></body></html>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, page string")
+    r = df.select(ts.strip_html_boilerplate("page").alias("s")) \
+          .select("s.*").collect()[0]
+    assert r["clean_text"] == ("this sentence has plenty of words\n"
+                               "a & b <tag> stays here")
+    assert r["n_lines_kept"] == 2
+    # dropped: title(2), nav(2), ad(2), tiny one(2), footer(2)
+    assert r["n_lines_dropped"] == 5
+
+
+def test_random_projection_hand_values(spark):
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        similarity as sim,
+    )
+    vec = [1.0, -2.0, 0.5, 3.0]
+    df = spark.createDataFrame([(1, vec)],
+                               "vec_id long, embedding array<float>")
+    out = {r["dim"]: r["value"]
+           for r in sim.random_projection(
+               df, "vec_id", "embedding", d=4, k=16).collect()}
+    m = sim.rp_sign_matrix(4, 16)
+    for j in range(16):
+        exp = sum(x * s for x, s in zip(vec, m[j])) * 0.25
+        assert abs(out[j] - round(exp, 6)) < 1e-9, (j, out[j], exp)
+    # matrix is deterministic across calls/processes
+    assert sim.rp_sign_matrix(4, 16) == m
+    assert all(s in (-1, 1) for row in m for s in row)
