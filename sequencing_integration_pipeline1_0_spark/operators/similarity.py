@@ -531,22 +531,51 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                    .agg(F.transform(F.array_sort(F.collect_list(
                             F.struct("subspace", "ds"))),
                         lambda s: s["ds"]).alias("lut")))
-    cand = (probe.join(idxc, F.col("probe_cell") == F.col("cell_id"))
-                 .filter(F.col("qid") != F.col("neighbor_id"))
-                 .select("qid", "neighbor_id", "probe_rank"))
+    # Index build: codes live IN the cell's INVERTED LIST — exactly
+    # the FAISS IVFPQ on-disk layout. One vector-keyed build-time
+    # join, then one groupBy(cell) packs each cell's (neighbor_id,
+    # codes) entries into a single list row. With n_cells ~ sqrt(n)
+    # a cell row stays bounded (~sqrt(n) entries x m bytes).
+    inv = (idxc.join(enc_codes, "neighbor_id")
+               .groupBy("cell_id")
+               .agg(F.collect_list(F.struct("neighbor_id", "codes"))
+                     .alias("entries")))
+    # ADC scoring is per (query, probed cell), NOT per (query,
+    # neighbor) pair: the query's m x k LUT is materialized once per
+    # probed cell (n_q x nprobe rows) and scored against the whole
+    # inverted list with a nested HOF; results explode to slim
+    # (qid, neighbor, dist) rows afterwards. The earlier per-pair
+    # join shape attached the 256-entry decimal LUT to every one of
+    # the ~2M candidate rows — the measured 8-12 s was that
+    # materialization, not the arithmetic. probe is round-robin
+    # repartitioned (slim rows, user-specified so AQE cannot
+    # coalesce the CPU-heavy scoring back into one task); inv and
+    # lut_q broadcast — both are genuinely small at any corpus size
+    # (cells and the query batch, never the corpus).
+    sc = df.sparkSession.sparkContext
+    scored = (probe.repartition(sc.defaultParallelism)
+              .join(F.broadcast(inv),
+                    F.col("probe_cell") == F.col("cell_id"))
+              .join(F.broadcast(lut_q), "qid"))
     # exact-decimal left fold over the m LUT entries — the same sum
     # SUM(decimal) produced in the exploded shape (decimal add is
     # exact, so fold order cannot diverge); re-cast each step because
     # decimal + decimal widens to decimal(19,6)
-    return (cand.join(enc_codes, "neighbor_id").join(lut_q, "qid")
-                .withColumn("approx_dist",
-                    F.aggregate(
-                        F.zip_with("codes", "lut",
-                                   lambda c, l: F.element_at(l, c + F.lit(1))),
-                        F.lit(0).cast("decimal(18,6)"),
-                        lambda acc, x: (acc + x).cast("decimal(18,6)"))
-                     .cast("double"))
-                .select("qid", "neighbor_id", "approx_dist", "probe_rank"))
+    hits = F.transform(
+        F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
+        lambda e: F.struct(
+            e["neighbor_id"].alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(e["codes"], F.col("lut"),
+                           lambda c, l: F.element_at(l, c + F.lit(1))),
+                F.lit(0).cast("decimal(18,6)"),
+                lambda acc, x: (acc + x).cast("decimal(18,6)"))
+             .cast("double").alias("approx_dist")))
+    return (scored.select("qid", "probe_rank",
+                          F.explode(hits).alias("h"))
+                  .select("qid", F.col("h.neighbor_id").alias("neighbor_id"),
+                          F.col("h.approx_dist").alias("approx_dist"),
+                          "probe_rank"))
 
 
 def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, *,

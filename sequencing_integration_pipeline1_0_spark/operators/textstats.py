@@ -765,3 +765,44 @@ def strip_html_boilerplate(col: Column | str) -> Column:
              .alias("n_lines_dropped"))
 
     return bind_once(F.filter(lines, lambda ln: ln != ""), out)
+
+
+def bpe_apply_merge(symseq: Column, left_sym: Column,
+                    right_sym: Column) -> Column:
+    """Apply ONE BPE merge (left_sym, right_sym) to a space-separated
+    symbol sequence — the iteration step of tokenizer training.
+
+    Semantics are exact BPE greedy-leftmost non-overlapping: a left
+    fold appends each symbol unless the accumulator currently ends
+    with left_sym and the incoming symbol is right_sym, in which case
+    the trailing left_sym fuses into left_sym||right_sym. A fused
+    symbol can immediately participate as the LEFT of the next match
+    only if it equals left_sym (impossible: it is strictly longer), so
+    'aaa' under (a,a) correctly becomes ['aa','a'] — the leftmost-
+    first rule falls out of the fold for free, including the l==r run
+    case that breaks string-replace implementations (Java/DuckDB
+    replace() resumes scanning AFTER the replacement, silently
+    dropping the shared-separator match).
+
+    The sequence rides as ONE space-joined string (words contain no
+    whitespace by construction — they come from a whitespace split),
+    so the fold accumulator is a scalar string and the identical
+    shape runs as a DuckDB list_reduce in the oracle. Cost is
+    O(word_len^2) string copying per word — words are short and the
+    fold runs over the DISTINCT-word table, not the corpus."""
+    lsym, rsym = left_sym, right_sym
+    tail = F.concat(F.lit(" "), lsym)
+
+    def step(acc: Column, c: Column) -> Column:
+        ends = (F.length(acc) >= F.length(tail)) & \
+            (F.substring(acc, (F.length(acc) - F.length(tail) + 1)
+                         .cast("int"), F.length(tail).cast("int")) == tail)
+        merged = F.concat(
+            F.substring(acc, F.lit(1),
+                        (F.length(acc) - F.length(tail)).cast("int")),
+            tail, c)
+        return F.when(ends & (c == rsym), merged) \
+                .otherwise(F.concat(acc, F.lit(" "), c))
+
+    folded = F.aggregate(F.split(symseq, " "), F.lit(""), step)
+    return F.ltrim(folded)

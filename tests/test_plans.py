@@ -158,7 +158,12 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # composition seeds both its PQ codebooks (<= k rows)
                     # and its coarse centroids (<= n_cells rows)
                     "pq_encode_batch", "ann_ivfpq_topk",
-                    "ann_ivfpq_recall"}
+                    "ann_ivfpq_recall",
+                    # BPE merge rank runs over the symbol-PAIR count
+                    # table — at most |alphabet|^2 rows regardless of
+                    # corpus size (the word-frequency collapse before
+                    # it is the real fence)
+                    "bpe_merge_topk"}
 
 
 def _global_windows(plan: str) -> int:

@@ -1103,3 +1103,32 @@ def test_random_projection_hand_values(spark):
     # matrix is deterministic across calls/processes
     assert sim.rp_sign_matrix(4, 16) == m
     assert all(s in (-1, 1) for row in m for s in row)
+
+
+def test_bpe_apply_merge_greedy_leftmost(spark):
+    df = spark.createDataFrame(
+        [("t h e",), ("a a a",), ("a a a a",), ("t h t h e",), ("x",),
+         ("",)], "seq string")
+    out = [r["m"] for r in df.select(ts.bpe_apply_merge(
+        F.col("seq"), F.lit("t"), F.lit("h")).alias("m")).collect()]
+    assert out[0] == "th e"
+    # (a,a) on a run: leftmost-first, non-overlapping
+    aa = [r["m"] for r in df.select(ts.bpe_apply_merge(
+        F.col("seq"), F.lit("a"), F.lit("a")).alias("m")).collect()]
+    assert aa[1] == "aa a"
+    assert aa[2] == "aa aa"
+    assert out[3] == "th th e"        # repeated matches both fuse
+    assert out[4] == "x" and out[5] == ""
+
+
+def test_bpe_apply_merge_multichar_symbols(spark):
+    # second training iteration: merged symbol 'th' fuses with 'e'
+    df = spark.createDataFrame([("th e c a t",)], "seq string")
+    out = df.select(ts.bpe_apply_merge(
+        F.col("seq"), F.lit("th"), F.lit("e")).alias("m")).collect()
+    assert out[0]["m"] == "the c a t"
+    # merged symbol must NOT chain as the left of the next match
+    df2 = spark.createDataFrame([("a b b",)], "seq string")
+    out2 = df2.select(ts.bpe_apply_merge(
+        F.col("seq"), F.lit("a"), F.lit("b")).alias("m")).collect()
+    assert out2[0]["m"] == "ab b"
