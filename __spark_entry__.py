@@ -136,7 +136,7 @@ _PRIORITY = [
     "text_chunk_windows", "mm_decode_audio", "mm_audio_features",
     "mm_audio_window_energy", "mm_probe_media", "bpe_merge_topk",
     "train_shard_manifest", "emb_random_projection",
-    "html_boilerplate_strip",
+    "html_boilerplate_strip", "bpe_train_step", "bm25_topk",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -806,3 +806,134 @@ def bpe_apply_merge(symseq: Column, left_sym: Column,
 
     folded = F.aggregate(F.split(symseq, " "), F.lit(""), step)
     return F.ltrim(folded)
+
+
+def bpe_merge_step(df, text_col: str = "text",
+                   k: int = BPE_TOPK) -> "DataFrame":
+    """Second BPE training iteration: adjacent-pair counts AFTER the
+    corpus's rank-1 merge is applied to every word's symbol sequence —
+    proving the train loop closes (count -> pick -> apply -> recount),
+    not just the first count (bpe_topk_merges).
+
+    Shape: the corpus collapses to its word-frequency table, each
+    distinct word becomes a space-separated char sequence, the top-1
+    merge (a 1-row broadcast — the documented scalar pattern) fuses
+    via bpe_apply_merge's fold, and pairs re-extract from the merged
+    arrays weighted by word count. Post-merge symbols are multi-char,
+    so rank ties break on plain symbol order (ASCII corpus: byte order
+    and codepoint order agree across engines; bpe_topk_merges' ascii()
+    trick only covers single chars).
+
+    Production note: a full tokenizer train materializes the word
+    table ONCE and iterates merges over it driver-side (SentencePiece
+    trains from word counts for the same reason); this certified query
+    recomputes the word table in both branches because catalog results
+    are single lazy DataFrames — at scale, persist the word table and
+    feed each iteration from it."""
+    from pyspark.sql import Window
+    wf = (df.select(F.explode(words(
+               F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w").agg(F.count("*").alias("n")))
+    top1 = (bpe_topk_merges(df, text_col, k=1)
+            .select(F.col("left_sym").alias("m_l"),
+                    F.col("right_sym").alias("m_r")))
+    seq0 = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substring(F.col("w"), i, F.lit(1))), " ")
+    merged = (wf.crossJoin(F.broadcast(top1))
+                .withColumn("arr", F.split(
+                    bpe_apply_merge(seq0, F.col("m_l"), F.col("m_r")),
+                    " ")))
+    pair = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("arr") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("arr"), i).alias("left_sym"),
+            F.element_at(F.col("arr"), i + 1).alias("right_sym"))))
+    c = (merged.where(F.size("arr") >= 2)
+               .select(pair.alias("p"), "n")
+               .groupBy("p.left_sym", "p.right_sym")
+               .agg(F.sum("n").cast("bigint").alias("pair_count")))
+    w = Window.orderBy(F.col("pair_count").desc(), "left_sym",
+                       "right_sym")
+    return (c.withColumn("rank", F.row_number().over(w).cast("int"))
+             .where(F.col("rank") <= k))
+
+
+#: BM25 defaults (Lucene-style idf); the oracle SQL interpolates THESE
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+#: fixed keyword queries over the corpus vocabulary — a retrieval
+#: harness needs a deterministic query set, not a random one
+BM25_QUERIES = (("q1", ("hash", "join")),
+                ("q2", ("window", "agg", "sort")),
+                ("q3", ("scan", "filter", "vector")),
+                ("q4", ("merge", "stream")))
+
+
+def bm25_topk(df, id_col: str = "doc_id", text_col: str = "text", *,
+              queries=BM25_QUERIES, k1: float = BM25_K1,
+              b: float = BM25_B, k: int = BM25_TOPK,
+              salt_buckets: int = 32) -> "DataFrame":
+    """BM25 keyword retrieval: top-k documents per query under the
+    Lucene scoring shape — idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf saturation k1, length normalization b against the corpus
+    average doc length.
+
+    Scale shape: ONE corpus pass — each doc's word array meets the
+    literal query-term list via a map-side explode (|terms| ~ 10
+    struct literals, no join), per-term tf is an array filter, and
+    rows with tf = 0 drop before anything shuffles. Everything global
+    is tiny and broadcast: doc frequency (≤ |terms| rows), corpus
+    N/avgdl (1 row). Per-(query, doc) scores are rounded to 1e-6 and
+    summed as decimals, so partial-aggregation order cannot flip the
+    hash. The final per-query top-k is TWO-phase: a local top-k per
+    (query, hash bucket) bounds the per-query window to
+    salt_buckets * k rows — a 4-value partition key never funnels
+    the corpus through 4 tasks."""
+    from pyspark.sql import Window
+    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))),
+                  lambda x: x != "")
+    d = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    g = d.agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum(F.size("ws")).cast("long").alias("tot_len"))
+    qlit = F.array(*[F.struct(F.lit(qid).alias("query_id"),
+                              F.lit(t).alias("term"))
+                     for qid, terms in queries for t in terms])
+    tf = (d.select("doc_id", "ws", F.size("ws").cast("long").alias("dl"),
+                   F.explode(qlit).alias("q"))
+           .select("doc_id", "dl", "q.query_id", "q.term",
+                   F.size(F.filter(F.col("ws"),
+                                   lambda x: x == F.col("q.term")))
+                    .cast("long").alias("tf"))
+           .where(F.col("tf") > 0))
+    dfreq = (tf.groupBy("query_id", "term")
+               .agg(F.count("*").cast("long").alias("dft")))
+    # expression mirrors the oracle token-for-token: left-associative
+    # doubles in the same order, ln is the only transcendental, and
+    # round(..., 6) -> decimal makes the per-term score exact before
+    # the order-free decimal sum
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+                / (F.col("dft") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1) *
+             (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl")
+              / (F.col("tot_len").cast("double") / F.col("n_docs"))))
+    s = F.round(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 6) \
+         .cast("decimal(18,6)")
+    agg = (tf.join(F.broadcast(dfreq), ["query_id", "term"])
+             .crossJoin(F.broadcast(g))
+             .select("query_id", "doc_id", s.alias("s"))
+             .groupBy("query_id", "doc_id")
+             .agg(F.sum("s").cast("decimal(18,6)").cast("double")
+                   .alias("score")))
+    lw = Window.partitionBy("query_id", "bkt").orderBy(
+        F.col("score").desc(), "doc_id")
+    loc = (agg.withColumn("bkt", F.pmod(F.hash("doc_id"),
+                                        F.lit(salt_buckets)))
+              .withColumn("r", F.row_number().over(lw))
+              .where(F.col("r") <= k).drop("bkt", "r"))
+    fw = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                                "doc_id")
+    return (loc.withColumn("rnk", F.row_number().over(fw).cast("int"))
+               .where(F.col("rnk") <= k))

@@ -7195,3 +7195,134 @@ def html_boilerplate_strip(spark, sf_dir):
                 textstats.strip_html_boilerplate(html).alias("s"))
              .select("doc_id", "s.clean_text", "s.n_lines_kept",
                      "s.n_lines_dropped"))
+
+
+_BPE_STEP_SQL = f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')),
+                                            '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+p0 AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+         substr(w, CAST(i + 1 AS INT), 1) AS right_sym, n
+  FROM wf, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2),
+c0 AS (
+  SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM p0 GROUP BY 1, 2),
+top1 AS (
+  SELECT left_sym AS l, right_sym AS r FROM c0
+  ORDER BY pair_count DESC, unicode(left_sym), unicode(right_sym),
+           left_sym, right_sym
+  LIMIT 1),
+sym AS (
+  SELECT n, ltrim(list_reduce(
+    list_prepend('', regexp_split_to_array(w, '')),
+    (acc, c) -> CASE
+      WHEN length(acc) >= length(' ' || l)
+           AND acc[-(length(' ' || l)):] = ' ' || l AND c = r
+      THEN acc[1:length(acc) - length(' ' || l)] || ' ' || l || c
+      ELSE acc || ' ' || c END)) AS seq2
+  FROM wf, top1),
+arr AS (SELECT n, string_split(seq2, ' ') AS a FROM sym),
+p AS (
+  SELECT a[CAST(i AS INT)] AS left_sym,
+         a[CAST(i + 1 AS INT)] AS right_sym, n
+  FROM arr, unnest(range(1, len(a))) AS t(i)
+  WHERE len(a) >= 2),
+c AS (
+  SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM p GROUP BY 1, 2)
+SELECT left_sym, right_sym, pair_count,
+  CAST(row_number() OVER (ORDER BY pair_count DESC, left_sym,
+                          right_sym) AS INT) AS rank
+FROM c QUALIFY rank <= {textstats.BPE_TOPK}
+"""
+
+
+@register("bpe_train_step", _BPE_STEP_SQL)
+def bpe_train_step(spark, sf_dir):
+    """The BPE training loop CLOSES: count pairs, pick the rank-1
+    merge, APPLY it to every word's symbol sequence via the greedy
+    leftmost fold (textstats.bpe_apply_merge — DuckDB mirrors it as a
+    list_reduce over the same char list), and recount pairs over the
+    merged sequences. Generalizes the reference's char-frequency QA
+    (F16 wdrs_qa_functions.R:154-167) into the iteration real
+    tokenizer training runs thousands of times.
+
+    Scale shape (textstats.bpe_merge_step): everything after the
+    word-frequency collapse rides the DISTINCT-word table weighted by
+    count — vocabulary-sized, not corpus-sized; the top-1 merge is a
+    1-row broadcast; the output rank window is over the symbol-pair
+    table (bounded by the merged alphabet squared)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_merge_step(d, "text")
+
+
+def _bm25_query_values() -> str:
+    return ",".join(f"('{qid}','{t}')"
+                    for qid, terms in textstats.BM25_QUERIES
+                    for t in terms)
+
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(ws)) AS BIGINT) AS tot_len FROM d),
+qt AS (SELECT * FROM (VALUES {_bm25_query_values()})
+       v(query_id, term)),
+tf AS (
+  SELECT q.query_id, q.term, d.doc_id,
+         CAST(len(list_filter(d.ws, x -> x = q.term)) AS BIGINT) AS tf,
+         CAST(len(d.ws) AS BIGINT) AS dl
+  FROM d, qt q
+  WHERE len(list_filter(d.ws, x -> x = q.term)) > 0),
+dfreq AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS dft
+  FROM tf GROUP BY 1, 2),
+sc AS (
+  SELECT t.query_id, t.doc_id,
+    CAST(round(
+      ln(1 + (g.n_docs - f.dft + 0.5) / (f.dft + 0.5)) *
+      (t.tf * {textstats.BM25_K1 + 1.0}) /
+      (t.tf + {textstats.BM25_K1} *
+       (1 - {textstats.BM25_B} + {textstats.BM25_B} * t.dl /
+        (CAST(g.tot_len AS DOUBLE) / g.n_docs))), 6)
+      AS DECIMAL(18,6)) AS s
+  FROM tf t JOIN dfreq f USING (query_id, term) CROSS JOIN g),
+agg AS (SELECT query_id, doc_id,
+        CAST(CAST(sum(s) AS DECIMAL(18,6)) AS DOUBLE) AS score
+        FROM sc GROUP BY 1, 2)
+SELECT query_id, doc_id, score,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM agg QUALIFY rnk <= {textstats.BM25_TOPK}
+"""
+
+
+@register("bm25_topk", _BM25_SQL)
+def bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval over the corpus (textstats.bm25_topk):
+    top-10 docs for each of 4 fixed keyword queries under Lucene
+    scoring — ln(1+(N-df+0.5)/(df+0.5)) idf, k1 tf saturation, b
+    length normalization vs corpus avgdl. The lexical-search sibling
+    of the ANN family: a training-data pipeline retrieves by keyword
+    (contamination audits, targeted corpus slices) as often as by
+    embedding.
+
+    Scale shape: one corpus pass; query terms are literal structs
+    exploded map-side (no join against the corpus); tf=0 rows drop
+    before any shuffle; doc-frequency (≤|terms| rows) and N/avgdl
+    (1 row) broadcast back; per-term scores round to 1e-6 decimals so
+    the per-(query,doc) sum is order-free; and the per-query top-10
+    runs two-phase (local top-k per hash bucket first) so the 4-value
+    partition key never funnels the corpus through 4 tasks."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bm25_topk(d, "doc_id", "text")

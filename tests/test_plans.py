@@ -44,6 +44,11 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # the exploded corpus (same scalar-broadcast shape
                   # as tfidf's corpus-size row)
                   "unigram_doc_score",
+                  # 1-row top-1 merge broadcast onto the word table
+                  "bpe_train_step",
+                  # 1-row corpus N/avgdl scalar broadcast onto the
+                  # slim (query,doc,tf) rows
+                  "bm25_topk",
                   # broadcast codebook assignment: batch x n_cells
                   # centroids, linear in batch (same as semantic cells)
                   "ivf_assign_batch",
@@ -162,8 +167,9 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before
-                    # it is the real fence)
-                    "bpe_merge_topk"}
+                    # it is the real fence); the train step adds the
+                    # same window post-merge (merged-alphabet^2)
+                    "bpe_merge_topk", "bpe_train_step"}
 
 
 def _global_windows(plan: str) -> int:

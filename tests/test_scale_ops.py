@@ -1132,3 +1132,37 @@ def test_bpe_apply_merge_multichar_symbols(spark):
     out2 = df2.select(ts.bpe_apply_merge(
         F.col("seq"), F.lit("a"), F.lit("b")).alias("m")).collect()
     assert out2[0]["m"] == "ab b"
+
+
+def test_bpe_merge_step_hand_values(spark):
+    # corpus: 'abab' x3, 'ab' x2 -> initial pairs: ab:3*3+2=11? no:
+    # 'abab' has a-b, b-a, a-b -> ab twice per word. ab: 3*2+2*1 = 8,
+    # ba: 3. top-1 merge = (a,b). post-merge words: 'ab ab' x3,
+    # 'ab' x2 -> pairs: (ab,ab): 3
+    df = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string")
+    rows = ts.bpe_merge_step(df, "text").collect()
+    out = {(r["left_sym"], r["right_sym"]): (r["pair_count"], r["rank"])
+           for r in rows}
+    assert out == {("ab", "ab"): (3, 1)}
+
+
+def test_bm25_topk_hand_values(spark):
+    import math
+    # 3 docs; query 'hash join': doc1 has both, doc2 one, doc3 none
+    df = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "join scan scan scan"),
+         (3, "sort sort")], "doc_id long, text string")
+    rows = ts.bm25_topk(df, queries=(("q", ("hash", "join")),),
+                        k=3).collect()
+    got = {r["doc_id"]: (r["score"], r["rnk"]) for r in rows}
+    n_docs, avgdl = 3, 9 / 3
+    def s(tf, dl, dft):
+        idf = math.log(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+        return round(idf * (tf * 2.2)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+    exp1 = round(s(2, 3, 1) + s(1, 3, 2), 6)
+    exp2 = round(s(1, 4, 2), 6)
+    assert got[1] == (exp1, 1)
+    assert got[2] == (exp2, 2)
+    assert 3 not in got          # no query term -> never scored
