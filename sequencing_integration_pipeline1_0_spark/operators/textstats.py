@@ -937,3 +937,102 @@ def bm25_topk(df, id_col: str = "doc_id", text_col: str = "text", *,
                                                 "doc_id")
     return (loc.withColumn("rnk", F.row_number().over(fw).cast("int"))
                .where(F.col("rnk") <= k))
+
+
+#: bigram-LM interpolation weight (KenLM-lite); oracle interpolates THESE
+BIGRAM_LAMBDA = 0.7
+BIGRAM_TOPK = 512
+BIGRAM_UNI_TOPK = 256
+
+
+def bigram_doc_score(df, id_col: str = "doc_id",
+                     text_col: str = "text", *,
+                     lam: float = BIGRAM_LAMBDA,
+                     bi_topk: int | None = BIGRAM_TOPK,
+                     uni_topk: int | None = BIGRAM_UNI_TOPK,
+                     round_to: int = 6) -> "DataFrame":
+    """KenLM-lite interpolated bigram LM quality score — the step up
+    from unigram_doc_score that CCNet-style curation actually runs
+    (a context model separates fluent text from bag-of-frequent-words
+    gibberish the unigram model cannot).
+
+    Semantics: token probabilities are linear-interpolated
+    lam * P(w|prev) + (1-lam) * P(w); the first token of a doc scores
+    pure P(w); unknown/cut unigrams take the 1/(total+1) OOV floor;
+    unknown/cut bigrams contribute P(w|prev) = 0 (the interpolation
+    absorbs the zero — no backoff discounting needed). Context totals
+    renormalize over the KEPT bigram table, so the cut model is
+    self-consistent. Empty docs get the floor ln((1-lam)/(total+1))
+    (an OOV token with a zero bigram term) rather than null so gates
+    compose. Per-token log-probs quantize to 1e-round_to and sum in
+    DECIMAL — the house partition-order-exact path.
+
+    Scale shape: both models are top-k-cut broadcastable tables
+    (bigrams ≤ bi_topk rows, unigrams ≤ uni_topk, context totals
+    derive from the cut bigrams); scoring is map-side joins on the
+    pos-exploded corpus + one groupBy(doc). Corpus text never
+    shuffles; the only corpus-bound aggs are the two count tables
+    (map-side combinable)."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+    ws_col = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))),
+                      lambda x: x != "")
+    d = df.select(F.col(id_col).alias("__id"), ws_col.alias("ws"))
+
+    toks = d.select(F.explode("ws").alias("tok"))
+    ucnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    if uni_topk is not None:
+        ucnt = ucnt.orderBy(F.col("n").desc(), "tok").limit(uni_topk)
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("t"))
+
+    pairs = (d.where(F.size("ws") >= 2)
+              .select(F.explode(F.transform(
+                  F.sequence(F.lit(1), F.size("ws") - 1),
+                  lambda i: F.struct(
+                      F.element_at(F.col("ws"), i).alias("prev"),
+                      F.element_at(F.col("ws"), i + 1).alias("cur"))))
+                  .alias("p"))
+              .groupBy("p.prev", "p.cur")
+              .agg(F.count(F.lit(1)).alias("nb")))
+    if bi_topk is not None:
+        pairs = (pairs.orderBy(F.col("nb").desc(), "prev", "cur")
+                      .limit(bi_topk))
+    ctx = pairs.groupBy("prev").agg(F.sum("nb").cast("long")
+                                     .alias("nprev"))
+
+    pos = (d.select("__id", "ws",
+                    F.posexplode_outer("ws").alias("pos", "tok"))
+            .select("__id", "tok",
+                    F.when(F.col("pos") > 0,
+                           F.element_at(F.col("ws"), F.col("pos")))
+                     .alias("prev")))
+    pu = F.coalesce(F.col("n").cast("double") / F.col("t"),
+                    F.lit(1.0) / (F.col("t") + F.lit(1.0)))
+    pb = F.coalesce(F.col("nb").cast("double") / F.col("nprev"),
+                    F.lit(0.0))
+    p = F.when(F.col("prev").isNull(), pu) \
+         .otherwise(F.lit(lam) * pb + F.lit(1.0 - lam) * pu)
+    lp = F.round(F.log(p), round_to).cast(f"decimal(28,{round_to})")
+    bi = pairs.select(F.col("prev").alias("__bp"),
+                      F.col("cur").alias("__bc"), "nb")
+    scored = (pos.join(F.broadcast(ucnt), ["tok"], "left")
+                 .join(F.broadcast(bi),
+                       (F.col("prev") == F.col("__bp"))
+                       & (F.col("tok") == F.col("__bc")), "left")
+                 .join(F.broadcast(ctx.withColumnRenamed("prev", "__cp")),
+                       F.col("prev") == F.col("__cp"), "left")
+                 .join(F.broadcast(total))
+                 .select("__id",
+                         F.when(F.col("tok").isNotNull(), lp).alias("lp"),
+                         F.col("tok").isNotNull().cast("int")
+                          .alias("__has")))
+    per = (scored.groupBy("__id")
+                 .agg(F.sum("lp").alias("__sum"),
+                      F.sum("__has").cast("long").alias("n_tokens")))
+    floor = F.round(F.log(F.lit(1.0 - lam) / (F.col("t") + F.lit(1.0))),
+                    round_to)
+    return (per.join(F.broadcast(total))
+               .select(F.col("__id").alias(id_col), "n_tokens",
+                       F.when(F.col("n_tokens") > 0,
+                              F.round(F.col("__sum").cast("double")
+                                      / F.col("n_tokens"), round_to))
+                        .otherwise(floor).alias("mean_logp")))

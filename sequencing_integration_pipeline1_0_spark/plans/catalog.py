@@ -7326,3 +7326,74 @@ def bm25_topk(spark, sf_dir):
     partition key never funnels the corpus through 4 tasks."""
     d = _t(spark, sf_dir, "documents")
     return textstats.bm25_topk(d, "doc_id", "text")
+
+
+_BIGRAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+toks AS (SELECT unnest(ws) AS tok FROM d),
+ucnt0 AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+ucnt AS (SELECT tok, n FROM ucnt0
+         ORDER BY n DESC, tok LIMIT {textstats.BIGRAM_UNI_TOPK}),
+total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+pr0 AS (
+  SELECT ws[CAST(i AS INT)] AS prev, ws[CAST(i + 1 AS INT)] AS cur
+  FROM d, unnest(range(1, len(ws))) t(i)
+  WHERE len(ws) >= 2),
+bc0 AS (SELECT prev, cur, count(*) AS nb FROM pr0 GROUP BY 1, 2),
+bc AS (SELECT prev, cur, nb FROM bc0
+       ORDER BY nb DESC, prev, cur LIMIT {textstats.BIGRAM_TOPK}),
+ctx AS (SELECT prev, CAST(sum(nb) AS BIGINT) AS nprev
+        FROM bc GROUP BY prev),
+pos AS (
+  SELECT d.doc_id, ws[CAST(i AS INT)] AS tok,
+         CASE WHEN i > 1 THEN ws[CAST(i - 1 AS INT)] END AS prev
+  FROM d, unnest(range(1, len(ws) + 1)) t(i)),
+sc AS (
+  SELECT p.doc_id,
+    CAST(round(ln(CASE WHEN p.prev IS NULL
+      THEN coalesce(CAST(u.n AS DOUBLE) / tt.t, 1.0 / (tt.t + 1.0))
+      ELSE {textstats.BIGRAM_LAMBDA}
+             * coalesce(CAST(b.nb AS DOUBLE) / c.nprev, 0.0)
+           + {1.0 - textstats.BIGRAM_LAMBDA}
+             * coalesce(CAST(u.n AS DOUBLE) / tt.t, 1.0 / (tt.t + 1.0))
+      END), 6) AS DECIMAL(28,6)) AS lp
+  FROM pos p
+  LEFT JOIN ucnt u ON p.tok = u.tok
+  LEFT JOIN bc b ON p.prev = b.prev AND p.tok = b.cur
+  LEFT JOIN ctx c ON p.prev = c.prev
+  CROSS JOIN total tt),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logp
+  FROM sc GROUP BY doc_id)
+SELECT dd.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+  coalesce(p.mean_logp,
+    (SELECT round(ln({1.0 - textstats.BIGRAM_LAMBDA} / (t + 1.0)), 6)
+     FROM total)) AS mean_logp
+FROM documents dd LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("bigram_doc_score", _BIGRAM_SQL)
+def bigram_doc_score_q(spark, sf_dir):
+    """KenLM-lite interpolated bigram-LM quality score
+    (textstats.bigram_doc_score): lam * P(w|prev) + (1-lam) * P(w)
+    per token, first tokens pure-unigram, cut bigrams interpolate
+    through zero, below-cut unigrams at the 1/(total+1) OOV floor —
+    the context-model upgrade of unigram_doc_score that separates
+    fluent text from frequent-word gibberish (what CCNet's KenLM
+    perplexity bucketing actually measures).
+
+    Scale shape: both models are top-k-cut broadcast tables (bigrams
+    512, unigrams 256, context totals derived from the CUT bigram
+    table so the model renormalizes consistently); scoring is
+    map-side joins on the pos-exploded corpus + one groupBy(doc);
+    per-token logps quantize to 1e-6 decimals so the mean is
+    partition-order exact."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bigram_doc_score(d, "doc_id", "text")

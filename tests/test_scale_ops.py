@@ -1166,3 +1166,24 @@ def test_bm25_topk_hand_values(spark):
     assert got[1] == (exp1, 1)
     assert got[2] == (exp2, 2)
     assert 3 not in got          # no query term -> never scored
+
+
+def test_bigram_doc_score_hand_values(spark):
+    import math
+    # corpus: doc1 'a b a b', doc2 'a b', doc3 '' -> total=6 tokens
+    # unigrams: a:3, b:3; bigrams: (a,b):3, (b,a):1; ctx: a->3, b->1
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, None)],
+        "doc_id long, text string")
+    rows = ts.bigram_doc_score(df).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_logp"]) for r in rows}
+    pu = 3 / 6
+    lp_first = round(math.log(pu), 6)                  # pure unigram
+    lp_ab = round(math.log(0.7 * (3 / 3) + 0.3 * pu), 6)
+    lp_ba = round(math.log(0.7 * (1 / 1) + 0.3 * pu), 6)
+    exp1 = round((lp_first + lp_ab + lp_ba + lp_ab) / 4, 6)
+    exp2 = round((lp_first + lp_ab) / 2, 6)
+    floor = round(math.log(0.30000000000000004 / 7.0), 6)
+    assert got[1] == (4, exp1)
+    assert got[2] == (2, exp2)
+    assert got[3] == (0, floor)                        # empty doc
