@@ -137,7 +137,7 @@ _PRIORITY = [
     "mm_audio_window_energy", "mm_probe_media", "bpe_merge_topk",
     "train_shard_manifest", "emb_random_projection",
     "html_boilerplate_strip", "bpe_train_step", "bm25_topk",
-    "bigram_doc_score",
+    "bigram_doc_score", "quality_logreg_train",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

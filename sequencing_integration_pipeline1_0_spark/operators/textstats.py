@@ -1036,3 +1036,72 @@ def bigram_doc_score(df, id_col: str = "doc_id",
                               F.round(F.col("__sum").cast("double")
                                       / F.col("n_tokens"), round_to))
                         .otherwise(floor).alias("mean_logp")))
+
+
+#: logistic-regression trainer defaults; oracle interpolates THESE
+LOGREG_LR = 0.5
+LOGREG_ITERS = 3
+LOGREG_LABEL_MIN_TOKENS = 40
+
+
+def quality_logreg_train(df, text_col: str = "text", *,
+                         lr: float = LOGREG_LR,
+                         iters: int = LOGREG_ITERS,
+                         label_min_tokens: int = LOGREG_LABEL_MIN_TOKENS
+                         ) -> "DataFrame":
+    """TRAIN the quality classifier, not just apply one
+    (quality_linear_logit is the apply side): batch gradient descent
+    on logistic loss over 4 deterministic per-doc features — bias,
+    scaled token count, unique-token ratio, scaled mean word length —
+    with the label 'has >= label_min_tokens tokens'. The fastText-style
+    quality-classifier training loop of LLM curation, done the
+    declarative-iteration way (train_ivf_codebook's Lloyd recurrence:
+    unrolled iterations in ONE Catalyst plan, no driver collect).
+
+    Exactness discipline: features quantize to 1e-6 at extraction; the
+    sigmoid z folds in a FIXED expression order (w0*x0 + w1*x1 + ...);
+    per-doc gradient contributions round to 1e-8 and sum in
+    DECIMAL(20,8) (partition-order exact); each weight update rounds
+    back to 1e-8 — so the whole recurrence is bit-identical to a SQL
+    oracle running the same arithmetic. exp() is the only
+    transcendental (the ln-in-tfidf precedent).
+
+    Scale shape per iteration: the 1-row weight vector broadcasts onto
+    the feature pass (map-side sigmoid + gradient), ONE map-side
+    combinable agg produces the 1-row gradient — nothing but scalars
+    ever shuffles; iterations chain lazily. Returns (feature_idx,
+    weight)."""
+    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))),
+                  lambda x: x != "")
+    nt = F.size("ws").cast("double")
+    feats = (df.select(ws.alias("ws"),
+                       F.length(F.coalesce(F.col(text_col), F.lit("")))
+                        .cast("double").alias("nc"))
+               .select(F.lit(1.0).alias("x0"),
+                       F.round(nt / F.lit(100.0), 6).alias("x1"),
+                       F.round(F.size(F.array_distinct("ws"))
+                                .cast("double") / (nt + F.lit(1.0)), 6)
+                        .alias("x2"),
+                       F.round(F.col("nc") / (nt * F.lit(10.0)
+                                              + F.lit(1.0)), 6)
+                        .alias("x3"),
+                       (F.size("ws") >= label_min_tokens)
+                        .cast("double").alias("y")))
+    wcur = df.sparkSession.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(4)])
+    for _ in range(iters):
+        z = (F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1")
+             + F.col("w2") * F.col("x2") + F.col("w3") * F.col("x3"))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grad = (feats.crossJoin(F.broadcast(wcur))
+                     .agg(*[(F.sum(F.round((p - F.col("y"))
+                                           * F.col(f"x{j}"), 8)
+                                    .cast("decimal(20,8)"))
+                             .cast("double") / F.count(F.lit(1)))
+                            .alias(f"g{j}") for j in range(4)]))
+        wcur = (wcur.crossJoin(F.broadcast(grad))
+                    .select(*[F.round(F.col(f"w{j}")
+                                      - F.lit(lr) * F.col(f"g{j}"), 8)
+                              .alias(f"w{j}") for j in range(4)]))
+    return wcur.select(F.posexplode(F.array("w0", "w1", "w2", "w3"))
+                        .alias("feature_idx", "weight"))

@@ -7397,3 +7397,62 @@ def bigram_doc_score_q(spark, sf_dir):
     partition-order exact."""
     d = _t(spark, sf_dir, "documents")
     return textstats.bigram_doc_score(d, "doc_id", "text")
+
+
+def _logreg_sql() -> str:
+    """Unrolled batch-GD oracle for quality_logreg_train — built
+    programmatically so iteration count / lr / label threshold
+    single-source from the textstats constants."""
+    lr = textstats.LOGREG_LR
+    iters = textstats.LOGREG_ITERS
+    mint = textstats.LOGREG_LABEL_MIN_TOKENS
+    parts = [f"""WITH f AS (
+  SELECT 1.0 AS x0,
+    round(CAST(len(ws) AS DOUBLE) / 100.0, 6) AS x1,
+    round(CAST(len(list_distinct(ws)) AS DOUBLE)
+          / (CAST(len(ws) AS DOUBLE) + 1.0), 6) AS x2,
+    round(CAST(length(coalesce(text, '')) AS DOUBLE)
+          / (CAST(len(ws) AS DOUBLE) * 10.0 + 1.0), 6) AS x3,
+    CASE WHEN len(ws) >= {mint} THEN 1.0 ELSE 0.0 END AS y
+  FROM (SELECT text,
+          list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                            '\\s+'),
+                      x -> x <> '') AS ws
+        FROM documents)),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""]
+    for i in range(iters):
+        zs = " + ".join(f"w.w{j} * f.x{j}" for j in range(4))
+        gs = ", ".join(
+            f"CAST(sum(CAST(round((1.0 / (1.0 + exp(-({zs}))) - f.y)"
+            f" * f.x{j}, 8) AS DECIMAL(20,8))) AS DOUBLE)"
+            f" / count(*) AS g{j}"
+            for j in range(4))
+        parts.append(f"g{i + 1} AS (SELECT {gs} FROM f, w{i} w)")
+        us = ", ".join(f"round(w.w{j} - {lr} * g.g{j}, 8) AS w{j}"
+                       for j in range(4))
+        parts.append(f"w{i + 1} AS (SELECT {us} FROM w{i} w, g{i + 1} g)")
+    return ",\n".join(parts) + f"""
+SELECT CAST(v.i AS INT) AS feature_idx,
+  CASE v.i WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END
+    AS weight
+FROM w{iters}, (VALUES (0), (1), (2), (3)) v(i)"""
+
+
+@register("quality_logreg_train", _logreg_sql())
+def quality_logreg_train_q(spark, sf_dir):
+    """Quality-classifier TRAINING (textstats.quality_logreg_train):
+    3 unrolled batch-GD iterations of logistic regression over 4
+    deterministic per-doc features (bias, scaled token count,
+    unique-token ratio, scaled mean word length), label = doc has
+    >= 40 tokens — the fastText-style classifier-training loop of
+    LLM curation as ONE declarative Catalyst plan (the Lloyd
+    recurrence pattern), no driver collect.
+
+    Exactness: features quantize at 1e-6, gradient contributions at
+    1e-8 into DECIMAL(20,8) sums, weights re-round to 1e-8 per step;
+    sigmoid z folds in fixed expression order, so all three
+    iterations are bit-identical to the generated SQL recurrence.
+    Scale: per iteration the 1-row weights broadcast; ONE map-side
+    combinable agg emits the 1-row gradient; only scalars shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_logreg_train(d, "text")

@@ -52,6 +52,9 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # 1-row corpus-mass scalar broadcast twice (scoring
                   # + empty-doc floor), same shape as unigram_doc_score
                   "bigram_doc_score",
+                  # unrolled GD recurrence: 1-row weight/gradient
+                  # scalars broadcast per iteration (Lloyd pattern)
+                  "quality_logreg_train",
                   # broadcast codebook assignment: batch x n_cells
                   # centroids, linear in batch (same as semantic cells)
                   "ivf_assign_batch",

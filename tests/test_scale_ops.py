@@ -1187,3 +1187,45 @@ def test_bigram_doc_score_hand_values(spark):
     assert got[1] == (4, exp1)
     assert got[2] == (2, exp2)
     assert got[3] == (0, floor)                        # empty doc
+
+
+def test_quality_logreg_train_hand_values(spark):
+    import math
+    docs = [(1, "a b c d e"), (2, "x y"), (3, " ".join(["w"] * 50))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["feature_idx"]: r["weight"]
+           for r in ts.quality_logreg_train(df, "text").collect()}
+
+    # replicate the exact recurrence in python
+    feats = []
+    for _, text in docs:
+        ws = [w for w in text.strip().split() if w]
+        nt = float(len(ws))
+        nc = float(len(text))
+        x = [1.0, round(nt / 100.0, 6),
+             round(len(set(ws)) / (nt + 1.0), 6),
+             round(nc / (nt * 10.0 + 1.0), 6)]
+        y = 1.0 if len(ws) >= ts.LOGREG_LABEL_MIN_TOKENS else 0.0
+        feats.append((x, y))
+    # Spark/DuckDB round() is HALF_UP and gradient contributions sum
+    # as exact decimals — python's bankers round() would drift at
+    # boundary values, so mirror with Decimal arithmetic
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r(v: float, nd: int) -> Decimal:
+        return Decimal(repr(v)).quantize(Decimal(1).scaleb(-nd),
+                                         rounding=ROUND_HALF_UP)
+
+    w = [0.0] * 4
+    for _ in range(ts.LOGREG_ITERS):
+        g = [Decimal(0)] * 4
+        for x, y in feats:
+            z = w[0] * x[0] + w[1] * x[1] + w[2] * x[2] + w[3] * x[3]
+            p = 1.0 / (1.0 + math.exp(-z))
+            for j in range(4):
+                g[j] += r((p - y) * x[j], 8)
+        w = [float(r(w[j] - ts.LOGREG_LR * (float(g[j]) / len(feats)),
+                     8))
+             for j in range(4)]
+    for j in range(4):
+        assert abs(got[j] - w[j]) < 1e-12, (j, got[j], w[j])
