@@ -1038,9 +1038,14 @@ def bigram_doc_score(df, id_col: str = "doc_id",
                         .otherwise(floor).alias("mean_logp")))
 
 
-#: logistic-regression trainer defaults; oracle interpolates THESE
-LOGREG_LR = 0.5
-LOGREG_ITERS = 3
+#: logistic-regression trainer defaults; oracle interpolates THESE.
+#: lr/iters chosen by measurement: batch GD from zero weights needs the
+#: token-count feature CENTERED on the label boundary and a few strong
+#: steps before the classifier predicts both classes (0.5/3 leaves it
+#: degenerate-all-positive at the 69% base rate; 4.0/8 reaches ~88%
+#: with a populated confusion matrix)
+LOGREG_LR = 4.0
+LOGREG_ITERS = 8
 LOGREG_LABEL_MIN_TOKENS = 40
 
 
@@ -1071,6 +1076,22 @@ def quality_logreg_train(df, text_col: str = "text", *,
     combinable agg produces the 1-row gradient — nothing but scalars
     ever shuffles; iterations chain lazily. Returns (feature_idx,
     weight)."""
+    _, wcur = _logreg_fit(df, text_col, lr=lr, iters=iters,
+                          label_min_tokens=label_min_tokens)
+    return wcur.select(F.posexplode(F.array("w0", "w1", "w2", "w3"))
+                        .alias("feature_idx", "weight"))
+
+
+def _logreg_z() -> Column:
+    return (F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2") + F.col("w3") * F.col("x3"))
+
+
+def _logreg_fit(df, text_col: str, *, lr: float, iters: int,
+                label_min_tokens: int):
+    """Shared core of the logreg trainer: returns (feats, weights) —
+    the per-doc feature/label frame and the trained 1-row weight
+    frame, both lazy."""
     ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))),
                   lambda x: x != "")
     nt = F.size("ws").cast("double")
@@ -1078,7 +1099,8 @@ def quality_logreg_train(df, text_col: str = "text", *,
                        F.length(F.coalesce(F.col(text_col), F.lit("")))
                         .cast("double").alias("nc"))
                .select(F.lit(1.0).alias("x0"),
-                       F.round(nt / F.lit(100.0), 6).alias("x1"),
+                       F.round((nt - F.lit(float(label_min_tokens)))
+                               / F.lit(100.0), 6).alias("x1"),
                        F.round(F.size(F.array_distinct("ws"))
                                 .cast("double") / (nt + F.lit(1.0)), 6)
                         .alias("x2"),
@@ -1090,9 +1112,7 @@ def quality_logreg_train(df, text_col: str = "text", *,
     wcur = df.sparkSession.range(1).select(
         *[F.lit(0.0).alias(f"w{j}") for j in range(4)])
     for _ in range(iters):
-        z = (F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1")
-             + F.col("w2") * F.col("x2") + F.col("w3") * F.col("x3"))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z()))
         grad = (feats.crossJoin(F.broadcast(wcur))
                      .agg(*[(F.sum(F.round((p - F.col("y"))
                                            * F.col(f"x{j}"), 8)
@@ -1103,5 +1123,37 @@ def quality_logreg_train(df, text_col: str = "text", *,
                     .select(*[F.round(F.col(f"w{j}")
                                       - F.lit(lr) * F.col(f"g{j}"), 8)
                               .alias(f"w{j}") for j in range(4)]))
-    return wcur.select(F.posexplode(F.array("w0", "w1", "w2", "w3"))
-                        .alias("feature_idx", "weight"))
+    return feats, wcur
+
+
+def quality_logreg_eval(df, text_col: str = "text", *,
+                        lr: float = LOGREG_LR,
+                        iters: int = LOGREG_ITERS,
+                        label_min_tokens: int = LOGREG_LABEL_MIN_TOKENS
+                        ) -> "DataFrame":
+    """Close the train -> eval loop: train the logistic quality
+    classifier (quality_logreg_train's exact recurrence) and score the
+    SAME corpus against its own labels, emitting the 1-row confusion
+    matrix (tp/fp/tn/fn) plus accuracy rounded to 1e-6. Prediction is
+    sigmoid(z) >= 0.5, i.e. z >= 0 — evaluated on z directly so the
+    decision boundary needs no transcendental at apply time.
+
+    Scale shape: the trained 1-row weights broadcast onto one
+    map-side pass over the feature frame; the confusion counts are a
+    single map-side-combinable agg of 0/1 longs. Training is in-plan
+    (Lloyd pattern); a production run would persist the weights and
+    skip re-training per evaluation."""
+    feats, wcur = _logreg_fit(df, text_col, lr=lr, iters=iters,
+                              label_min_tokens=label_min_tokens)
+    pred = (_logreg_z() >= 0).cast("int")
+    y = F.col("y").cast("int")
+    cell = lambda p_, y_: F.sum(((pred == p_) & (y == y_))  # noqa: E731
+                                .cast("long"))
+    return (feats.crossJoin(F.broadcast(wcur))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                      cell(1, 1).alias("tp"), cell(1, 0).alias("fp"),
+                      cell(0, 0).alias("tn"), cell(0, 1).alias("fn"))
+                 .select("n_docs", "tp", "fp", "tn", "fn",
+                         F.round((F.col("tp") + F.col("tn"))
+                                 .cast("double") / F.col("n_docs"), 6)
+                          .alias("accuracy")))

