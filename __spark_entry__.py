@@ -138,7 +138,7 @@ _PRIORITY = [
     "train_shard_manifest", "emb_random_projection",
     "html_boilerplate_strip", "bpe_train_step", "bm25_topk",
     "bigram_doc_score", "quality_logreg_train",
-    "quality_logreg_eval",
+    "quality_logreg_eval", "ann_ivfpq_residual_topk",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -698,3 +698,131 @@ def random_projection(df: DataFrame, id_col: str = "vec_id",
     return (df.select(F.col(id_col), F.posexplode(proj)
                       .alias("dim", "value"))
               .select(id_col, F.col("dim").cast("int"), "value"))
+
+
+def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
+                         n_cells: int = 8, nprobe: int = 4, m: int = 4,
+                         k: int = 8, coarse_iters: int = 2,
+                         round_to: int = 6) -> DataFrame:
+    """RESIDUAL IVF-PQ candidate scoring — the full FAISS IVFPQ
+    encoding (Jegou et al. 2011 §V-A): PQ quantizes the RESIDUAL
+    r = x - centroid(cell(x)) instead of x itself. Residuals
+    concentrate near the origin, so the same m x k code budget spends
+    its resolution on the part of the vector the coarse quantizer
+    could not explain — the reason FAISS's IndexIVFPQ defaults to
+    residual encoding. The practical cost is also faithful: the ADC
+    lookup table becomes PER (query, probed cell) — the query's
+    residual differs in every probed cell — so LUT work rides
+    n_q x nprobe x m x k (a query-batch-sized broadcast), not n_q x
+    m x k.
+
+    Residual arrays need no extra rounding: float components widen to
+    double exactly and subtracting the (already decimal-exact
+    deterministic) trained centroid is a single IEEE op — the SQL
+    oracle folds the same doubles in the same order. Codebook seeds
+    are the k lowest-id INDEX residuals (the pq_codebooks seed rule
+    lifted to residual space).
+
+    Scale shape: identical skeleton to ivfpq_adc_pairs — coarse
+    assignment is the broadcast n x n_cells pass, the candidate meet
+    is the cell equi-join, codes/LUTs broadcast; the inverted-list
+    packing of ivfpq_adc_pairs applies verbatim if the per-pair
+    shuffle ever dominates (here the LUT is (qid, cell)-keyed, which
+    is the key the inverted list already joins on)."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    coarse = train_ivf_codebook(df, id_col, vec_col, n_cells=n_cells,
+                                iters=coarse_iters, round_to=round_to)
+    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
+    sims = (base.join(cb)
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")),
+                                    round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                          F.col("cell_id"))
+    ranked = (sims.withColumn("crank", F.row_number().over(cw))
+                  .select("id", "cell_id", "crank"))
+    idxc = (ranked.filter(F.col("crank") == 1)
+                  .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    probe = (ranked.filter(F.col("crank") <= nprobe)
+                   .select(F.col("id").alias("qid"),
+                           F.col("cell_id").alias("probe_cell"),
+                           F.col("crank").alias("probe_rank")))
+
+    resid = F.zip_with("v", "cv", lambda a, b: a.cast("double") - b)
+    r_idx = (idxc.join(base.select(F.col("id").alias("neighbor_id"),
+                                   "v"), "neighbor_id")
+                 .join(F.broadcast(coarse), "cell_id")
+                 .select("neighbor_id", "cell_id", resid.alias("rv")))
+
+    seeds = (r_idx.orderBy("neighbor_id").limit(k)
+                  .select(F.col("neighbor_id").alias("sid"), "rv"))
+    seeds = seeds.withColumn(
+        "cid", F.row_number().over(Window.orderBy("sid")) - 1)
+    rcb = (_subvectors(seeds, "cid", "rv", m, out_id="cid")
+           .select("subspace", "cid", F.col("sv").alias("cv")))
+
+    rsv = _subvectors(r_idx, "neighbor_id", "rv", m, out_id="id")
+    rscored = (rsv.join(F.broadcast(rcb), "subspace")
+                  .withColumn("d", F.round(l2sq(F.col("sv"),
+                                                F.col("cv")), round_to)))
+    renc = (rscored.groupBy("id", "subspace")
+                   .agg(F.min(F.struct("d", "cid")).alias("b"))
+                   .select(F.col("id").alias("neighbor_id"), "subspace",
+                           F.col("b.cid").cast("int").alias("code")))
+    enc2 = renc.join(idxc, "neighbor_id")
+
+    r_q = (probe.join(base.select(F.col("id").alias("qid"), "v"), "qid")
+                .join(F.broadcast(coarse),
+                      F.col("probe_cell") == F.col("cell_id"))
+                .select("qid", "probe_cell", "probe_rank",
+                        resid.alias("rv")))
+    sub = (F.size("rv") / m).cast("int")
+    qsv = (r_q.select("qid", "probe_cell", "probe_rank",
+                      F.explode(F.array(*[
+                          F.struct(F.lit(j).alias("subspace"),
+                                   F.slice(F.col("rv"),
+                                           (F.lit(j) * sub + 1)
+                                           .cast("int"), sub)
+                                    .alias("sv"))
+                          for j in range(m)])).alias("s"))
+              .select("qid", "probe_cell", "probe_rank",
+                      F.col("s.subspace").alias("subspace"),
+                      F.col("s.sv").alias("sv")))
+    lut = (qsv.join(F.broadcast(rcb), "subspace")
+              .select("qid", "probe_cell", "probe_rank", "subspace",
+                      F.col("cid").alias("code"),
+                      F.round(l2sq(F.col("sv"), F.col("cv")), round_to)
+                       .cast("decimal(18,6)").alias("d")))
+
+    return (enc2.join(lut,
+                      (F.col("cell_id") == F.col("probe_cell"))
+                      & (enc2["subspace"] == lut["subspace"])
+                      & (enc2["code"] == lut["code"])
+                      & (F.col("qid") != F.col("neighbor_id")))
+                .groupBy("qid", "neighbor_id")
+                .agg(F.sum("d").cast("double").alias("approx_dist"),
+                     F.min("probe_rank").alias("probe_rank")))
+
+
+def ivfpq_residual_topk(df: DataFrame, id_col: str, vec_col: str, *,
+                        k_neighbors: int = 5, n_cells: int = 8,
+                        nprobe: int = 4, m: int = 4, k: int = 8,
+                        coarse_iters: int = 2,
+                        round_to: int = 6) -> DataFrame:
+    """Residual IVF-PQ approximate top-k: rank ivfpq_residual_pairs
+    per query by (approx_dist, neighbor_id). Same contract as
+    ivfpq_topk; the encoding differs (residual vs raw PQ)."""
+    pairs = ivfpq_residual_pairs(df, id_col, vec_col, n_cells=n_cells,
+                                 nprobe=nprobe, m=m, k=k,
+                                 coarse_iters=coarse_iters,
+                                 round_to=round_to)
+    w = Window.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_neighbors)
+                 .select(F.col("qid").alias("id"), "neighbor_id",
+                         "approx_dist",
+                         F.col("rank").cast("int").alias("rank")))

@@ -7502,3 +7502,109 @@ def quality_logreg_eval_q(spark, sf_dir):
     map-side-combinable agg of 0/1 longs."""
     d = _t(spark, sf_dir, "documents")
     return textstats.quality_logreg_eval(d, "text")
+
+
+def _ivfpq_residual_sql(n_cells: int, nprobe: int, m: int, k: int,
+                        topk: int) -> str:
+    """SQL twin of similarity.ivfpq_residual_pairs + top-k: coarse
+    Lloyd chain (cents2), residual extraction on both sides, residual
+    codebook seeded from the k lowest-id index residuals, per
+    (query, probed cell) LUT, cell-restricted ADC sum. Residual
+    arithmetic is the same doubles in the same order as the Spark
+    zip_with (float widens exactly; centroid doubles are the certified
+    decimal-exact recurrence), so no extra rounding is needed."""
+    js = ",".join(str(j) for j in range(m))
+    sl = f"j*(len(rv)//{m})+1, (j+1)*(len(rv)//{m})"
+    return f"""
+WITH {_ivf_trained_cents_sql(n_cells, 2)},
+rcs AS (
+  SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cents2 c),
+rcranked AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id) AS crank
+  FROM rcs),
+ridxc AS (SELECT vec_id AS neighbor_id, cell_id FROM rcranked
+          WHERE crank = 1),
+riprobe AS (SELECT vec_id AS qid, cell_id AS probe_cell, crank
+            FROM rcranked WHERE crank <= {nprobe}),
+rres AS (
+  SELECT i.neighbor_id, i.cell_id,
+         list_transform(range(1, len(e.embedding) + 1),
+           ii -> CAST(e.embedding[ii] AS DOUBLE) - CAST(c.cv[ii] AS DOUBLE))
+           AS rv
+  FROM ridxc i
+  JOIN embeddings e ON e.vec_id = i.neighbor_id
+  JOIN cents2 c ON c.cell_id = i.cell_id),
+rcbseed AS (
+  SELECT rv, row_number() OVER (ORDER BY neighbor_id) - 1 AS cid
+  FROM (SELECT * FROM rres ORDER BY neighbor_id LIMIT {k})),
+rcb AS (
+  SELECT j AS subspace, cid, list_slice(rv, {sl}) AS cv
+  FROM rcbseed, unnest([{js}]) AS t(j)),
+rsv AS (
+  SELECT neighbor_id, cell_id, j AS subspace,
+         list_slice(rv, {sl}) AS sv
+  FROM rres, unnest([{js}]) AS t(j)),
+rscored AS (
+  SELECT s.neighbor_id, s.cell_id, s.subspace, c.cid,
+         round({_l2sq_sql('s.sv', 'c.cv')}, 6) AS d
+  FROM rsv s JOIN rcb c USING (subspace)),
+renc AS (
+  SELECT neighbor_id, cell_id, subspace, CAST(cid AS INT) AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id, subspace
+                                 ORDER BY d, cid) AS rn
+    FROM rscored) WHERE rn = 1),
+rqres AS (
+  SELECT p.qid, p.probe_cell, p.crank,
+         list_transform(range(1, len(e.embedding) + 1),
+           ii -> CAST(e.embedding[ii] AS DOUBLE) - CAST(c.cv[ii] AS DOUBLE))
+           AS rv
+  FROM riprobe p
+  JOIN embeddings e ON e.vec_id = p.qid
+  JOIN cents2 c ON c.cell_id = p.probe_cell),
+rqsv AS (
+  SELECT qid, probe_cell, crank, j AS subspace,
+         list_slice(rv, {sl}) AS sv
+  FROM rqres, unnest([{js}]) AS t(j)),
+rlut AS (
+  SELECT q.qid, q.probe_cell, q.crank, q.subspace, c.cid AS code,
+         CAST(round({_l2sq_sql('q.sv', 'c.cv')}, 6) AS DECIMAL(18,6))
+           AS d
+  FROM rqsv q JOIN rcb c USING (subspace)),
+rpairs AS (
+  SELECT l.qid, e2.neighbor_id,
+         CAST(sum(l.d) AS DOUBLE) AS approx_dist,
+         min(l.crank) AS probe_rank
+  FROM renc e2 JOIN rlut l
+    ON l.probe_cell = e2.cell_id AND l.subspace = e2.subspace
+   AND l.code = e2.code AND l.qid != e2.neighbor_id
+  GROUP BY 1, 2)
+SELECT id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT qid AS id, neighbor_id, approx_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY approx_dist, neighbor_id) AS rank
+  FROM rpairs) WHERE rank <= {topk}"""
+
+
+@register("ann_ivfpq_residual_topk",
+          _ivfpq_residual_sql(_IVFPQ_NCELLS, _IVFPQ_NPROBE,
+                              _PQ_M, _PQ_K, 5))
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """RESIDUAL IVF-PQ top-5 (similarity.ivfpq_residual_topk) — the
+    full FAISS IVFPQ encoding (Jegou et al. 2011 §V-A): PQ codes
+    quantize r = x - centroid(cell(x)) instead of x, spending the
+    16x16 code budget on what the coarse quantizer could not explain
+    (FAISS IndexIVFPQ's default, and why it beats flat-PQ recall at
+    equal bytes). Faithfully pays the real cost too: the ADC LUT is
+    per (query, probed cell) because the query's residual differs in
+    every probed cell.
+
+    Scale shape: same skeleton as ann_ivfpq_topk (broadcast coarse
+    assignment, cell-restricted equi-join ADC, broadcast codebooks);
+    LUT volume rides the query batch x nprobe, never the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_residual_topk(
+        e, "vec_id", "embedding", k_neighbors=5, n_cells=_IVFPQ_NCELLS,
+        nprobe=_IVFPQ_NPROBE, m=_PQ_M, k=_PQ_K, coarse_iters=2)

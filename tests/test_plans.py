@@ -70,7 +70,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "ann_ivfpq_topk",
                   # same coarse-assignment NLJ + the deliberate
                   # brute-force truth baseline (like ann_ivf_recall)
-                  "ann_ivfpq_recall"}
+                  "ann_ivfpq_recall",
+                  # residual variant: same coarse-assignment NLJ; the
+                  # ADC itself is the cell equi-join
+                  "ann_ivfpq_residual_topk"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
@@ -169,7 +172,7 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # composition seeds both its PQ codebooks (<= k rows)
                     # and its coarse centroids (<= n_cells rows)
                     "pq_encode_batch", "ann_ivfpq_topk",
-                    "ann_ivfpq_recall",
+                    "ann_ivfpq_recall", "ann_ivfpq_residual_topk",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before
