@@ -594,3 +594,151 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str,
                               F.encode(F.col("frame_idx").cast("string"),
                                        "utf-8"))))
               .select(id_col, "frame_idx", "frame_md5"))
+
+
+# ----------------------------------------------------------------------
+# perceptual hash (dHash) over decoded BMP pixels — image near-dup
+# ----------------------------------------------------------------------
+
+#: shaded-fixture constants: base pattern stays under 192 so the
+#: per-doc brightness offset (0..63) can never wrap past 255 — a pure
+#: brightness SHIFT preserves every neighbor comparison, which is the
+#: invariance dHash exists to provide (the oracle relies on it too)
+DHASH_BASE_MOD = 192
+DHASH_SHADE_MOD = 64
+
+
+def shaded_geometry(doc_id: int) -> tuple[int, int]:
+    """(width, height) for a shaded fixture — ≥ 9x8 so the dHash
+    sampling grid never degenerates."""
+    return (9 + doc_id % 24, 8 + doc_id % 16)
+
+
+#: pattern multipliers chosen by measurement: the image-synth 7/13
+#: pair is monotonic in x across these small widths (every dHash
+#: comparison points the same way -> a useless all-zero hash); 37/53
+#: wraps every few pixels, giving 46 distinct classes over 500 docs
+#: with zero degenerate hashes
+DHASH_MUL_X = 37
+DHASH_MUL_Y = 53
+
+
+def shaded_pixel(doc_id: int, x: int, y: int) -> int:
+    return ((x * DHASH_MUL_X + y * DHASH_MUL_Y) % DHASH_BASE_MOD
+            + doc_id % DHASH_SHADE_MOD)
+
+
+def synth_shaded_bmp_payload(df: DataFrame, id_col: str = "doc_id",
+                             out: str = "payload") -> DataFrame:
+    """One real 24-bit BMP per row: geometry from shaded_geometry,
+    grayscale triple pixels from shaded_pixel — docs sharing a
+    geometry class differ ONLY by a per-doc brightness shift, the
+    exact variation a perceptual hash must collapse."""
+    id_name = id_col
+    schema = T.StructType([
+        T.StructField(id_name, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_name].astype("int64")
+            blobs = []
+            for i in ids:
+                w, h = shaded_geometry(int(i))
+                row_len = (w * 3 + 3) // 4 * 4
+                header = struct.pack("<2sIHHI", b"BM",
+                                     54 + row_len * h, 0, 0, 54)
+                dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                  row_len * h, 2835, 2835, 0, 0)
+                px = bytearray()
+                for y in range(h - 1, -1, -1):   # bottom-up rows
+                    for x in range(w):
+                        px += bytes((shaded_pixel(int(i), x, y),)) * 3
+                    px += b"\x00" * (row_len - w * 3)
+                blobs.append(header + dib + bytes(px))
+            yield pd.DataFrame({id_name: ids.values, out: blobs})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+GRAY_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("gray", T.ArrayType(T.IntegerType())),
+])
+
+
+def decode_bmp_gray(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Arrow decode stage for PIXELS (the metadata-only decode_image
+    is not enough for perceptual hashing): parse the real 24-bit BMP
+    — bottom-up rows, 4-byte padding — into a top-down row-major
+    integer-luma array (299r + 587g + 114b) // 1000, integer-exact.
+    Corrupt/foreign blobs degrade to a ('bmp_corrupt', null gray) ROW,
+    never a task death. Downstream hashing is declarative Spark over
+    the array — decode once, JVM for the rest (the audio-family
+    architecture)."""
+    id_name, payload_name = id_col, payload_col
+
+    def gray_of(b: bytes):
+        try:
+            if len(b) < 54 or b[:2] != b"BM":
+                return ("bmp_corrupt", None, None, None)
+            w, h = struct.unpack_from("<ii", b, 18)
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            off = struct.unpack_from("<I", b, 10)[0]
+            if bpp != 24 or w <= 0 or h == 0:
+                return ("bmp_corrupt", None, None, None)
+            hh = abs(h)
+            row_len = (w * 3 + 3) // 4 * 4
+            if off + row_len * hh > len(b):
+                return ("bmp_corrupt", None, None, None)
+            rows = []
+            for ry in range(hh):
+                base = off + ry * row_len
+                rows.append([
+                    (299 * b[base + 3 * x + 2] + 587 * b[base + 3 * x + 1]
+                     + 114 * b[base + 3 * x]) // 1000
+                    for x in range(w)])
+            if h > 0:                    # positive height = bottom-up
+                rows.reverse()
+            return ("bmp", w, hh, [v for row in rows for v in row])
+        except Exception:
+            return ("bmp_corrupt", None, None, None)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_name], pdf[payload_name]):
+                fmt, w, h, gray = gray_of(bytes(p))
+                rows.append((int(i), fmt, w, h, gray))
+            yield pd.DataFrame(rows, columns=["doc_id", "format",
+                                              "width", "height", "gray"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, GRAY_SCHEMA)
+
+
+def dhash_bits(gray, width, height):
+    """64-bit dHash as a '0'/'1' string (overflow-free, engine-portable
+    join key): nearest-neighbor sample a 9x8 luminance grid, emit 1
+    where the left sample exceeds its right neighbor. Brightness
+    shifts cancel in the comparison — the invariance that makes dHash
+    a near-dup key. Pure array HOF over the decoded pixels: no
+    shuffle, no Python."""
+    def bit(b):
+        y = F.floor(b / 8).cast("int")
+        x = (b % 8).cast("int")
+        sy = F.floor(y * height / 8).cast("int")
+        sx1 = F.floor(x * width / 9).cast("int")
+        sx2 = F.floor((x + 1) * width / 9).cast("int")
+        left = F.element_at(gray, sy * width + sx1 + 1)
+        right = F.element_at(gray, sy * width + sx2 + 1)
+        return F.when(left > right, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(63)), bit), "")

@@ -7608,3 +7608,62 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     return similarity.ivfpq_residual_topk(
         e, "vec_id", "embedding", k_neighbors=5, n_cells=_IVFPQ_NCELLS,
         nprobe=_IVFPQ_NPROBE, m=_PQ_M, k=_PQ_K, coarse_iters=2)
+
+
+_DHASH_SQL = f"""
+WITH g AS (
+  SELECT doc_id, 9 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
+  FROM documents),
+hsh AS (
+  SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+    array_to_string(list_transform(range(0, 64), b ->
+      CASE WHEN
+        ((((b // 8) * h // 8) * {multimodal.DHASH_MUL_Y}
+          + ((b % 8) * w // 9) * {multimodal.DHASH_MUL_X})
+         % {multimodal.DHASH_BASE_MOD})
+        >
+        ((((b // 8) * h // 8) * {multimodal.DHASH_MUL_Y}
+          + (((b % 8) + 1) * w // 9) * {multimodal.DHASH_MUL_X})
+         % {multimodal.DHASH_BASE_MOD})
+      THEN '1' ELSE '0' END), '') AS dhash
+  FROM g)
+SELECT doc_id, width, height, dhash,
+  CAST(min(doc_id) OVER (PARTITION BY dhash) AS BIGINT) AS canonical_id,
+  doc_id > min(doc_id) OVER (PARTITION BY dhash) AS is_dup
+FROM hsh
+"""
+
+
+@register("mm_image_dhash_near_dup", _DHASH_SQL)
+def mm_image_dhash_near_dup(spark, sf_dir):
+    """Image near-dup via perceptual hash — the LAION-style pixel-level
+    dedup a multimodal corpus runs before training: real 24-bit BMPs
+    synthesize with per-doc BRIGHTNESS shifts over shared patterns,
+    decode to integer luma in one Arrow stage
+    (multimodal.decode_bmp_gray), and a 64-bit dHash (9x8
+    nearest-neighbor grid, adjacent-sample comparisons, '0'/'1'
+    string key — overflow-free and engine-portable) groups
+    brightness-shifted variants into the same bucket with first-wins
+    canonical assignment. Hash-green proves the decoder recovered
+    every pixel bit-exactly AND that the hash is brightness-invariant:
+    the oracle derives the hash from the pattern formula with the
+    shift algebraically cancelled, so any decode or sampling drift
+    breaks the match.
+
+    Scale shape: decode-once Arrow stage, hashing is a map-side array
+    HOF, the only shuffle is the slim (doc, 64-char key) dedup window
+    partitioned BY the hash (near-dup classes are small by
+    construction — the partition key is the dedup key)."""
+    d = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_bmp_gray(
+        multimodal.synth_shaded_bmp_payload(d, "doc_id"),
+        "doc_id", "payload")
+    hashed = dec.select(
+        "doc_id", "width", "height",
+        multimodal.dhash_bits(F.col("gray"), F.col("width"),
+                              F.col("height")).alias("dhash"))
+    w = Window.partitionBy("dhash")
+    return (hashed.withColumn("canonical_id",
+                              F.min("doc_id").over(w).cast("bigint"))
+                  .withColumn("is_dup",
+                              F.col("doc_id") > F.col("canonical_id")))

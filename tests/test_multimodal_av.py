@@ -167,3 +167,31 @@ def test_probe_media_corrupt_blob_degrades(spark):
     out = mm.probe_media(df, "doc_id", "payload").collect()
     assert out[0]["container"] == "wav_corrupt"
     assert out[0]["duration_ms"] is None
+
+
+def test_dhash_brightness_invariance_and_corrupt(spark):
+    from pyspark.sql import functions as F
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        multimodal as mm,
+    )
+    # doc ids 48 apart share a geometry class but differ in brightness
+    df = spark.createDataFrame([(0,), (48,), (96,), (5,)], "doc_id long")
+    dec = mm.decode_bmp_gray(
+        mm.synth_shaded_bmp_payload(df, "doc_id"), "doc_id", "payload")
+    out = {r["doc_id"]: r for r in dec.select(
+        "doc_id", "format", "width", "height",
+        mm.dhash_bits(F.col("gray"), F.col("width"),
+                      F.col("height")).alias("dhash")).collect()}
+    assert out[0]["format"] == "bmp"
+    assert out[0]["dhash"] == out[48]["dhash"] == out[96]["dhash"]
+    assert out[5]["width"] == 14 and out[5]["height"] == 13
+    # decoded luma must equal the synth formula (bit-exact pixels)
+    gray = dec.where(F.col("doc_id") == 5).collect()[0]["gray"]
+    w, h = mm.shaded_geometry(5)
+    assert gray == [mm.shaded_pixel(5, x, y)
+                    for y in range(h) for x in range(w)]
+    # corrupt blob degrades to a row, not a task death
+    bad = spark.createDataFrame([(1, bytearray(b"BMgarbage"))],
+                                "doc_id long, payload binary")
+    row = mm.decode_bmp_gray(bad, "doc_id", "payload").collect()[0]
+    assert row["format"] == "bmp_corrupt" and row["gray"] is None

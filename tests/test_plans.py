@@ -87,7 +87,10 @@ PANDAS_OK = {"mm_decode_image", "mm_frame_sample",
              "mm_decode_audio", "mm_audio_features",
              "mm_audio_window_energy", "mm_probe_media",
              # OSA banded-DP Arrow scorer on blocked candidates
-             "j6b_fuzzy_osa_pairs", "j6c_osa_lev_delta"}
+             "j6b_fuzzy_osa_pairs", "j6c_osa_lev_delta",
+             # pixel decode for perceptual hashing (shaded-BMP synth +
+             # luma parse); the dHash itself is a Spark array HOF
+             "mm_image_dhash_near_dup"}
 
 
 def _plan(spark, name: str) -> str:
