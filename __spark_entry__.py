@@ -139,7 +139,7 @@ _PRIORITY = [
     "html_boilerplate_strip", "bpe_train_step", "bm25_topk",
     "bigram_doc_score", "quality_logreg_train",
     "quality_logreg_eval", "ann_ivfpq_residual_topk",
-    "mm_image_dhash_near_dup",
+    "mm_image_dhash_near_dup", "mm_image_dhash_hamming_pairs",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -39,6 +39,10 @@ HEADLINE = [
     # ANN family joined r5: the composed IVF-PQ production search gets
     # driver-recorded history the round it stops being the weak spot
     "ann_ivfpq_topk",          # coarse-cell-restricted PQ-ADC top-k
+    # r5 session 3: lexical retrieval + the perceptual-hash image
+    # dedup join — driver-recorded history for both new families
+    "bm25_topk",               # BM25 keyword retrieval, two-phase top-k
+    "mm_image_dhash_hamming_pairs",  # pixel decode + banded pHash join
 ]
 
 

@@ -623,9 +623,25 @@ DHASH_MUL_X = 37
 DHASH_MUL_Y = 53
 
 
+#: every DHASH_DEFECT_MOD-th doc gets a DEAD PIXEL at (1,1) — its base
+#: value drops to 0 while the brightness shift still applies, so the
+#: hash stays shift-invariant but differs from its geometry class by a
+#: couple of bits: the genuine hamming-near variants the band join
+#: (mm_image_dhash_hamming_pairs) exists to find (without the defect
+#: the fixture's 46 classes are all >= 7 bits apart and a hamming
+#: query would certify on exact matches only)
+DHASH_DEFECT_MOD = 5
+
+
+def shaded_base(doc_id: int, x: int, y: int) -> int:
+    if doc_id % DHASH_DEFECT_MOD == DHASH_DEFECT_MOD - 1 \
+            and x == 1 and y == 1:
+        return 0
+    return (x * DHASH_MUL_X + y * DHASH_MUL_Y) % DHASH_BASE_MOD
+
+
 def shaded_pixel(doc_id: int, x: int, y: int) -> int:
-    return ((x * DHASH_MUL_X + y * DHASH_MUL_Y) % DHASH_BASE_MOD
-            + doc_id % DHASH_SHADE_MOD)
+    return shaded_base(doc_id, x, y) + doc_id % DHASH_SHADE_MOD
 
 
 def synth_shaded_bmp_payload(df: DataFrame, id_col: str = "doc_id",

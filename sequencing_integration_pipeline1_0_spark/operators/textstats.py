@@ -1111,18 +1111,26 @@ def _logreg_fit(df, text_col: str, *, lr: float, iters: int,
                         .cast("double").alias("y")))
     wcur = df.sparkSession.range(1).select(
         *[F.lit(0.0).alias(f"w{j}") for j in range(4)])
+    # The weights must flow THROUGH the gradient aggregate (max of a
+    # 1-row constant column = the value) so each iteration references
+    # its predecessor exactly ONCE. The naive shape — wcur in the
+    # gradient crossJoin AND in the update select — doubles the plan
+    # per iteration: at 8 iterations the audit measured
+    # BroadcastNestedLoop x510 / 255 shuffles (2^k subtree blowup, the
+    # lang_id lesson again); this shape is linear (~2 per iteration).
     for _ in range(iters):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z()))
-        grad = (feats.crossJoin(F.broadcast(wcur))
-                     .agg(*[(F.sum(F.round((p - F.col("y"))
-                                           * F.col(f"x{j}"), 8)
-                                    .cast("decimal(20,8)"))
-                             .cast("double") / F.count(F.lit(1)))
-                            .alias(f"g{j}") for j in range(4)]))
-        wcur = (wcur.crossJoin(F.broadcast(grad))
-                    .select(*[F.round(F.col(f"w{j}")
+        stats = (feats.crossJoin(F.broadcast(wcur))
+                      .agg(*[F.max(F.col(f"w{j}")).alias(f"pw{j}")
+                             for j in range(4)],
+                           *[(F.sum(F.round((p - F.col("y"))
+                                            * F.col(f"x{j}"), 8)
+                                     .cast("decimal(20,8)"))
+                              .cast("double") / F.count(F.lit(1)))
+                             .alias(f"g{j}") for j in range(4)]))
+        wcur = stats.select(*[F.round(F.col(f"pw{j}")
                                       - F.lit(lr) * F.col(f"g{j}"), 8)
-                              .alias(f"w{j}") for j in range(4)]))
+                              .alias(f"w{j}") for j in range(4)])
     return feats, wcur
 
 

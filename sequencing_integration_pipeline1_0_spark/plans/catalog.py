@@ -7610,23 +7610,35 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
         nprobe=_IVFPQ_NPROBE, m=_PQ_M, k=_PQ_K, coarse_iters=2)
 
 
-_DHASH_SQL = f"""
-WITH g AS (
+def _dhash_base_sql(sx: str, sy: str) -> str:
+    """SQL pixel BASE at sampled coords — the brightness shift cancels
+    algebraically in every comparison (defect pixels included: their
+    base is 0, the shift still rides on top), so the oracle compares
+    bases only. Must stay in lockstep with multimodal.shaded_base."""
+    return f"""(CASE WHEN doc_id % {multimodal.DHASH_DEFECT_MOD}
+           = {multimodal.DHASH_DEFECT_MOD - 1}
+          AND ({sx}) = 1 AND ({sy}) = 1 THEN 0
+     ELSE (({sx}) * {multimodal.DHASH_MUL_X}
+           + ({sy}) * {multimodal.DHASH_MUL_Y})
+          % {multimodal.DHASH_BASE_MOD} END)"""
+
+
+_DHASH_HSH_CTE = f"""g AS (
   SELECT doc_id, 9 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
   FROM documents),
 hsh AS (
   SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
     array_to_string(list_transform(range(0, 64), b ->
       CASE WHEN
-        ((((b // 8) * h // 8) * {multimodal.DHASH_MUL_Y}
-          + ((b % 8) * w // 9) * {multimodal.DHASH_MUL_X})
-         % {multimodal.DHASH_BASE_MOD})
+        {_dhash_base_sql("(b % 8) * w // 9", "(b // 8) * h // 8")}
         >
-        ((((b // 8) * h // 8) * {multimodal.DHASH_MUL_Y}
-          + (((b % 8) + 1) * w // 9) * {multimodal.DHASH_MUL_X})
-         % {multimodal.DHASH_BASE_MOD})
+        {_dhash_base_sql("((b % 8) + 1) * w // 9", "(b // 8) * h // 8")}
       THEN '1' ELSE '0' END), '') AS dhash
-  FROM g)
+  FROM g)"""
+
+
+_DHASH_SQL = f"""
+WITH {_DHASH_HSH_CTE}
 SELECT doc_id, width, height, dhash,
   CAST(min(doc_id) OVER (PARTITION BY dhash) AS BIGINT) AS canonical_id,
   doc_id > min(doc_id) OVER (PARTITION BY dhash) AS is_dup
@@ -7667,3 +7679,63 @@ def mm_image_dhash_near_dup(spark, sf_dir):
                               F.min("doc_id").over(w).cast("bigint"))
                   .withColumn("is_dup",
                               F.col("doc_id") > F.col("canonical_id")))
+
+
+_DHASH_HAM_MAX = 3
+_DHASH_BANDS = 4
+
+_DHASH_HAM_SQL = f"""
+WITH {_DHASH_HSH_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_filter(range(1, 65), i -> a.dhash[i] <> b.dhash[i]))
+       AS INT) AS hamming
+FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(1, 65), i -> a.dhash[i] <> b.dhash[i]))
+      <= {_DHASH_HAM_MAX}
+"""
+
+
+@register("mm_image_dhash_hamming_pairs", _DHASH_HAM_SQL)
+def mm_image_dhash_hamming_pairs(spark, sf_dir):
+    """Hamming-tolerant perceptual-hash pairing: every image pair
+    within {ham} bits of dHash distance — catching near-duplicates a
+    pixel defect pushed out of the exact bucket (the fixture plants a
+    deterministic dead pixel in every 5th image; 202 of the certified
+    pairs are genuine hamming-1 defect variants, the rest exact). The
+    simhash pigeonhole move in image space: 4 bands of 16 hash chars,
+    a pair within 3 bits must agree on at least one whole band, so
+    candidates come from 4 band equi-joins — never an all-pairs scan.
+    The oracle IS the all-pairs definition, so hash-green proves the
+    band join is lossless at this radius.
+
+    Scale shape: slim (band_id, band, doc) rows shuffle; per-band
+    groups are near-dup classes (small by construction); the 64-char
+    compare runs only on banded candidates.""".format(
+        ham=_DHASH_HAM_MAX)
+    d = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_bmp_gray(
+        multimodal.synth_shaded_bmp_payload(d, "doc_id"),
+        "doc_id", "payload")
+    hashed = dec.select(
+        "doc_id",
+        multimodal.dhash_bits(F.col("gray"), F.col("width"),
+                              F.col("height")).alias("dhash"))
+    bands = hashed.select(
+        "doc_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band_id"),
+                     F.substring("dhash", bi * 16 + 1, 16).alias("band"))
+            for bi in range(_DHASH_BANDS)])).alias("b")) \
+        .select("doc_id", "dhash", "b.band_id", "b.band")
+    a = bands.select(F.col("doc_id").alias("id_a"),
+                     F.col("dhash").alias("ha"), "band_id", "band")
+    b = bands.select(F.col("doc_id").alias("id_b"),
+                     F.col("dhash").alias("hb"), "band_id", "band")
+    ham = F.size(F.filter(
+        F.zip_with(F.split("ha", ""), F.split("hb", ""),
+                   lambda x, y: x != y), lambda v: v))
+    return (a.join(b, ["band_id", "band"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", ham.alias("hamming"))
+             .where(F.col("hamming") <= _DHASH_HAM_MAX)
+             .distinct())

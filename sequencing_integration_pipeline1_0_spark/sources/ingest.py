@@ -90,6 +90,19 @@ def read_parquet(spark: SparkSession, path: str,
     return df
 
 
+def read_orc(spark: SparkSession, path: str,
+             provenance: str | None = None) -> DataFrame:
+    """Native ORC scan (Spark ships the reader; same typed-columnar
+    contract as parquet — predicate pushdown and column pruning
+    included). Registered in read_any so an ORC-producing upstream
+    (Hive-era warehouses commonly are) drops into the same polyglot
+    path."""
+    df = spark.read.orc(path)
+    if provenance:
+        df = df.withColumn(provenance, F.input_file_name())
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: Sequence[str] = ("region", "nation", "customer", "supplier",
                                         "part", "orders", "lineitem", "events",
@@ -116,6 +129,8 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
         return read_csv_allstring(spark, path, sep="\t" if inner in ("tsv", "tab") else ",", **kw)
     if ext == "parquet":
         return read_parquet(spark, path)
+    if ext == "orc":
+        return read_orc(spark, path)
     if ext in ("json", "jsonl", "ndjson"):
         return read_jsonl_allstring(spark, path, **kw)
     if ext == "xlsx":

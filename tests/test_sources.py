@@ -535,3 +535,16 @@ def test_read_any_xlsx_contract_parity(spark, tmp_path):
     _write_xlsx(empty, [("S", [], True)])
     with pytest.raises(ValueError, match="no header row"):
         ingest.read_any(spark, empty)
+
+
+def test_orc_round_trip_via_read_any(spark, tmp_path):
+    from sequencing_integration_pipeline1_0_spark.sources.ingest import (
+        read_any,
+    )
+    src = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, -1.0)], "id long, s string, x double")
+    path = str(tmp_path / "t.orc")
+    src.coalesce(1).write.orc(path)
+    back = read_any(spark, path)
+    assert back.schema == src.schema
+    assert sorted(back.collect()) == sorted(src.collect())
