@@ -740,22 +740,21 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                             F.round(dot(F.col("v"), F.col("cv"))
                                     / (F.col("nv") * F.col("ncv")),
                                     round_to)))
+    # v and cv ride THROUGH the assignment window so residuals compute
+    # from the carried pair — the first cut rejoined base and the
+    # broadcast codebook on both the index and query sides, inlining
+    # the whole coarse Lloyd chain three times into the plan (audit:
+    # 99 shuffles; the chain itself is ~10). One reference, same
+    # values.
     cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
                                           F.col("cell_id"))
     ranked = (sims.withColumn("crank", F.row_number().over(cw))
-                  .select("id", "cell_id", "crank"))
-    idxc = (ranked.filter(F.col("crank") == 1)
-                  .select(F.col("id").alias("neighbor_id"), "cell_id"))
-    probe = (ranked.filter(F.col("crank") <= nprobe)
-                   .select(F.col("id").alias("qid"),
-                           F.col("cell_id").alias("probe_cell"),
-                           F.col("crank").alias("probe_rank")))
+                  .select("id", "cell_id", "crank", "v", "cv"))
 
     resid = F.zip_with("v", "cv", lambda a, b: a.cast("double") - b)
-    r_idx = (idxc.join(base.select(F.col("id").alias("neighbor_id"),
-                                   "v"), "neighbor_id")
-                 .join(F.broadcast(coarse), "cell_id")
-                 .select("neighbor_id", "cell_id", resid.alias("rv")))
+    r_idx = (ranked.filter(F.col("crank") == 1)
+                   .select(F.col("id").alias("neighbor_id"), "cell_id",
+                           resid.alias("rv")))
 
     seeds = (r_idx.orderBy("neighbor_id").limit(k)
                   .select(F.col("neighbor_id").alias("sid"), "rv"))
@@ -764,21 +763,35 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     rcb = (_subvectors(seeds, "cid", "rv", m, out_id="cid")
            .select("subspace", "cid", F.col("sv").alias("cv")))
 
-    rsv = _subvectors(r_idx, "neighbor_id", "rv", m, out_id="id")
+    # inline subvector slicing so cell_id rides through the encode —
+    # joining it back via idxc would inline the ranked/Lloyd subtree
+    # one more time (the catalog single-DataFrame contract recomputes
+    # shared subtrees; every avoided reference is a whole chain)
+    sub_i = (F.size("rv") / m).cast("int")
+    rsv = (r_idx.select("neighbor_id", "cell_id",
+                        F.explode(F.array(*[
+                            F.struct(F.lit(j).alias("subspace"),
+                                     F.slice(F.col("rv"),
+                                             (F.lit(j) * sub_i + 1)
+                                             .cast("int"), sub_i)
+                                      .alias("sv"))
+                            for j in range(m)])).alias("s"))
+                .select("neighbor_id", "cell_id",
+                        F.col("s.subspace").alias("subspace"),
+                        F.col("s.sv").alias("sv")))
     rscored = (rsv.join(F.broadcast(rcb), "subspace")
                   .withColumn("d", F.round(l2sq(F.col("sv"),
                                                 F.col("cv")), round_to)))
-    renc = (rscored.groupBy("id", "subspace")
+    enc2 = (rscored.groupBy("neighbor_id", "cell_id", "subspace")
                    .agg(F.min(F.struct("d", "cid")).alias("b"))
-                   .select(F.col("id").alias("neighbor_id"), "subspace",
+                   .select("neighbor_id", "cell_id", "subspace",
                            F.col("b.cid").cast("int").alias("code")))
-    enc2 = renc.join(idxc, "neighbor_id")
 
-    r_q = (probe.join(base.select(F.col("id").alias("qid"), "v"), "qid")
-                .join(F.broadcast(coarse),
-                      F.col("probe_cell") == F.col("cell_id"))
-                .select("qid", "probe_cell", "probe_rank",
-                        resid.alias("rv")))
+    r_q = (ranked.filter(F.col("crank") <= nprobe)
+                 .select(F.col("id").alias("qid"),
+                         F.col("cell_id").alias("probe_cell"),
+                         F.col("crank").alias("probe_rank"),
+                         resid.alias("rv")))
     sub = (F.size("rv") / m).cast("int")
     qsv = (r_q.select("qid", "probe_cell", "probe_rank",
                       F.explode(F.array(*[
