@@ -140,6 +140,8 @@ _PRIORITY = [
     "bigram_doc_score", "quality_logreg_train",
     "quality_logreg_eval", "ann_ivfpq_residual_topk",
     "mm_image_dhash_near_dup", "mm_image_dhash_hamming_pairs",
+    "sketch_hll_distinct", "sketch_countmin_heavy", "layout_zorder_files",
+    "evt_hll_daily_users", "sketch_hll_set_ops",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -43,6 +43,9 @@ HEADLINE = [
     # dedup join — driver-recorded history for both new families
     "bm25_topk",               # BM25 keyword retrieval, two-phase top-k
     "mm_image_dhash_hamming_pairs",  # pixel decode + banded pHash join
+    # r5 session 5: the mergeable-sketch family's representative —
+    # fixed-size agg state; its wall time should track the raw scan
+    "sketch_hll_distinct",     # HLL + merge identity + exact baseline
 ]
 
 

@@ -7764,3 +7764,354 @@ def mm_image_dhash_hamming_pairs(spark, sf_dir):
                 .select(F.least("u", "v").alias("id_a"),
                         F.greatest("u", "v").alias("id_b"),
                         "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches + data-layout planning (round 5)
+# ---------------------------------------------------------------------------
+
+from ..operators import layout as _layout  # noqa: E402
+from ..operators import sketches as _sk  # noqa: E402
+
+
+def _hll_est_sql(s: str, nz: str) -> str:
+    """SQL rendering of sketches.hll_estimate_expr — the full HLL
+    estimator (raw harmonic mean above the 2.5m cutoff, Flajolet
+    linear counting below) from a sketch's exact harmonic sum `s` and
+    nonzero-register count `nz`. Shared by every HLL oracle so the
+    small-range branch can never drift between them."""
+    m, num, cut = _sk.HLL_M, repr(_sk.HLL_NUMER), repr(_sk.HLL_LC_CUTOFF)
+    return (f"round(CASE WHEN ({m} - {nz}) > 0 AND {num} / {s} <= {cut} "
+            f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - {nz})) "
+            f"ELSE {num} / {s} END, 4)")
+
+
+def _hll_sql() -> str:
+    """Oracle twin of sketches.hll_distinct — every constant (p, m,
+    rank width, the alpha*m^2*2^R numerator literal) interpolates from
+    the sketches module so the two engines cannot drift."""
+    p, m, rmax = _sk.HLL_P, _sk.HLL_M, _sk.HLL_RANK_MAX
+    num = repr(_sk.HLL_NUMER)
+    return f"""
+WITH h AS (
+  SELECT ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT AS h,
+         l_returnflag AS grp FROM lineitem),
+r AS (
+  SELECT (h & {m - 1})::INT AS reg, grp,
+         (CASE WHEN (h >> {p}) = 0 THEN {rmax}
+               ELSE {rmax} - length(bin(h >> {p})) END)::INT AS rank
+  FROM h),
+direct AS (SELECT reg, max(rank) AS mj FROM r GROUP BY reg),
+dsum AS (
+  SELECT sum(1::BIGINT << ({rmax} - mj))
+         + ({m}::BIGINT - count(*)) * (1::BIGINT << {rmax}) AS s_int,
+         count(*)::INT AS nonzero FROM direct),
+shard AS (SELECT grp, reg, max(rank) AS mj FROM r GROUP BY grp, reg),
+merged AS (SELECT reg, max(mj) AS mj FROM shard GROUP BY reg),
+msum AS (
+  SELECT sum(1::BIGINT << ({rmax} - mj))
+         + ({m}::BIGINT - count(*)) * (1::BIGINT << {rmax}) AS s_merged,
+         count(*)::INT AS nz_merged FROM merged),
+ex AS (SELECT count(DISTINCT l_partkey)::BIGINT AS exact_distinct
+       FROM lineitem)
+SELECT {m} AS m, nonzero,
+       {_hll_est_sql("s_int", "nonzero")} AS est,
+       {_hll_est_sql("s_merged", "nz_merged")} AS est_merged,
+       (s_int = s_merged AND nonzero = nz_merged)::INT AS merge_exact,
+       exact_distinct,
+       round(({_hll_est_sql("s_int", "nonzero")} - exact_distinct)
+             / exact_distinct * 100, 4) AS rel_err_pct
+FROM dsum, msum, ex
+"""
+
+
+@register("sketch_hll_distinct", _hll_sql())
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct l_partkey count over lineitem with the
+    merge identity certified in-row (sketches.hll_distinct): the
+    256-register sketch built in one global pass must be register-
+    identical to per-l_returnflag shard sketches merged by max —
+    est == est_merged and merge_exact = 1 are part of the hashed
+    output, so the property that makes the sketch shippable between
+    pipeline stages (combine partial sketches, never reshuffle keys)
+    is driver-gated. exact_distinct / rel_err_pct (~10.7% at m=256,
+    within the 1.04/sqrt(m) = 6.5% expected band's tail) are the
+    verification baseline a production run drops.
+
+    Scale shape: two linear map passes; fixed-size aggs (m and
+    shards*m keys) with map-side combine — state never grows with
+    input rows, unlike exact COUNT(DISTINCT) whose shuffle carries
+    every distinct key; final assembly is three 1-row scalar
+    cross-joins. The harmonic mean is an exact BIGINT sum (2^(R-mj)
+    scaling), so partial-agg order cannot flip the hash; the only
+    doubles are two literal/BIGINT divisions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return _sk.hll_distinct(li, "l_partkey", "l_returnflag")
+
+
+def _cms_sql() -> str:
+    """Oracle twin of sketches.cms_heavy_hitters: same md5 bucket
+    hashes, same d x w geometry, exact top-k candidates from the full
+    word-count table (the Spark side's two-phase top-k is an
+    optimization with identical results)."""
+    d, w, topk = _sk.CMS_D, _sk.CMS_W, _sk.CMS_TOPK
+    rows_values = ",".join(f"({i})" for i in range(d))
+    return f"""
+WITH docs_ws AS (
+  SELECT list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+wc AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(ws) AS word FROM docs_ws) GROUP BY word),
+ri AS (SELECT * FROM (VALUES {rows_values}) v(row_i)),
+sk AS (
+  SELECT row_i,
+         (('0x'||substr(md5(row_i::VARCHAR||'|'||word),1,15))::BIGINT
+          % {w})::INT AS bucket,
+         sum(cnt)::BIGINT AS c
+  FROM wc, ri GROUP BY 1, 2),
+cand AS (
+  SELECT word, cnt AS exact_cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INT) AS rnk
+  FROM wc QUALIFY rnk <= {topk}),
+probes AS (
+  SELECT c.rnk, c.word, c.exact_cnt, ri.row_i,
+         (('0x'||substr(md5(ri.row_i::VARCHAR||'|'||c.word),1,15))::BIGINT
+          % {w})::INT AS bucket
+  FROM cand c, ri)
+SELECT p.rnk, p.word, p.exact_cnt, min(s.c) AS cms_est,
+       min(s.c) - p.exact_cnt AS overest
+FROM probes p JOIN sk s USING (row_i, bucket)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("sketch_countmin_heavy", _cms_sql())
+def sketch_countmin_heavy(spark, sf_dir):
+    """Count-Min heavy hitters over the corpus vocabulary
+    (sketches.cms_heavy_hitters): the exact top-20 words' frequencies
+    re-estimated from a fixed 4 x 512 counter sketch, with the
+    per-word overestimate (>= 0 by the CMS one-sided guarantee) in
+    the hashed output. The frequency-sketch sibling of
+    sketch_hll_distinct: together they give a 100 TB pipeline its
+    corpus dashboard (how many distinct? how often the heavy terms?)
+    without any vocabulary-sized shuffle in the monitoring path —
+    the sketch merges across shards by plain counter addition.
+
+    Scale shape: one tokenize pass collapses to the distinct-word
+    count table (map-side combine); the sketch build explodes d=4
+    rows per DISTINCT word into a 2048-key agg; candidate selection
+    is the two-phase top-k (local per hash bucket, then over the
+    bounded survivors — no vocabulary-wide window); the probe side
+    is topk*d = 80 rows against a broadcast 2048-row sketch."""
+    docs = _t(spark, sf_dir, "documents")
+    return _sk.cms_heavy_hitters(docs, "text")
+
+
+def _zorder_sql() -> str:
+    """Oracle twin of layout.zorder_file_stats: the Morton interleave
+    expression renders from the SAME generator (engine='duckdb'), and
+    the mask / rows-per-file / box literals interpolate from the
+    layout module."""
+    z = _layout.z_interleave_sql("x", "y", engine="duckdb")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         (o_custkey & {_layout.ZORDER_MASK}) AS x,
+         (datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+          & {_layout.ZORDER_MASK}) AS y
+  FROM orders),
+zed AS (SELECT *, {z} AS zkey FROM base),
+zf AS (
+  SELECT 'zorder' AS layout,
+         CAST(floor((row_number() OVER (ORDER BY zkey, o_orderkey) - 1)
+                    / {_layout.ZORDER_ROWS_PER_FILE}) AS INT) AS file_id,
+         x, y FROM zed),
+kf AS (
+  SELECT 'orderkey' AS layout,
+         CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1)
+                    / {_layout.ZORDER_ROWS_PER_FILE}) AS INT) AS file_id,
+         x, y FROM zed),
+u AS (SELECT * FROM zf UNION ALL SELECT * FROM kf),
+st AS (
+  SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+         min(x) AS min_cust, max(x) AS max_cust,
+         min(y) AS min_day, max(y) AS max_day
+  FROM u GROUP BY 1, 2)
+SELECT *,
+       (min_cust <= {_layout.ZBOX_CUST_HI}
+        AND max_cust >= {_layout.ZBOX_CUST_LO}
+        AND min_day <= {_layout.ZBOX_DAY_HI}
+        AND max_day >= {_layout.ZBOX_DAY_LO})::INT AS scanned
+FROM st
+"""
+
+
+@register("layout_zorder_files", _zorder_sql())
+def layout_zorder_files(spark, sf_dir):
+    """Z-order vs single-key layout planning over orders
+    (layout.zorder_file_stats): per-file min/max envelopes on
+    (o_custkey, order epoch-day) under both layouts, each file
+    flagged scanned/skipped for a fixed box predicate (customers
+    100-399 during 1997). At sf0.01 the hashed result shows the
+    key-ordered layout scans 15/15 files while Z-order scans 3/15 —
+    the data-layout lever that multiplies every downstream query's
+    partition pruning at 100 TB, measured rather than asserted.
+
+    Scale shape: the Morton key is pure map-side integer bit
+    arithmetic; the certified shape assigns file ids from an explicit
+    global-sort row_number because a clustered WRITE IS a total sort
+    (the production write is the identical plan with Spark's
+    range-partitioned orderBy and per-range file ids — no single-task
+    window); stats are a (layout, file)-keyed agg with map-side
+    combine and the box flags are map-side literals."""
+    o = _t(spark, sf_dir, "orders")
+    return _layout.zorder_file_stats(o)
+
+
+def _hll_daily_sql() -> str:
+    """Oracle twin of sketches.hll_distinct_by_group over per-day user
+    ids — constants (m, rank width, numerator, the 2.5m linear-count
+    cutoff) interpolate from the sketches module."""
+    p, m, rmax = _sk.HLL_P, _sk.HLL_M, _sk.HLL_RANK_MAX
+    num, cut = repr(_sk.HLL_NUMER), repr(_sk.HLL_LC_CUTOFF)
+    return f"""
+WITH h AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+  FROM events),
+r AS (
+  SELECT day, (h & {m - 1})::INT AS reg,
+         (CASE WHEN (h >> {p}) = 0 THEN {rmax}
+               ELSE {rmax} - length(bin(h >> {p})) END)::INT AS rank
+  FROM h),
+sk AS (SELECT day, reg, max(rank) AS mj FROM r GROUP BY day, reg),
+per AS (
+  SELECT day,
+         sum(1::BIGINT << ({rmax} - mj))
+         + ({m}::BIGINT - count(*)) * (1::BIGINT << {rmax}) AS s_int,
+         ({m} - count(*))::BIGINT AS zeros
+  FROM sk GROUP BY day),
+ex AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1),
+est AS (
+  SELECT day, zeros,
+         {num} / s_int AS raw,
+         (zeros > 0 AND {num} / s_int <= {cut}) AS use_lc
+  FROM per)
+SELECT e.day,
+       round(CASE WHEN use_lc
+                  THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                  ELSE raw END, 4) AS est,
+       x.exact_distinct,
+       round((round(CASE WHEN use_lc
+                         THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                         ELSE raw END, 4) - x.exact_distinct)
+             / x.exact_distinct * 100, 4) AS rel_err_pct,
+       use_lc::INT AS used_linear
+FROM est e JOIN ex x USING (day)
+"""
+
+
+@register("evt_hll_daily_users", _hll_daily_sql())
+def evt_hll_daily_users(spark, sf_dir):
+    """Daily-active-users by HLL sketch (sketches.hll_distinct_by_group):
+    one 256-register sketch PER day estimates that day's distinct
+    user_id count, with the full estimator — raw harmonic mean above
+    2.5m, Flajolet linear counting (m * ln(m/zeros)) in the
+    small-range regime per-group cardinalities actually live in
+    (every day at sf0.01 uses the linear branch; exact/rel_err are
+    the hashed verification baseline). The GROUP BY-aggregate shape
+    production dashboards run: per-group state is m small ints no
+    matter how many events hit the day, and sketches for the same day
+    arriving from different shards/backfills merge by register max —
+    the identity sketch_hll_distinct certifies.
+
+    Scale shape: one linear pass -> (day, reg) agg (days x 256 keys,
+    map-side combine) -> per-day rollup; the exact-baseline
+    countDistinct is the expensive path the sketch replaces, kept
+    here as the measured yardstick. ln follows the bm25 precedent
+    (rounded before hashing); everything else is exact integers and
+    single literal/BIGINT divisions."""
+    e = _t(spark, sf_dir, "events")
+    return _sk.hll_distinct_by_group(
+        e, "user_id", F.expr("ts_us div 86400000000"), "day")
+
+
+def _hll_setops_sql() -> str:
+    """Oracle twin of sketches.hll_set_algebra over lineitem line ids:
+    A = returned lines, B = lines shipped 1999+. Line id =
+    l_orderkey * 10 + l_linenumber (unique per lineitem row)."""
+    p, m, rmax = _sk.HLL_P, _sk.HLL_M, _sk.HLL_RANK_MAX
+    num = repr(_sk.HLL_NUMER)
+    return f"""
+WITH tagged AS (
+  SELECT l_orderkey * 10 + l_linenumber AS k, s
+  FROM lineitem,
+       LATERAL (SELECT unnest(list_filter(
+           [CASE WHEN l_returnflag = 'R' THEN 'a' END,
+            CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01' THEN 'b' END],
+           x -> x IS NOT NULL)) AS s)),
+r AS (
+  SELECT s,
+         (h & {m - 1})::INT AS reg,
+         (CASE WHEN (h >> {p}) = 0 THEN {rmax}
+               ELSE {rmax} - length(bin(h >> {p})) END)::INT AS rank
+  FROM (SELECT s,
+               ('0x'||substr(md5(CAST(k AS VARCHAR)),1,15))::BIGINT AS h
+        FROM tagged)),
+sk AS (SELECT s, reg, max(rank) AS mj FROM r GROUP BY s, reg),
+sa AS (
+  SELECT sum(1::BIGINT << ({rmax} - mj))
+         + ({m}::BIGINT - count(*)) * (1::BIGINT << {rmax}) AS s_int,
+         count(*)::INT AS nz FROM sk WHERE s = 'a'),
+esta AS (SELECT {_hll_est_sql("s_int", "nz")} AS est_a FROM sa),
+sb AS (
+  SELECT sum(1::BIGINT << ({rmax} - mj))
+         + ({m}::BIGINT - count(*)) * (1::BIGINT << {rmax}) AS s_int,
+         count(*)::INT AS nz FROM sk WHERE s = 'b'),
+estb AS (SELECT {_hll_est_sql("s_int", "nz")} AS est_b FROM sb),
+un AS (SELECT reg, max(mj) AS mj FROM sk GROUP BY reg),
+su AS (
+  SELECT sum(1::BIGINT << ({rmax} - mj))
+         + ({m}::BIGINT - count(*)) * (1::BIGINT << {rmax}) AS s_int,
+         count(*)::INT AS nz FROM un),
+estu AS (SELECT {_hll_est_sql("s_int", "nz")} AS est_union FROM su),
+ex AS (
+  SELECT count(DISTINCT CASE WHEN s = 'a' THEN k END)::BIGINT AS exact_a,
+         count(DISTINCT CASE WHEN s = 'b' THEN k END)::BIGINT AS exact_b,
+         count(DISTINCT k)::BIGINT AS exact_union
+  FROM tagged)
+SELECT est_a, est_b, est_union,
+       round(est_a + est_b - est_union, 4) AS est_intersect,
+       exact_a, exact_b, exact_union,
+       exact_a + exact_b - exact_union AS exact_intersect
+FROM esta, estb, estu, ex
+"""
+
+
+@register("sketch_hll_set_ops", _hll_setops_sql())
+def sketch_hll_set_ops(spark, sf_dir):
+    """HLL set algebra over two lineitem line-id sets
+    (sketches.hll_set_algebra): A = returned lines (l_returnflag='R'),
+    B = lines shipped 1999+. |A ∪ B| comes from the REGISTER MAX of
+    the two independently-built sketches — no repass over the data,
+    the property that lets two 100 TB corpora's id sketches be
+    overlapped after the fact (train-vs-eval contamination screens,
+    cross-snapshot churn) — and |A ∩ B| by inclusion-exclusion over
+    the rounded estimates. Exact baselines ride in the hashed row.
+
+    Scale shape: one linear tagging pass (array_compact of literal
+    CASE tags, map-side explode), a (set, reg) agg of <= 2m keys, an
+    m-key union rollup, then 1-row scalar cross-joins; the exact
+    distinct baselines are the shuffle the sketches replace."""
+    li = _t(spark, sf_dir, "lineitem")
+    return _sk.hll_set_algebra(
+        li,
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        F.col("l_returnflag") == "R",
+        F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))

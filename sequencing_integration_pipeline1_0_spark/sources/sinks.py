@@ -252,3 +252,22 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite",
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def write_zordered(df: DataFrame, path: str, zkey_sql: str, *,
+                   n_files: int, mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet write — the PRODUCTION form of the
+    layout `layout_zorder_files` plans (operators/layout.py): compute
+    the Morton key (layout.z_interleave_sql(engine='spark')), range-
+    partition on it into n_files partitions, sort within each, write.
+    Spark's range partitioner samples boundaries, so the shuffle is
+    parallel — no global window, no single-task sort; each output
+    file's min/max column envelope is what parquet readers prune on.
+    File row counts are approximately (not exactly) equal — the
+    standard trade a clustered write makes vs the planner's exact
+    row_number layout."""
+    zed = df.withColumn("__zkey", F.expr(zkey_sql))
+    (zed.repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode).parquet(path))
