@@ -142,6 +142,8 @@ _PRIORITY = [
     "mm_image_dhash_near_dup", "mm_image_dhash_hamming_pairs",
     "sketch_hll_distinct", "sketch_countmin_heavy", "layout_zorder_files",
     "evt_hll_daily_users", "sketch_hll_set_ops",
+    "sketch_histogram_quantiles", "bm25_index_probe",
+    "evt_json_props_stats",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

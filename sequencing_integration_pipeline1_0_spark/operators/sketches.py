@@ -269,6 +269,83 @@ def hll_set_algebra(df: DataFrame, key: Column,
                        - F.col("exact_union")).alias("exact_intersect")))
 
 
+#: equi-width histogram sketch geometry and the quantiles it serves
+HIST_BUCKETS = 64
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantiles(df: DataFrame, col: str, *,
+                        n_buckets: int = HIST_BUCKETS,
+                        qs: tuple[float, ...] = HIST_QS,
+                        round_to: int = 4) -> DataFrame:
+    """Equi-width histogram quantile estimation — the mergeable
+    fixed-size alternative to an exact distributed sort: bucket
+    counts are plain integers that ADD across shards (the t-digest /
+    percentile_approx role, with deterministic cross-engine
+    arithmetic instead of a sketch library). Returns one row per
+    requested quantile:
+      (q, est, exact, rel_err_pct)
+    est interpolates linearly inside the first bucket whose running
+    count reaches q*n; exact is the true interpolated percentile —
+    the verification baseline whose global sort the histogram
+    replaces.
+
+    Scale shape: one exact min/max/count pass (3 scalar aggs), one
+    linear bucketing pass into an n_buckets-key agg with map-side
+    combine (state never grows with rows), then all remaining work —
+    running counts, quantile picks, interpolation — happens on the
+    n_buckets-row table (window over 64 rows, the shrink-then-rank
+    exemption). Everything is integer counts plus left-associative
+    IEEE doubles mirrored token-for-token by the oracle."""
+    c = F.col(col).cast("double")
+    stats = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx"),
+                   F.count(c).cast("long").alias("n"),
+                   F.percentile(c, F.array(*[F.lit(q) for q in qs]))
+                    .alias("ex"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(n_buckets)
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1),
+                F.floor((c - F.col("mn")) / width))).cast("int")
+    counts = (df.crossJoin(F.broadcast(stats.select("mn", "mx")))
+                .select(bucket.alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("bucket")
+    cum = (counts.withColumn("cum", F.sum("cnt").over(w))
+                 .withColumn("cum_before",
+                             F.col("cum") - F.col("cnt")))
+    qlit = F.explode(F.array(*[
+        F.struct(F.lit(float(q)).alias("q"), F.lit(i).alias("qi"))
+        for i, q in enumerate(qs)])).alias("qq")
+    probes = (cum.crossJoin(F.broadcast(stats))
+                 .select("bucket", "cnt", "cum", "cum_before",
+                         "mn", "mx", "n", "ex", qlit)
+                 .select("bucket", "cnt", "cum", "cum_before",
+                         "mn", "mx", "n", "ex",
+                         F.col("qq.q").alias("q"),
+                         F.col("qq.qi").alias("qi"))
+                 .where(F.col("cum").cast("double")
+                        >= F.col("q") * F.col("n")))
+    pick = (probes.groupBy("q")
+                  .agg(F.min(F.struct("bucket", "cnt", "cum_before",
+                                      "mn", "mx", "n", "ex", "qi"))
+                        .alias("p")))
+    mn, mx = F.col("p.mn"), F.col("p.mx")
+    wexp = (mx - mn) / F.lit(n_buckets)
+    tq = F.col("q") * F.col("p.n")
+    est = F.round(
+        mn + wexp * (F.col("p.bucket")
+                     + (tq - F.col("p.cum_before")) / F.col("p.cnt")),
+        round_to)
+    exact = F.element_at(F.col("p.ex"), F.col("p.qi") + 1)
+    return pick.select(
+        "q", est.alias("est"),
+        F.round(exact, round_to).alias("exact"),
+        F.round((est - F.round(exact, round_to))
+                / F.round(exact, round_to) * 100, round_to)
+         .alias("rel_err_pct"))
+
+
 def cms_heavy_hitters(df: DataFrame, text_col: str, *,
                       d: int = CMS_D, w: int = CMS_W,
                       topk: int = CMS_TOPK,

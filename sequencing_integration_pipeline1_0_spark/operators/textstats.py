@@ -872,6 +872,32 @@ BM25_QUERIES = (("q1", ("hash", "join")),
                 ("q4", ("merge", "stream")))
 
 
+def _bm25_parts(df, id_col: str, text_col: str, queries):
+    """The per-corpus-part half of BM25: (tf, dfreq, g). tf is the
+    postings view (query_id, term, doc_id, tf, dl); dfreq and g are
+    the ADDITIVE index statistics (per-term doc frequency; corpus
+    doc count + total length) — additive is what makes the index
+    incrementally maintainable (bm25_topk_incremental)."""
+    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))),
+                  lambda x: x != "")
+    d = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    g = d.agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum(F.size("ws")).cast("long").alias("tot_len"))
+    qlit = F.array(*[F.struct(F.lit(qid).alias("query_id"),
+                              F.lit(t).alias("term"))
+                     for qid, terms in queries for t in terms])
+    tf = (d.select("doc_id", "ws", F.size("ws").cast("long").alias("dl"),
+                   F.explode(qlit).alias("q"))
+           .select("doc_id", "dl", "q.query_id", "q.term",
+                   F.size(F.filter(F.col("ws"),
+                                   lambda x: x == F.col("q.term")))
+                    .cast("long").alias("tf"))
+           .where(F.col("tf") > 0))
+    dfreq = (tf.groupBy("query_id", "term")
+               .agg(F.count("*").cast("long").alias("dft")))
+    return tf, dfreq, g
+
+
 def bm25_topk(df, id_col: str = "doc_id", text_col: str = "text", *,
               queries=BM25_QUERIES, k1: float = BM25_K1,
               b: float = BM25_B, k: int = BM25_TOPK,
@@ -892,28 +918,19 @@ def bm25_topk(df, id_col: str = "doc_id", text_col: str = "text", *,
     (query, hash bucket) bounds the per-query window to
     salt_buckets * k rows — a 4-value partition key never funnels
     the corpus through 4 tasks."""
+    tf, dfreq, g = _bm25_parts(df, id_col, text_col, queries)
+    return _bm25_finish(tf, dfreq, g, k1=k1, b=b, k=k,
+                        salt_buckets=salt_buckets)
+
+
+def _bm25_finish(tf, dfreq, g, *, k1: float, b: float, k: int,
+                 salt_buckets: int) -> "DataFrame":
+    """The scoring half of BM25 from a postings view + index stats.
+    Expression mirrors the oracle token-for-token: left-associative
+    doubles in the same order, ln is the only transcendental, and
+    round(..., 6) -> decimal makes the per-term score exact before
+    the order-free decimal sum."""
     from pyspark.sql import Window
-    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))),
-                  lambda x: x != "")
-    d = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
-    g = d.agg(F.count("*").cast("long").alias("n_docs"),
-              F.sum(F.size("ws")).cast("long").alias("tot_len"))
-    qlit = F.array(*[F.struct(F.lit(qid).alias("query_id"),
-                              F.lit(t).alias("term"))
-                     for qid, terms in queries for t in terms])
-    tf = (d.select("doc_id", "ws", F.size("ws").cast("long").alias("dl"),
-                   F.explode(qlit).alias("q"))
-           .select("doc_id", "dl", "q.query_id", "q.term",
-                   F.size(F.filter(F.col("ws"),
-                                   lambda x: x == F.col("q.term")))
-                    .cast("long").alias("tf"))
-           .where(F.col("tf") > 0))
-    dfreq = (tf.groupBy("query_id", "term")
-               .agg(F.count("*").cast("long").alias("dft")))
-    # expression mirrors the oracle token-for-token: left-associative
-    # doubles in the same order, ln is the only transcendental, and
-    # round(..., 6) -> decimal makes the per-term score exact before
-    # the order-free decimal sum
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dft") + F.lit(0.5))
                 / (F.col("dft") + F.lit(0.5)))
     denom = (F.col("tf") + F.lit(k1) *
@@ -937,6 +954,45 @@ def bm25_topk(df, id_col: str = "doc_id", text_col: str = "text", *,
                                                 "doc_id")
     return (loc.withColumn("rnk", F.row_number().over(fw).cast("int"))
                .where(F.col("rnk") <= k))
+
+
+def bm25_topk_incremental(base, batch, id_col: str = "doc_id",
+                          text_col: str = "text", *,
+                          queries=BM25_QUERIES, k1: float = BM25_K1,
+                          b: float = BM25_B, k: int = BM25_TOPK,
+                          salt_buckets: int = 32) -> "DataFrame":
+    """BM25 over an INCREMENTALLY MAINTAINED index: the base corpus's
+    postings (tf) and index stats (per-term doc frequency; corpus
+    doc count / total length) are built once; an arriving batch
+    contributes only ITS OWN postings and stat increments, and the
+    merge is postings-append + stat ADDITION (full-outer sum for
+    dfreq, component sum for N/tot_len) — never a re-tokenization of
+    the base corpus. Because every statistic BM25 needs is additive,
+    the merged index is exactly the rebuilt one; scoring the merged
+    index against the union postings therefore hash-matches the
+    from-scratch oracle — the lexical-index member of the
+    incremental-proof family (minhash_index_probe, ivf_assign_batch,
+    pq_encode_batch).
+
+    Scale shape: each side is the bm25_topk single pass over ITS OWN
+    rows only; the merge shuffles <= |terms| stat rows and appends
+    postings without touching base data; scoring is the shared
+    _bm25_finish (broadcast stats, two-phase top-k)."""
+    tf_b, df_b, g_b = _bm25_parts(base, id_col, text_col, queries)
+    tf_n, df_n, g_n = _bm25_parts(batch, id_col, text_col, queries)
+    dfreq = (df_b.withColumnRenamed("dft", "dft_b")
+                 .join(df_n.withColumnRenamed("dft", "dft_n"),
+                       ["query_id", "term"], "full_outer")
+                 .select("query_id", "term",
+                         (F.coalesce("dft_b", F.lit(0))
+                          + F.coalesce("dft_n", F.lit(0)))
+                          .cast("long").alias("dft")))
+    g = (g_b.unionByName(g_n)
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("tot_len").cast("long").alias("tot_len")))
+    tf = tf_b.unionByName(tf_n)
+    return _bm25_finish(tf, dfreq, g, k1=k1, b=b, k=k,
+                        salt_buckets=salt_buckets)
 
 
 #: bigram-LM interpolation weight (KenLM-lite); oracle interpolates THESE

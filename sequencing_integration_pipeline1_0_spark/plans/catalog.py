@@ -8115,3 +8115,140 @@ def sketch_hll_set_ops(spark, sf_dir):
         F.col("l_orderkey") * 10 + F.col("l_linenumber"),
         F.col("l_returnflag") == "R",
         F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+
+
+@register("bm25_index_probe", _BM25_SQL)
+def bm25_index_probe(spark, sf_dir):
+    """Incremental lexical-index maintenance
+    (textstats.bm25_topk_incremental): the corpus (doc_id % 10 != 0)
+    is tokenized ONCE into postings + additive index stats (per-term
+    doc frequency, corpus N / total length); the arriving batch
+    (doc_id % 10 == 0) contributes only its own postings and stat
+    increments, merged by postings-append + stat addition — the base
+    corpus is never re-tokenized. The oracle is the from-scratch BM25
+    over the whole corpus (_BM25_SQL verbatim), so the green row
+    certifies merge-an-existing-index == rebuild-over-the-union —
+    closing the incremental-proof family across every index kind the
+    engine ships (minhash LSH, IVF, PQ, and now the lexical index).
+
+    Scale shape: each side runs bm25's single pass over its own rows;
+    the merge shuffles <= |query terms| stat rows; scoring broadcasts
+    the merged stats and keeps the two-phase top-k."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bm25_topk_incremental(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0))
+
+
+def _hist_quantiles_sql() -> str:
+    """Oracle twin of sketches.histogram_quantiles: same bucketing
+    arithmetic token-for-token (geometry and quantile list
+    interpolate from the sketches module); q literals cast to DOUBLE
+    so both engines multiply the same types."""
+    nb = _sk.HIST_BUCKETS
+    qvals = ",".join(f"({float(q)!r}::DOUBLE, {i + 1})"
+                     for i, q in enumerate(_sk.HIST_QS))
+    qlist = "[" + ",".join(repr(float(q)) for q in _sk.HIST_QS) + "]"
+    return f"""
+WITH stats AS (
+  SELECT min(l_extendedprice::DOUBLE) AS mn,
+         max(l_extendedprice::DOUBLE) AS mx,
+         count(l_extendedprice)::BIGINT AS n,
+         quantile_cont(l_extendedprice::DOUBLE, {qlist}) AS ex
+  FROM lineitem),
+counts AS (
+  SELECT (CASE WHEN s.mx = s.mn THEN 0
+          ELSE least({nb - 1},
+                     floor((l_extendedprice::DOUBLE - s.mn)
+                           / ((s.mx - s.mn) / {nb}))) END)::INT AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM lineitem, stats s GROUP BY 1),
+cum AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER (ORDER BY bucket) - cnt AS cum_before
+  FROM counts),
+qv AS (SELECT * FROM (VALUES {qvals}) v(q, qi)),
+pick AS (
+  SELECT c.bucket, c.cnt, c.cum_before, q.q, q.qi,
+         s.mn, s.mx, s.n, s.ex
+  FROM cum c, qv q, stats s
+  WHERE c.cum::DOUBLE >= q.q * s.n
+  QUALIFY row_number() OVER (PARTITION BY q.q ORDER BY c.bucket) = 1)
+SELECT q,
+       round(mn + ((mx - mn) / {nb})
+             * (bucket + (q * n - cum_before) / cnt), 4) AS est,
+       round(ex[qi], 4) AS exact,
+       round((round(mn + ((mx - mn) / {nb})
+                    * (bucket + (q * n - cum_before) / cnt), 4)
+              - round(ex[qi], 4)) / round(ex[qi], 4) * 100, 4)
+         AS rel_err_pct
+FROM pick
+"""
+
+
+@register("sketch_histogram_quantiles", _hist_quantiles_sql())
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles over l_extendedprice
+    (sketches.histogram_quantiles): p50/p90/p99 estimated from a
+    64-bucket equi-width count histogram — the fixed-size MERGEABLE
+    quantile state (bucket counts add across shards/days) that
+    replaces the global sort exact percentiles need; the exact
+    interpolated percentile rides in the hashed row as the measured
+    yardstick (observed |err| < 0.05% at sf0.01). The deterministic
+    stand-in for percentile_approx's t-digest: same two linear
+    passes, but integer counters + IEEE interpolation that an
+    independent engine reproduces bit-for-bit.
+
+    Scale shape: one 3-scalar min/max/count pass, one linear
+    bucketing pass into a 64-key map-side-combined agg; everything
+    after runs on the 64-row bucket table (the shrink-then-rank
+    exemption). The exact-percentile baseline is the expensive path
+    the sketch replaces."""
+    li = _t(spark, sf_dir, "lineitem")
+    return _sk.histogram_quantiles(li, "l_extendedprice")
+
+
+_JSON_PROPS_SQL = """
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         json_extract_string(props, '$.missing') AS absent
+  FROM events)
+SELECT event_type,
+       count(k)::BIGINT AS n_with_k,
+       count(absent)::BIGINT AS n_with_missing,
+       count(DISTINCT k)::BIGINT AS distinct_k,
+       min(k) AS min_k, max(k) AS max_k,
+       CAST(CAST(sum(k) AS DECIMAL(18,0)) AS DOUBLE) / count(k) AS avg_k
+FROM k GROUP BY event_type
+"""
+
+
+@register("evt_json_props_stats", _JSON_PROPS_SQL)
+def evt_json_props_stats(spark, sf_dir):
+    """Semi-structured property extraction: per-event-type stats over
+    a JSON-path field pulled from the events `props` payload column
+    with the engine's NATIVE json path evaluator (get_json_object —
+    JVM-side, codegen, no regex and no Python), plus an absent-path
+    probe proving missing keys surface as nulls, not errors. The
+    reference regex-scrapes key-value fragments out of free text (F7
+    elr.Rmd:409-442; the existing f7 query keeps that shape) — this
+    is the same capability done right for the JSON event payloads a
+    100 TB pipeline actually carries.
+
+    Scale shape: one map-side extraction pass (json path evaluated
+    once per row), then a 5-key agg with map-side combine; the sum
+    rides DECIMAL so partial-agg order cannot flip the hash; the
+    distinct count is per-group over a 100-value domain."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    absent = F.get_json_object("props", "$.missing")
+    return (e.select("event_type", k.alias("k"), absent.alias("absent"))
+             .groupBy("event_type")
+             .agg(F.count("k").cast("long").alias("n_with_k"),
+                  F.count("absent").cast("long").alias("n_with_missing"),
+                  F.countDistinct("k").cast("long").alias("distinct_k"),
+                  F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                  (F.sum(F.col("k").cast("decimal(18,0)")).cast("double")
+                   / F.count("k")).alias("avg_k")))

@@ -243,6 +243,57 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
     return lw.join(rw, cond, "inner")
 
 
+def hll_register_stream(stream: DataFrame, ts_col: str, key_col: str,
+                        *, window: str = "1 day",
+                        delay: str = "2 days") -> DataFrame:
+    """Streaming HyperLogLog registers: per-(event-time window,
+    register) max rank — the distinct-count sketch as STREAMING STATE.
+    This is the state-boundedness argument made executable: exact
+    streaming COUNT(DISTINCT key) needs every key in the state store
+    forever, while the HLL state is m=256 small ints per window no
+    matter how many events arrive, and registers max-merge across
+    micro-batches by construction (streaming MAX aggregation IS the
+    sketch merge). Downstream, a batch pass turns drained register
+    tables into estimates via sketches.hll_estimate_expr — identical
+    arithmetic to the batch evt_hll_daily_users query, which the
+    parity test pins.
+
+    At scale: state store holds windows x 256 rows; the watermark
+    closes windows after `delay`, so state is O(open windows), not
+    O(keys seen)."""
+    from ..operators.sketches import HLL_M, hll_rank, md5_60bit
+    h = md5_60bit(F.col(key_col))
+    return (stream
+            .withWatermark(ts_col, delay)
+            .select(F.window(F.col(ts_col), window).alias("w"),
+                    h.bitwiseAND(F.lit(HLL_M - 1)).cast("int")
+                     .alias("reg"),
+                    hll_rank(F.shiftright(h, 8)).alias("rank"))
+            .groupBy("w", "reg")
+            .agg(F.max("rank").alias("mj"))
+            .select(F.col("w.start").alias("window_start"), "reg", "mj"))
+
+
+def hll_estimates_from_registers(regs: DataFrame,
+                                 group_col: str = "window_start") -> DataFrame:
+    """Batch finishing pass over a (drained or persisted) register
+    table: per-group harmonic sum + nonzero count -> full-estimator
+    estimate (raw / linear-counting). Shared arithmetic with the
+    batch HLL queries via sketches.hll_estimate_expr."""
+    from ..operators.sketches import HLL_M, HLL_RANK_MAX, hll_estimate_expr
+    per = (regs.groupBy(group_col)
+               .agg(F.sum(F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"{HLL_RANK_MAX} - mj)")).alias("s_present"),
+                    F.count(F.lit(1)).alias("n_present")))
+    s_int = (F.col("s_present")
+             + (F.lit(HLL_M).cast("long") - F.col("n_present"))
+             * F.lit(1 << HLL_RANK_MAX).cast("long"))
+    return per.select(
+        group_col,
+        hll_estimate_expr(s_int, F.col("n_present")).alias("est"))
+
+
 def run_available_now(stream: DataFrame, name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drain a stream with trigger(availableNow) into a memory sink and

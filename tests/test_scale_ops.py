@@ -1229,3 +1229,16 @@ def test_quality_logreg_train_hand_values(spark):
              for j in range(4)]
     for j in range(4):
         assert abs(got[j] - w[j]) < 1e-12, (j, got[j], w[j])
+
+
+def test_bm25_incremental_equals_rebuild(spark):
+    from sequencing_integration_pipeline1_0_spark.operators import textstats
+    rows = [(i, f"hash join row {'batch ' * (i % 3)}text {i % 7}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = df.filter(F.col("doc_id") % 10 != 0)
+    batch = df.filter(F.col("doc_id") % 10 == 0)
+    inc = sorted(map(tuple, textstats.bm25_topk_incremental(
+        base, batch).collect()))
+    full = sorted(map(tuple, textstats.bm25_topk(df).collect()))
+    assert inc == full

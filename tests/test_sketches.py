@@ -170,3 +170,19 @@ def test_hll_set_algebra_union_and_intersection(spark):
     # estimates within 4x the 6.5% expected band
     assert abs(r.est_a - 200) / 200 < 0.26
     assert abs(r.est_union - 333) / 333 < 0.26
+
+
+def test_histogram_quantiles_hand_values(spark):
+    # uniform 0..999: p50 ~ 499.5 exact; histogram est close
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], ["v"])
+    out = {r.q: r for r in sk.histogram_quantiles(df, "v").collect()}
+    assert set(out) == {0.5, 0.9, 0.99}
+    assert out[0.5].exact == 499.5
+    for r in out.values():
+        assert abs(r.est - r.exact) <= 1000 / sk.HIST_BUCKETS
+
+
+def test_histogram_quantiles_constant_column(spark):
+    df = spark.createDataFrame([(7.0,)] * 50, ["v"])
+    out = sk.histogram_quantiles(df, "v").collect()
+    assert all(r.est == 7.0 and r.exact == 7.0 for r in out)

@@ -313,3 +313,39 @@ def test_sessionize_resumes_from_checkpoint(spark, tmp_path):
     r = rows[0]
     assert (r["session_start_us"], r["session_end_us"], r["n_events"]) \
         == (0, 20, 3)
+
+
+def test_hll_register_stream_matches_batch_sketch(spark, events_stream_dir,
+                                                  tmp_path):
+    """The streaming HLL register state, drained, is register-identical
+    to the batch sketch over the same rows, and its estimates equal the
+    batch evt_hll_daily_users arithmetic."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        sketches as sk)
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = st.read_parquet_stream(spark, events_stream_dir, schema)
+    regs = st.hll_register_stream(stream, "event_time", "user_id")
+    got = _run_stream(spark, regs, tmp_path, "hll_regs")
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = sk.hll_registers(
+        batch.select(F.date_trunc("day", "event_time")
+                      .alias("window_start"), "user_id"),
+        F.col("user_id"), "window_start")
+    g = {(r.window_start, r.reg): r.mj for r in got.collect()}
+    e = {(r.window_start, r.reg): r.mj for r in expected.collect()}
+    assert g, "stream emitted nothing"
+    # availableNow may hold back the final watermark-tail window; every
+    # emitted register must match the batch sketch exactly
+    for k, v in g.items():
+        assert e[k] == v
+
+    est = {r.window_start: r.est
+           for r in st.hll_estimates_from_registers(got).collect()}
+    exact = {r.window_start: r.n for r in
+             (batch.groupBy(F.date_trunc("day", "event_time")
+                            .alias("window_start"))
+                   .agg(F.countDistinct("user_id").alias("n")).collect())}
+    for day, v in est.items():
+        assert abs(v - exact[day]) / exact[day] < 0.30
