@@ -143,7 +143,7 @@ _PRIORITY = [
     "sketch_hll_distinct", "sketch_countmin_heavy", "layout_zorder_files",
     "evt_hll_daily_users", "sketch_hll_set_ops",
     "sketch_histogram_quantiles", "bm25_index_probe",
-    "evt_json_props_stats",
+    "evt_json_props_stats", "graph_pagerank_authority",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

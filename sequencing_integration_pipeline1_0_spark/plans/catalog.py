@@ -8252,3 +8252,77 @@ def evt_json_props_stats(spark, sf_dir):
                   F.min("k").alias("min_k"), F.max("k").alias("max_k"),
                   (F.sum(F.col("k").cast("decimal(18,0)")).cast("double")
                    / F.count("k")).alias("avg_k")))
+
+
+from ..operators import graph as _graph  # noqa: E402
+
+
+def _pagerank_sql() -> str:
+    """Oracle twin of graph.pagerank over the customer<->supplier
+    trade graph: the damping/teleport literals and iteration count
+    interpolate from the graph module (repr() so 1.0 - 0.85 keeps its
+    exact IEEE value in both engines), each iteration unrolled as a
+    CTE mirroring the Spark loop body token-for-token."""
+    d = repr(_graph.PAGERANK_DAMPING)
+    tele = repr(1.0 - _graph.PAGERANK_DAMPING)
+    parts = [f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT c AS src, s AS dst FROM pairs
+      UNION SELECT s AS src, c AS dst FROM pairs),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+pr0 AS (
+  SELECT node, n_nodes,
+         round(1.0::DOUBLE / n_nodes, 12) AS pr
+  FROM nodes, n)"""]
+    prev = "pr0"
+    for i in range(1, _graph.PAGERANK_ITERS + 1):
+        parts.append(f""",
+m{i} AS (
+  SELECT e.dst,
+         sum(CAST(round({d} * p.pr / o.outdeg, 12) AS DECIMAL(38,12)))
+           AS m
+  FROM {prev} p JOIN e ON p.node = e.src
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+pr{i} AS (
+  SELECT p.node, p.n_nodes,
+         round(round({tele} / p.n_nodes, 12)
+               + coalesce(CAST(m.m AS DOUBLE), 0.0), 12) AS pr
+  FROM {prev} p LEFT JOIN m{i} m ON p.node = m.dst)""")
+        prev = f"pr{i}"
+    parts.append(f"\nSELECT node, pr FROM {prev}")
+    return "".join(parts)
+
+
+@register("graph_pagerank_authority", _pagerank_sql())
+def graph_pagerank_authority(spark, sf_dir):
+    """PageRank over the customer<->supplier trade graph
+    (graph.pagerank, 3 fixed power iterations, d=0.85): node ids are
+    cust*2 / supp*2+1 (disjoint key spaces), edges are the distinct
+    traded-with pairs in both directions so the graph is free of
+    dangling sinks. The corpus-curation use of this operator is
+    host-authority weighting for crawl sampling (the reason host-level
+    PageRank ships with Common Crawl); the iterative-analytics shape
+    itself — rank table re-joined onto a static edge table per
+    round — is what the engine is proving it runs declaratively.
+
+    Scale shape per iteration: slim (node, pr) join onto edges by src
+    (co-locatable by pre-partitioning both on src at web scale),
+    map-side-combined decimal sum by dst, left join back for
+    teleport-only nodes; 3 iterations unroll into ONE Catalyst plan
+    (the quality_logreg_train precedent — no driver loop, no collect;
+    at hundreds of iterations checkpoint per round instead)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+              .select((F.col("o_custkey") * 2).alias("c"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s"))
+              .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+                  .unionByName(pairs.select(F.col("s").alias("src"),
+                                            F.col("c").alias("dst"))))
+    return _graph.pagerank(edges)

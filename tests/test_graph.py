@@ -1,0 +1,24 @@
+"""Hand-value tests for the iterative graph analytics operators."""
+
+from __future__ import annotations
+
+from sequencing_integration_pipeline1_0_spark.operators import graph
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # on a directed 3-cycle every node keeps exactly 1/3
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    out = {r.node: r.pr for r in graph.pagerank(e).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in out.values())
+
+
+def test_pagerank_hub_attracts_mass(spark):
+    # bidirectional star: the hub ends with more rank than any leaf,
+    # leaves are symmetric, and total mass stays ~1 (no dangling nodes)
+    edges = [(i, 0) for i in (1, 2, 3)] + [(0, i) for i in (1, 2, 3)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.pr for r in graph.pagerank(e).collect()}
+    assert out[0] > out[1]
+    assert out[1] == out[2] == out[3]
+    assert abs(sum(out.values()) - 1.0) < 1e-6

@@ -73,7 +73,20 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "ann_ivfpq_recall",
                   # residual variant: same coarse-assignment NLJ; the
                   # ADC itself is the cell equi-join
-                  "ann_ivfpq_residual_topk"}
+                  "ann_ivfpq_residual_topk",
+                  # sketch finishers: 1-row aggregate cross-joins only
+                  # (harmonic sums / exact baselines / min-max stats —
+                  # the scalar-join shape; the sketch builds themselves
+                  # are fixed-key hash aggs)
+                  "sketch_hll_distinct", "sketch_hll_set_ops",
+                  "sketch_histogram_quantiles",
+                  # 1-row merged N/avgdl scalar broadcast onto the
+                  # merged postings (same scalar shape as bm25_topk)
+                  "bm25_index_probe",
+                  # 1-row n_nodes scalar attached to the rank table
+                  # once (teleport term); per-iteration joins are
+                  # src/dst equi-joins
+                  "graph_pagerank_authority"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
@@ -181,7 +194,19 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # corpus size (the word-frequency collapse before
                     # it is the real fence); the train step adds the
                     # same window post-merge (merged-alphabet^2)
-                    "bpe_merge_topk", "bpe_train_step"}
+                    "bpe_merge_topk", "bpe_train_step",
+                    # CMS final rank runs over the two-phase survivors
+                    # (<= salt_buckets * topk rows — the local top-k
+                    # before it is the real fence)
+                    "sketch_countmin_heavy",
+                    # cumulative counts over the 64-row bucket table
+                    # (fixed sketch size regardless of input rows)
+                    "sketch_histogram_quantiles",
+                    # the global-sort row_number IS the modeled
+                    # clustered write (a z-ordered layout is a total
+                    # sort by definition); the production path is the
+                    # range-partitioned sinks.write_zordered
+                    "layout_zorder_files"}
 
 
 def _global_windows(plan: str) -> int:
