@@ -257,3 +257,60 @@ def only_match_rescue(matches: DataFrame, *, rowid: str = "rowid",
             .withColumn("__in", in_window)
             .withColumn("__keep", F.col("__in") | ((n_in == 0) & (n_all == 1)))
             .filter(F.col("__keep")).drop("__in", "__keep"))
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (the statistical layer the
+# reference's deterministic fuzzy matching approximates by hand-tuned
+# distance cutoffs: fuzzy.Rmd:556-603 accepts/rejects on lev + window;
+# FS replaces the cutoff with per-field evidence weights ln(m/u) —
+# the splink/fastLink model, computable at 100 TB because every weight
+# is a plan-time literal over the blocked candidate pairs)
+# ---------------------------------------------------------------------------
+
+#: P(agreement level | match) and | unmatch) for the 3-level name
+#: comparison (0 = disagree, 1 = close/lev<=2, 2 = exact) and the
+#: binary segment / balance-proximity comparisons. Literature-shaped
+#: priors, published as module constants so the oracle interpolates
+#: THE SAME weights (single-source rule).
+FS_NAME_M = (0.03, 0.12, 0.85)
+FS_NAME_U = (0.90, 0.09, 0.01)
+FS_SEG_M, FS_SEG_U = 0.9, 0.2
+FS_BAL_M, FS_BAL_U = 0.8, 0.3
+#: total-evidence threshold for the match classification
+FS_THRESHOLD = 2.0
+#: balance proximity window (absolute difference)
+FS_BAL_WINDOW = 100.0
+
+
+def fs_weights() -> dict[str, tuple[float, ...]]:
+    """ln(m/u) evidence weights computed ONCE in Python — plan-time
+    float literals in both engines, so no SQL ln() sits on the
+    certified path and the per-pair score is a sum of 3 literals."""
+    import math
+    return {
+        "name": tuple(math.log(m / u)
+                      for m, u in zip(FS_NAME_M, FS_NAME_U)),
+        "seg": (math.log((1 - FS_SEG_M) / (1 - FS_SEG_U)),
+                math.log(FS_SEG_M / FS_SEG_U)),
+        "bal": (math.log((1 - FS_BAL_M) / (1 - FS_BAL_U)),
+                math.log(FS_BAL_M / FS_BAL_U)),
+    }
+
+
+def fellegi_sunter_score(gamma_name: Column, gamma_seg: Column,
+                         gamma_bal: Column, *, round_to: int = 6) -> Column:
+    """Total FS evidence = sum of the per-field literal weights picked
+    by the agreement levels. Left-associative double adds of plan-time
+    literals — bit-identical across engines before the final round."""
+    w = fs_weights()
+
+    def pick(gamma: Column, ws: tuple[float, ...]) -> Column:
+        expr = F.lit(ws[0])
+        for lvl in range(1, len(ws)):
+            expr = F.when(gamma == lvl, F.lit(ws[lvl])).otherwise(expr)
+        return expr
+
+    return F.round(pick(gamma_name, w["name"])
+                   + pick(gamma_seg, w["seg"])
+                   + pick(gamma_bal, w["bal"]), round_to)

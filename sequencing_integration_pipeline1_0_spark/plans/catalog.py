@@ -8326,3 +8326,97 @@ def graph_pagerank_authority(spark, sf_dir):
                   .unionByName(pairs.select(F.col("s").alias("src"),
                                             F.col("c").alias("dst"))))
     return _graph.pagerank(edges)
+
+
+def _fs_sql() -> str:
+    """Oracle twin of the Fellegi-Sunter linkage query: the ln(m/u)
+    weights come from fuzzy.fs_weights() (computed once in Python,
+    repr()-interpolated) so neither engine evaluates a transcendental
+    and both sum the same three literals."""
+    w = fuzzy.fs_weights()
+    wn0, wn1, wn2 = (repr(x) for x in w["name"])
+    ws0, ws1 = (repr(x) for x in w["seg"])
+    wb0, wb1 = (repr(x) for x in w["bal"])
+    return f"""
+WITH pairs AS (
+  SELECT a.c_custkey AS l_custkey, b.c_custkey AS r_custkey,
+         levenshtein(a.c_name, b.c_name) AS dist,
+         (a.c_mktsegment = b.c_mktsegment)::INT AS gamma_seg,
+         (abs(a.c_acctbal - b.c_acctbal) <= {fuzzy.FS_BAL_WINDOW!r})::INT
+           AS gamma_bal
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 3),
+g AS (
+  SELECT l_custkey, r_custkey,
+         (CASE WHEN dist = 0 THEN 2 WHEN dist <= 2 THEN 1
+               ELSE 0 END)::INT AS gamma_name,
+         gamma_seg, gamma_bal
+  FROM pairs)
+SELECT l_custkey, r_custkey, gamma_name, gamma_seg, gamma_bal,
+       round((CASE gamma_name WHEN 2 THEN {wn2} WHEN 1 THEN {wn1}
+              ELSE {wn0} END)
+             + (CASE gamma_seg WHEN 1 THEN {ws1} ELSE {ws0} END)
+             + (CASE gamma_bal WHEN 1 THEN {wb1} ELSE {wb0} END), 6)
+         AS score,
+       (round((CASE gamma_name WHEN 2 THEN {wn2} WHEN 1 THEN {wn1}
+               ELSE {wn0} END)
+              + (CASE gamma_seg WHEN 1 THEN {ws1} ELSE {ws0} END)
+              + (CASE gamma_bal WHEN 1 THEN {wb1} ELSE {wb0} END), 6)
+        >= {fuzzy.FS_THRESHOLD!r})::INT AS is_match
+FROM g
+"""
+
+
+@register("link_fellegi_sunter", _fs_sql())
+def link_fellegi_sunter(spark, sf_dir):
+    """Probabilistic record linkage (Fellegi-Sunter 1969; the
+    splink/fastLink model) over the blocked customer candidate pairs:
+    a 3-level name comparison (exact / lev<=2 / other), binary
+    segment and balance-proximity comparisons, each contributing its
+    ln(m/u) evidence weight, summed into the match score and
+    thresholded. This is the statistical layer the reference's
+    hand-tuned fuzzy cutoffs approximate (fuzzy.Rmd:556-603 accepts
+    on lev + date window; FS makes the accept/reject an explicit
+    likelihood ratio whose per-field weights are auditable).
+
+    Scale shape: the candidate set rides the SAME blocked equi-join
+    as j6 (hash join on the block key + bounded levenshtein
+    post-filter — never a cross join); comparisons and the weight sum
+    are map-side CASE picks of plan-time literals (fuzzy.fs_weights,
+    computed once in Python — no per-row transcendental in either
+    engine); output is pair-level slim rows."""
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(F.col("c_custkey").alias("l_custkey"),
+                    F.col("c_name").alias("l_name"),
+                    F.col("c_mktsegment").alias("l_seg"),
+                    F.col("c_acctbal").alias("l_bal"),
+                    F.col("c_nationkey").alias("block"))
+    right = c.select(F.col("c_custkey").alias("r_custkey"),
+                     F.col("c_name").alias("r_name"),
+                     F.col("c_mktsegment").alias("r_seg"),
+                     F.col("c_acctbal").alias("r_bal"),
+                     F.col("c_nationkey").alias("block"))
+    pairs = (fuzzy.blocked_distance_join(
+                 left, right, left_key="l_name", right_key="r_name",
+                 block_keys=["block"], max_dist=3, how="inner")
+             .filter(F.col("l_custkey") < F.col("r_custkey")))
+    gname = (F.when(F.col("distance") == 0, F.lit(2))
+              .when(F.col("distance") <= 2, F.lit(1))
+              .otherwise(F.lit(0))).cast("int")
+    gseg = (F.col("l_seg") == F.col("r_seg")).cast("int")
+    gbal = (F.abs(F.col("l_bal") - F.col("r_bal"))
+            <= F.lit(fuzzy.FS_BAL_WINDOW)).cast("int")
+    score = fuzzy.fellegi_sunter_score(F.col("gamma_name"),
+                                       F.col("gamma_seg"),
+                                       F.col("gamma_bal"))
+    return (pairs.select("l_custkey", "r_custkey",
+                         gname.alias("gamma_name"),
+                         gseg.alias("gamma_seg"),
+                         gbal.alias("gamma_bal"))
+                 .select("l_custkey", "r_custkey", "gamma_name",
+                         "gamma_seg", "gamma_bal",
+                         score.alias("score"),
+                         (score >= F.lit(fuzzy.FS_THRESHOLD))
+                          .cast("int").alias("is_match")))

@@ -22,3 +22,26 @@ def test_pagerank_hub_attracts_mass(spark):
     assert out[0] > out[1]
     assert out[1] == out[2] == out[3]
     assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+def test_fellegi_sunter_weights_and_threshold(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sequencing_integration_pipeline1_0_spark.operators import fuzzy
+
+    w = fuzzy.fs_weights()
+    # weights are ln(m/u) of the module priors
+    assert w["name"][2] == math.log(fuzzy.FS_NAME_M[2] / fuzzy.FS_NAME_U[2])
+    # full agreement scores w_name2 + w_seg1 + w_bal1 and clears the
+    # threshold; full disagreement lands far below it
+    df = spark.createDataFrame([(2, 1, 1), (0, 0, 0)],
+                               ["gn", "gs", "gb"])
+    out = (df.select(fuzzy.fellegi_sunter_score(
+               F.col("gn"), F.col("gs"), F.col("gb")).alias("s"))
+             .collect())
+    hi, lo = max(r.s for r in out), min(r.s for r in out)
+    assert abs(hi - round(w["name"][2] + w["seg"][1] + w["bal"][1], 6)) == 0
+    assert abs(lo - round(w["name"][0] + w["seg"][0] + w["bal"][0], 6)) == 0
+    assert hi >= fuzzy.FS_THRESHOLD > lo
