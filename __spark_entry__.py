@@ -129,7 +129,12 @@ _R4_CONFIRMED = frozenset({
 
 # Round-5 priorities: the new IVF-PQ composition + its recall sweep, the
 # PQ incremental-parity proof, the JPEG-capable decode re-check, and the
-# two new curation operators (URL dedup, hashed linear quality gate).
+# round's new operator families (curation, audio/video, BPE/BM25/LM,
+# classifier, image pHash, sketches/layout/graph/linkage).
+# Window trade-off, round 5: 36 front slots (new + recheck) leave ~14
+# rotation slots for stalest-confirmed re-verification this round — the
+# rotation catches up in r6+ when the new entries fold into confirmed;
+# all 190 queries pass the local selfcheck replica every round regardless.
 _PRIORITY = [
     "ann_ivfpq_topk", "ann_ivfpq_recall", "pq_encode_batch",
     "mm_decode_image", "dedup_url_canonical", "quality_linear_classifier",

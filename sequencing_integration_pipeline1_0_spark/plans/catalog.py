@@ -8271,7 +8271,8 @@ WITH pairs AS (
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
 e AS (SELECT c AS src, s AS dst FROM pairs
       UNION SELECT s AS src, c AS dst FROM pairs),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+nodes AS (SELECT c_custkey * 2 AS node FROM customer
+          UNION SELECT s_suppkey * 2 + 1 AS node FROM supplier),
 outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
 n AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
 pr0 AS (
@@ -8325,7 +8326,15 @@ def graph_pagerank_authority(spark, sf_dir):
     edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
                   .unionByName(pairs.select(F.col("s").alias("src"),
                                             F.col("c").alias("dst"))))
-    return _graph.pagerank(edges)
+    # node universe from the cheap base tables, not the edge join —
+    # one scan each instead of re-inlining the orders x lineitem
+    # subtree per reference (see graph.py's plan-shape note)
+    nodes = (_t(spark, sf_dir, "customer")
+             .select((F.col("c_custkey") * 2).alias("node"))
+             .unionByName(_t(spark, sf_dir, "supplier")
+                          .select((F.col("s_suppkey") * 2 + 1)
+                                   .alias("node"))))
+    return _graph.pagerank(edges, nodes=nodes)
 
 
 def _fs_sql() -> str:
