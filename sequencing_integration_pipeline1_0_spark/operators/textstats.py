@@ -1221,3 +1221,93 @@ def quality_logreg_eval(df, text_col: str = "text", *,
                          F.round((F.col("tp") + F.col("tn"))
                                  .cast("double") / F.col("n_docs"), 6)
                           .alias("accuracy")))
+
+
+#: sparse tf-idf cosine similarity: stop-term prune fraction (terms in
+#: more than this share of docs are dropped from the representation),
+#: pair threshold, and per-doc neighbor count. Oracles interpolate
+#: THESE (single-source rule).
+TFIDF_SIM_MAXDF_FRAC = 0.10
+TFIDF_SIM_THRESHOLD = 0.30
+TFIDF_SIM_TOPK = 5
+
+
+def tfidf_cosine_topk(df, id_col: str = "doc_id", text_col: str = "text",
+                      *, maxdf_frac: float = TFIDF_SIM_MAXDF_FRAC,
+                      threshold: float = TFIDF_SIM_THRESHOLD,
+                      k: int = TFIDF_SIM_TOPK,
+                      salt_buckets: int = 16) -> "DataFrame":
+    """Sparse lexical document similarity: cosine over tf-idf vectors
+    computed through an INVERTED INDEX — the third similarity modality
+    next to dense-embedding cosine (similarity.py) and set-overlap
+    MinHash (dedupe_scale.py). Returns per-doc top-k neighbor pairs
+    (doc_a, doc_b, cos_sim, rank) with doc_a < doc_b candidates and
+    cos_sim >= threshold.
+
+    The subquadratic move is the standard stop-term prune: terms in
+    more than maxdf_frac of documents are dropped from the
+    REPRESENTATION (both dot products and norms — self-consistent, so
+    cosine stays a true cosine of the pruned vectors). High-df terms
+    carry near-zero idf anyway; without the prune the inverted-index
+    pair join degenerates to all-pairs through 'the'.
+
+    Determinism: weights round(tf * ln(N/df), 6) -> DECIMAL (the
+    tf-idf ln precedent); dot products and squared norms are exact
+    decimal sums of exact decimal products (order-free); sqrt is
+    IEEE-correctly-rounded (bit-identical across engines, unlike
+    ln/exp); the final cosine is one mirrored double division.
+
+    Scale shape: tf/df aggs ride (doc, word)/(word) keys with
+    map-side combine; the pair join shuffles on the word key with
+    per-term fan-out bounded by maxdf; the per-doc top-k is two-phase
+    (local per hash bucket first)."""
+    from pyspark.sql import Window
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(words(F.coalesce(F.col(text_col),
+                                               F.lit("")))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("n_td"))
+    n = df.agg(F.count("*").cast("long").alias("n_docs"))
+    dfreq = (tf.groupBy("word")
+               .agg(F.count("*").cast("long").alias("n_docs_with"))
+               .crossJoin(F.broadcast(n))
+               .filter(F.col("n_docs_with")
+                       <= F.col("n_docs").cast("double")
+                       * F.lit(maxdf_frac)))
+    wgt = (tf.join(dfreq, "word")
+             .select("doc_id", "word",
+                     F.round(F.col("n_td") * F.log(
+                         F.col("n_docs").cast("double")
+                         / F.col("n_docs_with")), 6)
+                      .cast("decimal(18,6)").alias("w")))
+    norms = (wgt.groupBy("doc_id")
+                .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))
+                             .cast("double")).alias("nrm")))
+    a = wgt.select(F.col("doc_id").alias("doc_a"), "word",
+                   F.col("w").alias("wa"))
+    b = wgt.select(F.col("doc_id").alias("doc_b"), "word",
+                   F.col("w").alias("wb"))
+    dots = (a.join(b, "word")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.sum(F.col("wa") * F.col("wb")).cast("double")
+                   .alias("dot")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("nrm").alias("nb"))
+    cos = (dots.join(na, "doc_a").join(nb, "doc_b")
+               .select("doc_a", "doc_b",
+                       F.round(F.col("dot")
+                               / (F.col("na") * F.col("nb")), 6)
+                        .alias("cos_sim"))
+               .filter(F.col("cos_sim") >= threshold))
+    lw = Window.partitionBy("doc_a", "bkt").orderBy(
+        F.col("cos_sim").desc(), "doc_b")
+    loc = (cos.withColumn("bkt", F.pmod(F.xxhash64("doc_b"),
+                                        F.lit(salt_buckets)))
+              .withColumn("r", F.row_number().over(lw))
+              .where(F.col("r") <= k).drop("bkt", "r"))
+    fw = Window.partitionBy("doc_a").orderBy(F.col("cos_sim").desc(),
+                                             "doc_b")
+    return (loc.withColumn("rank", F.row_number().over(fw).cast("int"))
+               .where(F.col("rank") <= k))

@@ -8429,3 +8429,73 @@ def link_fellegi_sunter(spark, sf_dir):
                          score.alias("score"),
                          (score >= F.lit(fuzzy.FS_THRESHOLD))
                           .cast("int").alias("is_match")))
+
+
+def _tfidf_cosine_sql() -> str:
+    """Oracle twin of textstats.tfidf_cosine_topk — prune fraction,
+    threshold, and k interpolate from the textstats constants; the
+    exact top-k (no two-phase) is value-identical to the Spark side's
+    salted variant."""
+    frac = repr(textstats.TFIDF_SIM_MAXDF_FRAC)
+    thr = repr(textstats.TFIDF_SIM_THRESHOLD)
+    k = textstats.TFIDF_SIM_TOPK
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+      regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+      x -> x <> '')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS n_td FROM tok GROUP BY 1, 2),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+dfreq AS (
+  SELECT word, count(*)::BIGINT AS n_docs_with, n.n_docs
+  FROM tf, n GROUP BY word, n.n_docs
+  HAVING count(*)::BIGINT <= n.n_docs::DOUBLE * {frac}),
+wgt AS (
+  SELECT t.doc_id, t.word,
+         CAST(round(t.n_td * ln(d.n_docs::DOUBLE / d.n_docs_with), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM tf t JOIN dfreq d USING (word)),
+norms AS (
+  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+  FROM wgt GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+  FROM wgt a JOIN wgt b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+cos AS (
+  SELECT d.doc_a, d.doc_b,
+         round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM dots d
+  JOIN norms na ON d.doc_a = na.doc_id
+  JOIN norms nb ON d.doc_b = nb.doc_id
+  WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {thr})
+SELECT doc_a, doc_b, cos_sim,
+       CAST(row_number() OVER (PARTITION BY doc_a
+                               ORDER BY cos_sim DESC, doc_b) AS INT)
+         AS rank
+FROM cos QUALIFY rank <= {k}
+"""
+
+
+@register("sim_tfidf_cosine_topk", _tfidf_cosine_sql())
+def sim_tfidf_cosine_topk(spark, sf_dir):
+    """Sparse lexical document similarity
+    (textstats.tfidf_cosine_topk): per-doc top-5 neighbors by cosine
+    over tf-idf vectors, computed through an inverted index with the
+    standard stop-term prune (terms in > 10% of docs leave the
+    representation — near-zero idf, and without the prune the
+    word-keyed pair join degenerates to all-pairs through 'the').
+    The third similarity modality the engine certifies, next to
+    dense-embedding cosine (ann_*) and set-overlap MinHash
+    (dedup_minhash_*): lexical near-dup and citation-style retrieval
+    run on exactly this shape at corpus scale.
+
+    Scale shape: tf/df aggs on real keys with map-side combine; the
+    candidate pair join shuffles on the word key with per-term
+    fan-out bounded by the df cap; dot products and squared norms are
+    exact decimal sums (order-free); sqrt is IEEE-exact; per-doc
+    top-k is two-phase (local per hash bucket first)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_cosine_topk(d)

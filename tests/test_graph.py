@@ -45,3 +45,18 @@ def test_fellegi_sunter_weights_and_threshold(spark):
     assert abs(hi - round(w["name"][2] + w["seg"][1] + w["bal"][1], 6)) == 0
     assert abs(lo - round(w["name"][0] + w["seg"][0] + w["bal"][0], 6)) == 0
     assert hi >= fuzzy.FS_THRESHOLD > lo
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from sequencing_integration_pipeline1_0_spark.operators import textstats
+    docs = [(1, "apple banana cherry"), (2, "apple banana cherry"),
+            (3, "zebra yak xylophone"), (4, "apple zebra unrelated")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r.doc_a, r.doc_b): r.cos_sim
+           for r in textstats.tfidf_cosine_topk(
+               df, maxdf_frac=1.0, threshold=0.0).collect()}
+    # identical docs: cosine exactly 1; disjoint docs never pair
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out
+    # partial overlap scores strictly between 0 and 1
+    assert 0.0 < out[(1, 4)] < 1.0
