@@ -86,7 +86,11 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # 1-row n_nodes scalar attached to the rank table
                   # once (teleport term); per-iteration joins are
                   # src/dst equi-joins
-                  "graph_pagerank_authority"}
+                  "graph_pagerank_authority",
+                  # 1-row corpus-size scalar onto the df table (the
+                  # tfidf shape); the candidate pairing itself is the
+                  # word-keyed equi-join
+                  "sim_tfidf_cosine_topk"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.
