@@ -149,7 +149,7 @@ _PRIORITY = [
     "evt_hll_daily_users", "sketch_hll_set_ops",
     "sketch_histogram_quantiles", "bm25_index_probe",
     "evt_json_props_stats", "graph_pagerank_authority",
-    "link_fellegi_sunter", "sim_tfidf_cosine_topk",
+    "link_fellegi_sunter", "sim_tfidf_cosine_topk", "qa_benford_prices",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

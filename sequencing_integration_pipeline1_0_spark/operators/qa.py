@@ -374,3 +374,55 @@ def prematch_filters(df: DataFrame, *,
     })
     return add_flag_sum(flagged,
                         ["QA_NAME_NA", "QA_DOB_NA", "QA_COLLECT_DATE_NA"])
+
+
+#: Benford first-digit expected probabilities log10(1 + 1/d), d=1..9 —
+#: computed once in Python so both engines consume the same literals
+#: (the fuzzy.fs_weights precedent: no per-row transcendental).
+def benford_probs() -> tuple[float, ...]:
+    import math
+    return tuple(math.log10(1 + 1 / d) for d in range(1, 10))
+
+
+def benford_first_digit(df: DataFrame, col: str, *,
+                        round_to: int = 6) -> DataFrame:
+    """Benford's-law first-significant-digit screen over a positive
+    numeric column — the classic data-quality / fabrication test
+    (naturally-arising amounts follow P(d) = log10(1+1/d); synthetic
+    or truncated feeds don't). Returns 9 rows:
+      (digit, observed, expected, chi2_contrib)
+    where expected = P(d) * n and chi2_contrib = (obs - exp)^2 / exp
+    — the per-digit decomposition of the chi-square statistic, so the
+    anomalous digit is visible, not just the aggregate.
+
+    Determinism: the first significant digit comes from INTEGER
+    arithmetic — the value is scaled to cents, cast to BIGINT, and
+    the leading character of the integer's string rendering is taken
+    (bigint-to-string is identical across engines; double-to-string
+    is NOT, which is why the cast matters). The P(d) literals are
+    Python-computed; expected/contribution are mirrored double ops.
+
+    Scale shape: one map-side digit extraction, a 9-key agg with
+    map-side combine, 9-row finishing arithmetic with the row count
+    carried through the agg (no scalar rejoin)."""
+    cents = F.round(F.col(col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (df.filter(F.col(col) > 0)
+             .select(digit.alias("digit"))
+             .groupBy("digit")
+             .agg(F.count(F.lit(1)).alias("observed")))
+    # total carried via a window over the 9-row digit table — bounded
+    # by construction, avoids a 1-row scalar rejoin
+    from pyspark.sql import Window
+    tot = F.sum("observed").over(
+        Window.partitionBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    p = F.element_at(F.array(*[F.lit(x) for x in benford_probs()]),
+                     F.col("digit"))
+    exp = p * F.col("n").cast("double")
+    return (obs.withColumn("n", tot)
+               .select("digit", "observed",
+                       F.round(exp, round_to).alias("expected"),
+                       F.round((F.col("observed") - exp)
+                               * (F.col("observed") - exp) / exp,
+                               round_to).alias("chi2_contrib")))

@@ -8499,3 +8499,45 @@ def sim_tfidf_cosine_topk(spark, sf_dir):
     top-k is two-phase (local per hash bucket first)."""
     d = _t(spark, sf_dir, "documents")
     return textstats.tfidf_cosine_topk(d)
+
+
+def _benford_sql() -> str:
+    """Oracle twin of qa.benford_first_digit over l_extendedprice:
+    the log10(1+1/d) probabilities interpolate from qa.benford_probs()
+    (Python-computed literals — no SQL transcendental)."""
+    probs = ",".join(repr(x) for x in qa.benford_probs())
+    return f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS observed
+  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+t AS (SELECT digit, observed,
+             sum(observed) OVER () AS n,
+             ([{probs}])[digit] AS p
+      FROM obs)
+SELECT digit, observed,
+       round(p * n::DOUBLE, 6) AS expected,
+       round((observed - p * n::DOUBLE) * (observed - p * n::DOUBLE)
+             / (p * n::DOUBLE), 6) AS chi2_contrib
+FROM t
+"""
+
+
+@register("qa_benford_prices", _benford_sql())
+def qa_benford_prices(spark, sf_dir):
+    """Benford first-significant-digit screen over l_extendedprice
+    (qa.benford_first_digit): per-digit observed vs log10(1+1/d)
+    expected counts with the chi-square contribution decomposed per
+    digit — the classic fabricated-or-truncated-feed detector,
+    joining the QA battery as a distribution-level check next to the
+    row-level flag rules (quality_filters.R:55-202's spirit lifted
+    from per-row regexes to population shape).
+
+    Scale shape: one map-side integer digit extraction (value scaled
+    to cents and cast BIGINT — integer-to-string renders identically
+    across engines, double-to-string does not), a 9-key agg with
+    map-side combine, and 9-row finishing arithmetic; the P(d)
+    literals are Python-computed (no per-row transcendental)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return qa.benford_first_digit(li, "l_extendedprice")

@@ -60,3 +60,22 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
     assert (1, 3) not in out and (2, 3) not in out
     # partial overlap scores strictly between 0 and 1
     assert 0.0 < out[(1, 4)] < 1.0
+
+
+def test_benford_digits_partition_and_sum(spark):
+    from pyspark.sql import functions as F
+
+    from sequencing_integration_pipeline1_0_spark.operators import qa
+
+    # values with known leading digits (of cents): 1.23 -> 123 -> 1,
+    # 9.99 -> 999 -> 9, 0.05 -> 5 -> 5, 20.0 -> 2000 -> 2
+    df = spark.createDataFrame(
+        [(1.23,), (9.99,), (0.05,), (20.0,), (-3.0,), (0.0,)], ["v"])
+    out = {r.digit: r for r in qa.benford_first_digit(df, "v").collect()}
+    assert set(out) == {1, 9, 5, 2}          # nonpositive rows dropped
+    assert all(r.observed == 1 for r in out.values())
+    n = sum(r.observed for r in out.values())
+    probs = qa.benford_probs()
+    for d, r in out.items():
+        assert r.expected == round(probs[d - 1] * n, 6)
+        assert r.chi2_contrib >= 0
