@@ -337,6 +337,12 @@ def decode_wav_bytes(payload: bytes) -> tuple[str, int | None, int | None,
             if tag == 1 and bits == 16:
                 n_frames = csize // block_align
                 count = n_frames * channels
+                # a block_align inconsistent with channels*2 (e.g. 1)
+                # makes count*2 overrun the data chunk — that's a
+                # malformed header, and malformed is DATA, not a
+                # struct.error that kills the task
+                if count * 2 > csize:
+                    return bad
                 samples = list(struct.unpack(
                     f"<{count}h", payload[start:start + count * 2]))
             else:

@@ -404,13 +404,26 @@ def benford_first_digit(df: DataFrame, col: str, *,
 
     Scale shape: one map-side digit extraction, a 9-key agg with
     map-side combine, 9-row finishing arithmetic with the row count
-    carried through the agg (no scalar rejoin)."""
+    carried through the agg (no scalar rejoin). The positivity filter
+    is on the SCALED integer (cents > 0), not the raw double: a value
+    in (0, 0.005) rounds to 0 cents, whose first "digit" would be 0 —
+    an invalid element_at index. Absent digits are materialized with
+    observed = 0 via a 9-row literal spine so the chi-square total
+    carries their full (0-exp)^2/exp contribution (a digit that never
+    appears is exactly the anomaly this screen exists to flag)."""
     cents = F.round(F.col(col) * 100).cast("long")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
-    obs = (df.filter(F.col(col) > 0)
-             .select(digit.alias("digit"))
-             .groupBy("digit")
-             .agg(F.count(F.lit(1)).alias("observed")))
+    observed = (df.select(cents.alias("cents"))
+                  .filter(F.col("cents") > 0)
+                  .select(F.substring(F.col("cents").cast("string"),
+                                      1, 1).cast("int").alias("digit"))
+                  .groupBy("digit")
+                  .agg(F.count(F.lit(1)).alias("observed")))
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"))
+    obs = (spine.join(observed, "digit", "left")
+                .select("digit",
+                        F.coalesce("observed",
+                                   F.lit(0).cast("long")).alias("observed")))
     # total carried via a window over the 9-row digit table — bounded
     # by construction, avoids a 1-row scalar rejoin
     from pyspark.sql import Window

@@ -8507,11 +8507,17 @@ def _benford_sql() -> str:
     (Python-computed literals — no SQL transcendental)."""
     probs = ",".join(repr(x) for x in qa.benford_probs())
     return f"""
-WITH obs AS (
-  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS INT) AS digit,
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+raw AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
          count(*)::BIGINT AS observed
-  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+  FROM cents WHERE cents > 0 GROUP BY 1),
+spine AS (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS digit),
+obs AS (
+  SELECT spine.digit, COALESCE(raw.observed, 0)::BIGINT AS observed
+  FROM spine LEFT JOIN raw ON spine.digit = raw.digit),
 t AS (SELECT digit, observed,
              sum(observed) OVER () AS n,
              ([{probs}])[digit] AS p

@@ -261,14 +261,14 @@ def hll_register_stream(stream: DataFrame, ts_col: str, key_col: str,
     At scale: state store holds windows x 256 rows; the watermark
     closes windows after `delay`, so state is O(open windows), not
     O(keys seen)."""
-    from ..operators.sketches import HLL_M, hll_rank, md5_60bit
+    from ..operators.sketches import HLL_M, HLL_P, hll_rank, md5_60bit
     h = md5_60bit(F.col(key_col))
     return (stream
             .withWatermark(ts_col, delay)
             .select(F.window(F.col(ts_col), window).alias("w"),
                     h.bitwiseAND(F.lit(HLL_M - 1)).cast("int")
                      .alias("reg"),
-                    hll_rank(F.shiftright(h, 8)).alias("rank"))
+                    hll_rank(F.shiftright(h, HLL_P)).alias("rank"))
             .groupBy("w", "reg")
             .agg(F.max("rank").alias("mj"))
             .select(F.col("w.start").alias("window_start"), "reg", "mj"))

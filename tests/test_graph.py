@@ -68,14 +68,22 @@ def test_benford_digits_partition_and_sum(spark):
     from sequencing_integration_pipeline1_0_spark.operators import qa
 
     # values with known leading digits (of cents): 1.23 -> 123 -> 1,
-    # 9.99 -> 999 -> 9, 0.05 -> 5 -> 5, 20.0 -> 2000 -> 2
+    # 9.99 -> 999 -> 9, 0.05 -> 5 -> 5, 20.0 -> 2000 -> 2;
+    # 0.004 rounds to 0 cents (sub-cent positive: must be DROPPED,
+    # not crash element_at with digit 0)
     df = spark.createDataFrame(
-        [(1.23,), (9.99,), (0.05,), (20.0,), (-3.0,), (0.0,)], ["v"])
+        [(1.23,), (9.99,), (0.05,), (20.0,), (-3.0,), (0.0,), (0.004,)],
+        ["v"])
     out = {r.digit: r for r in qa.benford_first_digit(df, "v").collect()}
-    assert set(out) == {1, 9, 5, 2}          # nonpositive rows dropped
-    assert all(r.observed == 1 for r in out.values())
+    assert set(out) == set(range(1, 10))     # all 9 digits materialized
+    seen = {1, 9, 5, 2}
+    assert all(out[d].observed == (1 if d in seen else 0)
+               for d in range(1, 10))
     n = sum(r.observed for r in out.values())
+    assert n == 4                            # nonpositive + sub-cent dropped
     probs = qa.benford_probs()
     for d, r in out.items():
         assert r.expected == round(probs[d - 1] * n, 6)
         assert r.chi2_contrib >= 0
+        if r.observed == 0:                  # absent digit carries full term
+            assert r.chi2_contrib == round(probs[d - 1] * n, 6)

@@ -50,6 +50,11 @@ def test_wav_corrupt_paths():
     zero_ch = bytearray(good)
     struct.pack_into("<H", zero_ch, 22, 0)
     assert mm.decode_wav_bytes(bytes(zero_ch))[0] == "wav_corrupt"
+    # block_align inconsistent with channels*2: frames*channels*2
+    # would overrun the data chunk -> corrupt, not struct.error
+    bad_align = bytearray(good)
+    struct.pack_into("<H", bad_align, 32, 1)    # block_align = 1
+    assert mm.decode_wav_bytes(bytes(bad_align))[0] == "wav_corrupt"
 
 
 def test_wav_nonpcm_keeps_metadata():
