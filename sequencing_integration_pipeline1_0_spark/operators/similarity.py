@@ -448,11 +448,50 @@ def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, *,
                           .alias("rank")))
 
 
+def ivfpq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
+                        coarse: DataFrame, codebooks: DataFrame,
+                        m: int = 4, k: int = 8,
+                        round_to: int = 6) -> DataFrame:
+    """Inverted-list ENTRIES (neighbor_id, cell_id, codes) for df's
+    vectors under a FROZEN coarse codebook + frozen PQ codebooks —
+    the append path of the composed IVF-PQ index: inserting a batch
+    is computing its entries (one broadcast coarse-assignment pass +
+    one frozen-codebook encode, both linear in the batch, no base
+    re-scan) and unioning them into the persisted lists. Feeding the
+    union to ivfpq_adc_pairs(entries=...) searches the appended index;
+    the ann_ivfpq_index_probe oracle proves append == rebuild."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
+    sims = (base.join(cb)
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")),
+                                    round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                          F.col("cell_id"))
+    idxc = (sims.withColumn("crank", F.row_number().over(cw))
+                .filter(F.col("crank") == 1)
+                .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    enc = pq_encode(df, id_col, vec_col, m=m, k=k,
+                    round_to=round_to, codebooks=codebooks)
+    enc_codes = (enc.groupBy("id")
+                    .agg(F.transform(F.array_sort(F.collect_list(
+                             F.struct("subspace", "code"))),
+                         lambda s: s["code"]).alias("codes"))
+                    .select(F.col("id").alias("neighbor_id"), "codes"))
+    return idxc.join(enc_codes, "neighbor_id")
+
+
 def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                     n_cells: int = 8, nprobe: int = 4, m: int = 4,
                     k: int = 8, coarse_iters: int = 2, round_to: int = 6,
                     coarse: DataFrame | None = None,
-                    codebooks: DataFrame | None = None) -> DataFrame:
+                    codebooks: DataFrame | None = None,
+                    entries: DataFrame | None = None,
+                    broadcast_index: bool = False,
+                    cell_salt: int = 16) -> DataFrame:
     """Composed IVF-PQ candidate scoring — the FAISS IVF-PQ layout
     pq_adc_topk's docstring promises: a coarse IVF index restricts
     WHICH candidates a query meets, PQ-ADC scores HOW (Jegou et al.
@@ -460,6 +499,12 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     probe_rank) where probe_rank is the rank of the candidate's cell
     in the query's probe list — so one pass at nprobe=max serves a
     whole recall-vs-nprobe sweep by filtering probe_rank.
+
+    `entries` injects pre-built inverted-list entries (neighbor_id,
+    cell_id, codes — ivfpq_index_entries' shape): the incremental
+    path, where a frozen index plus an appended batch is searched
+    without re-deriving either side's assignment or codes; df then
+    supplies only the QUERY vectors.
 
     Composition of the already-certified parts: coarse codebook =
     train_ivf_codebook (cosine Lloyd, ivf_assign's tie-break), index
@@ -511,13 +556,16 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                            F.col("crank").alias("probe_rank")))
     pqcb = codebooks if codebooks is not None \
         else pq_codebooks(df, id_col, vec_col, m=m, k=k)
-    enc = pq_encode(df, id_col, vec_col, m=m, k=k,
-                    round_to=round_to, codebooks=pqcb)
-    enc_codes = (enc.groupBy("id")
-                    .agg(F.transform(F.array_sort(F.collect_list(
-                             F.struct("subspace", "code"))),
-                         lambda s: s["code"]).alias("codes"))
-                    .select(F.col("id").alias("neighbor_id"), "codes"))
+    if entries is None:
+        enc = pq_encode(df, id_col, vec_col, m=m, k=k,
+                        round_to=round_to, codebooks=pqcb)
+        enc_codes = (enc.groupBy("id")
+                        .agg(F.transform(F.array_sort(F.collect_list(
+                                 F.struct("subspace", "code"))),
+                             lambda s: s["code"]).alias("codes"))
+                        .select(F.col("id").alias("neighbor_id"),
+                                "codes"))
+        entries = idxc.join(enc_codes, "neighbor_id")
     qsv = _subvectors(df, id_col, vec_col, m, out_id="qid")
     lutrow = (qsv.join(F.broadcast(pqcb), "subspace")
                  .select("qid", "subspace", F.col("cid").alias("code"),
@@ -536,7 +584,7 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     # join, then one groupBy(cell) packs each cell's (neighbor_id,
     # codes) entries into a single list row. With n_cells ~ sqrt(n)
     # a cell row stays bounded (~sqrt(n) entries x m bytes).
-    inv = (idxc.join(enc_codes, "neighbor_id")
+    inv = (entries
                .groupBy("cell_id")
                .agg(F.collect_list(F.struct("neighbor_id", "codes"))
                      .alias("entries")))
@@ -547,16 +595,60 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     # (qid, neighbor, dist) rows afterwards. The earlier per-pair
     # join shape attached the 256-entry decimal LUT to every one of
     # the ~2M candidate rows — the measured 8-12 s was that
-    # materialization, not the arithmetic. probe is round-robin
-    # repartitioned (slim rows, user-specified so AQE cannot
-    # coalesce the CPU-heavy scoring back into one task); inv and
-    # lut_q broadcast — both are genuinely small at any corpus size
-    # (cells and the query batch, never the corpus).
-    sc = df.sparkSession.sparkContext
-    scored = (probe.repartition(sc.defaultParallelism)
-              .join(F.broadcast(inv),
-                    F.col("probe_cell") == F.col("cell_id"))
-              .join(F.broadcast(lut_q), "qid"))
+    # materialization, not the arithmetic.
+    #
+    # Join shapes (the r5 verdict's 100x-killer, fixed): in the
+    # registered SELF-search form queries == corpus, so `inv` (every
+    # vector's m codes) and `lut_q` (one m x k LUT per query) are
+    # both O(n) — broadcasting either is a driver OOM at 100x. The
+    # default path therefore:
+    #   1. attaches the LUT by its qid EQUI-key first (shuffle hash
+    #      join on n_q keys; each probe row gains a constant m x k
+    #      decimal array, ~m*k*16 bytes, BEFORE meeting the index so
+    #      the packed cell lists are never re-shuffled post-join);
+    #   2. meets the inverted list on the cell-id equi-key as a
+    #      SHUFFLE_HASH join (hinted: no sort of the packed entry
+    #      arrays, and the static plan provably contains no
+    #      corpus-sized broadcast). AQE may still promote it to a
+    #      runtime broadcast when the built index is genuinely under
+    #      the adaptive threshold — that runtime size check IS the
+    #      gate, never a plan-time O(n) hint.
+    #   3. salts the cell key `cell_salt` ways (inv replicated per
+    #      salt — m-byte codes, cheap; probe rows take
+    #      pmod(xxhash64(qid))) so scoring parallelism is
+    #      n_cells * cell_salt tasks even when n_cells < cores; at
+    #      production n_cells ~ sqrt(n) the salt is a no-op cost-wise
+    #      but keeps hot probed cells from serializing on one task.
+    # broadcast_index=True restores the hinted-broadcast shape for
+    # the BOUNDED batch-query path (a handful of queries against a
+    # frozen index, where lut_q is genuinely tiny) — an explicit
+    # caller assertion, off for the registered self-search.
+    if broadcast_index:
+        scored = (probe.join(F.broadcast(inv),
+                             F.col("probe_cell") == F.col("cell_id"))
+                       .join(F.broadcast(lut_q), "qid"))
+    else:
+        inv_s = inv.withColumn(
+            "isalt", F.explode(F.array(*[F.lit(r)
+                                         for r in range(cell_salt)])))
+        # the probe-side exchange is a USER-numbered hash repartition
+        # on the join keys: AQE's byte-based coalescing would see the
+        # slim pre-scoring rows, fold the exchange to a handful of
+        # partitions, and serialize the CPU-heavy ADC fold (bytes are
+        # a terrible proxy for HOF cost — measured 5x on sf0.1); a
+        # user-specified count is exempt from coalescing and already
+        # satisfies the join's clustering requirement, so no second
+        # exchange is inserted.
+        sc = df.sparkSession.sparkContext
+        scored = (probe.join(lut_q, "qid")
+                       .withColumn("salt",
+                                   F.pmod(F.xxhash64("qid"),
+                                          F.lit(cell_salt)).cast("int"))
+                       .repartition(sc.defaultParallelism,
+                                    "probe_cell", "salt")
+                       .join(inv_s.hint("shuffle_hash"),
+                             (F.col("probe_cell") == F.col("cell_id"))
+                             & (F.col("salt") == F.col("isalt"))))
     # exact-decimal left fold over the m LUT entries — the same sum
     # SUM(decimal) produced in the exploded shape (decimal add is
     # exact, so fold order cannot diverge); re-cast each step because
@@ -582,15 +674,20 @@ def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, *,
                k_neighbors: int = 5, n_cells: int = 8, nprobe: int = 4,
                m: int = 4, k: int = 8, coarse_iters: int = 2,
                round_to: int = 6, coarse: DataFrame | None = None,
-               codebooks: DataFrame | None = None) -> DataFrame:
+               codebooks: DataFrame | None = None,
+               broadcast_index: bool = False) -> DataFrame:
     """IVF-PQ approximate top-k: rank ivfpq_adc_pairs per query by
     (approx_dist, neighbor_id). Returns (id, neighbor_id, approx_dist,
     rank) — same contract as pq_adc_topk with the candidate set
-    restricted to the nprobe probed cells."""
+    restricted to the nprobe probed cells. broadcast_index opts the
+    bounded batch-query path into the hinted-broadcast meet (see
+    ivfpq_adc_pairs; off for self-search, where both sides are
+    corpus-sized)."""
     pairs = ivfpq_adc_pairs(df, id_col, vec_col, n_cells=n_cells,
                             nprobe=nprobe, m=m, k=k,
                             coarse_iters=coarse_iters, round_to=round_to,
-                            coarse=coarse, codebooks=codebooks)
+                            coarse=coarse, codebooks=codebooks,
+                            broadcast_index=broadcast_index)
     w = Window.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
                                           F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -703,7 +800,8 @@ def random_projection(df: DataFrame, id_col: str = "vec_id",
 def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                          n_cells: int = 8, nprobe: int = 4, m: int = 4,
                          k: int = 8, coarse_iters: int = 2,
-                         round_to: int = 6) -> DataFrame:
+                         round_to: int = 6,
+                         cell_salt: int = 16) -> DataFrame:
     """RESIDUAL IVF-PQ candidate scoring — the full FAISS IVFPQ
     encoding (Jegou et al. 2011 §V-A): PQ quantizes the RESIDUAL
     r = x - centroid(cell(x)) instead of x itself. Residuals
@@ -724,11 +822,19 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     lifted to residual space).
 
     Scale shape: identical skeleton to ivfpq_adc_pairs — coarse
-    assignment is the broadcast n x n_cells pass, the candidate meet
-    is the cell equi-join, codes/LUTs broadcast; the inverted-list
-    packing of ivfpq_adc_pairs applies verbatim if the per-pair
-    shuffle ever dominates (here the LUT is (qid, cell)-keyed, which
-    is the key the inverted list already joins on)."""
+    assignment is the broadcast n x n_cells pass, and the ADC meet is
+    the same packed inverted-list shape (r5 verdict item 2: the first
+    cut's (cell, subspace, code) exploded equi-join shuffled pairs x m
+    rows and was the catalog's slowest query at 31.9 s sf0.1): each
+    index vector's m residual codes ride as ONE ordered array inside
+    its cell's packed entry list, the query's LUT — here PER (query,
+    probed cell), because the query residual differs in every probed
+    cell — rides as ONE m x k array-of-arrays, and the salted
+    shuffle-hash cell equi-join + map-side decimal fold replace the
+    exploded join + SUM (value-identical: decimal addition is exact,
+    so fold order cannot diverge). Because the LUT is already
+    (qid, probe_cell)-keyed, no separate qid join is needed at all,
+    and nothing corpus-sized is ever broadcast."""
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
@@ -810,14 +916,56 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                       F.round(l2sq(F.col("sv"), F.col("cv")), round_to)
                        .cast("decimal(18,6)").alias("d")))
 
-    return (enc2.join(lut,
-                      (F.col("cell_id") == F.col("probe_cell"))
-                      & (enc2["subspace"] == lut["subspace"])
-                      & (enc2["code"] == lut["code"])
-                      & (F.col("qid") != F.col("neighbor_id")))
-                .groupBy("qid", "neighbor_id")
-                .agg(F.sum("d").cast("double").alias("approx_dist"),
-                     F.min("probe_rank").alias("probe_rank")))
+    # inverted-list packing (the ivfpq_adc_pairs recipe): codes pack
+    # per cell, the per-(query, probed cell) LUT packs to one m x k
+    # array-of-arrays row, and the meet is the salted SHUFFLE_HASH
+    # cell equi-join — pairs never explode through a join, and the
+    # probe-side exchange is a user-numbered repartition on the join
+    # keys so AQE's byte-based coalescing cannot serialize the
+    # CPU-heavy ADC fold.
+    enc_codes = (enc2.groupBy("neighbor_id", "cell_id")
+                     .agg(F.transform(F.array_sort(F.collect_list(
+                              F.struct("subspace", "code"))),
+                          lambda s: s["code"]).alias("codes")))
+    inv = (enc_codes.groupBy("cell_id")
+                    .agg(F.collect_list(F.struct("neighbor_id", "codes"))
+                          .alias("entries")))
+    lut_pc = (lut.groupBy("qid", "probe_cell", "probe_rank", "subspace")
+                 .agg(F.transform(F.array_sort(F.collect_list(
+                          F.struct("code", "d"))),
+                      lambda s: s["d"]).alias("ds"))
+                 .groupBy("qid", "probe_cell", "probe_rank")
+                 .agg(F.transform(F.array_sort(F.collect_list(
+                          F.struct("subspace", "ds"))),
+                      lambda s: s["ds"]).alias("lut")))
+    inv_s = inv.withColumn(
+        "isalt", F.explode(F.array(*[F.lit(r)
+                                     for r in range(cell_salt)])))
+    sc = df.sparkSession.sparkContext
+    scored = (lut_pc.withColumn("salt",
+                                F.pmod(F.xxhash64("qid"),
+                                       F.lit(cell_salt)).cast("int"))
+                    .repartition(sc.defaultParallelism,
+                                 "probe_cell", "salt")
+                    .join(inv_s.hint("shuffle_hash"),
+                          (F.col("probe_cell") == F.col("cell_id"))
+                          & (F.col("salt") == F.col("isalt"))))
+    hits = F.transform(
+        F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
+        lambda e: F.struct(
+            e["neighbor_id"].alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(e["codes"], F.col("lut"),
+                           lambda c, l: F.element_at(l, c + F.lit(1))),
+                F.lit(0).cast("decimal(18,6)"),
+                lambda acc, x: (acc + x).cast("decimal(18,6)"))
+             .cast("double").alias("approx_dist")))
+    return (scored.select("qid", "probe_rank",
+                          F.explode(hits).alias("h"))
+                  .select("qid",
+                          F.col("h.neighbor_id").alias("neighbor_id"),
+                          F.col("h.approx_dist").alias("approx_dist"),
+                          "probe_rank"))
 
 
 def ivfpq_residual_topk(df: DataFrame, id_col: str, vec_col: str, *,
