@@ -7,7 +7,7 @@ All pure column expressions (codegen, no UDFs)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from .dedupe_scale import bind_once, words
@@ -220,6 +220,68 @@ def repeated_spans(df, id_col: str = "doc_id", text_col: str = "text",
              .select("span_h", "n_docs", "n_occurrences",
                      F.col("__w.__id").alias("first_doc_id"),
                      F.col("__w.__pos").alias("first_pos")))
+
+
+def cross_doc_shared_runs(df, id_col: str = "doc_id",
+                          text_col: str = "text", *,
+                          min_len: int = 10,
+                          gram_cap: int = 256):
+    """Cross-document EXACT-SUBSTRING dedup discovery (the Lee et al.
+    2022 suffix-array family, pairwise form): every MAXIMAL run of
+    >= min_len tokens shared verbatim between two documents, as
+    (doc_a, doc_b, start_a, start_b, len_tokens) with doc_a < doc_b
+    and 0-based token offsets — the span-level signal document-level
+    MinHash misses (a 50-token license block inside two otherwise
+    different documents). Removal accounting: slicing [start_b,
+    start_b + len_tokens) out of doc_b for every row removes all
+    shared material; sum(len_tokens) per doc_b upper-bounds the
+    removable tokens (runs shared with several partners are counted
+    once per partner).
+
+    How: min_len-gram occurrences (the _gram_occurrences machinery —
+    one map-side pass), keep grams seen in >= 2 DISTINCT docs,
+    self-join occurrences on the gram hash (doc_a < doc_b), and merge
+    adjacent matches into maximal runs with the diagonal
+    gaps-and-islands trick: matches of a shared run all lie on one
+    diagonal d = pos_a - pos_b, and consecutive pos_a values on a
+    diagonal collapse to island id pos_a - row_number(). A run of
+    g consecutive grams spans g + min_len - 1 tokens.
+
+    Scale shape: one groupBy(span_h) for the cross-doc filter, one
+    capped self-join on the slim 64-bit hash key (gram text never
+    shuffles — the repeated_spans discipline), one bounded window
+    per (pair, diagonal). gram_cap bounds occurrences per gram
+    (ordered by (doc, pos), the LSH max_bucket precedent) so one
+    boilerplate gram shared by G documents cannot fan out G^2 pairs;
+    occurrences past the cap are dropped (runs through them truncate
+    — a recall cap, mirrored exactly by the oracle)."""
+    L = min_len
+    g = _gram_occurrences(df, id_col, text_col, L)
+    xdoc = (g.groupBy("span_h")
+             .agg(F.countDistinct("__id").alias("__nd"))
+             .filter(F.col("__nd") >= 2)
+             .select("span_h"))
+    wcap = Window.partitionBy("span_h").orderBy("__id", "__pos")
+    capped = (g.join(xdoc, "span_h", "leftsemi")
+               .withColumn("__rn", F.row_number().over(wcap))
+               .filter(F.col("__rn") <= gram_cap))
+    a = capped.select("span_h", F.col("__id").alias("doc_a"),
+                      F.col("__pos").alias("pa"))
+    b = capped.select("span_h", F.col("__id").alias("doc_b"),
+                      F.col("__pos").alias("pb"))
+    p = (a.join(b, "span_h")
+          .filter(F.col("doc_a") < F.col("doc_b"))
+          .withColumn("d", F.col("pa") - F.col("pb")))
+    wisl = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    isl = p.withColumn("island",
+                       F.col("pa") - F.row_number().over(wisl))
+    return (isl.groupBy("doc_a", "doc_b", "d", "island")
+               .agg(F.min("pa").cast("long").alias("start_a"),
+                    F.min("pb").cast("long").alias("start_b"),
+                    (F.count(F.lit(1)) + F.lit(L - 1)).cast("long")
+                     .alias("len_tokens"))
+               .select("doc_a", "doc_b", "start_a", "start_b",
+                       "len_tokens"))
 
 
 def build_unigram_lm(df, text_col: str = "text", *, topk: int | None = None):
@@ -1130,8 +1192,14 @@ def quality_logreg_train(df, text_col: str = "text", *,
     Scale shape per iteration: the 1-row weight vector broadcasts onto
     the feature pass (map-side sigmoid + gradient), ONE map-side
     combinable agg produces the 1-row gradient — nothing but scalars
-    ever shuffles; iterations chain lazily. Returns (feature_idx,
-    weight)."""
+    ever shuffles; iterations chain lazily. NOTE the lazy chain
+    re-references `feats` once per iteration, so the single plan
+    re-extracts features from the corpus `iters` times — free at 8
+    iterations on a cached scan, but a production run at real
+    iteration counts should `feats.persist()` (or checkpoint every
+    ~20 iterations, the graph.py PageRank cadence) so the corpus is
+    tokenized once; the recurrence itself is unchanged. Returns
+    (feature_idx, weight)."""
     _, wcur = _logreg_fit(df, text_col, lr=lr, iters=iters,
                           label_min_tokens=label_min_tokens)
     return wcur.select(F.posexplode(F.array("w0", "w1", "w2", "w3"))
@@ -1230,12 +1298,23 @@ def quality_logreg_eval(df, text_col: str = "text", *,
 TFIDF_SIM_MAXDF_FRAC = 0.10
 TFIDF_SIM_THRESHOLD = 0.30
 TFIDF_SIM_TOPK = 5
+#: absolute posting-list cap (the LSH max_bucket precedent): a term in
+#: just-under-maxdf_frac of documents still fans out (frac*n)^2 pairs
+#: through the word-keyed join — quadratic in corpus size. Terms whose
+#: posting list exceeds this bound are dropped from the REPRESENTATION
+#: (like the maxdf prune: norms recomputed, so cosine stays a true
+#: cosine of the pruned vectors) and the per-term pair fan-out is
+#: bounded by cap^2 regardless of corpus size. High-posting terms are
+#: the near-stopwords idf already discounts; the recall cost is
+#: documented in SCALING.md.
+TFIDF_SIM_MAX_POSTING = 256
 
 
 def tfidf_cosine_topk(df, id_col: str = "doc_id", text_col: str = "text",
                       *, maxdf_frac: float = TFIDF_SIM_MAXDF_FRAC,
                       threshold: float = TFIDF_SIM_THRESHOLD,
                       k: int = TFIDF_SIM_TOPK,
+                      max_posting: int = TFIDF_SIM_MAX_POSTING,
                       salt_buckets: int = 16) -> "DataFrame":
     """Sparse lexical document similarity: cosine over tf-idf vectors
     computed through an INVERTED INDEX — the third similarity modality
@@ -1249,7 +1328,13 @@ def tfidf_cosine_topk(df, id_col: str = "doc_id", text_col: str = "text",
     REPRESENTATION (both dot products and norms — self-consistent, so
     cosine stays a true cosine of the pruned vectors). High-df terms
     carry near-zero idf anyway; without the prune the inverted-index
-    pair join degenerates to all-pairs through 'the'.
+    pair join degenerates to all-pairs through 'the'. The fractional
+    prune alone is NOT a scale bound — a term in just-under-maxdf_frac
+    of docs still fans out (frac*n)^2 pairs — so an ABSOLUTE posting
+    cap (max_posting, the LSH max_bucket precedent) also drops any
+    term whose posting list exceeds it, bounding per-term pair work
+    at cap^2 independent of corpus size. Both prunes are part of the
+    certified semantics (the oracle models them identically).
 
     Determinism: weights round(tf * ln(N/df), 6) -> DECIMAL (the
     tf-idf ln precedent); dot products and squared norms are exact
@@ -1270,9 +1355,10 @@ def tfidf_cosine_topk(df, id_col: str = "doc_id", text_col: str = "text",
     dfreq = (tf.groupBy("word")
                .agg(F.count("*").cast("long").alias("n_docs_with"))
                .crossJoin(F.broadcast(n))
-               .filter(F.col("n_docs_with")
-                       <= F.col("n_docs").cast("double")
-                       * F.lit(maxdf_frac)))
+               .filter((F.col("n_docs_with")
+                        <= F.col("n_docs").cast("double")
+                        * F.lit(maxdf_frac))
+                       & (F.col("n_docs_with") <= F.lit(max_posting))))
     wgt = (tf.join(dfreq, "word")
              .select("doc_id", "word",
                      F.round(F.col("n_td") * F.log(

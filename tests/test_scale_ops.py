@@ -1242,3 +1242,54 @@ def test_bm25_incremental_equals_rebuild(spark):
         base, batch).collect()))
     full = sorted(map(tuple, textstats.bm25_topk(df).collect()))
     assert inc == full
+
+
+def test_cross_doc_shared_runs_matches_brute_force(spark):
+    """Property check for dedup_substring_global's operator: the
+    diagonal gaps-and-islands merge must reproduce a quadratic
+    brute-force scan for maximal cross-doc shared token runs."""
+    from sequencing_integration_pipeline1_0_spark.operators import textstats
+
+    L = 4
+    block = "alpha beta gamma delta epsilon zeta"         # 6 tokens
+    two = "red orange yellow green"                       # 4 tokens
+    docs = [
+        (1, "intro one two " + block + " tail a b"),
+        (2, "other start " + block + " different end " + two),
+        (3, "nothing shared here at all whatsoever truly"),
+        (4, two + " prefix " + block),
+        (5, "short doc"),                                  # < L tokens
+        (6, "repeat repeat repeat repeat repeat repeat"),  # self-rep only
+    ]
+
+    def runs_brute(ta, tb):
+        out = set()
+        match = {(i, j)
+                 for i in range(len(ta) - L + 1)
+                 for j in range(len(tb) - L + 1)
+                 if ta[i:i + L] == tb[j:j + L]}
+        for (i, j) in match:
+            if (i - 1, j - 1) in match:
+                continue                                   # not run start
+            g = 0
+            while (i + g, j + g) in match:
+                g += 1
+            out.add((i, j, g + L - 1))
+        return out
+
+    toks = {d: t.split() for d, t in docs}
+    expected = set()
+    for a in sorted(toks):
+        for b in sorted(toks):
+            if a < b:
+                for (i, j, ln) in runs_brute(toks[a], toks[b]):
+                    expected.add((a, b, i, j, ln))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {tuple(r) for r in textstats.cross_doc_shared_runs(
+        df, "doc_id", "text", min_len=L).collect()}
+    assert got == expected
+    # sanity: the planted block is found between every doc pair
+    # carrying it, and doc 6's self-repetition emits nothing
+    assert any(r[0] == 1 and r[1] == 2 and r[4] >= 6 for r in got)
+    assert not any(6 in (r[0], r[1]) for r in got)
