@@ -127,42 +127,54 @@ _R4_CONFIRMED = frozenset({
     "text_token_stats",
 })
 
-# Round-5 priorities: the new IVF-PQ composition + its recall sweep, the
-# PQ incremental-parity proof, the JPEG-capable decode re-check, and the
-# round's new operator families (curation, audio/video, BPE/BM25/LM,
-# classifier, image pHash, sketches/layout/graph/linkage).
-# Window trade-off, round 5: 36 front slots (new + recheck) leave ~14
-# rotation slots for stalest-confirmed re-verification this round — the
-# rotation catches up in r6+ when the new entries fold into confirmed;
-# all 190 queries pass the local selfcheck replica every round regardless.
+# Green rows in CORRECTNESS_r05.json (49 hash-green; j6b stays rows-only).
+# Both round-5 _RECHECK entries (text_lang_quality_fingerprint,
+# pipe_corpus_curation) re-verified green and fold back in here.
+_R5_CONFIRMED = frozenset({
+    "ann_brute_force_topk", "ann_ivf_topk", "ann_ivfpq_recall",
+    "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "ann_kmeans_centroid_step",
+    "ann_lsh_bucket_topk", "asof_join_events", "bigram_doc_score",
+    "bm25_index_probe", "bm25_topk", "bpe_merge_topk", "bpe_train_step",
+    "dedup_simhash", "dedup_url_canonical", "emb_random_projection",
+    "evt_hll_daily_users", "evt_json_props_stats",
+    "graph_pagerank_authority", "html_boilerplate_strip",
+    "layout_zorder_files", "link_fellegi_sunter", "mm_audio_features",
+    "mm_audio_window_energy", "mm_decode_audio", "mm_decode_image",
+    "mm_frame_sample", "mm_image_dhash_hamming_pairs",
+    "mm_image_dhash_near_dup", "mm_probe_media", "pipe_corpus_curation",
+    "pq_encode_batch", "qa_benford_prices", "quality_linear_classifier",
+    "quality_logreg_eval", "quality_logreg_train", "sim_tfidf_cosine_topk",
+    "sketch_countmin_heavy", "sketch_histogram_quantiles",
+    "sketch_hll_distinct", "sketch_hll_set_ops", "text_chunk_windows",
+    "text_corpus_profile", "text_lang_quality_fingerprint",
+    "text_pii_scrub", "text_repetition_metrics", "text_tfidf_top_terms",
+    "train_shard_manifest", "w10_sessionize_batch",
+})
+
+# Round-6 priorities: the two NEW queries (the composed-index incremental
+# proof and cross-doc exact-substring dedup), plus only the queries whose
+# BEHAVIOR or PLAN changed this round (IVF-PQ de-broadcast + packed
+# residual rewrite, tfidf posting cap, dHash band self-join, URL null
+# split, Benford digit spine, WAV malformed-header guard). ~11 front
+# slots leave ~39 rotation slots — the stalest-first tail finally chews
+# through the 44 queries whose latest green is still r2 (r5 verdict
+# item 7); every registered query passes the local selfcheck replica
+# each round regardless.
 _PRIORITY = [
-    "ann_ivfpq_topk", "ann_ivfpq_recall", "pq_encode_batch",
-    "mm_decode_image", "dedup_url_canonical", "quality_linear_classifier",
-    "text_chunk_windows", "mm_decode_audio", "mm_audio_features",
-    "mm_audio_window_energy", "mm_probe_media", "bpe_merge_topk",
-    "train_shard_manifest", "emb_random_projection",
-    "html_boilerplate_strip", "bpe_train_step", "bm25_topk",
-    "bigram_doc_score", "quality_logreg_train",
-    "quality_logreg_eval", "ann_ivfpq_residual_topk",
-    "mm_image_dhash_near_dup", "mm_image_dhash_hamming_pairs",
-    "sketch_hll_distinct", "sketch_countmin_heavy", "layout_zorder_files",
-    "evt_hll_daily_users", "sketch_hll_set_ops",
-    "sketch_histogram_quantiles", "bm25_index_probe",
-    "evt_json_props_stats", "graph_pagerank_authority",
-    "link_fellegi_sunter", "sim_tfidf_cosine_topk", "qa_benford_prices",
+    "ann_ivfpq_index_probe", "dedup_substring_global",
+    "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_residual_topk",
+    "sim_tfidf_cosine_topk", "mm_image_dhash_hamming_pairs",
+    "dedup_url_canonical", "qa_benford_prices",
+    "mm_decode_audio", "mm_probe_media",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
-                     | _R4_CONFIRMED)
+                     | _R4_CONFIRMED | _R5_CONFIRMED)
 
 # Queries whose behavior changed after their last driver-green row; force
 # them back into the front-50 window even though they are confirmed.
-# Round 5: mm_decode_image gained JPEG SOF parsing and the PNG zero/overflow
-# width guards (oracle updated in lockstep) — listed in _PRIORITY above.
-# lang_id widened from 4 to 7 languages (markers now single-sourced into
-# the oracle), changing lang_pred/route outputs of its two consumers:
-_RECHECK = frozenset({"text_lang_quality_fingerprint",
-                      "pipe_corpus_curation"})
+# Round 6: every changed query is already listed in _PRIORITY above.
+_RECHECK = frozenset()
 
 
 def _latest_green_round() -> dict[str, int]:

@@ -46,6 +46,12 @@ HEADLINE = [
     # r5 session 5: the mergeable-sketch family's representative —
     # fixed-size agg state; its wall time should track the raw scan
     "sketch_hll_distinct",     # HLL + merge identity + exact baseline
+    # r6: the residual IVF-PQ joins the round it stops being the weak
+    # spot (packed inverted-list rewrite, 31.9 s -> ~13 s warm), per
+    # the ann_ivfpq_topk precedent; and the new cross-doc
+    # exact-substring dedup gets history from day one
+    "ann_ivfpq_residual_topk",  # residual-encoded FAISS IVFPQ search
+    "dedup_substring_global",   # cross-doc verbatim-run discovery
 ]
 
 

@@ -71,16 +71,22 @@ def dedup_by_canonical_url(df: DataFrame, url_col: str,
     keep themselves: they carry no evidence of being the same page).
 
     Scale shape: one window partitioned by the canonical URL — a
-    single hash shuffle of slim rows; no join, no second pass."""
+    single hash shuffle of slim rows; no join, no second pass. NULL
+    canonicals (non-URLs) never ENTER the window: on a corpus where
+    most rows aren't URLs a when()-guarded window would still funnel
+    every NULL row through one skewed partition (r5 verdict item 5) —
+    instead they split off map-side with literal group_n/kept and
+    union back."""
     canon = canonicalize_url(url_col)
     out = df.withColumn("canon_url", canon)
     w = Window.partitionBy("canon_url")
-    return (out.withColumn(
-                "group_n",
-                F.when(F.col("canon_url").isNull(), F.lit(1))
-                 .otherwise(F.count("*").over(w)).cast("bigint"))
-               .withColumn(
-                "kept",
-                F.when(F.col("canon_url").isNull(), F.lit(1))
-                 .otherwise((F.col(id_col) == F.min(id_col).over(w))
-                            .cast("int"))))
+    nonnull = (out.where(F.col("canon_url").isNotNull())
+                  .withColumn("group_n",
+                              F.count("*").over(w).cast("bigint"))
+                  .withColumn("kept",
+                              (F.col(id_col) == F.min(id_col).over(w))
+                              .cast("int")))
+    nulls = (out.where(F.col("canon_url").isNull())
+                .withColumn("group_n", F.lit(1).cast("bigint"))
+                .withColumn("kept", F.lit(1).cast("int")))
+    return nonnull.unionByName(nulls)

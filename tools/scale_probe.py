@@ -89,8 +89,15 @@ PROBES = [
     # tracks the blocked candidate pairs
     "link_fellegi_sunter",
     # inverted-index sparse cosine: growth tracks the word-keyed pair
-    # join under the df cap (the prune is what keeps it subquadratic)
+    # join under the df + absolute-posting caps (the prunes are what
+    # keep it subquadratic)
     "sim_tfidf_cosine_topk",
+    # round-6 additions: the composed-index incremental proof (frozen
+    # codebooks; growth tracks batch encode + the salted cell join)
+    # and cross-doc exact-substring runs (growth tracks the capped
+    # gram-hash self-join + island windows)
+    "ann_ivfpq_index_probe",
+    "dedup_substring_global",
 ]
 
 
@@ -280,6 +287,43 @@ def main() -> None:
         '  expanded last through two slim broadcast equi-joins: 5.0 s,',
         '  and the member-quadratic regime is now a pure JVM hash-join',
         '  row emit.',
+        "- Round 6: the r5 inverted-list plan's broadcast hints were the",
+        "  round's flagged 100x-killer — in the registered SELF-search",
+        "  form `inv` (every vector's packed codes) and `lut_q` (one",
+        "  m x k LUT per query) are both O(corpus), so F.broadcast on",
+        "  them builds the whole encoded corpus on the driver. Fix: LUT",
+        "  joins on its qid equi-key FIRST (each probe row gains a",
+        "  constant-size LUT before meeting the index), then a salted",
+        "  SHUFFLE_HASH cell equi-join meets the inverted list, with",
+        "  the probe-side exchange a user-numbered repartition on the",
+        "  join keys (first cut let AQE coalesce the byte-small",
+        "  pre-scoring rows and serialized the ADC fold: 27.5 s;",
+        "  keyed user repartition restored 7.2 s — vs 5.5 s for the",
+        "  unsafe broadcast, the price of nothing corpus-sized ever",
+        "  crossing the driver). Same values (selfcheck re-green);",
+        "  broadcast_index=True keeps the hinted shape for genuinely",
+        "  bounded query batches. The residual variant then got the",
+        "  same packing its docstring promised (the exploded",
+        "  (cell, subspace, code) join shuffled pairs x m rows — the",
+        "  catalog's slowest query at 31.9 s sf0.1): per-(query,",
+        "  probed-cell) LUTs pack to one array-of-arrays row, codes",
+        "  pack per cell, and the meet is the same salted shuffle-hash",
+        "  join — 31.9 s -> ~13 s warm at sf0.1, growth 4.4x -> ~1.3x.",
+        "- Round 6: sim_tfidf_cosine_topk gained the ABSOLUTE posting",
+        "  cap (256, the LSH max_bucket precedent, mirrored in the",
+        "  oracle): the 10%-df prune alone lets a just-under-maxdf term",
+        "  fan out (0.1n)^2 pairs — quadratic in corpus size. Terms",
+        "  above the cap drop from the representation (norms recomputed,",
+        "  cosine stays a true cosine of the pruned vectors); they are",
+        "  the near-stopwords idf already discounts, and the cap bounds",
+        "  per-term pair work at 256^2 regardless of n. Non-binding at",
+        "  sf0.01 (maxdf 10% = 50 < 256), binding from ~2.5k docs up.",
+        "  And mm_image_dhash_hamming_pairs' band groups no longer",
+        "  collect_list distinct hashes into one row (fixture-bounded,",
+        "  but real dHashes are ~unique per image -> one hot band OOMs",
+        "  a task): the in-group pairing is now a (band_id, band)",
+        "  equi-self-join — same pair set, streamed through a hash join",
+        "  with no per-row state growing with the corpus.",
         "",
     ]
     sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
