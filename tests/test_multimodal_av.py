@@ -200,3 +200,65 @@ def test_dhash_brightness_invariance_and_corrupt(spark):
                                 "doc_id long, payload binary")
     row = mm.decode_bmp_gray(bad, "doc_id", "payload").collect()[0]
     assert row["format"] == "bmp_corrupt" and row["gray"] is None
+
+
+# -------------------------------------------------------------- video px
+
+
+def test_video_roundtrip_geometries_and_pixels():
+    for i in range(0, 25):
+        fmt, w, h, nf, fb = mm.decode_video_bytes(mm.synth_video_bytes(i))
+        ew, eh, enf = mm.video_geometry(i)
+        assert (fmt, w, h, nf) == ("video", ew, eh, enf)
+        assert len(fb) == ew * eh * enf
+        # spot-check pixels across frames against the formula
+        for f in (0, enf - 1):
+            for (x, y) in ((0, 0), (ew - 1, eh - 1), (3, 2)):
+                assert fb[f * ew * eh + y * ew + x] \
+                    == mm.video_pixel(i, f, x, y)
+
+
+def test_video_corrupt_paths():
+    assert mm.decode_video_bytes(b"junk")[0] == "unknown"
+    good = bytearray(mm.synth_video_bytes(4))
+    # truncated mid-frames: mdat declared size overruns -> corrupt
+    assert mm.decode_video_bytes(bytes(good[:-5]))[0] == "video_corrupt"
+    # foreign mdat payload (no RAWV magic)
+    bad_magic = bytearray(good)
+    idx = bytes(good).find(b"RAWV")
+    bad_magic[idx:idx + 4] = b"ZZZZ"
+    assert mm.decode_video_bytes(bytes(bad_magic))[0] == "video_corrupt"
+    # zero frame count in the RAWV header
+    zero_nf = bytearray(good)
+    struct.pack_into(">H", zero_nf, idx + 8, 0)
+    assert mm.decode_video_bytes(bytes(zero_nf))[0] == "video_corrupt"
+    # lying box size
+    lying = bytearray(good)
+    struct.pack_into(">I", lying, 0, 3)         # ftyp size < 8
+    assert mm.decode_video_bytes(bytes(lying))[0] == "video_corrupt"
+    # plain mp4 without a RAWV track degrades, not crashes
+    assert mm.decode_video_bytes(mm.synth_mp4_bytes(3))[0] \
+        == "video_corrupt"
+
+
+def test_video_frame_stage_samples_stride_and_degrades(spark):
+    df = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    frames = mm.decode_video_frames(
+        mm.synth_video_payload(df, "doc_id"), "doc_id", "payload",
+        stride=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i in range(12):
+        ew, eh, enf = mm.video_geometry(i)
+        got = sorted(r.frame_idx for r in by_doc[i])
+        assert got == list(range(0, enf, 3))
+        r0 = next(r for r in by_doc[i] if r.frame_idx == 0)
+        assert (r0.width, r0.height) == (ew, eh)
+        assert len(r0.gray) == ew * eh
+    # corrupt blob -> one degraded row, task survives
+    bad = spark.createDataFrame([(99, bytearray(b"not a container"))],
+                                "doc_id LONG, payload BINARY")
+    rows = mm.decode_video_frames(bad, "doc_id", "payload").collect()
+    assert len(rows) == 1 and rows[0].format == "unknown"
+    assert rows[0].gray is None

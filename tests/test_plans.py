@@ -112,7 +112,10 @@ PANDAS_OK = {"mm_decode_image", "mm_frame_sample",
              "j6b_fuzzy_osa_pairs", "j6c_osa_lev_delta",
              # pixel decode for perceptual hashing (shaded-BMP synth +
              # luma parse); the dHash itself is a Spark array HOF
-             "mm_image_dhash_near_dup", "mm_image_dhash_hamming_pairs"}
+             "mm_image_dhash_near_dup", "mm_image_dhash_hamming_pairs",
+             # video container synth + frame-plane decode (r6); all
+             # per-frame features are Spark HOFs / one lag window
+             "mm_video_frame_decode"}
 
 
 def _plan(spark, name: str) -> str:

@@ -98,6 +98,9 @@ PROBES = [
     # gram-hash self-join + island windows)
     "ann_ivfpq_index_probe",
     "dedup_substring_global",
+    # video frame decode: Arrow synth+decode chain emitting sampled
+    # frame planes; growth tracks frames x pixels
+    "mm_video_frame_decode",
 ]
 
 
