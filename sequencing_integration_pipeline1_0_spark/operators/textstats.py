@@ -776,6 +776,63 @@ def bpe_topk_merges(df, text_col: str = "text",
              .where(F.col("rank") <= k))
 
 
+def bpe_encode(df, text_col: str = "text", *, merges=None,
+               k: int = BPE_TOPK):
+    """ENCODE with a trained BPE tokenizer — the apply side the train
+    loop (bpe_topk_merges / bpe_merge_step) exists for: every distinct
+    word's character sequence has the merge list applied IN RANK ORDER
+    (the Sennrich/HF apply rule: each learned merge is one full greedy
+    leftmost pass, in the order learned), yielding the word's subword
+    segmentation. Returns one row per distinct word:
+      (word, n, n_tokens, encoding)
+    where n is the corpus frequency, encoding the space-joined subword
+    sequence, n_tokens its length — sum(n * n_tokens) is the corpus
+    token count under the tokenizer.
+
+    `merges` is ANY (left_sym, right_sym, rank) list — at production
+    the persisted artifact of an offline train loop (bpe_merge_step
+    documents why the loop itself materializes the word table once
+    and iterates); the default (and the certified query's shape)
+    seeds it with the top-k initial pair counts, exercising the full
+    encode machinery against a deterministic list both engines derive
+    identically.
+
+    Scale shape: the corpus collapses to its word-frequency table
+    first (the bpe_pair_counts move — encode work rides the
+    vocabulary, not the corpus; a corpus-wide encode is then a
+    broadcast map join from this table); the merge list collapses to
+    ONE ordered array row (k entries, broadcast); the application is
+    a NESTED fold — outer over the merge array, inner
+    bpe_apply_merge's greedy leftmost fold over the word's current
+    symbols — entirely JVM expression, no shuffle after the two
+    collapses."""
+    wf = (df.select(F.explode(words(
+               F.coalesce(F.col(text_col), F.lit("")))).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").cast("bigint").alias("n")))
+    if merges is None:
+        merges = bpe_topk_merges(df, text_col, k=k)
+    marr = merges.agg(F.transform(
+        F.array_sort(F.collect_list(
+            F.struct("rank", "left_sym", "right_sym"))),
+        lambda s: F.struct(s["left_sym"].alias("l"),
+                           s["right_sym"].alias("r"))).alias("ms"))
+    seq0 = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substring(F.col("word"), i, F.lit(1))),
+        " ")
+    enc = (wf.crossJoin(F.broadcast(marr))
+             .withColumn("encoding",
+                         F.aggregate(
+                             "ms", seq0,
+                             lambda acc, m: bpe_apply_merge(
+                                 acc, m["l"], m["r"]))))
+    return enc.select(
+        "word", "n",
+        F.size(F.split("encoding", " ")).cast("int").alias("n_tokens"),
+        "encoding")
+
+
 #: boilerplate-line threshold; oracle SQL interpolates this
 HTML_MIN_LINE_TOKENS = 3
 

@@ -7388,6 +7388,83 @@ def bpe_train_step(spark, sf_dir):
     return textstats.bpe_merge_step(d, "text")
 
 
+def _bpe_encode_sql(k: int) -> str:
+    """Oracle twin of textstats.bpe_encode: the initial pair-count
+    merge list (bpe_topk_merges' exact tie-break), then k UNROLLED
+    apply steps — each one full greedy-leftmost list_reduce pass with
+    that rank's merge, the proven bpe_apply_merge fold — in rank
+    order. A LEFT JOIN per step keeps words intact when fewer than k
+    merges exist (tiny corpora), mirroring Spark's fold over the
+    actual merge array."""
+    fold = """ltrim(list_reduce(
+      list_prepend('', string_split(s, ' ')),
+      (acc, c) -> CASE
+        WHEN length(acc) >= length(' ' || m.l)
+             AND acc[-(length(' ' || m.l)):] = ' ' || m.l AND c = m.r
+        THEN acc[1:length(acc) - length(' ' || m.l)] || ' ' || m.l || c
+        ELSE acc || ' ' || c END))"""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f"""sym_{i} AS (
+  SELECT w, n, CASE WHEN m.l IS NULL THEN s ELSE {fold} END AS s
+  FROM sym_{i - 1}
+  LEFT JOIN (SELECT l, r FROM merges WHERE rank = {i}) m ON TRUE)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')),
+                                            '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+p0 AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+         substr(w, CAST(i + 1 AS INT), 1) AS right_sym, n
+  FROM wf, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2),
+c0 AS (
+  SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM p0 GROUP BY 1, 2),
+merges AS (
+  SELECT left_sym AS l, right_sym AS r,
+         row_number() OVER (ORDER BY pair_count DESC,
+                            unicode(left_sym), unicode(right_sym),
+                            left_sym, right_sym) AS rank
+  FROM c0 QUALIFY rank <= {k}),
+sym_0 AS (
+  SELECT w, n, array_to_string(regexp_split_to_array(w, ''), ' ') AS s
+  FROM wf),
+{chain}
+SELECT w AS word, n,
+       CAST(len(string_split(s, ' ')) AS INT) AS n_tokens,
+       s AS encoding
+FROM sym_{k}
+"""
+
+
+@register("bpe_encode_corpus", _bpe_encode_sql(textstats.BPE_TOPK))
+def bpe_encode_corpus(spark, sf_dir):
+    """BPE tokenizer ENCODE (textstats.bpe_encode) — the apply side
+    completing the family: train candidates (bpe_merge_topk), the
+    closing train iteration (bpe_train_step), and now encoding, where
+    every distinct word's character sequence has the k-merge list
+    applied in rank order (the Sennrich/HF apply rule) to produce its
+    subword segmentation plus the per-word token count — the real
+    token accounting a training-data pipeline budgets with
+    (sum(n * n_tokens) is the corpus token count under the tokenizer).
+
+    Scale shape: corpus collapses to the word-frequency table first
+    (vocabulary-sized encode work; corpus-wide encoding is then a
+    broadcast map join from this table); the merge list collapses to
+    one ordered broadcast array row; application is a nested JVM fold
+    (outer over merges, inner the greedy leftmost symbol fold) — no
+    shuffle after the two collapses, and no per-rank plan unrolling:
+    the merge list is DATA, so a 50k-merge production vocabulary is
+    the same plan."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bpe_encode(d, "text", k=textstats.BPE_TOPK)
+
+
 def _bm25_query_values() -> str:
     return ",".join(f"('{qid}','{t}')"
                     for qid, terms in textstats.BM25_QUERIES
