@@ -1293,3 +1293,56 @@ def test_cross_doc_shared_runs_matches_brute_force(spark):
     # carrying it, and doc 6's self-repetition emits nothing
     assert any(r[0] == 1 and r[1] == 2 and r[4] >= 6 for r in got)
     assert not any(6 in (r[0], r[1]) for r in got)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """bpe_encode's nested fold (outer merge list, inner greedy
+    leftmost) must agree with a straightforward Python BPE apply on a
+    corpus exercising run-overlap ('aaa' under (a,a)) and merge-order
+    interaction (a later merge consuming what an earlier one left)."""
+    from collections import Counter
+
+    from sequencing_integration_pipeline1_0_spark.operators import textstats
+
+    docs = [(1, "banana bandana aaa abab"),
+            (2, "banana cabana aaab"),
+            (3, "ana banana nab")]
+    K = 6
+
+    # python reference: identical merge-list derivation + apply rule
+    words = [w for _, t in docs for w in t.split()]
+    wf = Counter(words)
+    pairs = Counter()
+    for w, n in wf.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += n
+    merges = sorted(pairs.items(),
+                    key=lambda kv: (-kv[1], ord(kv[0][0]), ord(kv[0][1]),
+                                    kv[0][0], kv[0][1]))[:K]
+    merges = [p for p, _ in merges]
+
+    def apply_one(sym, l, r):
+        out = []
+        for c in sym:
+            if out and out[-1] == l and c == r:
+                out[-1] = l + r
+            else:
+                out.append(c)
+        return out
+
+    def encode(word):
+        s = list(word)
+        for l, r in merges:
+            s = apply_one(s, l, r)
+        return s
+
+    expected = {w: (n, encode(w)) for w, n in wf.items()}
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.word: r for r in textstats.bpe_encode(df, "text",
+                                                   k=K).collect()}
+    assert set(got) == set(expected)
+    for w, (n, enc) in expected.items():
+        assert got[w].n == n, w
+        assert got[w].encoding == " ".join(enc), (w, got[w].encoding, enc)
+        assert got[w].n_tokens == len(enc)
