@@ -619,36 +619,35 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     #      n_cells * cell_salt tasks even when n_cells < cores; at
     #      production n_cells ~ sqrt(n) the salt is a no-op cost-wise
     #      but keeps hot probed cells from serializing on one task.
-    # broadcast_index=True restores the hinted-broadcast shape for
-    # the BOUNDED batch-query path (a handful of queries against a
-    # frozen index, where lut_q is genuinely tiny) — an explicit
-    # caller assertion, off for the registered self-search.
-    if broadcast_index:
-        scored = (probe.join(F.broadcast(inv),
-                             F.col("probe_cell") == F.col("cell_id"))
-                       .join(F.broadcast(lut_q), "qid"))
-    else:
-        inv_s = inv.withColumn(
-            "isalt", F.explode(F.array(*[F.lit(r)
-                                         for r in range(cell_salt)])))
-        # the probe-side exchange is a USER-numbered hash repartition
-        # on the join keys: AQE's byte-based coalescing would see the
-        # slim pre-scoring rows, fold the exchange to a handful of
-        # partitions, and serialize the CPU-heavy ADC fold (bytes are
-        # a terrible proxy for HOF cost — measured 5x on sf0.1); a
-        # user-specified count is exempt from coalescing and already
-        # satisfies the join's clustering requirement, so no second
-        # exchange is inserted.
-        sc = df.sparkSession.sparkContext
-        scored = (probe.join(lut_q, "qid")
-                       .withColumn("salt",
-                                   F.pmod(F.xxhash64("qid"),
-                                          F.lit(cell_salt)).cast("int"))
-                       .repartition(sc.defaultParallelism,
-                                    "probe_cell", "salt")
-                       .join(inv_s.hint("shuffle_hash"),
-                             (F.col("probe_cell") == F.col("cell_id"))
-                             & (F.col("salt") == F.col("isalt"))))
+    # broadcast_index=True hints the LUT broadcast for the BOUNDED
+    # batch-query path (a handful of queries against a frozen index,
+    # where lut_q is genuinely query-batch-sized) — an explicit
+    # caller assertion, off for the registered self-search. The
+    # inverted list is corpus-sized in EVERY mode, so its meet is
+    # always the equi-join; with a tiny probe side Catalyst's own
+    # size estimate broadcasts the probe, not the index.
+    inv_s = inv.withColumn(
+        "isalt", F.explode(F.array(*[F.lit(r)
+                                     for r in range(cell_salt)])))
+    # the probe-side exchange is a USER-numbered hash repartition
+    # on the join keys: AQE's byte-based coalescing would see the
+    # slim pre-scoring rows, fold the exchange to a handful of
+    # partitions, and serialize the CPU-heavy ADC fold (bytes are
+    # a terrible proxy for HOF cost — measured 5x on sf0.1); a
+    # user-specified count is exempt from coalescing and already
+    # satisfies the join's clustering requirement, so no second
+    # exchange is inserted.
+    sc = df.sparkSession.sparkContext
+    lut_j = F.broadcast(lut_q) if broadcast_index else lut_q
+    scored = (probe.join(lut_j, "qid")
+                   .withColumn("salt",
+                               F.pmod(F.xxhash64("qid"),
+                                      F.lit(cell_salt)).cast("int"))
+                   .repartition(sc.defaultParallelism,
+                                "probe_cell", "salt")
+                   .join(inv_s.hint("shuffle_hash"),
+                         (F.col("probe_cell") == F.col("cell_id"))
+                         & (F.col("salt") == F.col("isalt"))))
     # exact-decimal left fold over the m LUT entries — the same sum
     # SUM(decimal) produced in the exploded shape (decimal add is
     # exact, so fold order cannot diverge); re-cast each step because
@@ -679,10 +678,11 @@ def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, *,
     """IVF-PQ approximate top-k: rank ivfpq_adc_pairs per query by
     (approx_dist, neighbor_id). Returns (id, neighbor_id, approx_dist,
     rank) — same contract as pq_adc_topk with the candidate set
-    restricted to the nprobe probed cells. broadcast_index opts the
-    bounded batch-query path into the hinted-broadcast meet (see
-    ivfpq_adc_pairs; off for self-search, where both sides are
-    corpus-sized)."""
+    restricted to the nprobe probed cells. broadcast_index hints the
+    per-query LUT broadcast for bounded batch-query workloads (see
+    ivfpq_adc_pairs; off for self-search, where the LUT table is
+    corpus-sized — the inverted-list meet is an equi-join in every
+    mode)."""
     pairs = ivfpq_adc_pairs(df, id_col, vec_col, n_cells=n_cells,
                             nprobe=nprobe, m=m, k=k,
                             coarse_iters=coarse_iters, round_to=round_to,

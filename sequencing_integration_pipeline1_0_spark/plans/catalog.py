@@ -6646,6 +6646,58 @@ def ann_ivfpq_recall(spark, sf_dir):
                           / F.count(F.lit(1)), 6).alias("recall")))
 
 
+_IVFPQ_BATCH_SQL = f"""
+WITH {_ivf_trained_cents_sql(_IVFPQ_NCELLS, 2)},
+{_PQ_COMMON_SQL},
+{_pq_adc_sql("cb", "")},
+{_ivfpq_search_sql(_IVFPQ_NPROBE)}
+SELECT id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT qid AS id, neighbor_id, approx_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY approx_dist, neighbor_id) AS rank
+  FROM ppairs WHERE qid % 100 = 0) WHERE rank <= 5
+"""
+
+
+@register("ann_ivfpq_batch_search", _IVFPQ_BATCH_SQL)
+def ann_ivfpq_batch_search(spark, sf_dir):
+    """The PRODUCTION search shape of the composed IVF-PQ index: a
+    BOUNDED query batch (vec_id % 100 = 0 — 1% of the corpus, the
+    online-serving case) searches a frozen index built over the whole
+    corpus. Exercises every incremental-plumbing contract end to end:
+    pre-built inverted-list entries injected via entries=, frozen
+    coarse + PQ codebooks, and broadcast_index=True — the explicitly
+    gated hint that broadcasts the per-QUERY-batch LUT table (tiny by
+    caller assertion here; never hinted in the self-search form where
+    it is corpus-sized). The inverted-list meet stays the salted
+    equi-join in every mode — the index side is corpus-sized always.
+
+    Scale shape at serving: per batch, two linear passes over the
+    BATCH (coarse probe + LUT build), a broadcast of batch x m x k
+    decimals, and ADC against only the probed cells' lists."""
+    e = _t(spark, sf_dir, "embeddings")
+    coarse = similarity.train_ivf_codebook(
+        e, "vec_id", "embedding", n_cells=_IVFPQ_NCELLS, iters=2)
+    pqcb = similarity.pq_codebooks(e, "vec_id", "embedding",
+                                   m=_PQ_M, k=_PQ_K)
+    entries = similarity.ivfpq_index_entries(
+        e, "vec_id", "embedding", coarse=coarse, codebooks=pqcb,
+        m=_PQ_M, k=_PQ_K)
+    batch = e.filter(F.col("vec_id") % 100 == 0)
+    pairs = similarity.ivfpq_adc_pairs(
+        batch, "vec_id", "embedding", n_cells=_IVFPQ_NCELLS,
+        nprobe=_IVFPQ_NPROBE, m=_PQ_M, k=_PQ_K,
+        coarse=coarse, codebooks=pqcb, entries=entries,
+        broadcast_index=True)
+    w = Window.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= 5)
+                 .select(F.col("qid").alias("id"), "neighbor_id",
+                         "approx_dist",
+                         F.col("rank").cast("int").alias("rank")))
+
+
 _IVFPQ_INDEX_PROBE_SQL = f"""
 WITH emb_c AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 10 != 0),

@@ -82,6 +82,9 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # n x n_cells NLJ; the search meet is the salted
                   # shuffle-hash cell equi-join
                   "ann_ivfpq_index_probe",
+                  # batch-search form: same coarse NLJs; LUT broadcast
+                  # is the gated query-batch hint, index meet equi-join
+                  "ann_ivfpq_batch_search",
                   # sketch finishers: 1-row aggregate cross-joins only
                   # (harmonic sums / exact baselines / min-max stats —
                   # the scalar-join shape; the sketch builds themselves
@@ -204,7 +207,10 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # and its coarse centroids (<= n_cells rows)
                     "pq_encode_batch", "ann_ivfpq_topk",
                     "ann_ivfpq_recall", "ann_ivfpq_residual_topk",
-                    "ann_ivfpq_index_probe",
+                    "ann_ivfpq_index_probe", "ann_ivfpq_batch_search",
+                  # batch-search form: same coarse NLJs; LUT broadcast
+                  # is the gated query-batch hint, index meet equi-join
+                  "ann_ivfpq_batch_search",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before
