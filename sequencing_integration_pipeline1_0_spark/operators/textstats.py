@@ -284,6 +284,56 @@ def cross_doc_shared_runs(df, id_col: str = "doc_id",
                        "len_tokens"))
 
 
+def substring_removal_accounting(df, id_col: str = "doc_id",
+                                 text_col: str = "text", *,
+                                 min_len: int = 10,
+                                 gram_cap: int = 256):
+    """Removal ACCOUNTING over cross_doc_shared_runs — the budget
+    question a dedup pass answers before rewriting anything: per
+    document, how many tokens are covered by runs shared verbatim
+    with a LOWER-id document (keep-first: the lowest-id holder keeps
+    its copy; everyone else's copies are removable). Returns one row
+    per input document:
+      (doc_id, n_spans, tokens_removable)
+    where n_spans counts the doc's MERGED removable intervals and
+    tokens_removable their total length — runs shared with several
+    partners overlap, so intervals are unioned first (the classic
+    sweep: order by start, a new island begins where start exceeds
+    the running max end), never double-counted.
+
+    Scale shape: rides cross_doc_shared_runs (capped gram self-join),
+    then two bounded per-doc windows over the doc's run list and one
+    groupBy — all keyed by doc."""
+    runs = cross_doc_shared_runs(df, id_col, text_col,
+                                 min_len=min_len, gram_cap=gram_cap)
+    iv = runs.select(F.col("doc_b").alias("__id"),
+                     F.col("start_b").alias("s"),
+                     (F.col("start_b") + F.col("len_tokens")).alias("e"))
+    w = Window.partitionBy("__id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    grp = F.sum(
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+         .otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (iv.withColumn("grp", grp)
+                .groupBy("__id", "grp")
+                .agg(F.min("s").alias("ms"), F.max("e").alias("me")))
+    acc = (merged.groupBy("__id")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                      F.sum(F.col("me") - F.col("ms")).cast("long")
+                       .alias("tokens_removable")))
+    return (df.select(F.col(id_col).alias("doc_id"))
+              .join(acc.withColumnRenamed("__id", "doc_id"),
+                    "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("n_spans", F.lit(0).cast("long"))
+                       .alias("n_spans"),
+                      F.coalesce("tokens_removable",
+                                 F.lit(0).cast("long"))
+                       .alias("tokens_removable")))
+
+
 def build_unigram_lm(df, text_col: str = "text", *, topk: int | None = None):
     """Unigram language model from a corpus: (token, logp) with
     log-probabilities over the corpus token mass — the model half of

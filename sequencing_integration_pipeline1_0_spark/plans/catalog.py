@@ -5801,8 +5801,9 @@ def text_remove_repeated_spans(spark, sf_dir):
 _SUBSTR_MIN_LEN = 10
 _SUBSTR_GRAM_CAP = 256
 
-_SUBSTR_GLOBAL_SQL = f"""
-WITH w AS (
+#: shared CTE chain ending in `runs` — both the pairwise-run query and
+#: the per-doc accounting query select from it
+_SUBSTR_RUNS_CTES = f"""w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
   FROM documents),
 g AS (
@@ -5830,13 +5831,69 @@ isl AS (
   SELECT doc_a, doc_b, d, pa, pb,
          pa - row_number() OVER (PARTITION BY doc_a, doc_b, d
                                  ORDER BY pa) AS island
-  FROM p)
-SELECT doc_a, doc_b,
-       CAST(min(pa) AS BIGINT) AS start_a,
-       CAST(min(pb) AS BIGINT) AS start_b,
-       CAST(count(*) + {_SUBSTR_MIN_LEN} - 1 AS BIGINT) AS len_tokens
-FROM isl GROUP BY doc_a, doc_b, d, island
+  FROM p),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(min(pa) AS BIGINT) AS start_a,
+         CAST(min(pb) AS BIGINT) AS start_b,
+         CAST(count(*) + {_SUBSTR_MIN_LEN} - 1 AS BIGINT) AS len_tokens
+  FROM isl GROUP BY doc_a, doc_b, d, island)"""
+
+_SUBSTR_GLOBAL_SQL = f"""
+WITH {_SUBSTR_RUNS_CTES}
+SELECT doc_a, doc_b, start_a, start_b, len_tokens FROM runs
 """
+
+
+_SUBSTR_ACCT_SQL = f"""
+WITH {_SUBSTR_RUNS_CTES},
+iv AS (
+  SELECT doc_b AS id, start_b AS s,
+         start_b + len_tokens AS e FROM runs),
+gr AS (
+  SELECT id, s, e,
+         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS grp
+  FROM (SELECT id, s, e,
+               max(e) OVER (PARTITION BY id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM iv)),
+mrg AS (
+  SELECT id, grp, min(s) AS ms, max(e) AS me
+  FROM gr GROUP BY id, grp),
+acc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(me - ms) AS BIGINT) AS tokens_removable
+  FROM mrg GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(a.tokens_removable, 0)::BIGINT AS tokens_removable
+FROM documents d LEFT JOIN acc a ON d.doc_id = a.id
+"""
+
+
+@register("dedup_substring_acct", _SUBSTR_ACCT_SQL)
+def dedup_substring_acct(spark, sf_dir):
+    """Removal accounting over the cross-doc shared runs
+    (textstats.substring_removal_accounting): per document, the
+    union-merged token intervals covered by runs shared verbatim with
+    a LOWER-id document — keep-first semantics, so this is exactly
+    the token budget an exact-substring rewrite pass would reclaim,
+    with overlapping multi-partner runs counted once (interval-union
+    sweep, not a naive sum). Every document is emitted (0 rows for
+    unaffected docs), matching dedup_lines_global's accounting
+    contract.
+
+    Scale shape: the capped gram self-join of dedup_substring_global
+    plus two bounded per-doc windows and one groupBy — everything
+    after run discovery is keyed by doc."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.substring_removal_accounting(
+        d, "doc_id", "text", min_len=_SUBSTR_MIN_LEN,
+        gram_cap=_SUBSTR_GRAM_CAP)
 
 
 @register("dedup_substring_global", _SUBSTR_GLOBAL_SQL)
