@@ -101,6 +101,14 @@ PROBES = [
     # video frame decode: Arrow synth+decode chain emitting sampled
     # frame planes; growth tracks frames x pixels
     "mm_video_frame_decode",
+    # tokenizer encode: rides the vocabulary table (growth tracks
+    # distinct words, not the corpus), nested-fold application
+    "bpe_encode_corpus",
+    # the serving-shape search: frozen index + 1% query batch; growth
+    # tracks index build (the batch is proportionally tiny)
+    "ann_ivfpq_batch_search",
+    # per-doc interval-union accounting over the capped run join
+    "dedup_substring_acct",
 ]
 
 
