@@ -52,6 +52,8 @@ HEADLINE = [
     # exact-substring dedup gets history from day one
     "ann_ivfpq_residual_topk",  # residual-encoded FAISS IVFPQ search
     "dedup_substring_global",   # cross-doc verbatim-run discovery
+    "ann_ivfpq_batch_search",   # the serving shape: frozen index +
+                                # bounded query batch + gated LUT bcast
 ]
 
 

@@ -170,6 +170,17 @@ def test_fuzzy_join_is_blocked_not_nested(plans):
                 or "BroadcastHashJoin" in p), name
 
 
+def test_ivfpq_adc_meet_never_broadcasts_the_index(plans):
+    """r6 regression pin: every IVF-PQ variant's ADC meet must be the
+    salted SHUFFLE_HASH cell equi-join — the inverted list (and, in
+    self-search, the LUT table) is corpus-sized, so a plan-time
+    broadcast of it is a driver OOM at 100x (r5 verdict item 1)."""
+    for name in ("ann_ivfpq_topk", "ann_ivfpq_recall",
+                 "ann_ivfpq_residual_topk", "ann_ivfpq_index_probe",
+                 "ann_ivfpq_batch_search"):
+        assert "ShuffledHashJoin" in plans[name], name
+
+
 def test_ivf_candidate_join_is_equi(plans):
     """IVF's probe→index candidate join must be a hash/SMJ equi-join on
     cell id — the broadcast NL is confined to the n×n_cells codebook
