@@ -987,3 +987,85 @@ def ivfpq_residual_topk(df: DataFrame, id_col: str, vec_col: str, *,
                  .select(F.col("qid").alias("id"), "neighbor_id",
                          "approx_dist",
                          F.col("rank").cast("int").alias("rank")))
+
+
+# ------------------------------------------------------------- int8 SQ
+# Symmetric per-vector int8 scalar quantization — the OTHER standard
+# embedding compression next to PQ (FAISS ScalarQuantizer QT_8bit /
+# Milvus SQ8): 4x storage cut, integer dot products at search time.
+
+
+def int8_quantize(df: DataFrame, id_col: str, vec_col: str, *,
+                  round_to: int = 6) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v_i|, each
+    component maps to round(v_i * 127 / scale) in [-127, 127].
+    Returns EXPLODED rows (id, dim, q, scale_r) — the slim long-format
+    the projection/PQ-encode queries also use (engine-portable
+    hashing; the packed array form is one groupBy away).
+
+    Dequantization error is bounded by scale/254 per component; the
+    quantized dot product q_a . q_b * (scale_a * scale_b / 127^2) is
+    the integer-arithmetic cosine numerator ann_int8_recall measures.
+
+    Scale shape: pure map-side (one HOF max + one HOF transform +
+    posexplode) — rides the scan, no shuffle; the 100 TB form writes
+    the packed (scale, qv) pair per vector."""
+    vec = F.col(vec_col)
+    mx = F.aggregate(vec, F.lit(0.0),
+                     lambda acc, v: F.greatest(acc,
+                                               F.abs(v.cast("double"))))
+    q = F.transform(
+        vec, lambda v: F.when(F.col("__mx") == 0.0, F.lit(0))
+                        .otherwise(F.round(v.cast("double") * 127.0
+                                           / F.col("__mx"))
+                                    .cast("int")))
+    return (df.select(F.col(id_col).alias("id"), vec.alias(vec_col))
+              .withColumn("__mx", mx)
+              .select("id", F.round(F.col("__mx"), round_to)
+                             .alias("scale_r"),
+                      F.posexplode(q).alias("dim", "q"))
+              .select("id", F.col("dim").cast("int"), "q", "scale_r"))
+
+
+def int8_topk(df: DataFrame, id_col: str, vec_col: str, *,
+              k_neighbors: int = 5, round_to: int = 6) -> DataFrame:
+    """Top-k by QUANTIZED cosine: integer dot product of the int8
+    codes (exact int64 arithmetic — no FP in the pair loop), scaled
+    back by (scale_a * scale_b / 127^2) and normalized by the exact
+    original norms. All-pairs BY ROLE, like ann_brute_force_topk /
+    ann_pq_topk: this is the quantization-loss baseline the recall
+    query measures; the production path composes the same codes with
+    the IVF cell restriction (the ivfpq_adc_pairs meet applies
+    unchanged — codes are per-vector data)."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    mx = F.aggregate(F.col("v"), F.lit(0.0),
+                     lambda acc, v: F.greatest(acc,
+                                               F.abs(v.cast("double"))))
+    qv = F.transform(
+        F.col("v"), lambda v: F.when(F.col("mx") == 0.0, F.lit(0))
+                               .otherwise(F.round(v.cast("double")
+                                                  * 127.0 / F.col("mx"))
+                                           .cast("long")))
+    enc = (base.withColumn("mx", mx)
+               .select("id", "nv", "mx", qv.alias("qv")))
+    a = spread_for_compute(
+        enc.select(F.col("id"), F.col("qv").alias("qa"),
+                   F.col("mx").alias("ma"), F.col("nv").alias("na")))
+    b = enc.select(F.col("id").alias("neighbor_id"),
+                   F.col("qv").alias("qb"), F.col("mx").alias("mb"),
+                   F.col("nv").alias("nb"))
+    idot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cos_q = F.round(idot.cast("double") * F.col("ma") * F.col("mb")
+                    / (127.0 * 127.0) / (F.col("na") * F.col("nb")),
+                    round_to)
+    pairs = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
+              .withColumn("cos_q", cos_q))
+    w = Window.partitionBy("id").orderBy(F.col("cos_q").desc(),
+                                         F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_neighbors)
+                 .select("id", "neighbor_id", "cos_q",
+                         F.col("rank").cast("int").alias("rank")))

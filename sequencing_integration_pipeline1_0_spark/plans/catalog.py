@@ -6549,6 +6549,112 @@ def ann_pq_recall(spark, sf_dir):
          .alias("recall_trained"))
 
 
+_INT8_QUANT_SQL = """
+WITH base AS (
+  SELECT vec_id AS id, embedding,
+         list_reduce(list_prepend(0.0,
+             list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+             (a, b) -> greatest(a, b)) AS mx
+  FROM embeddings)
+SELECT id, CAST(i - 1 AS INT) AS dim,
+       CASE WHEN mx = 0 THEN 0
+            ELSE CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 127.0 / mx) AS INT) END AS q,
+       round(mx, 6) AS scale_r
+FROM base, unnest(range(1, len(embedding) + 1)) AS t(i)
+"""
+
+
+@register("emb_int8_quantize", _INT8_QUANT_SQL)
+def emb_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 scalar quantization of the embedding
+    column (similarity.int8_quantize) — the OTHER standard embedding
+    compression next to PQ (FAISS ScalarQuantizer QT_8bit / Milvus
+    SQ8): scale = max|v_i| per vector, components map to
+    round(v * 127 / scale) — a 4x storage cut whose search-time dot
+    products are exact INTEGER arithmetic (ann_int8_recall measures
+    the recall cost). Long-format output rows (id, dim, q, scale_r),
+    the pq_encode / random-projection grain.
+
+    Scale shape: pure map-side — one HOF max, one HOF transform, one
+    posexplode; rides the scan with zero shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.int8_quantize(e, "vec_id", "embedding")
+
+
+_INT8_RECALL_SQL = f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding,
+         list_reduce(list_prepend(0.0,
+             list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+             (a, b) -> greatest(a, b)) AS mx,
+         sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+             i -> CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))
+           AS nv
+  FROM embeddings),
+enc AS (
+  SELECT id, mx, nv,
+         list_transform(embedding, v ->
+             CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(CAST(v AS DOUBLE) * 127.0 / mx)
+                            AS BIGINT) END) AS qv
+  FROM base),
+qpairs AS (
+  SELECT a.id AS id, b.id AS neighbor_id,
+         round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, len(a.qv)+1),
+                                  i -> a.qv[i] * b.qv[i])),
+                   (x, y) -> x + y) AS DOUBLE)
+               * a.mx * b.mx / 16129.0 / (a.nv * b.nv), 6) AS cos_q
+  FROM enc a JOIN enc b ON a.id != b.id),
+qtop AS (
+  SELECT id, neighbor_id FROM (
+    SELECT id, neighbor_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cos_q DESC, neighbor_id) AS rn
+    FROM qpairs) WHERE rn <= 5),
+tpairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT id, neighbor_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM tpairs) WHERE rn <= 5)
+SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(count(q.neighbor_id) AS BIGINT) AS hits,
+       round(count(q.neighbor_id)::DOUBLE / count(*), 6) AS recall
+FROM truth t LEFT JOIN qtop q
+  ON t.id = q.id AND t.neighbor_id = q.neighbor_id
+"""
+
+
+@register("ann_int8_recall", _INT8_RECALL_SQL)
+def ann_int8_recall(spark, sf_dir):
+    """Recall@5 of int8-scalar-quantized cosine search against the
+    exact cosine top-5 — quantifying what the 4x compression costs
+    (similarity.int8_topk: integer dot products rescaled by the two
+    per-vector scales, normalized by the exact norms). One summary
+    row; the quantized pair pass is all-pairs BY ROLE, the recall
+    baseline (the production path composes the same int8 codes with
+    the IVF cell restriction)."""
+    e = _t(spark, sf_dir, "embeddings")
+    topq = (similarity.int8_topk(e, "vec_id", "embedding",
+                                 k_neighbors=5)
+            .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
+    truth = (similarity.brute_force_topk(e, "vec_id", "embedding", k=5)
+             .select("id", "neighbor_id"))
+    j = truth.join(topq, ["id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.count("hit").alias("hits"),
+        F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall"))
+
+
 # ----------------------------------------------------------------------
 # Composed IVF-PQ index (round 5) — the FAISS IVF-PQ layout: coarse
 # IVF cells restrict WHICH candidates a query meets, PQ-ADC scores HOW.

@@ -67,6 +67,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # exact-L2 truth set for the recall measurement is
                   # deliberately brute-force (like ann_brute_force_topk)
                   "ann_pq_recall",
+                  # int8 scalar-quantization recall: quantized pair
+                  # pass + exact truth are both deliberate all-pairs
+                  # baselines (the ann_pq_recall role)
+                  "ann_int8_recall",
                   # composed IVF-PQ: the coarse-codebook assignment is
                   # the same broadcast n x n_cells NLJ as ann_ivf_*
                   # (linear in n); the ADC itself is a cell equi-join
@@ -212,6 +216,10 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # orderBy().limit() feeding it is the real fence)
                     "ann_pq_encode", "ann_pq_topk", "ann_pq_trained_topk",
                     "ann_pq_recall",
+                  # int8 scalar-quantization recall: quantized pair
+                  # pass + exact truth are both deliberate all-pairs
+                  # baselines (the ann_pq_recall role)
+                  "ann_int8_recall",
                     # same <= k-row codebook-seeding rank: pq_encode_batch
                     # seeds the frozen corpus codebooks once; the IVF-PQ
                     # composition seeds both its PQ codebooks (<= k rows)
