@@ -1346,3 +1346,34 @@ def test_bpe_encode_matches_python_reference(spark):
         assert got[w].n == n, w
         assert got[w].encoding == " ".join(enc), (w, got[w].encoding, enc)
         assert got[w].n_tokens == len(enc)
+
+
+def test_int8_quantize_roundtrip_error_bound(spark):
+    """Symmetric int8 quantization invariants: codes within [-127,127],
+    the max-|component| dimension hits exactly +/-127, and the
+    dequantized value q * scale / 127 is within scale/254 (half a
+    quantization step) of the original everywhere."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        similarity as sim,
+    )
+    rows = [(i, [((i * 7 + j * 13) % 29 - 14) / 3.0 for j in range(8)])
+            for i in range(1, 40)]
+    rows.append((99, [0.0] * 8))                 # all-zero vector
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.int8_quantize(df, "vec_id", "embedding").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, {})[r.dim] = r
+    for i, v in rows:
+        got = by_id[i]
+        mx = max(abs(x) for x in v)
+        assert len(got) == 8
+        for j, x in enumerate(v):
+            q = got[j].q
+            assert -127 <= q <= 127
+            if mx == 0:
+                assert q == 0
+            else:
+                assert abs(x - q * mx / 127.0) <= mx / 254.0 + 1e-12
+        if mx > 0:
+            assert any(abs(got[j].q) == 127 for j in range(8))
