@@ -164,7 +164,7 @@ _PRIORITY = [
     "ann_ivfpq_index_probe", "dedup_substring_global",
     "mm_video_frame_decode", "bpe_encode_corpus",
     "ann_ivfpq_batch_search", "dedup_substring_acct",
-    "emb_int8_quantize", "ann_int8_recall",
+    "emb_int8_quantize", "ann_int8_recall", "ann_ivfsq_topk",
     "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_residual_topk",
     "sim_tfidf_cosine_topk", "mm_image_dhash_hamming_pairs",
     "dedup_url_canonical", "qa_benford_prices",

@@ -1069,3 +1069,101 @@ def int8_topk(df: DataFrame, id_col: str, vec_col: str, *,
                  .filter(F.col("rank") <= k_neighbors)
                  .select("id", "neighbor_id", "cos_q",
                          F.col("rank").cast("int").alias("rank")))
+
+
+def ivfsq_topk(df: DataFrame, id_col: str, vec_col: str, *,
+               k_neighbors: int = 5, n_cells: int = 8, nprobe: int = 4,
+               coarse_iters: int = 2, round_to: int = 6,
+               cell_salt: int = 16) -> DataFrame:
+    """IVF + int8 scalar quantization — FAISS IndexIVFScalarQuantizer:
+    the coarse IVF cells restrict WHICH candidates a query meets
+    (exactly the ivfpq_adc_pairs meet), int8 integer dot products
+    score HOW (exactly int8_topk's arithmetic) — the production
+    composition int8_topk's docstring promises, completing the
+    quantized-search matrix (IVF-flat / IVF-PQ / IVF-SQ8). Returns
+    (id, neighbor_id, cos_q, rank).
+
+    Scale shape: identical to the certified IVF-PQ meet — each cell's
+    (neighbor, codes, scale, norm) entries pack into one inverted-list
+    row; the query side carries its own constant-size code array; the
+    meet is the salted SHUFFLE_HASH cell equi-join with a
+    user-numbered keyed repartition (AQE byte-coalescing would
+    serialize the integer-fold scoring); nothing corpus-sized is ever
+    broadcast; the per-pair dot is exact int64 arithmetic."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    coarse = train_ivf_codebook(df, id_col, vec_col, n_cells=n_cells,
+                                iters=coarse_iters, round_to=round_to)
+    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
+    sims = (base.join(cb)
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")),
+                                    round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                          F.col("cell_id"))
+    ranked = (sims.withColumn("crank", F.row_number().over(cw))
+                  .select("id", "cell_id", "crank"))
+    mx = F.aggregate(F.col("v"), F.lit(0.0),
+                     lambda acc, x: F.greatest(acc,
+                                               F.abs(x.cast("double"))))
+    qv = F.transform(
+        F.col("v"), lambda x: F.when(F.col("mx") == 0.0, F.lit(0))
+                               .otherwise(F.round(x.cast("double")
+                                                  * 127.0 / F.col("mx"))
+                                           .cast("long")))
+    enc = (base.withColumn("mx", mx)
+               .select("id", "nv", "mx", qv.alias("qv")))
+    idxc = (ranked.filter(F.col("crank") == 1)
+                  .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    entries = idxc.join(
+        enc.select(F.col("id").alias("neighbor_id"),
+                   F.col("qv").alias("qb"), F.col("mx").alias("mb"),
+                   F.col("nv").alias("nb")), "neighbor_id")
+    inv = (entries.groupBy("cell_id")
+                  .agg(F.collect_list(
+                       F.struct("neighbor_id", "qb", "mb", "nb"))
+                        .alias("entries")))
+    inv_s = inv.withColumn(
+        "isalt", F.explode(F.array(*[F.lit(r)
+                                     for r in range(cell_salt)])))
+    probe = (ranked.filter(F.col("crank") <= nprobe)
+                   .select(F.col("id").alias("qid"),
+                           F.col("cell_id").alias("probe_cell"))
+                   .join(enc.select(F.col("id").alias("qid"),
+                                    F.col("qv").alias("qa"),
+                                    F.col("mx").alias("ma"),
+                                    F.col("nv").alias("na")), "qid"))
+    sc = df.sparkSession.sparkContext
+    scored = (probe.withColumn("salt",
+                               F.pmod(F.xxhash64("qid"),
+                                      F.lit(cell_salt)).cast("int"))
+                   .repartition(sc.defaultParallelism,
+                                "probe_cell", "salt")
+                   .join(inv_s.hint("shuffle_hash"),
+                         (F.col("probe_cell") == F.col("cell_id"))
+                         & (F.col("salt") == F.col("isalt"))))
+    hits = F.transform(
+        F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
+        lambda e: F.struct(
+            e["neighbor_id"].alias("neighbor_id"),
+            F.round(F.aggregate(
+                        F.zip_with(F.col("qa"), e["qb"],
+                                   lambda x, y: x * y),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).cast("double")
+                    * F.col("ma") * e["mb"] / (127.0 * 127.0)
+                    / (F.col("na") * e["nb"]), round_to)
+             .alias("cos_q")))
+    pairs = (scored.select("qid", F.explode(hits).alias("h"))
+                   .select("qid",
+                           F.col("h.neighbor_id").alias("neighbor_id"),
+                           F.col("h.cos_q").alias("cos_q")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_q").desc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_neighbors)
+                 .select(F.col("qid").alias("id"), "neighbor_id",
+                         "cos_q",
+                         F.col("rank").cast("int").alias("rank")))

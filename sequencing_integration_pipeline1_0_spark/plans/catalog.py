@@ -6655,6 +6655,76 @@ def ann_int8_recall(spark, sf_dir):
          .alias("recall"))
 
 
+_IVFSQ_SQL = f"""
+WITH {_ivf_trained_cents_sql(8, 2)},
+base AS (
+  SELECT vec_id AS id, embedding,
+         list_reduce(list_prepend(0.0,
+             list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+             (a, b) -> greatest(a, b)) AS mx,
+         sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+             i -> CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))
+           AS nv
+  FROM embeddings),
+enc AS (
+  SELECT id, mx, nv,
+         list_transform(embedding, v ->
+             CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(CAST(v AS DOUBLE) * 127.0 / mx)
+                            AS BIGINT) END) AS qv
+  FROM base),
+csims AS (
+  SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cents2 c),
+cranked AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id) AS crank
+  FROM csims),
+idxc AS (SELECT vec_id AS neighbor_id, cell_id FROM cranked
+         WHERE crank = 1),
+iprobe AS (SELECT vec_id AS qid, cell_id AS probe_cell
+           FROM cranked WHERE crank <= 4),
+qpairs AS (
+  SELECT p.qid AS id, i.neighbor_id,
+         round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, len(a.qv)+1),
+                                  j -> a.qv[j] * b.qv[j])),
+                   (x, y) -> x + y) AS DOUBLE)
+               * a.mx * b.mx / 16129.0 / (a.nv * b.nv), 6) AS cos_q
+  FROM iprobe p
+  JOIN idxc i ON p.probe_cell = i.cell_id AND p.qid != i.neighbor_id
+  JOIN enc a ON a.id = p.qid
+  JOIN enc b ON b.id = i.neighbor_id)
+SELECT id, neighbor_id, cos_q, CAST(rank AS INT) AS rank FROM (
+  SELECT id, neighbor_id, cos_q,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos_q DESC, neighbor_id) AS rank
+  FROM qpairs) WHERE rank <= 5
+"""
+
+
+@register("ann_ivfsq_topk", _IVFSQ_SQL)
+def ann_ivfsq_topk(spark, sf_dir):
+    """IVF + int8 scalar quantization top-5 (similarity.ivfsq_topk) —
+    FAISS IndexIVFScalarQuantizer, completing the quantized-search
+    matrix: IVF-flat (exact vectors in cells), IVF-PQ (product codes
+    in cells), and now IVF-SQ8 (int8 codes in cells). The coarse
+    cells restrict candidates exactly as in ann_ivfpq_topk; scoring
+    is int8_topk's exact-int64 dot product rescaled by the two
+    per-vector scales and the exact norms.
+
+    Scale shape: the certified IVF-PQ meet verbatim — packed per-cell
+    entry lists, salted shuffle-hash cell equi-join behind a
+    user-numbered keyed repartition, map-side integer fold; nothing
+    corpus-sized broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfsq_topk(e, "vec_id", "embedding",
+                                 k_neighbors=5, n_cells=8, nprobe=4,
+                                 coarse_iters=2)
+
+
 # ----------------------------------------------------------------------
 # Composed IVF-PQ index (round 5) — the FAISS IVF-PQ layout: coarse
 # IVF cells restrict WHICH candidates a query meets, PQ-ADC scores HOW.

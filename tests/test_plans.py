@@ -89,6 +89,9 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # batch-search form: same coarse NLJs; LUT broadcast
                   # is the gated query-batch hint, index meet equi-join
                   "ann_ivfpq_batch_search",
+                  # IVF-SQ8: same coarse NLJ; int8 meet is the salted
+                  # shuffle-hash cell equi-join
+                  "ann_ivfsq_topk",
                   # sketch finishers: 1-row aggregate cross-joins only
                   # (harmonic sums / exact baselines / min-max stats —
                   # the scalar-join shape; the sketch builds themselves
@@ -181,7 +184,7 @@ def test_ivfpq_adc_meet_never_broadcasts_the_index(plans):
     broadcast of it is a driver OOM at 100x (r5 verdict item 1)."""
     for name in ("ann_ivfpq_topk", "ann_ivfpq_recall",
                  "ann_ivfpq_residual_topk", "ann_ivfpq_index_probe",
-                 "ann_ivfpq_batch_search"):
+                 "ann_ivfpq_batch_search", "ann_ivfsq_topk"):
         assert "ShuffledHashJoin" in plans[name], name
 
 
@@ -227,9 +230,13 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     "pq_encode_batch", "ann_ivfpq_topk",
                     "ann_ivfpq_recall", "ann_ivfpq_residual_topk",
                     "ann_ivfpq_index_probe", "ann_ivfpq_batch_search",
+                    "ann_ivfsq_topk",
                   # batch-search form: same coarse NLJs; LUT broadcast
                   # is the gated query-batch hint, index meet equi-join
                   "ann_ivfpq_batch_search",
+                  # IVF-SQ8: same coarse NLJ; int8 meet is the salted
+                  # shuffle-hash cell equi-join
+                  "ann_ivfsq_topk",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before
