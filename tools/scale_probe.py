@@ -109,6 +109,9 @@ PROBES = [
     "ann_ivfpq_batch_search",
     # per-doc interval-union accounting over the capped run join
     "dedup_substring_acct",
+    # IVF-SQ8: the certified cell meet with integer-dot scoring;
+    # growth should track ann_ivfpq_topk's class
+    "ann_ivfsq_topk",
 ]
 
 
