@@ -168,7 +168,11 @@ _PRIORITY = [
     "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_residual_topk",
     "sim_tfidf_cosine_topk", "mm_image_dhash_hamming_pairs",
     "dedup_url_canonical", "qa_benford_prices",
-    "mm_decode_audio", "mm_probe_media",
+    # NOT re-prioritized: mm_decode_audio / mm_probe_media — the r6 WAV
+    # block-align guard only changes behavior on malformed blobs, which
+    # the parquet fixture does not contain (outputs byte-identical; the
+    # corrupt path is unit-tested in test_multimodal_av.py), so their
+    # r5 green rows stand and the slots go to rotation instead.
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
