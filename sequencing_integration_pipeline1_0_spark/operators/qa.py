@@ -410,7 +410,10 @@ def benford_first_digit(df: DataFrame, col: str, *,
     an invalid element_at index. Absent digits are materialized with
     observed = 0 via a 9-row literal spine so the chi-square total
     carries their full (0-exp)^2/exp contribution (a digit that never
-    appears is exactly the anomaly this screen exists to flag)."""
+    appears is exactly the anomaly this screen exists to flag). The
+    fully-degenerate input (zero positive-cents rows → n = 0, every
+    expected count 0) yields chi2_contrib = 0.0, the 0/0 limit, rather
+    than an engine-dependent null from (0-0)^2/0."""
     cents = F.round(F.col(col) * 100).cast("long")
     observed = (df.select(cents.alias("cents"))
                   .filter(F.col("cents") > 0)
@@ -433,9 +436,11 @@ def benford_first_digit(df: DataFrame, col: str, *,
     p = F.element_at(F.array(*[F.lit(x) for x in benford_probs()]),
                      F.col("digit"))
     exp = p * F.col("n").cast("double")
+    contrib = F.when(exp > 0,
+                     (F.col("observed") - exp)
+                     * (F.col("observed") - exp) / exp
+                     ).otherwise(F.lit(0.0))
     return (obs.withColumn("n", tot)
                .select("digit", "observed",
                        F.round(exp, round_to).alias("expected"),
-                       F.round((F.col("observed") - exp)
-                               * (F.col("observed") - exp) / exp,
-                               round_to).alias("chi2_contrib")))
+                       F.round(contrib, round_to).alias("chi2_contrib")))

@@ -490,7 +490,7 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                     coarse: DataFrame | None = None,
                     codebooks: DataFrame | None = None,
                     entries: DataFrame | None = None,
-                    broadcast_index: bool = False,
+                    broadcast_query_luts: bool = False,
                     cell_salt: int = 16) -> DataFrame:
     """Composed IVF-PQ candidate scoring — the FAISS IVF-PQ layout
     pq_adc_topk's docstring promises: a coarse IVF index restricts
@@ -619,7 +619,7 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     #      n_cells * cell_salt tasks even when n_cells < cores; at
     #      production n_cells ~ sqrt(n) the salt is a no-op cost-wise
     #      but keeps hot probed cells from serializing on one task.
-    # broadcast_index=True hints the LUT broadcast for the BOUNDED
+    # broadcast_query_luts=True hints the LUT broadcast for the BOUNDED
     # batch-query path (a handful of queries against a frozen index,
     # where lut_q is genuinely query-batch-sized) — an explicit
     # caller assertion, off for the registered self-search. The
@@ -638,7 +638,7 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     # satisfies the join's clustering requirement, so no second
     # exchange is inserted.
     sc = df.sparkSession.sparkContext
-    lut_j = F.broadcast(lut_q) if broadcast_index else lut_q
+    lut_j = F.broadcast(lut_q) if broadcast_query_luts else lut_q
     scored = (probe.join(lut_j, "qid")
                    .withColumn("salt",
                                F.pmod(F.xxhash64("qid"),
@@ -674,11 +674,11 @@ def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, *,
                m: int = 4, k: int = 8, coarse_iters: int = 2,
                round_to: int = 6, coarse: DataFrame | None = None,
                codebooks: DataFrame | None = None,
-               broadcast_index: bool = False) -> DataFrame:
+               broadcast_query_luts: bool = False) -> DataFrame:
     """IVF-PQ approximate top-k: rank ivfpq_adc_pairs per query by
     (approx_dist, neighbor_id). Returns (id, neighbor_id, approx_dist,
     rank) — same contract as pq_adc_topk with the candidate set
-    restricted to the nprobe probed cells. broadcast_index hints the
+    restricted to the nprobe probed cells. broadcast_query_luts hints the
     per-query LUT broadcast for bounded batch-query workloads (see
     ivfpq_adc_pairs; off for self-search, where the LUT table is
     corpus-sized — the inverted-list meet is an equi-join in every
@@ -687,7 +687,7 @@ def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, *,
                             nprobe=nprobe, m=m, k=k,
                             coarse_iters=coarse_iters, round_to=round_to,
                             coarse=coarse, codebooks=codebooks,
-                            broadcast_index=broadcast_index)
+                            broadcast_query_luts=broadcast_query_luts)
     w = Window.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
                                           F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -990,9 +990,14 @@ def ivfpq_residual_topk(df: DataFrame, id_col: str, vec_col: str, *,
 
 
 # ------------------------------------------------------------- int8 SQ
-# Symmetric per-vector int8 scalar quantization — the OTHER standard
-# embedding compression next to PQ (FAISS ScalarQuantizer QT_8bit /
-# Milvus SQ8): 4x storage cut, integer dot products at search time.
+# SQ8-style per-vector SYMMETRIC int8 scalar quantization — the OTHER
+# standard embedding compression next to PQ: 4x storage cut, integer
+# dot products at search time. NOTE the range scheme differs from
+# FAISS ScalarQuantizer QT_8bit / Milvus SQ8, which train per-DIMENSION
+# min/max ranges over the corpus; here each vector carries its own
+# max-abs scale (no training pass, exact per-vector bound, and the
+# scale travels with the code — the right trade for an append-only
+# distributed index where a frozen trained range would drift).
 
 
 def int8_quantize(df: DataFrame, id_col: str, vec_col: str, *,
@@ -1071,17 +1076,77 @@ def int8_topk(df: DataFrame, id_col: str, vec_col: str, *,
                          F.col("rank").cast("int").alias("rank")))
 
 
-def ivfsq_topk(df: DataFrame, id_col: str, vec_col: str, *,
-               k_neighbors: int = 5, n_cells: int = 8, nprobe: int = 4,
-               coarse_iters: int = 2, round_to: int = 6,
-               cell_salt: int = 16) -> DataFrame:
-    """IVF + int8 scalar quantization — FAISS IndexIVFScalarQuantizer:
-    the coarse IVF cells restrict WHICH candidates a query meets
-    (exactly the ivfpq_adc_pairs meet), int8 integer dot products
-    score HOW (exactly int8_topk's arithmetic) — the production
-    composition int8_topk's docstring promises, completing the
-    quantized-search matrix (IVF-flat / IVF-PQ / IVF-SQ8). Returns
-    (id, neighbor_id, cos_q, rank).
+def _int8_enc(base: DataFrame) -> DataFrame:
+    """(id, nv, mx, qv) int8 codes for a (id, v, nv) frame —
+    int8_quantize's arithmetic in packed-array form (the shape both
+    the inverted-list entries and the query side of the IVF-SQ8 meet
+    carry)."""
+    mx = F.aggregate(F.col("v"), F.lit(0.0),
+                     lambda acc, x: F.greatest(acc,
+                                               F.abs(x.cast("double"))))
+    qv = F.transform(
+        F.col("v"), lambda x: F.when(F.col("mx") == 0.0, F.lit(0))
+                               .otherwise(F.round(x.cast("double")
+                                                  * 127.0 / F.col("mx"))
+                                           .cast("long")))
+    return (base.withColumn("mx", mx)
+                .select("id", "nv", "mx", qv.alias("qv")))
+
+
+def ivfsq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
+                        coarse: DataFrame,
+                        round_to: int = 6) -> DataFrame:
+    """Inverted-list ENTRIES (neighbor_id, cell_id, qb, mb, nb) for
+    df's vectors under a FROZEN coarse codebook — the append path of
+    the IVF-SQ8 index, mirroring ivfpq_index_entries: inserting a
+    batch is one broadcast coarse-assignment pass plus one map-side
+    int8 encode, both linear in the batch, no base re-scan. Feeding
+    the union to ivfsq_pairs(entries=...) searches the appended
+    index; the ann_ivfsq_index_probe oracle proves append ==
+    rebuild. The per-vector scale (mb) and exact norm (nb) travel
+    with the codes, so a frozen trained range cannot drift as the
+    index grows."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
+    sims = (base.join(cb)
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")),
+                                    round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                          F.col("cell_id"))
+    idxc = (sims.withColumn("crank", F.row_number().over(cw))
+                .filter(F.col("crank") == 1)
+                .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    enc = _int8_enc(base)
+    return idxc.join(
+        enc.select(F.col("id").alias("neighbor_id"),
+                   F.col("qv").alias("qb"), F.col("mx").alias("mb"),
+                   F.col("nv").alias("nb")), "neighbor_id")
+
+
+def ivfsq_pairs(df: DataFrame, id_col: str, vec_col: str, *,
+                n_cells: int = 8, nprobe: int = 4,
+                coarse_iters: int = 2, round_to: int = 6,
+                coarse: DataFrame | None = None,
+                entries: DataFrame | None = None,
+                broadcast_queries: bool = False,
+                cell_salt: int = 16) -> DataFrame:
+    """IVF-SQ8 candidate scoring: coarse IVF cells restrict WHICH
+    candidates a query meets (exactly the ivfpq_adc_pairs meet), int8
+    integer dot products score HOW (exactly int8_topk's arithmetic).
+    Returns (qid, neighbor_id, cos_q) pair rows.
+
+    `coarse` injects a frozen coarse codebook; `entries` injects
+    pre-built inverted-list entries (ivfsq_index_entries' shape) —
+    the incremental path, where df then supplies only the QUERY
+    vectors. broadcast_queries hints broadcasting the encoded query
+    batch for the BOUNDED serving case only (a handful of queries
+    against a frozen index); it is never the index side — the
+    inverted list is corpus-sized in every mode, so its meet is
+    always the salted equi-join.
 
     Scale shape: identical to the certified IVF-PQ meet — each cell's
     (neighbor, codes, scale, norm) entries pack into one inverted-list
@@ -1093,8 +1158,11 @@ def ivfsq_topk(df: DataFrame, id_col: str, vec_col: str, *,
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
-    coarse = train_ivf_codebook(df, id_col, vec_col, n_cells=n_cells,
-                                iters=coarse_iters, round_to=round_to)
+    if coarse is None:
+        coarse = train_ivf_codebook(df, id_col, vec_col,
+                                    n_cells=n_cells,
+                                    iters=coarse_iters,
+                                    round_to=round_to)
     cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
     sims = (base.join(cb)
                 .withColumn("csim",
@@ -1105,22 +1173,15 @@ def ivfsq_topk(df: DataFrame, id_col: str, vec_col: str, *,
                                           F.col("cell_id"))
     ranked = (sims.withColumn("crank", F.row_number().over(cw))
                   .select("id", "cell_id", "crank"))
-    mx = F.aggregate(F.col("v"), F.lit(0.0),
-                     lambda acc, x: F.greatest(acc,
-                                               F.abs(x.cast("double"))))
-    qv = F.transform(
-        F.col("v"), lambda x: F.when(F.col("mx") == 0.0, F.lit(0))
-                               .otherwise(F.round(x.cast("double")
-                                                  * 127.0 / F.col("mx"))
-                                           .cast("long")))
-    enc = (base.withColumn("mx", mx)
-               .select("id", "nv", "mx", qv.alias("qv")))
-    idxc = (ranked.filter(F.col("crank") == 1)
-                  .select(F.col("id").alias("neighbor_id"), "cell_id"))
-    entries = idxc.join(
-        enc.select(F.col("id").alias("neighbor_id"),
-                   F.col("qv").alias("qb"), F.col("mx").alias("mb"),
-                   F.col("nv").alias("nb")), "neighbor_id")
+    enc = _int8_enc(base)
+    if entries is None:
+        idxc = (ranked.filter(F.col("crank") == 1)
+                      .select(F.col("id").alias("neighbor_id"),
+                              "cell_id"))
+        entries = idxc.join(
+            enc.select(F.col("id").alias("neighbor_id"),
+                       F.col("qv").alias("qb"), F.col("mx").alias("mb"),
+                       F.col("nv").alias("nb")), "neighbor_id")
     inv = (entries.groupBy("cell_id")
                   .agg(F.collect_list(
                        F.struct("neighbor_id", "qb", "mb", "nb"))
@@ -1128,13 +1189,19 @@ def ivfsq_topk(df: DataFrame, id_col: str, vec_col: str, *,
     inv_s = inv.withColumn(
         "isalt", F.explode(F.array(*[F.lit(r)
                                      for r in range(cell_salt)])))
+    # broadcast_queries hints the query-side code attach (the SQ8
+    # analogue of ivfpq's gated LUT broadcast) for the BOUNDED batch
+    # path only; the inverted-list meet below stays the salted
+    # shuffle-hash equi-join in every mode.
+    enc_q = enc.select(F.col("id").alias("qid"),
+                       F.col("qv").alias("qa"),
+                       F.col("mx").alias("ma"),
+                       F.col("nv").alias("na"))
+    enc_j = F.broadcast(enc_q) if broadcast_queries else enc_q
     probe = (ranked.filter(F.col("crank") <= nprobe)
                    .select(F.col("id").alias("qid"),
                            F.col("cell_id").alias("probe_cell"))
-                   .join(enc.select(F.col("id").alias("qid"),
-                                    F.col("qv").alias("qa"),
-                                    F.col("mx").alias("ma"),
-                                    F.col("nv").alias("na")), "qid"))
+                   .join(enc_j, "qid"))
     sc = df.sparkSession.sparkContext
     scored = (probe.withColumn("salt",
                                F.pmod(F.xxhash64("qid"),
@@ -1156,10 +1223,35 @@ def ivfsq_topk(df: DataFrame, id_col: str, vec_col: str, *,
                     * F.col("ma") * e["mb"] / (127.0 * 127.0)
                     / (F.col("na") * e["nb"]), round_to)
              .alias("cos_q")))
-    pairs = (scored.select("qid", F.explode(hits).alias("h"))
-                   .select("qid",
-                           F.col("h.neighbor_id").alias("neighbor_id"),
-                           F.col("h.cos_q").alias("cos_q")))
+    return (scored.select("qid", F.explode(hits).alias("h"))
+                  .select("qid",
+                          F.col("h.neighbor_id").alias("neighbor_id"),
+                          F.col("h.cos_q").alias("cos_q")))
+
+
+def ivfsq_topk(df: DataFrame, id_col: str, vec_col: str, *,
+               k_neighbors: int = 5, n_cells: int = 8, nprobe: int = 4,
+               coarse_iters: int = 2, round_to: int = 6,
+               coarse: DataFrame | None = None,
+               entries: DataFrame | None = None,
+               broadcast_queries: bool = False,
+               cell_salt: int = 16) -> DataFrame:
+    """IVF + int8 scalar quantization — the FAISS
+    IndexIVFScalarQuantizer composition shape (with the per-vector
+    symmetric range scheme noted in the section header, not FAISS's
+    trained per-dimension ranges): rank ivfsq_pairs per query by
+    (cos_q desc, neighbor_id) — the production composition
+    int8_topk's docstring promises, completing the quantized-search
+    matrix (IVF-flat / IVF-PQ / IVF-SQ8). Returns (id, neighbor_id,
+    cos_q, rank). coarse/entries/broadcast_queries pass through to
+    ivfsq_pairs for the incremental and bounded-batch serving
+    shapes."""
+    pairs = ivfsq_pairs(df, id_col, vec_col, n_cells=n_cells,
+                        nprobe=nprobe, coarse_iters=coarse_iters,
+                        round_to=round_to, coarse=coarse,
+                        entries=entries,
+                        broadcast_queries=broadcast_queries,
+                        cell_salt=cell_salt)
     w = Window.partitionBy("qid").orderBy(F.col("cos_q").desc(),
                                           F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))

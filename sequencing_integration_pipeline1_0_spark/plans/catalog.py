@@ -6569,8 +6569,10 @@ FROM base, unnest(range(1, len(embedding) + 1)) AS t(i)
 def emb_int8_quantize(spark, sf_dir):
     """Symmetric per-vector int8 scalar quantization of the embedding
     column (similarity.int8_quantize) — the OTHER standard embedding
-    compression next to PQ (FAISS ScalarQuantizer QT_8bit / Milvus
-    SQ8): scale = max|v_i| per vector, components map to
+    compression next to PQ. SQ8-style per-vector SYMMETRIC scheme
+    (FAISS QT_8bit / Milvus SQ8 instead train per-DIMENSION min/max
+    ranges — see similarity.py's section note): scale = max|v_i| per
+    vector, components map to
     round(v * 127 / scale) — a 4x storage cut whose search-time dot
     products are exact INTEGER arithmetic (ann_int8_recall measures
     the recall cost). Long-format output rows (id, dim, q, scale_r),
@@ -6655,9 +6657,14 @@ def ann_int8_recall(spark, sf_dir):
          .alias("recall"))
 
 
-_IVFSQ_SQL = f"""
-WITH {_ivf_trained_cents_sql(8, 2)},
-base AS (
+def _ivfsq_search_sql(nprobe: int, qfilter: str = "") -> str:
+    """int8-encode + coarse probe + cell-restricted integer-dot CTE
+    chain (after a cents2 coarse chain): the SQL twin of
+    similarity.ivfsq_pairs. `qfilter` narrows the QUERY side (the
+    batch/probe shapes); the index side always covers every
+    embedding row."""
+    qf = f" AND {qfilter}" if qfilter else ""
+    return f"""base AS (
   SELECT vec_id AS id, embedding,
          list_reduce(list_prepend(0.0,
              list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
@@ -6685,7 +6692,7 @@ cranked AS (
 idxc AS (SELECT vec_id AS neighbor_id, cell_id FROM cranked
          WHERE crank = 1),
 iprobe AS (SELECT vec_id AS qid, cell_id AS probe_cell
-           FROM cranked WHERE crank <= 4),
+           FROM cranked WHERE crank <= {nprobe}{qf}),
 qpairs AS (
   SELECT p.qid AS id, i.neighbor_id,
          round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -6701,7 +6708,12 @@ SELECT id, neighbor_id, cos_q, CAST(rank AS INT) AS rank FROM (
   SELECT id, neighbor_id, cos_q,
          row_number() OVER (PARTITION BY id
                             ORDER BY cos_q DESC, neighbor_id) AS rank
-  FROM qpairs) WHERE rank <= 5
+  FROM qpairs) WHERE rank <= 5"""
+
+
+_IVFSQ_SQL = f"""
+WITH {_ivf_trained_cents_sql(8, 2)},
+{_ivfsq_search_sql(4)}
 """
 
 
@@ -6723,6 +6735,86 @@ def ann_ivfsq_topk(spark, sf_dir):
     return similarity.ivfsq_topk(e, "vec_id", "embedding",
                                  k_neighbors=5, n_cells=8, nprobe=4,
                                  coarse_iters=2)
+
+
+_IVFSQ_INDEX_PROBE_SQL = f"""
+WITH emb_c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 10 != 0),
+{_ivf_trained_cents_sql(8, 2, src="emb_c")},
+{_ivfsq_search_sql(4, qfilter="vec_id % 10 = 0")}
+"""
+
+
+@register("ann_ivfsq_index_probe", _IVFSQ_INDEX_PROBE_SQL)
+def ann_ivfsq_index_probe(spark, sf_dir):
+    """Incremental maintenance proof for the IVF-SQ8 index —
+    completing the every-index-family-has-an-incremental-proof
+    invariant for the round-6 addition (minhash / ivf_assign /
+    pq_encode / bm25 / ivfpq already have one): the coarse codebook
+    is trained on the existing corpus (vec_id % 10 != 0) and FROZEN;
+    the arriving batch (vec_id % 10 = 0) is inserted by computing
+    ONLY its own inverted-list entries (one broadcast coarse
+    assignment + one map-side int8 encode, linear in the batch — no
+    base re-scan; the per-vector scale travels with the codes, so
+    nothing retrains) and unioning them into the persisted lists;
+    the inserted vectors then search the appended index (top-5,
+    nprobe=4). The oracle rebuilds the whole index from scratch
+    under the same frozen coarse codebook and searches it, so the
+    green row is the machine proof that append == rebuild for the
+    IVF-SQ8 layout.
+
+    Scale shape: the insert path is two linear batch passes plus an
+    entries union; the search is ivfsq_pairs' salted shuffle-hash
+    cell equi-join + map-side exact-int64 fold, with nothing
+    corpus-sized broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    coarse = similarity.train_ivf_codebook(
+        corpus, "vec_id", "embedding", n_cells=8, iters=2)
+    idx_c = similarity.ivfsq_index_entries(
+        corpus, "vec_id", "embedding", coarse=coarse)
+    idx_b = similarity.ivfsq_index_entries(
+        batch, "vec_id", "embedding", coarse=coarse)
+    return similarity.ivfsq_topk(
+        batch, "vec_id", "embedding", k_neighbors=5, n_cells=8,
+        nprobe=4, coarse=coarse, entries=idx_c.unionByName(idx_b))
+
+
+_IVFSQ_BATCH_SQL = f"""
+WITH {_ivf_trained_cents_sql(8, 2)},
+{_ivfsq_search_sql(4, qfilter="vec_id % 100 = 0")}
+"""
+
+
+@register("ann_ivfsq_batch_search", _IVFSQ_BATCH_SQL)
+def ann_ivfsq_batch_search(spark, sf_dir):
+    """The PRODUCTION search shape of the IVF-SQ8 index — the SQ8
+    twin of ann_ivfpq_batch_search: a BOUNDED query batch
+    (vec_id % 100 = 0 — 1% of the corpus, the online-serving case)
+    searches a frozen index built over the whole corpus. Exercises
+    the incremental plumbing end to end: pre-built inverted-list
+    entries injected via entries=, a frozen coarse codebook, and
+    broadcast_queries=True — the explicitly gated hint that
+    broadcasts the encoded QUERY batch (tiny by caller assertion
+    here; never hinted in the self-search form where it is
+    corpus-sized). The inverted-list meet stays the salted equi-join
+    in every mode — the index side is corpus-sized always.
+
+    Scale shape at serving: per batch, two linear passes over the
+    BATCH (coarse probe + int8 encode), a broadcast of batch-sized
+    code rows, and integer-dot scoring against only the probed
+    cells' lists."""
+    e = _t(spark, sf_dir, "embeddings")
+    coarse = similarity.train_ivf_codebook(
+        e, "vec_id", "embedding", n_cells=8, iters=2)
+    entries = similarity.ivfsq_index_entries(
+        e, "vec_id", "embedding", coarse=coarse)
+    batch = e.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivfsq_topk(
+        batch, "vec_id", "embedding", k_neighbors=5, n_cells=8,
+        nprobe=4, coarse=coarse, entries=entries,
+        broadcast_queries=True)
 
 
 # ----------------------------------------------------------------------
@@ -6899,7 +6991,7 @@ def ann_ivfpq_batch_search(spark, sf_dir):
     online-serving case) searches a frozen index built over the whole
     corpus. Exercises every incremental-plumbing contract end to end:
     pre-built inverted-list entries injected via entries=, frozen
-    coarse + PQ codebooks, and broadcast_index=True — the explicitly
+    coarse + PQ codebooks, and broadcast_query_luts=True — the explicitly
     gated hint that broadcasts the per-QUERY-batch LUT table (tiny by
     caller assertion here; never hinted in the self-search form where
     it is corpus-sized). The inverted-list meet stays the salted
@@ -6921,7 +7013,7 @@ def ann_ivfpq_batch_search(spark, sf_dir):
         batch, "vec_id", "embedding", n_cells=_IVFPQ_NCELLS,
         nprobe=_IVFPQ_NPROBE, m=_PQ_M, k=_PQ_K,
         coarse=coarse, codebooks=pqcb, entries=entries,
-        broadcast_index=True)
+        broadcast_query_luts=True)
     w = Window.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
                                           F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -9112,8 +9204,9 @@ t AS (SELECT digit, observed,
       FROM obs)
 SELECT digit, observed,
        round(p * n::DOUBLE, 6) AS expected,
-       round((observed - p * n::DOUBLE) * (observed - p * n::DOUBLE)
-             / (p * n::DOUBLE), 6) AS chi2_contrib
+       round(CASE WHEN p * n::DOUBLE > 0
+             THEN (observed - p * n::DOUBLE) * (observed - p * n::DOUBLE)
+                  / (p * n::DOUBLE) ELSE 0.0 END, 6) AS chi2_contrib
 FROM t
 """
 

@@ -90,8 +90,12 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # is the gated query-batch hint, index meet equi-join
                   "ann_ivfpq_batch_search",
                   # IVF-SQ8: same coarse NLJ; int8 meet is the salted
-                  # shuffle-hash cell equi-join
-                  "ann_ivfsq_topk",
+                  # shuffle-hash cell equi-join (the incremental probe
+                  # and bounded-batch serving shapes assign their
+                  # corpus/batch/query sides with the same broadcast
+                  # n x n_cells NLJ)
+                  "ann_ivfsq_topk", "ann_ivfsq_index_probe",
+                  "ann_ivfsq_batch_search",
                   # sketch finishers: 1-row aggregate cross-joins only
                   # (harmonic sums / exact baselines / min-max stats —
                   # the scalar-join shape; the sketch builds themselves
@@ -184,7 +188,8 @@ def test_ivfpq_adc_meet_never_broadcasts_the_index(plans):
     broadcast of it is a driver OOM at 100x (r5 verdict item 1)."""
     for name in ("ann_ivfpq_topk", "ann_ivfpq_recall",
                  "ann_ivfpq_residual_topk", "ann_ivfpq_index_probe",
-                 "ann_ivfpq_batch_search", "ann_ivfsq_topk"):
+                 "ann_ivfpq_batch_search", "ann_ivfsq_topk",
+                 "ann_ivfsq_index_probe", "ann_ivfsq_batch_search"):
         assert "ShuffledHashJoin" in plans[name], name
 
 
@@ -229,14 +234,16 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # and its coarse centroids (<= n_cells rows)
                     "pq_encode_batch", "ann_ivfpq_topk",
                     "ann_ivfpq_recall", "ann_ivfpq_residual_topk",
-                    "ann_ivfpq_index_probe", "ann_ivfpq_batch_search",
-                    "ann_ivfsq_topk",
+                    "ann_ivfpq_index_probe",
                   # batch-search form: same coarse NLJs; LUT broadcast
                   # is the gated query-batch hint, index meet equi-join
                   "ann_ivfpq_batch_search",
                   # IVF-SQ8: same coarse NLJ; int8 meet is the salted
-                  # shuffle-hash cell equi-join
-                  "ann_ivfsq_topk",
+                  # shuffle-hash cell equi-join (the incremental probe
+                  # and bounded-batch serving shapes ride the same
+                  # chain)
+                  "ann_ivfsq_topk", "ann_ivfsq_index_probe",
+                  "ann_ivfsq_batch_search",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before

@@ -315,7 +315,7 @@ def main() -> None:
         "  keyed user repartition restored 7.2 s — vs 5.5 s for the",
         "  unsafe broadcast, the price of nothing corpus-sized ever",
         "  crossing the driver). Same values (selfcheck re-green);",
-        "  broadcast_index=True keeps the hinted shape for genuinely",
+        "  broadcast_query_luts=True keeps the hinted shape for genuinely",
         "  bounded query batches. The residual variant then got the",
         "  same packing its docstring promised (the exploded",
         "  (cell, subspace, code) join shuffled pairs x m rows — the",
