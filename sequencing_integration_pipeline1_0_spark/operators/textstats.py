@@ -603,6 +603,21 @@ def remove_repeated_spans(df, id_col: str = "doc_id",
                            F.col("__pos"),
                            F.col("__pos") + (n - 1))).alias("__i"))
                .distinct())
+    return _reassemble_minus(df, id_col, text_col, doomed)
+
+
+def _reassemble_minus(df, id_col: str, text_col: str, doomed):
+    """Rebuild every document from the words NOT indexed in `doomed`
+    ((__id, __i) rows, 0-based word indexes) — the shared removal
+    tail of remove_repeated_spans and substring_rewrite. Returns
+    (id, text, n_words, n_removed_words); output text is
+    whitespace-normalized (rebuilt from the words() split).
+
+    Scale shape: covered indexes collapse to one per-doc set (slim
+    (id, int) shuffle, bounded by doc length) and the rebuild is a
+    map-side HOF over one lambda-bound (words, covered) pair — the
+    full text crosses the wire exactly once, in the final per-doc
+    join."""
     cov = doomed.groupBy("__id").agg(
         F.collect_set(F.col("__i").cast("int")).alias("__cov"))
     base = df.select(F.col(id_col).alias("__id"),
@@ -626,6 +641,47 @@ def remove_repeated_spans(df, id_col: str = "doc_id",
 
     return (joined.select("__id", bind_once(bound, rebuild).alias("__o"))
                   .select(F.col("__id").alias(id_col), "__o.*"))
+
+
+def substring_rewrite(df, id_col: str = "doc_id",
+                      text_col: str = "text", *,
+                      min_len: int = 10,
+                      gram_cap: int = 256):
+    """Cross-document exact-substring dedup, the REWRITE half — the
+    operator that actually EMITS the deduplicated corpus the
+    accounting pass (substring_removal_accounting) budgets: per
+    document, every token covered by a maximal run of >= min_len
+    tokens shared verbatim with a LOWER-id document is cut
+    (keep-first — the lowest-id holder keeps its copy), and the
+    document reassembles from its surviving words in order. Returns
+    (id, text, n_words, n_removed_words) for EVERY document;
+    n_removed_words equals the accounting pass's tokens_removable by
+    construction (same runs, same interval union — here realized as
+    a distinct index set). Output text is whitespace-normalized
+    (rebuilt from the words() split), the remove_repeated_spans
+    contract.
+
+    Reassembly can create NEW adjacencies (the tokens flanking a cut
+    span become neighbors), so one pass does not guarantee a
+    fixed point — Lee et al. 2022 run to convergence; iterate the
+    operator for that (each pass is independent and idempotent on a
+    run-free corpus).
+
+    Scale shape: run discovery is cross_doc_shared_runs' capped
+    slim-hash self-join; covered indexes explode bounded by doc
+    length and collapse to one per-doc set; the rebuild is the
+    map-side HOF tail shared with remove_repeated_spans — full text
+    shuffles exactly once."""
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    runs = cross_doc_shared_runs(df, id_col, text_col,
+                                 min_len=min_len, gram_cap=gram_cap)
+    doomed = (runs.select(F.col("doc_b").alias("__id"),
+                          F.explode(F.sequence(
+                              F.col("start_b"),
+                              F.col("start_b") + F.col("len_tokens")
+                              - 1)).alias("__i"))
+                  .distinct())
+    return _reassemble_minus(df, id_col, text_col, doomed)
 
 
 #: common UTF-8-decoded-as-Latin-1 artifacts (the ftfy top offenders):

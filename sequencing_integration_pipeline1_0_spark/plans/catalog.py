@@ -1100,16 +1100,20 @@ def ann_kmeans_centroid_step(spark, sf_dir):
 
 
 def _ivf_trained_cents_sql(n_cells: int, iters: int,
-                           src: str = "embeddings") -> str:
+                           src: str = "embeddings",
+                           seed_sql: str | None = None) -> str:
     """CTE chain producing the k-means-trained codebook `cents{iters}`
     (cell_id, cv) — the SQL twin of similarity.train_ivf_codebook: same
     seeds, same rounded-cosine assignment with the same tie-break, same
     decimal-exact component means, same keep-previous-on-empty-cell
-    rule. `src` is the (vec_id, embedding) relation to train over.
-    Returned string starts after WITH."""
-    parts = [f"""cents0 AS (
-  SELECT vec_id AS cell_id, embedding AS cv FROM {src}
-  ORDER BY vec_id LIMIT {n_cells})"""]
+    rule. `src` is the (vec_id, embedding) relation to train over;
+    `seed_sql` overrides the cents0 seeding query (the adaptive-cell
+    variant seeds rn <= greatest(min, n // target) instead of a fixed
+    LIMIT). Returned string starts after WITH."""
+    if seed_sql is None:
+        seed_sql = (f"SELECT vec_id AS cell_id, embedding AS cv "
+                    f"FROM {src} ORDER BY vec_id LIMIT {n_cells}")
+    parts = [f"cents0 AS ({seed_sql})"]
     for t in range(iters):
         parts.append(f"""sims_t{t} AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
@@ -1183,6 +1187,57 @@ def ann_ivf_trained_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, "vec_id", "embedding",
                                k=5, n_cells=8, nprobe=4, train_iters=2)
+
+
+_IVF_SAMPLE_MOD = 10
+_IVF_TARGET_CELL = 64
+_IVF_MIN_CELLS = 8
+
+_ANN_IVF_SAMPLED_SQL = (
+    f"WITH smp AS (SELECT vec_id, embedding FROM embeddings\n"
+    f"             WHERE vec_id % {_IVF_SAMPLE_MOD} = 0),\n"
+    + _ivf_trained_cents_sql(
+        0, 2, src="smp", seed_sql=f"""
+  SELECT vec_id AS cell_id, embedding AS cv FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY vec_id) AS rn,
+           (SELECT greatest({_IVF_MIN_CELLS},
+                            count(*) // {_IVF_TARGET_CELL})
+            FROM embeddings) AS nc
+    FROM smp) WHERE rn <= nc""") + ",\n"
+    + _ivf_search_sql("cents2", 4, 5))
+
+
+@register("ann_ivf_sampled_topk", _ANN_IVF_SAMPLED_SQL)
+def ann_ivf_sampled_topk(spark, sf_dir):
+    """IVF-flat top-5 with SAMPLED training and ADAPTIVE geometry —
+    the production-cost variant of ann_ivf_trained_topk, which stays
+    as the fixed-geometry recall yardstick: Lloyd (2 iterations) runs
+    over a deterministic {pct}% sample (vec_id % {mod} = 0), so
+    training cost decouples from the search corpus, and the cell
+    count is n // {tgt} (floor {minc}) — the semantic-dedup default
+    (similarity.semantic_nn_dedup) applied to the ANN family, keeping
+    per-cell candidate lists ~constant as n grows instead of linear.
+    The oracle models BOTH levers exactly (windowed adaptive seeding,
+    Lloyd over the sample CTE), so the certified config IS the scale
+    config — closing the r6 verdict's one 'watch' row, where the
+    certified 8-cell geometry made ann_ivf_trained_topk the most
+    expensive probe (17.8 s sf0.1, 5.4x growth).
+
+    Scale shape: training is linear in the SAMPLE (codebook
+    broadcasts); assignment is one broadcast n x n_cells pass; the
+    candidate join is the salted cell equi-join; with n_cells ~ n,
+    per-cell work is bounded, so the whole search is ~linear in
+    n.""".format(pct=100 // _IVF_SAMPLE_MOD, mod=_IVF_SAMPLE_MOD,
+                 tgt=_IVF_TARGET_CELL, minc=_IVF_MIN_CELLS)
+    e = _t(spark, sf_dir, "embeddings")
+    sample = e.filter(F.col("vec_id") % _IVF_SAMPLE_MOD == 0)
+    # one metadata-scale count — the semantic_nn_dedup precedent
+    n_cells = max(_IVF_MIN_CELLS, e.count() // _IVF_TARGET_CELL)
+    coarse = similarity.train_ivf_codebook(
+        sample, "vec_id", "embedding", n_cells=n_cells, iters=2)
+    return similarity.ivf_topk(e, "vec_id", "embedding",
+                               k=5, nprobe=4, coarse=coarse)
 
 
 _ANN_IVF_RECALL_SQL = f"""
@@ -5917,6 +5972,53 @@ def dedup_substring_global(spark, sf_dir):
         gram_cap=_SUBSTR_GRAM_CAP)
 
 
+_SUBSTR_REWRITE_SQL = f"""
+WITH {_SUBSTR_RUNS_CTES},
+cov AS (
+  SELECT DISTINCT doc_b AS doc_id,
+         unnest(range(start_b, start_b + len_tokens)) AS i
+  FROM runs),
+wx AS (
+  SELECT doc_id, u.i, u.tok FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        i -> {{'i': i, 'tok': ws[i+1]}})) AS u FROM w)),
+kept AS (
+  SELECT wx.doc_id, wx.i, wx.tok FROM wx ANTI JOIN cov USING (doc_id, i)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w)
+SELECT t.doc_id, coalesce(a.text, '') AS text, t.n_words,
+       CAST(t.n_words - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_removed_words
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_substring_rewrite", _SUBSTR_REWRITE_SQL)
+def dedup_substring_rewrite(spark, sf_dir):
+    """Cross-document exact-substring dedup, the REWRITE half
+    (textstats.substring_rewrite) — emits the deduplicated corpus the
+    accounting row budgets: per document, every token covered by a
+    maximal >= {L}-token run shared verbatim with a LOWER-id document
+    is sliced out (keep-first), and the document reassembles from its
+    surviving words in order — (doc_id, text, n_words,
+    n_removed_words) for every document. Completes the Lee et al.
+    2022 family: discovery (dedup_substring_global), budget
+    (dedup_substring_acct), and now the rewritten corpus itself.
+
+    Scale shape: run discovery is the capped slim-hash self-join;
+    covered indexes collapse to one per-doc set; the rebuild is a
+    map-side HOF — full text shuffles exactly once. gram_cap={cap}
+    mirrored in the oracle.""".format(
+        L=_SUBSTR_MIN_LEN, cap=_SUBSTR_GRAM_CAP)
+    d = _t(spark, sf_dir, "documents")
+    return textstats.substring_rewrite(
+        d, "doc_id", "text", min_len=_SUBSTR_MIN_LEN,
+        gram_cap=_SUBSTR_GRAM_CAP)
+
+
 def _mojibake_chain_sql(src: str) -> str:
     """The fix_mojibake replace chain over an arbitrary SQL
     expression, generated from the SAME MOJIBAKE_MAP the engine uses —
@@ -6735,6 +6837,52 @@ def ann_ivfsq_topk(spark, sf_dir):
     return similarity.ivfsq_topk(e, "vec_id", "embedding",
                                  k_neighbors=5, n_cells=8, nprobe=4,
                                  coarse_iters=2)
+
+
+_IVFSQ_RECALL_SQL = f"""
+WITH q AS ({_IVFSQ_SQL}),
+tpairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT id, neighbor_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM tpairs) WHERE rn <= 5)
+SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(count(q.id) AS BIGINT) AS hits,
+       round(count(q.id)::DOUBLE / count(*), 6) AS recall
+FROM truth t LEFT JOIN q
+  ON t.id = q.id AND t.neighbor_id = q.neighbor_id
+"""
+
+
+@register("ann_ivfsq_recall", _IVFSQ_RECALL_SQL)
+def ann_ivfsq_recall(spark, sf_dir):
+    """Recall@5 of the COMPOSED IVF-SQ8 index against the exact cosine
+    top-5 — separating the two loss sources the matrix's other recall
+    rows bracket: ann_int8_recall measures pure quantization loss
+    (all-pairs int8), ann_ivfpq_recall the coarse-cell restriction
+    under PQ codes; this row measures their SQ8 composition (cell
+    restriction x int8 scoring), completing
+    every-composition-has-a-recall-row. One summary row; the truth
+    set is the deliberate brute-force baseline (ann_pq_recall
+    role)."""
+    e = _t(spark, sf_dir, "embeddings")
+    topq = (similarity.ivfsq_topk(e, "vec_id", "embedding",
+                                  k_neighbors=5, n_cells=8, nprobe=4,
+                                  coarse_iters=2)
+            .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
+    truth = (similarity.brute_force_topk(e, "vec_id", "embedding", k=5)
+             .select("id", "neighbor_id"))
+    j = truth.join(topq, ["id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.count("hit").alias("hits"),
+        F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall"))
 
 
 _IVFSQ_INDEX_PROBE_SQL = f"""
@@ -8343,6 +8491,116 @@ def mm_image_dhash_hamming_pairs(spark, sf_dir):
                         F.col("doc_id").alias("v"))
     return (cand.join(m_a, "ha").join(m_b, "hb")
                 .where((F.col("ha") < F.col("hb"))
+                       | (F.col("u") < F.col("v")))
+                .select(F.least("u", "v").alias("id_a"),
+                        F.greatest("u", "v").alias("id_b"),
+                        "hamming"))
+
+
+_AFP_HAM_MAX = 3
+_AFP_BANDS = 4
+_AFP_NSL = multimodal.AUDIO_FP_SLICES
+
+
+def _afp_v_sql(k: str) -> str:
+    """SQL twin of multimodal.audio_fp_sample — every constant
+    interpolates from the engine's own definitions, zero drift risk."""
+    pat = f"(doc_id % {multimodal.AUDIO_FP_PATTERNS})"
+    nf = f"(160 + ({pat} % 4) * {_AFP_NSL})"
+    base = f"(({pat} * 37 * ({k}) + 7 * ({k}) * ({k}) + 13) % 401 - 200)"
+    gain = "(1 + doc_id % 3)"
+    defect = (f"(CASE WHEN doc_id % 5 = 0 AND ({k}) // ({nf} // {_AFP_NSL})"
+              f" = {multimodal.AUDIO_FP_DEFECT_SLICE}"
+              f" THEN 2 ELSE 1 END)")
+    return f"({base} * {gain} * {defect})"
+
+
+_AFP_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         160 + ((doc_id % {multimodal.AUDIO_FP_PATTERNS}) % 4)
+               * {_AFP_NSL} AS nf
+  FROM documents),
+e AS (
+  SELECT doc_id,
+    list_transform(range(0, {_AFP_NSL}), s ->
+      list_sum(list_transform(
+        range(s * (nf // {_AFP_NSL}), (s + 1) * (nf // {_AFP_NSL})),
+        k -> CAST({_afp_v_sql('k')} AS BIGINT)
+             * CAST({_afp_v_sql('k')} AS BIGINT)))) AS en
+  FROM g),
+fps AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, {_AFP_NSL}), i ->
+      CASE WHEN en[i + 1] > en[((i + 1) % {_AFP_NSL}) + 1]
+      THEN '1' ELSE '0' END), '') AS fp
+  FROM e)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_filter(range(1, {_AFP_NSL + 1}),
+           i -> a.fp[i] <> b.fp[i])) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(1, {_AFP_NSL + 1}),
+          i -> a.fp[i] <> b.fp[i])) <= {_AFP_HAM_MAX}
+"""
+
+
+@register("mm_audio_fingerprint_pairs", _AFP_SQL)
+def mm_audio_fingerprint_pairs(spark, sf_dir):
+    """Audio near-dup via perceptual fingerprint — closing the
+    modality matrix (image and video carry dHash near-dup paths;
+    audio had decode + features but no fingerprint pairing): real
+    mono WAV files synthesize with shared base waveforms per pattern,
+    per-doc GAIN scaling, and a deterministic one-slice defect on
+    every 5th doc; the Arrow decode stage recovers the PCM once, and
+    the fingerprint (sign of the circular slice-energy delta
+    sequence, multimodal.audio_fingerprint_bits) is a map-side array
+    HOF. Gain cancels in the energy comparisons — the amplitude
+    invariance that buckets loudness variants together — and the
+    planted defect flips at most 2 of the {n} bits, inside the
+    hamming radius {ham}. Pairing rides the certified dHash band
+    skeleton: {bands} bands of {bw} chars over DISTINCT fingerprints
+    (a pair within {ham} bits must agree on a whole band), members
+    expand afterwards. The oracle IS the all-pairs definition over
+    the formula-derived fingerprints, so hash-green proves the
+    decoder read the samples bit-exactly, the fingerprint is
+    gain-invariant, AND the banding is lossless at this radius.
+
+    Scale shape: decode-once Arrow stage; fingerprinting map-side;
+    the quadratic stage runs over vocabulary-bounded distinct
+    fingerprints through a (band_id, band) equi-self-join — never
+    over members, nothing corpus-sized broadcast.""".format(
+        n=_AFP_NSL, ham=_AFP_HAM_MAX, bands=_AFP_BANDS,
+        bw=_AFP_NSL // _AFP_BANDS)
+    d = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_audio(
+        multimodal.synth_fp_audio_payload(d, "doc_id"),
+        "doc_id", "payload")
+    fp = dec.select(
+        "doc_id",
+        multimodal.audio_fingerprint_bits(F.col("samples")).alias("fp"))
+    bw = _AFP_NSL // _AFP_BANDS
+    ham = F.size(F.filter(
+        F.zip_with(F.split("fa", ""), F.split("fb", ""),
+                   lambda x, y: x != y), lambda v: v))
+    bt = (fp.select("fp").distinct()
+            .select("fp", F.explode(F.array(*[
+                F.struct(F.lit(bi).alias("band_id"),
+                         F.substring("fp", bi * bw + 1, bw)
+                          .alias("band"))
+                for bi in range(_AFP_BANDS)])).alias("b"))
+            .select("b.band_id", "b.band", "fp"))
+    cand = (bt.select("band_id", "band", F.col("fp").alias("fa"))
+              .join(bt.select("band_id", "band",
+                              F.col("fp").alias("fb")),
+                    ["band_id", "band"])
+              .where(F.col("fa") <= F.col("fb"))
+              .select("fa", "fb").distinct()
+              .select("fa", "fb", ham.alias("hamming"))
+              .where(F.col("hamming") <= _AFP_HAM_MAX))
+    m_a = fp.select(F.col("fp").alias("fa"), F.col("doc_id").alias("u"))
+    m_b = fp.select(F.col("fp").alias("fb"), F.col("doc_id").alias("v"))
+    return (cand.join(m_a, "fa").join(m_b, "fb")
+                .where((F.col("fa") < F.col("fb"))
                        | (F.col("u") < F.col("v")))
                 .select(F.least("u", "v").alias("id_a"),
                         F.greatest("u", "v").alias("id_b"),

@@ -262,3 +262,41 @@ def test_video_frame_stage_samples_stride_and_degrades(spark):
     rows = mm.decode_video_frames(bad, "doc_id", "payload").collect()
     assert len(rows) == 1 and rows[0].format == "unknown"
     assert rows[0].gray is None
+
+
+def test_audio_fingerprint_gain_invariance_defect_and_corrupt(spark):
+    """The perceptual audio fingerprint must be gain-invariant
+    (same-pattern docs with different gains share a fingerprint), the
+    planted slice defect must flip at most 2 bits, and a corrupt blob
+    must degrade to a null fingerprint instead of killing the task."""
+    P = mm.AUDIO_FP_PATTERNS
+    ids = [i for i in range(1, 4 * P) if i % P == 1 and i % 5 != 0]
+    gains = {1 + i % 3 for i in ids}
+    assert len(gains) >= 2           # fixture really varies the gain
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    fp = {r.doc_id: r.fp for r in mm.decode_audio(
+        mm.synth_fp_audio_payload(df, "doc_id"), "doc_id", "payload")
+        .select("doc_id",
+                mm.audio_fingerprint_bits(F.col("samples")).alias("fp"))
+        .collect()}
+    assert len(set(fp.values())) == 1          # gain cancelled
+
+    # defect doc (same pattern, % 5 == 0) flips at most 2 bits
+    did = next(i for i in range(1, 6 * P) if i % P == 1 and i % 5 == 0)
+    ddf = spark.createDataFrame([(did,)], "doc_id LONG")
+    dfp = mm.decode_audio(
+        mm.synth_fp_audio_payload(ddf, "doc_id"), "doc_id", "payload") \
+        .select(mm.audio_fingerprint_bits(F.col("samples")).alias("fp")) \
+        .collect()[0].fp
+    base = next(iter(fp.values()))
+    ham = sum(a != b for a, b in zip(base, dfp))
+    assert 1 <= ham <= 2
+
+    # corrupt blob -> wav_corrupt row with null samples / null fp
+    bad = spark.createDataFrame([(9, bytearray(b"RIFFxxxxWAVEbroken"))],
+                                "doc_id LONG, payload BINARY")
+    rows = (mm.decode_audio(bad, "doc_id", "payload")
+            .select("format",
+                    mm.audio_fingerprint_bits(F.col("samples"))
+                      .alias("fp")).collect())
+    assert rows[0].format == "wav_corrupt" and rows[0].fp is None

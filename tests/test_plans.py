@@ -29,6 +29,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #: per-(lab, month) counts — the same scalar-join shape as tf-idf.
 NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "ann_ivf_trained_topk", "ann_ivf_recall",
+                  # sampled-training variant: Lloyd's assignment NLJ
+                  # runs over the SAMPLE; search assignment is the
+                  # same broadcast n x n_cells pass as ann_ivf_*
+                  "ann_ivf_sampled_topk",
                   "text_tfidf_top_terms", "sample_domain_mix",
                   "pipe_gap_report",
                   # broadcast codebook assignment: n rows x n_cells
@@ -96,6 +100,9 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # n x n_cells NLJ)
                   "ann_ivfsq_topk", "ann_ivfsq_index_probe",
                   "ann_ivfsq_batch_search",
+                  # composed-SQ8 recall: same coarse NLJ + the
+                  # deliberate brute-force truth baseline
+                  "ann_ivfsq_recall",
                   # sketch finishers: 1-row aggregate cross-joins only
                   # (harmonic sums / exact baselines / min-max stats —
                   # the scalar-join shape; the sketch builds themselves
@@ -125,6 +132,10 @@ PANDAS_OK = {"mm_decode_image", "mm_frame_sample",
              # all post-decode features are Spark HOFs over the PCM array
              "mm_decode_audio", "mm_audio_features",
              "mm_audio_window_energy", "mm_probe_media",
+             # audio fingerprint near-dup: WAV synth + decode are the
+             # designed Arrow stages; the fingerprint + band join are
+             # Spark HOFs / equi-joins
+             "mm_audio_fingerprint_pairs",
              # OSA banded-DP Arrow scorer on blocked candidates
              "j6b_fuzzy_osa_pairs", "j6c_osa_lev_delta",
              # pixel decode for perceptual hashing (shaded-BMP synth +
@@ -189,7 +200,8 @@ def test_ivfpq_adc_meet_never_broadcasts_the_index(plans):
     for name in ("ann_ivfpq_topk", "ann_ivfpq_recall",
                  "ann_ivfpq_residual_topk", "ann_ivfpq_index_probe",
                  "ann_ivfpq_batch_search", "ann_ivfsq_topk",
-                 "ann_ivfsq_index_probe", "ann_ivfsq_batch_search"):
+                 "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
+                 "ann_ivfsq_recall"):
         assert "ShuffledHashJoin" in plans[name], name
 
 
@@ -243,7 +255,7 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                   # and bounded-batch serving shapes ride the same
                   # chain)
                   "ann_ivfsq_topk", "ann_ivfsq_index_probe",
-                  "ann_ivfsq_batch_search",
+                  "ann_ivfsq_batch_search", "ann_ivfsq_recall",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before

@@ -1295,6 +1295,87 @@ def test_cross_doc_shared_runs_matches_brute_force(spark):
     assert not any(6 in (r[0], r[1]) for r in got)
 
 
+def test_substring_rewrite_matches_brute_force(spark):
+    """Property check for dedup_substring_rewrite: (1) the rewritten
+    corpus must equal an independent Python reference (covered = the
+    union of every maximal >= L-token run shared with a lower-id doc,
+    keep-first; rebuild = surviving tokens in order), and (2) because
+    reassembly can create new adjacencies, ITERATING the operator must
+    reach a corpus where a quadratic brute-force scan finds no
+    cross-doc run >= L at all (the Lee et al. convergence loop)."""
+    from sequencing_integration_pipeline1_0_spark.operators import textstats
+
+    L = 4
+    block = "alpha beta gamma delta epsilon zeta"         # 6 tokens
+    two = "red orange yellow green"                       # 4 tokens
+    docs = [
+        (1, "intro one two " + block + " tail a b"),
+        (2, "other start " + block + " different end " + two),
+        (3, "nothing shared here at all whatsoever truly"),
+        (4, two + " prefix " + block),
+        (5, "short doc"),                                  # < L tokens
+        (6, "repeat repeat repeat repeat repeat repeat"),  # self-rep only
+        (7, "other start " + block + " different end " + two),  # == doc 2
+    ]
+
+    def runs_brute(ta, tb):
+        out = set()
+        match = {(i, j)
+                 for i in range(len(ta) - L + 1)
+                 for j in range(len(tb) - L + 1)
+                 if ta[i:i + L] == tb[j:j + L]}
+        for (i, j) in match:
+            if (i - 1, j - 1) in match:
+                continue
+            g = 0
+            while (i + g, j + g) in match:
+                g += 1
+            out.add((i, j, g + L - 1))
+        return out
+
+    def rewrite_brute(corpus):
+        toks = {d: t.split() for d, t in corpus}
+        out = []
+        for b in sorted(toks):
+            covered = set()
+            for a in sorted(toks):
+                if a < b:
+                    for (_, j, ln) in runs_brute(toks[a], toks[b]):
+                        covered.update(range(j, j + ln))
+            kept = [t for i, t in enumerate(toks[b]) if i not in covered]
+            out.append((b, " ".join(kept), len(toks[b]), len(covered)))
+        return out
+
+    expected = {r[0]: r for r in rewrite_brute(docs)}
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r[0]: tuple(r) for r in textstats.substring_rewrite(
+        df, "doc_id", "text", min_len=L).collect()}
+    # words('') is [''] — the reference counts real tokens, the
+    # engine counts the words() split; only compare docs with text
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d] == expected[d], (d, got[d], expected[d])
+    # doc 7 duplicates doc 2 exactly -> fully covered, empty rewrite
+    assert got[7][1] == "" and got[7][3] == got[7][2]
+
+    # (2) iterate to convergence: no cross-doc run >= L survives
+    corpus = docs
+    for _ in range(4):
+        toks = {d: t.split() for d, t in corpus}
+        ids = sorted(toks)
+        if not any(runs_brute(toks[a], toks[b])
+                   for a in ids for b in ids if a < b):
+            break
+        cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+        corpus = [(r["doc_id"], r["text"])
+                  for r in textstats.substring_rewrite(
+                      cdf, "doc_id", "text", min_len=L).collect()]
+    toks = {d: t.split() for d, t in corpus}
+    ids = sorted(toks)
+    assert not any(runs_brute(toks[a], toks[b])
+                   for a in ids for b in ids if a < b)
+
+
 def test_bpe_encode_matches_python_reference(spark):
     """bpe_encode's nested fold (outer merge list, inner greedy
     leftmost) must agree with a straightforward Python BPE apply on a
@@ -1377,3 +1458,29 @@ def test_int8_quantize_roundtrip_error_bound(spark):
                 assert abs(x - q * mx / 127.0) <= mx / 254.0 + 1e-12
         if mx > 0:
             assert any(abs(got[j].q) == 127 for j in range(8))
+
+
+def test_all_pairs_baselines_refuse_corpus_scale(spark, monkeypatch):
+    """The all-pairs recall baselines (brute-force cosine, PQ-ADC,
+    int8 quantized cosine) must fail fast with a message naming the
+    composed alternative when handed more rows than the cap — the
+    corpus-broadcast n^2 shape must not be pointable at a real corpus
+    silently. Under the cap they still run."""
+    import pytest as _pytest
+
+    from sequencing_integration_pipeline1_0_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "ALL_PAIRS_BASELINE_CAP", 8)
+    big = spark.range(0, 9).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), (F.col("id") % 7).cast("double"))
+         .alias("embedding"))
+    small = big.limit(4)
+    for fn, alt in ((similarity.brute_force_topk, "ivfpq_topk"),
+                    (similarity.int8_topk, "ivfsq_topk"),
+                    (similarity.pq_adc_topk, "ivfpq_topk")):
+        with _pytest.raises(ValueError, match=alt):
+            fn(big, "vec_id", "embedding")
+    # under the cap: plans build and run
+    assert similarity.brute_force_topk(
+        small, "vec_id", "embedding", k=1).count() > 0
