@@ -360,6 +360,19 @@ def main() -> None:
         "  a task): the in-group pairing is now a (band_id, band)",
         "  equi-self-join — same pair set, streamed through a hash join",
         "  with no per-row state growing with the corpus.",
+        "- Round 7: ann_ivf_sampled_topk answers the one remaining",
+        "  'watch' row. ann_ivf_trained_topk (kept as the fixed-geometry",
+        "  recall yardstick) re-derives in-plan Lloyd over the FULL",
+        "  corpus per consumer and pins n_cells=8, so per-cell candidate",
+        "  lists grow linearly with n — measured 16.4 s / 5.6x at sf0.1.",
+        "  The sampled variant trains on a deterministic 10% sample with",
+        "  adaptive n_cells = max(8, n // 64) (the semantic-dedup lever,",
+        "  oracle-modeled exactly): 6.4 s / 2.2x on the same search —",
+        "  2.6x faster and strongly sublinear, and the gap widens with n",
+        "  since training is linear in the sample and per-cell work is",
+        "  ~constant. Probe cells also went min-of-3 (REPEATS) so the",
+        "  repo's own record settles driver-bench noise adjudications",
+        "  (five r6 >1.3x bench moves were all probe-contradicted).",
         "",
     ]
     sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
