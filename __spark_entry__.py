@@ -189,8 +189,10 @@ _R6_CONFIRMED = frozenset({
 _PRIORITY = [
     "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
     "ann_ivfsq_recall", "dedup_substring_rewrite",
-    "mm_audio_fingerprint_pairs", "ann_ivf_sampled_topk",
-    "ann_ivfsq_topk", "qa_benford_prices",
+    "mm_audio_fingerprint_pairs", "mm_audio_fingerprint_near_dup",
+    "ann_ivf_sampled_topk",
+    "ann_ivfsq_topk", "qa_benford_prices", "pipe_dedup_report",
+    "ann_binary_topk", "ann_binary_recall", "ann_ivfbq_topk",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -1114,6 +1114,176 @@ def int8_topk(df: DataFrame, id_col: str, vec_col: str, *,
                          F.col("rank").cast("int").alias("rank")))
 
 
+# ------------------------------------------------------------ binary BQ
+# Binary (sign-bit) quantization — the most aggressive standard
+# embedding compression (1 bit/dim, 32x vs float32): bit i = v_i > 0,
+# searched by hamming distance, which approximates angular distance
+# for roughly centered embeddings. The engine-portable representation
+# is the '0'/'1' string key the simhash/dHash families already use
+# (overflow-free, identical across engines — no two's-complement
+# packing ambiguity). Completes the quantized-search matrix as its
+# fourth family: IVF-flat / IVF-PQ / IVF-SQ8 / IVF-BQ.
+
+
+def sign_bits(vec) -> Column:
+    """Binary-quantize a vector to its '0'/'1' sign-bit string
+    (bit i = v_i > 0 — zeros quantize to 0, the FAISS
+    IndexBinaryFlat/sign convention). Pure map-side HOF."""
+    return F.array_join(
+        F.transform(vec, lambda v: F.when(v.cast("double") > 0.0,
+                                          F.lit("1"))
+                                    .otherwise(F.lit("0"))), "")
+
+
+def _hamming_str(a, b) -> Column:
+    """Hamming distance between two equal-length bit strings (the
+    dHash-pairs compare, shared here)."""
+    return F.size(F.filter(
+        F.zip_with(F.split(a, ""), F.split(b, ""),
+                   lambda x, y: x != y), lambda v: v))
+
+
+def binary_topk(df: DataFrame, id_col: str, vec_col: str, *,
+                k_neighbors: int = 5) -> DataFrame:
+    """Top-k by HAMMING distance over the sign-bit codes — the binary
+    quantization-loss baseline (ann_binary_recall measures what the
+    32x compression costs vs exact cosine). All-pairs BY ROLE like
+    int8_topk; refuses inputs over ALL_PAIRS_BASELINE_CAP rows — the
+    production path composes the same codes with the IVF cell
+    restriction (ivfbq_topk). Returns (id, neighbor_id, hamming,
+    rank), rank by (hamming, neighbor_id)."""
+    _gate_all_pairs_baseline(df, "binary_topk", "ivfbq_topk")
+    enc = df.select(F.col(id_col).alias("id"),
+                    sign_bits(F.col(vec_col)).alias("bits"))
+    a = spread_for_compute(
+        enc.select("id", F.col("bits").alias("ba")))
+    b = enc.select(F.col("id").alias("neighbor_id"),
+                   F.col("bits").alias("bb"))
+    pairs = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
+              .withColumn("hamming",
+                          _hamming_str(F.col("ba"), F.col("bb"))
+                          .cast("int")))
+    w = Window.partitionBy("id").orderBy(F.col("hamming").asc(),
+                                         F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_neighbors)
+                 .select("id", "neighbor_id", "hamming",
+                         F.col("rank").cast("int").alias("rank")))
+
+
+def ivfbq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
+                        coarse: DataFrame,
+                        round_to: int = 6) -> DataFrame:
+    """Inverted-list ENTRIES (neighbor_id, cell_id, bb) for df's
+    vectors under a FROZEN coarse codebook — the IVF-BQ append path
+    (the ivfsq_index_entries contract with sign-bit codes): one
+    broadcast coarse assignment + one map-side binary encode, linear
+    in the batch."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
+    sims = (base.join(cb)
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")),
+                                    round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                          F.col("cell_id"))
+    idxc = (sims.withColumn("crank", F.row_number().over(cw))
+                .filter(F.col("crank") == 1)
+                .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    return idxc.join(
+        df.select(F.col(id_col).alias("neighbor_id"),
+                  sign_bits(F.col(vec_col)).alias("bb")), "neighbor_id")
+
+
+def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
+               k_neighbors: int = 5, n_cells: int = 8, nprobe: int = 4,
+               coarse_iters: int = 2, round_to: int = 6,
+               coarse: DataFrame | None = None,
+               entries: DataFrame | None = None,
+               cell_salt: int = 16) -> DataFrame:
+    """IVF + binary quantization — the fourth family completing the
+    quantized-search matrix (FAISS IndexBinaryIVF's composition
+    shape): the coarse IVF cells restrict WHICH candidates a query
+    meets (the certified ivfpq/ivfsq meet verbatim), sign-bit hamming
+    scores HOW. Returns (id, neighbor_id, hamming, rank), rank by
+    (hamming, neighbor_id). `coarse`/`entries` inject a frozen
+    codebook / pre-built inverted lists (the incremental path).
+
+    Scale shape: identical to the certified IVF-SQ8 meet — each
+    cell's (neighbor, bits) entries pack into one inverted-list row
+    (1 bit/dim: the lightest index of the four families); the meet is
+    the salted SHUFFLE_HASH cell equi-join behind a user-numbered
+    keyed repartition; scoring is a map-side zip_with/filter count;
+    nothing corpus-sized broadcast."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"))
+              .withColumn("nv", norm(F.col("v"))))
+    if coarse is None:
+        coarse = train_ivf_codebook(df, id_col, vec_col,
+                                    n_cells=n_cells,
+                                    iters=coarse_iters,
+                                    round_to=round_to)
+    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
+    sims = (base.join(cb)
+                .withColumn("csim",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("nv") * F.col("ncv")),
+                                    round_to)))
+    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
+                                          F.col("cell_id"))
+    ranked = (sims.withColumn("crank", F.row_number().over(cw))
+                  .select("id", "cell_id", "crank"))
+    enc = df.select(F.col(id_col).alias("id"),
+                    sign_bits(F.col(vec_col)).alias("bits"))
+    if entries is None:
+        idxc = (ranked.filter(F.col("crank") == 1)
+                      .select(F.col("id").alias("neighbor_id"),
+                              "cell_id"))
+        entries = idxc.join(
+            enc.select(F.col("id").alias("neighbor_id"),
+                       F.col("bits").alias("bb")), "neighbor_id")
+    inv = (entries.groupBy("cell_id")
+                  .agg(F.collect_list(F.struct("neighbor_id", "bb"))
+                        .alias("entries")))
+    inv_s = inv.withColumn(
+        "isalt", F.explode(F.array(*[F.lit(r)
+                                     for r in range(cell_salt)])))
+    probe = (ranked.filter(F.col("crank") <= nprobe)
+                   .select(F.col("id").alias("qid"),
+                           F.col("cell_id").alias("probe_cell"))
+                   .join(enc.select(F.col("id").alias("qid"),
+                                    F.col("bits").alias("ba")), "qid"))
+    sc = df.sparkSession.sparkContext
+    scored = (probe.withColumn("salt",
+                               F.pmod(F.xxhash64("qid"),
+                                      F.lit(cell_salt)).cast("int"))
+                   .repartition(sc.defaultParallelism,
+                                "probe_cell", "salt")
+                   .join(inv_s.hint("shuffle_hash"),
+                         (F.col("probe_cell") == F.col("cell_id"))
+                         & (F.col("salt") == F.col("isalt"))))
+    hits = F.transform(
+        F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
+        lambda e: F.struct(
+            e["neighbor_id"].alias("neighbor_id"),
+            _hamming_str(F.col("ba"), e["bb"]).cast("int")
+             .alias("hamming")))
+    pairs = (scored.select("qid", F.explode(hits).alias("h"))
+                   .select("qid",
+                           F.col("h.neighbor_id").alias("neighbor_id"),
+                           F.col("h.hamming").alias("hamming")))
+    w = Window.partitionBy("qid").orderBy(F.col("hamming").asc(),
+                                          F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k_neighbors)
+                 .select(F.col("qid").alias("id"), "neighbor_id",
+                         "hamming",
+                         F.col("rank").cast("int").alias("rank")))
+
+
 def _int8_enc(base: DataFrame) -> DataFrame:
     """(id, nv, mx, qv) int8 codes for a (id, v, nv) frame —
     int8_quantize's arithmetic in packed-array form (the shape both

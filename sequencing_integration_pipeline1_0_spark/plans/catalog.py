@@ -6019,6 +6019,142 @@ def dedup_substring_rewrite(spark, sf_dir):
         gram_cap=_SUBSTR_GRAM_CAP)
 
 
+_DEDUP_REPORT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS nt
+  FROM documents),
+tot AS (SELECT count(*) AS n FROM documents),
+ex AS (
+  SELECT doc_id,
+         doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+  FROM documents),
+exact_row AS (
+  SELECT 'exact_content' AS method,
+         CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS docs_affected,
+         CAST(coalesce(sum(nt) FILTER (WHERE is_dup), 0) AS BIGINT)
+           AS tokens_affected
+  FROM ex JOIN toks USING (doc_id)),
+mh AS ({_MINHASH_SQL}),
+mh_docs AS (SELECT DISTINCT id_b AS doc_id FROM mh),
+mh_row AS (
+  SELECT 'minhash_lsh' AS method,
+         CAST(count(*) AS BIGINT) AS docs_affected,
+         CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_affected
+  FROM mh_docs JOIN toks USING (doc_id)),
+ln AS ({_LINES_SQL}),
+ln_nt AS (
+  SELECT l.doc_id, l.n_removed,
+         t.nt - CASE WHEN length(trim(l.text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(l.text), '\\s+'))
+                END AS removed_tokens
+  FROM ln l JOIN toks t USING (doc_id)),
+ln_row AS (
+  SELECT 'lines_c4' AS method,
+         CAST(count(*) FILTER (WHERE n_removed > 0) AS BIGINT)
+           AS docs_affected,
+         CAST(coalesce(sum(removed_tokens) FILTER (WHERE n_removed > 0),
+                       0) AS BIGINT) AS tokens_affected
+  FROM ln_nt),
+ss AS ({_SUBSTR_ACCT_SQL}),
+ss_row AS (
+  SELECT 'substring' AS method,
+         CAST(count(*) FILTER (WHERE n_spans > 0) AS BIGINT)
+           AS docs_affected,
+         CAST(coalesce(sum(tokens_removable) FILTER (WHERE n_spans > 0),
+                       0) AS BIGINT) AS tokens_affected
+  FROM ss),
+uni AS (
+  SELECT * FROM exact_row UNION ALL SELECT * FROM mh_row
+  UNION ALL SELECT * FROM ln_row UNION ALL SELECT * FROM ss_row)
+SELECT method, docs_affected, tokens_affected,
+       round(CAST(docs_affected AS DOUBLE) / (SELECT n FROM tot), 6)
+         AS pct_docs
+FROM uni
+"""
+
+
+@register("pipe_dedup_report", _DEDUP_REPORT_SQL)
+def pipe_dedup_report(spark, sf_dir):
+    """Cross-method dedup REPORT — the strategy-selection dashboard a
+    corpus engineer runs before committing to a dedup pass: one row
+    per method with uniform keep-first accounting over the SAME
+    corpus, so the methods' reach is directly comparable.
+      exact_content  docs removed by full-text md5 dedup, their tokens
+      minhash_lsh    docs with a >= 0.7-Jaccard lower-id partner
+                     (dedup_minhash_lsh's certified lever config),
+                     their full token mass
+      lines_c4       docs touched by global line dedup, tokens in
+                     their removed lines (rebuild-diff, not lines x 5
+                     — the last chunk of a doc can be short)
+      substring      docs with a >= 10-token verbatim run shared with
+                     a lower-id doc, interval-union removable tokens
+    Composes four certified queries (dedup_exact_content_hash's
+    grouping, dedup_minhash_lsh, dedup_lines_global,
+    dedup_substring_acct) into one result, the pipe_* composite
+    pattern; the oracle nests each method's full certified SQL chain.
+
+    Scale shape: each branch is its own certified shape; the report
+    adds only 1-row aggregates and a 4-row union — nothing beyond
+    the branches' own cost."""
+    d = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+
+    def ntok(c):
+        return (F.when(F.length(F.trim(c)) == 0, F.lit(0))
+                 .otherwise(F.size(dedupe_scale.words(c))))
+
+    toks = d.select("doc_id", ntok(txt).alias("nt"))
+    total = d.count()  # metadata-scale, mirrored by the oracle's tot
+    wmd5 = Window.partitionBy(F.md5("text"))
+    ex = d.select("doc_id",
+                  (F.col("doc_id") > F.min("doc_id").over(wmd5))
+                  .alias("is_dup"))
+    exact_row = (ex.join(toks, "doc_id").agg(
+        F.count(F.when(F.col("is_dup"), 1)).alias("docs_affected"),
+        F.coalesce(F.sum(F.when(F.col("is_dup"), F.col("nt"))),
+                   F.lit(0)).cast("long").alias("tokens_affected"))
+        .select(F.lit("exact_content").alias("method"),
+                "docs_affected", "tokens_affected"))
+    mh_docs = (dedup_minhash_lsh(spark, sf_dir)
+               .select(F.col("id_b").alias("doc_id")).distinct())
+    mh_row = (mh_docs.join(toks, "doc_id").agg(
+        F.count(F.lit(1)).alias("docs_affected"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long")
+         .alias("tokens_affected"))
+        .select(F.lit("minhash_lsh").alias("method"),
+                "docs_affected", "tokens_affected"))
+    ln = (dedup_lines_global_q(spark, sf_dir)
+          .select("doc_id", F.col("text").alias("new_text"), "n_removed"))
+    ln_row = (ln.join(toks, "doc_id")
+              .select("n_removed",
+                      (F.col("nt") - ntok(F.col("new_text")))
+                      .alias("removed_tokens"))
+              .agg(
+        F.count(F.when(F.col("n_removed") > 0, 1)).alias("docs_affected"),
+        F.coalesce(F.sum(F.when(F.col("n_removed") > 0,
+                                F.col("removed_tokens"))),
+                   F.lit(0)).cast("long").alias("tokens_affected"))
+        .select(F.lit("lines_c4").alias("method"),
+                "docs_affected", "tokens_affected"))
+    ss = dedup_substring_acct(spark, sf_dir)
+    ss_row = (ss.agg(
+        F.count(F.when(F.col("n_spans") > 0, 1)).alias("docs_affected"),
+        F.coalesce(F.sum(F.when(F.col("n_spans") > 0,
+                                F.col("tokens_removable"))),
+                   F.lit(0)).cast("long").alias("tokens_affected"))
+        .select(F.lit("substring").alias("method"),
+                "docs_affected", "tokens_affected"))
+    uni = (exact_row.unionByName(mh_row).unionByName(ln_row)
+           .unionByName(ss_row))
+    return uni.select(
+        "method", F.col("docs_affected").cast("long"), "tokens_affected",
+        F.round(F.col("docs_affected").cast("double") / F.lit(total), 6)
+         .alias("pct_docs"))
+
+
 def _mojibake_chain_sql(src: str) -> str:
     """The fix_mojibake replace chain over an arbitrary SQL
     expression, generated from the SAME MOJIBAKE_MAP the engine uses —
@@ -6835,6 +6971,144 @@ def ann_ivfsq_topk(spark, sf_dir):
     corpus-sized broadcast."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ivfsq_topk(e, "vec_id", "embedding",
+                                 k_neighbors=5, n_cells=8, nprobe=4,
+                                 coarse_iters=2)
+
+
+_BQ_BITS_CTE = """bq AS (
+  SELECT vec_id AS id,
+         array_to_string(list_transform(embedding, v ->
+           CASE WHEN CAST(v AS DOUBLE) > 0 THEN '1' ELSE '0' END),
+           '') AS bits
+  FROM embeddings)"""
+
+
+def _bq_ham_sql(a: str, b: str) -> str:
+    return (f"len(list_filter(range(1, length({a}) + 1), "
+            f"i -> {a}[i] <> {b}[i]))")
+
+
+_BINARY_TOPK_SQL = f"""
+WITH {_BQ_BITS_CTE}
+SELECT id, neighbor_id, hamming, CAST(rank AS INT) AS rank FROM (
+  SELECT a.id, b.id AS neighbor_id,
+         CAST({_bq_ham_sql('a.bits', 'b.bits')} AS INT) AS hamming,
+         row_number() OVER (PARTITION BY a.id
+             ORDER BY {_bq_ham_sql('a.bits', 'b.bits')}, b.id) AS rank
+  FROM bq a JOIN bq b ON a.id != b.id)
+WHERE rank <= 5
+"""
+
+
+@register("ann_binary_topk", _BINARY_TOPK_SQL)
+def ann_binary_topk(spark, sf_dir):
+    """Top-5 by hamming distance over BINARY (sign-bit) quantized
+    embeddings (similarity.binary_topk) — the fourth and most
+    aggressive compression in the quantization family (1 bit/dim,
+    32x vs float32, the binary-embedding serving trend): bit i =
+    v_i > 0, searched by hamming, which approximates angular
+    distance for centered embeddings. All-pairs BY ROLE (the
+    quantization-loss baseline ann_binary_recall measures; gated at
+    ALL_PAIRS_BASELINE_CAP rows); the production composition is
+    ann_ivfbq_topk. The '0'/'1' string code is the engine-portable
+    simhash/dHash representation — no packing ambiguity."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.binary_topk(e, "vec_id", "embedding",
+                                  k_neighbors=5)
+
+
+_BINARY_RECALL_SQL = f"""
+WITH {_BQ_BITS_CTE},
+qtop AS (
+  SELECT id, neighbor_id FROM (
+    SELECT a.id, b.id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.id
+               ORDER BY {_bq_ham_sql('a.bits', 'b.bits')}, b.id) AS rn
+    FROM bq a JOIN bq b ON a.id != b.id) WHERE rn <= 5),
+tpairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT id, neighbor_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM tpairs) WHERE rn <= 5)
+SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(count(q.id) AS BIGINT) AS hits,
+       round(count(q.id)::DOUBLE / count(*), 6) AS recall
+FROM truth t LEFT JOIN qtop q
+  ON t.id = q.id AND t.neighbor_id = q.neighbor_id
+"""
+
+
+@register("ann_binary_recall", _BINARY_RECALL_SQL)
+def ann_binary_recall(spark, sf_dir):
+    """Recall@5 of binary (sign-bit) hamming search against the exact
+    cosine top-5 — what the 32x compression costs, the
+    ann_int8_recall contract for the binary family. One summary row;
+    both pair passes are deliberate all-pairs baselines."""
+    e = _t(spark, sf_dir, "embeddings")
+    topq = (similarity.binary_topk(e, "vec_id", "embedding",
+                                   k_neighbors=5)
+            .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
+    truth = (similarity.brute_force_topk(e, "vec_id", "embedding", k=5)
+             .select("id", "neighbor_id"))
+    j = truth.join(topq, ["id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.count("hit").alias("hits"),
+        F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall"))
+
+
+_IVFBQ_SQL = f"""
+WITH {_ivf_trained_cents_sql(8, 2)},
+{_BQ_BITS_CTE},
+csims AS (
+  SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.cv')} AS csim
+  FROM embeddings e CROSS JOIN cents2 c),
+cranked AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cell_id) AS crank
+  FROM csims),
+idxc AS (SELECT vec_id AS neighbor_id, cell_id FROM cranked
+         WHERE crank = 1),
+iprobe AS (SELECT vec_id AS qid, cell_id AS probe_cell
+           FROM cranked WHERE crank <= 4),
+qpairs AS (
+  SELECT p.qid AS id, i.neighbor_id,
+         CAST({_bq_ham_sql('a.bits', 'b.bits')} AS INT) AS hamming
+  FROM iprobe p
+  JOIN idxc i ON p.probe_cell = i.cell_id AND p.qid != i.neighbor_id
+  JOIN bq a ON a.id = p.qid
+  JOIN bq b ON b.id = i.neighbor_id)
+SELECT id, neighbor_id, hamming, CAST(rank AS INT) AS rank FROM (
+  SELECT id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY hamming, neighbor_id) AS rank
+  FROM qpairs) WHERE rank <= 5
+"""
+
+
+@register("ann_ivfbq_topk", _IVFBQ_SQL)
+def ann_ivfbq_topk(spark, sf_dir):
+    """IVF + binary quantization top-5 (similarity.ivfbq_topk) — the
+    FOURTH family completing the quantized-search matrix: IVF-flat
+    (exact vectors in cells), IVF-PQ (product codes), IVF-SQ8 (int8
+    codes), and now IVF-BQ (1-bit sign codes — the lightest index of
+    the four, FAISS IndexBinaryIVF's composition shape). Coarse cells
+    restrict candidates exactly as the certified meet; scoring is
+    sign-bit hamming.
+
+    Scale shape: the certified IVF meet verbatim — packed per-cell
+    (neighbor, bits) lists, salted shuffle-hash cell equi-join behind
+    a user-numbered keyed repartition, map-side hamming count;
+    nothing corpus-sized broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfbq_topk(e, "vec_id", "embedding",
                                  k_neighbors=5, n_cells=8, nprobe=4,
                                  coarse_iters=2)
 
@@ -8542,6 +8816,64 @@ FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE len(list_filter(range(1, {_AFP_NSL + 1}),
           i -> a.fp[i] <> b.fp[i])) <= {_AFP_HAM_MAX}
 """
+
+
+_AFP_NEAR_DUP_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         160 + ((doc_id % {multimodal.AUDIO_FP_PATTERNS}) % 4)
+               * {_AFP_NSL} AS nf
+  FROM documents),
+e AS (
+  SELECT doc_id,
+    list_transform(range(0, {_AFP_NSL}), s ->
+      list_sum(list_transform(
+        range(s * (nf // {_AFP_NSL}), (s + 1) * (nf // {_AFP_NSL})),
+        k -> CAST({_afp_v_sql('k')} AS BIGINT)
+             * CAST({_afp_v_sql('k')} AS BIGINT)))) AS en
+  FROM g),
+fps AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, {_AFP_NSL}), i ->
+      CASE WHEN en[i + 1] > en[((i + 1) % {_AFP_NSL}) + 1]
+      THEN '1' ELSE '0' END), '') AS fp
+  FROM e)
+SELECT doc_id, fp,
+  CAST(min(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_id,
+  doc_id > min(doc_id) OVER (PARTITION BY fp) AS is_dup
+FROM fps
+"""
+
+
+@register("mm_audio_fingerprint_near_dup", _AFP_NEAR_DUP_SQL)
+def mm_audio_fingerprint_near_dup(spark, sf_dir):
+    """Audio near-dup canonical grouping — the mm_image_dhash_near_dup
+    contract on the audio modality: every track's perceptual
+    fingerprint (multimodal.audio_fingerprint_bits over
+    really-decoded WAV PCM) buckets gain variants together, with
+    first-wins canonical assignment per exact-fingerprint class
+    (defect variants land one band away and are caught by the
+    companion hamming-pairs query). Hash-green proves the decoder
+    read the samples bit-exactly AND the fingerprint is
+    gain-invariant: the oracle derives the fingerprint from the
+    fixture formula where the gain cancels algebraically in every
+    energy comparison.
+
+    Scale shape: decode-once Arrow stage, fingerprint map-side, one
+    slim (doc, 32-char key) dedup window partitioned BY the
+    fingerprint — near-dup classes are small by construction."""
+    d = _t(spark, sf_dir, "documents")
+    dec = multimodal.decode_audio(
+        multimodal.synth_fp_audio_payload(d, "doc_id"),
+        "doc_id", "payload")
+    fp = dec.select(
+        "doc_id",
+        multimodal.audio_fingerprint_bits(F.col("samples")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return (fp.withColumn("canonical_id",
+                          F.min("doc_id").over(w).cast("bigint"))
+              .withColumn("is_dup",
+                          F.col("doc_id") > F.col("canonical_id")))
 
 
 @register("mm_audio_fingerprint_pairs", _AFP_SQL)

@@ -103,6 +103,11 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # composed-SQ8 recall: same coarse NLJ + the
                   # deliberate brute-force truth baseline
                   "ann_ivfsq_recall",
+                  # binary family: sign-bit hamming baseline + recall
+                  # are deliberate all-pairs (gated); IVF-BQ's coarse
+                  # assignment is the same broadcast n x n_cells NLJ
+                  "ann_binary_topk", "ann_binary_recall",
+                  "ann_ivfbq_topk",
                   # sketch finishers: 1-row aggregate cross-joins only
                   # (harmonic sums / exact baselines / min-max stats —
                   # the scalar-join shape; the sketch builds themselves
@@ -133,9 +138,9 @@ PANDAS_OK = {"mm_decode_image", "mm_frame_sample",
              "mm_decode_audio", "mm_audio_features",
              "mm_audio_window_energy", "mm_probe_media",
              # audio fingerprint near-dup: WAV synth + decode are the
-             # designed Arrow stages; the fingerprint + band join are
-             # Spark HOFs / equi-joins
-             "mm_audio_fingerprint_pairs",
+             # designed Arrow stages; the fingerprint + band join /
+             # dedup window are Spark HOFs / equi-joins
+             "mm_audio_fingerprint_pairs", "mm_audio_fingerprint_near_dup",
              # OSA banded-DP Arrow scorer on blocked candidates
              "j6b_fuzzy_osa_pairs", "j6c_osa_lev_delta",
              # pixel decode for perceptual hashing (shaded-BMP synth +
@@ -201,7 +206,7 @@ def test_ivfpq_adc_meet_never_broadcasts_the_index(plans):
                  "ann_ivfpq_residual_topk", "ann_ivfpq_index_probe",
                  "ann_ivfpq_batch_search", "ann_ivfsq_topk",
                  "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
-                 "ann_ivfsq_recall"):
+                 "ann_ivfsq_recall", "ann_ivfbq_topk"):
         assert "ShuffledHashJoin" in plans[name], name
 
 
@@ -256,6 +261,10 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                   # chain)
                   "ann_ivfsq_topk", "ann_ivfsq_index_probe",
                   "ann_ivfsq_batch_search", "ann_ivfsq_recall",
+                  # IVF-BQ rides the same chain; the binary baseline +
+                  # recall are the deliberate all-pairs yardsticks
+                  "ann_ivfbq_topk", "ann_binary_topk",
+                  "ann_binary_recall",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before

@@ -1478,7 +1478,8 @@ def test_all_pairs_baselines_refuse_corpus_scale(spark, monkeypatch):
     small = big.limit(4)
     for fn, alt in ((similarity.brute_force_topk, "ivfpq_topk"),
                     (similarity.int8_topk, "ivfsq_topk"),
-                    (similarity.pq_adc_topk, "ivfpq_topk")):
+                    (similarity.pq_adc_topk, "ivfpq_topk"),
+                    (similarity.binary_topk, "ivfbq_topk")):
         with _pytest.raises(ValueError, match=alt):
             fn(big, "vec_id", "embedding")
     # under the cap: plans build and run

@@ -125,6 +125,12 @@ PROBES = [
     "dedup_substring_rewrite",
     "mm_audio_fingerprint_pairs",
     "ann_ivf_sampled_topk",
+    # IVF-BQ: the lightest of the four quantized indexes (1 bit/dim);
+    # growth should track the ivfsq class
+    "ann_ivfbq_topk",
+    # the cross-method dedup dashboard: the sum of its four certified
+    # branches plus 1-row finishers
+    "pipe_dedup_report",
 ]
 
 #: executions per (query, sf) cell — min-of-N. Three runs settle the
