@@ -193,6 +193,8 @@ _PRIORITY = [
     "ann_ivf_sampled_topk",
     "ann_ivfsq_topk", "qa_benford_prices", "pipe_dedup_report",
     "ann_binary_topk", "ann_binary_recall", "ann_ivfbq_topk",
+    "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
+    "ann_binary_rerank_recall",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -7063,9 +7063,15 @@ def ann_binary_recall(spark, sf_dir):
          .alias("recall"))
 
 
-_IVFBQ_SQL = f"""
-WITH {_ivf_trained_cents_sql(8, 2)},
-{_BQ_BITS_CTE},
+def _ivfbq_search_sql(nprobe: int, qfilter: str = "",
+                      k: int = 5) -> str:
+    """Sign-bit encode + coarse probe + cell-restricted hamming CTE
+    chain (after a cents2 coarse chain): the SQL twin of
+    similarity.ivfbq_topk. `qfilter` narrows the QUERY side; the
+    index side always covers every embedding row; `k` is the
+    candidate count (the re-rank shape retrieves k > 5)."""
+    qf = f" AND {qfilter}" if qfilter else ""
+    return f"""{_BQ_BITS_CTE},
 csims AS (
   SELECT e.vec_id, c.cell_id, {_cos_sql('e.embedding', 'c.cv')} AS csim
   FROM embeddings e CROSS JOIN cents2 c),
@@ -7077,7 +7083,7 @@ cranked AS (
 idxc AS (SELECT vec_id AS neighbor_id, cell_id FROM cranked
          WHERE crank = 1),
 iprobe AS (SELECT vec_id AS qid, cell_id AS probe_cell
-           FROM cranked WHERE crank <= 4),
+           FROM cranked WHERE crank <= {nprobe}{qf}),
 qpairs AS (
   SELECT p.qid AS id, i.neighbor_id,
          CAST({_bq_ham_sql('a.bits', 'b.bits')} AS INT) AS hamming
@@ -7089,7 +7095,12 @@ SELECT id, neighbor_id, hamming, CAST(rank AS INT) AS rank FROM (
   SELECT id, neighbor_id, hamming,
          row_number() OVER (PARTITION BY id
                             ORDER BY hamming, neighbor_id) AS rank
-  FROM qpairs) WHERE rank <= 5
+  FROM qpairs) WHERE rank <= {k}"""
+
+
+_IVFBQ_SQL = f"""
+WITH {_ivf_trained_cents_sql(8, 2)},
+{_ivfbq_search_sql(4)}
 """
 
 
@@ -7111,6 +7122,148 @@ def ann_ivfbq_topk(spark, sf_dir):
     return similarity.ivfbq_topk(e, "vec_id", "embedding",
                                  k_neighbors=5, n_cells=8, nprobe=4,
                                  coarse_iters=2)
+
+
+_BQ_RERANK_CAND = 20
+
+_BQ_RERANK_SQL = f"""
+WITH cand AS (
+  WITH {_ivf_trained_cents_sql(8, 2)},
+  {_ivfbq_search_sql(4, k=_BQ_RERANK_CAND)}),
+rr AS (
+  SELECT c.id, c.neighbor_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id)
+SELECT id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM rr) WHERE rank <= 5
+"""
+
+
+@register("ann_binary_rerank_topk", _BQ_RERANK_SQL)
+def ann_binary_rerank_topk(spark, sf_dir):
+    """Two-stage binary serving — THE production pattern for binary
+    embeddings (retrieve wide with 1-bit codes, re-rank narrow with
+    floats): IVF-BQ hamming retrieves the top-{c} candidates per
+    query, then ONLY those {c} rows join back to the float vectors
+    for an exact-cosine re-rank to top-5. The cheap stage touches
+    codes 32x smaller than the vectors; the expensive exact stage
+    touches {c} rows per query instead of the corpus —
+    ann_binary_rerank_recall quantifies how much of raw binary
+    search's recall loss the re-rank buys back.
+
+    Scale shape: stage 1 is the certified salted cell meet over 1-bit
+    codes; stage 2 is two slim id-keyed equi-joins (candidates x
+    vectors) + one per-query window — never an all-pairs float
+    pass.""".format(c=_BQ_RERANK_CAND)
+    e = _t(spark, sf_dir, "embeddings")
+    cand = (similarity.ivfbq_topk(e, "vec_id", "embedding",
+                                  k_neighbors=_BQ_RERANK_CAND,
+                                  n_cells=8, nprobe=4, coarse_iters=2)
+            .select("id", "neighbor_id"))
+    a = e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").alias("va")) \
+         .withColumn("na", similarity.norm(F.col("va")))
+    b = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("vb")) \
+         .withColumn("nb", similarity.norm(F.col("vb")))
+    rr = (cand.join(a, "id").join(b, "neighbor_id")
+              .withColumn("cos_sim",
+                          F.round(similarity.dot(F.col("va"),
+                                                 F.col("vb"))
+                                  / (F.col("na") * F.col("nb")), 6)))
+    w = Window.partitionBy("id").orderBy(F.col("cos_sim").desc(),
+                                         F.col("neighbor_id"))
+    return (rr.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 5)
+              .select("id", "neighbor_id", "cos_sim",
+                      F.col("rank").cast("int").alias("rank")))
+
+
+_BQ_RERANK_RECALL_SQL = f"""
+WITH q AS ({_BQ_RERANK_SQL}),
+tpairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT id, neighbor_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM tpairs) WHERE rn <= 5)
+SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(count(q.id) AS BIGINT) AS hits,
+       round(count(q.id)::DOUBLE / count(*), 6) AS recall
+FROM truth t LEFT JOIN q
+  ON t.id = q.id AND t.neighbor_id = q.neighbor_id
+"""
+
+
+@register("ann_binary_rerank_recall", _BQ_RERANK_RECALL_SQL)
+def ann_binary_rerank_recall(spark, sf_dir):
+    """Recall@5 of the two-stage binary pipeline against the exact
+    cosine top-5 — the number that justifies the pattern: raw binary
+    hamming loses recall to the 32x compression
+    (ann_binary_recall); widening to {c} candidates and re-ranking
+    with exact floats buys most of it back at a fraction of
+    brute-force cost. One summary row; the truth set is the
+    deliberate brute-force baseline.""".format(c=_BQ_RERANK_CAND)
+    e = _t(spark, sf_dir, "embeddings")
+    topq = (ann_binary_rerank_topk(spark, sf_dir)
+            .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
+    truth = (similarity.brute_force_topk(e, "vec_id", "embedding", k=5)
+             .select("id", "neighbor_id"))
+    j = truth.join(topq, ["id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.count("hit").alias("hits"),
+        F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall"))
+
+
+_IVFBQ_INDEX_PROBE_SQL = f"""
+WITH emb_c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 10 != 0),
+{_ivf_trained_cents_sql(8, 2, src="emb_c")},
+{_ivfbq_search_sql(4, qfilter="vec_id % 10 = 0")}
+"""
+
+
+@register("ann_ivfbq_index_probe", _IVFBQ_INDEX_PROBE_SQL)
+def ann_ivfbq_index_probe(spark, sf_dir):
+    """Incremental maintenance proof for the IVF-BQ index — keeping
+    the every-index-family-has-an-incremental-proof invariant intact
+    the round the family lands (minhash / ivf_assign / pq_encode /
+    bm25 / ivfpq / ivfsq all have one): the coarse codebook is
+    trained on the existing corpus (vec_id % 10 != 0) and FROZEN; the
+    arriving batch (vec_id % 10 = 0) is inserted by computing ONLY
+    its own inverted-list entries (one broadcast coarse assignment +
+    one map-side sign-bit encode — the lightest insert of the four
+    families) and unioning them into the persisted lists; the
+    inserted vectors then search the appended index (top-5,
+    nprobe=4). The oracle rebuilds from scratch under the same frozen
+    codebook: append == rebuild.
+
+    Scale shape: two linear batch passes + an entries union; the
+    search is the salted shuffle-hash cell equi-join + map-side
+    hamming count, nothing corpus-sized broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    coarse = similarity.train_ivf_codebook(
+        corpus, "vec_id", "embedding", n_cells=8, iters=2)
+    idx_c = similarity.ivfbq_index_entries(
+        corpus, "vec_id", "embedding", coarse=coarse)
+    idx_b = similarity.ivfbq_index_entries(
+        batch, "vec_id", "embedding", coarse=coarse)
+    return similarity.ivfbq_topk(
+        batch, "vec_id", "embedding", k_neighbors=5, n_cells=8,
+        nprobe=4, coarse=coarse, entries=idx_c.unionByName(idx_b))
 
 
 _IVFSQ_RECALL_SQL = f"""

@@ -108,6 +108,11 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # assignment is the same broadcast n x n_cells NLJ
                   "ann_binary_topk", "ann_binary_recall",
                   "ann_ivfbq_topk",
+                  # incremental probe + two-stage re-rank ride the
+                  # same coarse NLJ; rerank-recall adds the brute
+                  # truth baseline
+                  "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
+                  "ann_binary_rerank_recall",
                   # sketch finishers: 1-row aggregate cross-joins only
                   # (harmonic sums / exact baselines / min-max stats —
                   # the scalar-join shape; the sketch builds themselves
@@ -206,7 +211,8 @@ def test_ivfpq_adc_meet_never_broadcasts_the_index(plans):
                  "ann_ivfpq_residual_topk", "ann_ivfpq_index_probe",
                  "ann_ivfpq_batch_search", "ann_ivfsq_topk",
                  "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
-                 "ann_ivfsq_recall", "ann_ivfbq_topk"):
+                 "ann_ivfsq_recall", "ann_ivfbq_topk",
+                 "ann_ivfbq_index_probe", "ann_binary_rerank_topk"):
         assert "ShuffledHashJoin" in plans[name], name
 
 
@@ -264,7 +270,8 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                   # IVF-BQ rides the same chain; the binary baseline +
                   # recall are the deliberate all-pairs yardsticks
                   "ann_ivfbq_topk", "ann_binary_topk",
-                  "ann_binary_recall",
+                  "ann_binary_recall", "ann_ivfbq_index_probe",
+                  "ann_binary_rerank_topk", "ann_binary_rerank_recall",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before
