@@ -1128,19 +1128,31 @@ def int8_topk(df: DataFrame, id_col: str, vec_col: str, *,
 def sign_bits(vec) -> Column:
     """Binary-quantize a vector to its '0'/'1' sign-bit string
     (bit i = v_i > 0 — zeros quantize to 0, the FAISS
-    IndexBinaryFlat/sign convention). Pure map-side HOF."""
+    IndexBinaryFlat/sign convention). Pure map-side HOF. This is the
+    PORTABLE KEY form (join/group keys, oracle compares); the scoring
+    paths carry sign_bit_array instead — hamming over a pre-split int
+    array costs one zip_with per pair, where string codes would
+    re-split both 64-char strings on EVERY pair (measured ~2x on the
+    IVF-BQ meet)."""
     return F.array_join(
         F.transform(vec, lambda v: F.when(v.cast("double") > 0.0,
                                           F.lit("1"))
                                     .otherwise(F.lit("0"))), "")
 
 
-def _hamming_str(a, b) -> Column:
-    """Hamming distance between two equal-length bit strings (the
-    dHash-pairs compare, shared here)."""
+def sign_bit_array(vec) -> Column:
+    """array<int> sign bits (1 where v_i > 0) — the COMPUTE form of
+    sign_bits: split once per vector map-side, so per-pair hamming is
+    a single zip_with/filter count with no string work."""
+    return F.transform(vec, lambda v: F.when(v.cast("double") > 0.0,
+                                             F.lit(1))
+                                       .otherwise(F.lit(0)))
+
+
+def _hamming_arr(a, b) -> Column:
+    """Hamming distance between two equal-length bit arrays."""
     return F.size(F.filter(
-        F.zip_with(F.split(a, ""), F.split(b, ""),
-                   lambda x, y: x != y), lambda v: v))
+        F.zip_with(a, b, lambda x, y: x != y), lambda v: v))
 
 
 def binary_topk(df: DataFrame, id_col: str, vec_col: str, *,
@@ -1154,14 +1166,14 @@ def binary_topk(df: DataFrame, id_col: str, vec_col: str, *,
     rank), rank by (hamming, neighbor_id)."""
     _gate_all_pairs_baseline(df, "binary_topk", "ivfbq_topk")
     enc = df.select(F.col(id_col).alias("id"),
-                    sign_bits(F.col(vec_col)).alias("bits"))
+                    sign_bit_array(F.col(vec_col)).alias("bits"))
     a = spread_for_compute(
         enc.select("id", F.col("bits").alias("ba")))
     b = enc.select(F.col("id").alias("neighbor_id"),
                    F.col("bits").alias("bb"))
     pairs = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
               .withColumn("hamming",
-                          _hamming_str(F.col("ba"), F.col("bb"))
+                          _hamming_arr(F.col("ba"), F.col("bb"))
                           .cast("int")))
     w = Window.partitionBy("id").orderBy(F.col("hamming").asc(),
                                          F.col("neighbor_id"))
@@ -1195,7 +1207,8 @@ def ivfbq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
                 .select(F.col("id").alias("neighbor_id"), "cell_id"))
     return idxc.join(
         df.select(F.col(id_col).alias("neighbor_id"),
-                  sign_bits(F.col(vec_col)).alias("bb")), "neighbor_id")
+                  sign_bit_array(F.col(vec_col)).alias("bb")),
+        "neighbor_id")
 
 
 def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
@@ -1237,7 +1250,7 @@ def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
     ranked = (sims.withColumn("crank", F.row_number().over(cw))
                   .select("id", "cell_id", "crank"))
     enc = df.select(F.col(id_col).alias("id"),
-                    sign_bits(F.col(vec_col)).alias("bits"))
+                    sign_bit_array(F.col(vec_col)).alias("bits"))
     if entries is None:
         idxc = (ranked.filter(F.col("crank") == 1)
                       .select(F.col("id").alias("neighbor_id"),
@@ -1269,7 +1282,7 @@ def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
         F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
         lambda e: F.struct(
             e["neighbor_id"].alias("neighbor_id"),
-            _hamming_str(F.col("ba"), e["bb"]).cast("int")
+            _hamming_arr(F.col("ba"), e["bb"]).cast("int")
              .alias("hamming")))
     pairs = (scored.select("qid", F.explode(hits).alias("h"))
                    .select("qid",
