@@ -8417,6 +8417,50 @@ def bpe_encode_corpus(spark, sf_dir):
     return textstats.bpe_encode(d, "text", k=textstats.BPE_TOPK)
 
 
+_TOK_FERTILITY_SQL = f"""
+WITH enc AS ({_bpe_encode_sql(textstats.BPE_TOPK)})
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(n) AS BIGINT) AS corpus_words,
+       CAST(sum(n * n_tokens) AS BIGINT) AS corpus_tokens,
+       round(CAST(sum(n * n_tokens) AS DOUBLE) / sum(n), 6)
+         AS fertility,
+       round(CAST(coalesce(sum(n) FILTER (WHERE n_tokens = 1), 0)
+                  AS DOUBLE) / sum(n), 6) AS pct_single_token
+FROM enc
+"""
+
+
+@register("tok_fertility_report", _TOK_FERTILITY_SQL)
+def tok_fertility_report(spark, sf_dir):
+    """Tokenizer FERTILITY report — the standard tokenizer-quality
+    metric a training pipeline checks before committing a vocabulary
+    (fertility = subword tokens emitted per corpus word; 1.0 is a
+    perfect whole-word vocabulary, higher means more fragmentation
+    and a longer effective sequence per document): corpus word count,
+    token count under the trained BPE merges (the bpe_encode_corpus
+    machinery), fertility, and the share of corpus words that encode
+    to a single token. One summary row; the same accounting decides
+    context-budget packing and cost projections.
+
+    Scale shape: rides bpe_encode's vocabulary-table collapse — the
+    report aggregates the DISTINCT-word encode table (vocabulary-
+    sized) with corpus weights carried as counts; one 1-row final
+    agg."""
+    d = _t(spark, sf_dir, "documents")
+    enc = textstats.bpe_encode(d, "text", k=textstats.BPE_TOPK)
+    words = F.sum("n")
+    toks = F.sum(F.col("n") * F.col("n_tokens"))
+    single = F.coalesce(
+        F.sum(F.when(F.col("n_tokens") == 1, F.col("n"))), F.lit(0))
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        words.cast("long").alias("corpus_words"),
+        toks.cast("long").alias("corpus_tokens"),
+        F.round(toks.cast("double") / words, 6).alias("fertility"),
+        F.round(single.cast("double") / words, 6)
+         .alias("pct_single_token"))
+
+
 def _bm25_query_values() -> str:
     return ",".join(f"('{qid}','{t}')"
                     for qid, terms in textstats.BM25_QUERIES

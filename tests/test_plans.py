@@ -51,8 +51,9 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # 1-row top-1 merge broadcast onto the word table
                   "bpe_train_step",
                   # 1-row packed merge-array broadcast onto the word
-                  # table (the encode's whole tokenizer is one row)
-                  "bpe_encode_corpus",
+                  # table (the encode's whole tokenizer is one row);
+                  # the fertility report aggregates the same encode
+                  "bpe_encode_corpus", "tok_fertility_report",
                   # 1-row corpus N/avgdl scalar broadcast onto the
                   # slim (query,doc,tf) rows
                   "bm25_topk",
@@ -279,8 +280,9 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # same window post-merge (merged-alphabet^2)
                     "bpe_merge_topk", "bpe_train_step",
                     # encode ranks the same |alphabet|^2-bounded pair
-                    # table to build its merge list
-                    "bpe_encode_corpus",
+                    # table to build its merge list (fertility report
+                    # aggregates that encode)
+                    "bpe_encode_corpus", "tok_fertility_report",
                     # CMS final rank runs over the two-phase survivors
                     # (<= salt_buckets * topk rows — the local top-k
                     # before it is the real fence)
