@@ -1216,6 +1216,7 @@ def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
                coarse_iters: int = 2, round_to: int = 6,
                coarse: DataFrame | None = None,
                entries: DataFrame | None = None,
+               broadcast_queries: bool = False,
                cell_salt: int = 16) -> DataFrame:
     """IVF + binary quantization — the fourth family completing the
     quantized-search matrix (FAISS IndexBinaryIVF's composition
@@ -1223,7 +1224,10 @@ def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
     meets (the certified ivfpq/ivfsq meet verbatim), sign-bit hamming
     scores HOW. Returns (id, neighbor_id, hamming, rank), rank by
     (hamming, neighbor_id). `coarse`/`entries` inject a frozen
-    codebook / pre-built inverted lists (the incremental path).
+    codebook / pre-built inverted lists (the incremental path);
+    broadcast_queries hints broadcasting the encoded query batch for
+    the BOUNDED serving case only — the inverted-list meet stays the
+    salted equi-join in every mode.
 
     Scale shape: identical to the certified IVF-SQ8 meet — each
     cell's (neighbor, bits) entries pack into one inverted-list row
@@ -1264,11 +1268,15 @@ def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
     inv_s = inv.withColumn(
         "isalt", F.explode(F.array(*[F.lit(r)
                                      for r in range(cell_salt)])))
+    # broadcast_queries hints the query-side code attach for the
+    # BOUNDED batch path only (the ivfsq_pairs gate, same contract)
+    enc_q = enc.select(F.col("id").alias("qid"),
+                       F.col("bits").alias("ba"))
+    enc_j = F.broadcast(enc_q) if broadcast_queries else enc_q
     probe = (ranked.filter(F.col("crank") <= nprobe)
                    .select(F.col("id").alias("qid"),
                            F.col("cell_id").alias("probe_cell"))
-                   .join(enc.select(F.col("id").alias("qid"),
-                                    F.col("bits").alias("ba")), "qid"))
+                   .join(enc_j, "qid"))
     sc = df.sparkSession.sparkContext
     scored = (probe.withColumn("salt",
                                F.pmod(F.xxhash64("qid"),

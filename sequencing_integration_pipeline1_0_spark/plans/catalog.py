@@ -7266,6 +7266,39 @@ def ann_ivfbq_index_probe(spark, sf_dir):
         nprobe=4, coarse=coarse, entries=idx_c.unionByName(idx_b))
 
 
+_IVFBQ_BATCH_SQL = f"""
+WITH {_ivf_trained_cents_sql(8, 2)},
+{_ivfbq_search_sql(4, qfilter="vec_id % 100 = 0")}
+"""
+
+
+@register("ann_ivfbq_batch_search", _IVFBQ_BATCH_SQL)
+def ann_ivfbq_batch_search(spark, sf_dir):
+    """The PRODUCTION search shape of the IVF-BQ index — completing
+    the serving-shape row for all three quantized index families
+    (ivfpq / ivfsq / ivfbq): a BOUNDED query batch (vec_id % 100 = 0,
+    1% of the corpus) searches a frozen index built over the whole
+    corpus via injected inverted-list entries, with
+    broadcast_queries=True — the explicitly gated hint broadcasting
+    the encoded QUERY batch (1 bit/dim: the smallest broadcast of
+    the three). The inverted-list meet stays the salted equi-join in
+    every mode.
+
+    Scale shape at serving: two linear passes over the BATCH (coarse
+    probe + sign-bit encode), a broadcast of batch-sized bit rows,
+    hamming against only the probed cells' lists."""
+    e = _t(spark, sf_dir, "embeddings")
+    coarse = similarity.train_ivf_codebook(
+        e, "vec_id", "embedding", n_cells=8, iters=2)
+    entries = similarity.ivfbq_index_entries(
+        e, "vec_id", "embedding", coarse=coarse)
+    batch = e.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivfbq_topk(
+        batch, "vec_id", "embedding", k_neighbors=5, n_cells=8,
+        nprobe=4, coarse=coarse, entries=entries,
+        broadcast_queries=True)
+
+
 _IVFSQ_RECALL_SQL = f"""
 WITH q AS ({_IVFSQ_SQL}),
 tpairs AS (

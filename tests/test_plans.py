@@ -113,7 +113,7 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # same coarse NLJ; rerank-recall adds the brute
                   # truth baseline
                   "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
-                  "ann_binary_rerank_recall",
+                  "ann_binary_rerank_recall", "ann_ivfbq_batch_search",
                   # sketch finishers: 1-row aggregate cross-joins only
                   # (harmonic sums / exact baselines / min-max stats —
                   # the scalar-join shape; the sketch builds themselves
@@ -213,7 +213,8 @@ def test_ivfpq_adc_meet_never_broadcasts_the_index(plans):
                  "ann_ivfpq_batch_search", "ann_ivfsq_topk",
                  "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
                  "ann_ivfsq_recall", "ann_ivfbq_topk",
-                 "ann_ivfbq_index_probe", "ann_binary_rerank_topk"):
+                 "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
+                 "ann_ivfbq_batch_search"):
         assert "ShuffledHashJoin" in plans[name], name
 
 
@@ -273,6 +274,7 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                   "ann_ivfbq_topk", "ann_binary_topk",
                   "ann_binary_recall", "ann_ivfbq_index_probe",
                   "ann_binary_rerank_topk", "ann_binary_rerank_recall",
+                  "ann_ivfbq_batch_search",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before
