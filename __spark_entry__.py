@@ -195,7 +195,7 @@ _PRIORITY = [
     "ann_binary_topk", "ann_binary_recall", "ann_ivfbq_topk",
     "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
     "ann_binary_rerank_recall", "ann_ivfbq_batch_search",
-    "tok_fertility_report",
+    "ann_ivfbq_recall", "tok_fertility_report",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -7226,6 +7226,49 @@ def ann_binary_rerank_recall(spark, sf_dir):
          .alias("recall"))
 
 
+_IVFBQ_RECALL_SQL = f"""
+WITH q AS ({_IVFBQ_SQL}),
+tpairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT id, neighbor_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM tpairs) WHERE rn <= 5)
+SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(count(q.id) AS BIGINT) AS hits,
+       round(count(q.id)::DOUBLE / count(*), 6) AS recall
+FROM truth t LEFT JOIN q
+  ON t.id = q.id AND t.neighbor_id = q.neighbor_id
+"""
+
+
+@register("ann_ivfbq_recall", _IVFBQ_RECALL_SQL)
+def ann_ivfbq_recall(spark, sf_dir):
+    """Recall@5 of the COMPOSED IVF-BQ index against the exact cosine
+    top-5 — the ann_ivfsq_recall contract for the binary family,
+    separating cell-restriction loss from the raw 1-bit quantization
+    loss (ann_binary_recall) and showing what the two-stage re-rank
+    (ann_binary_rerank_recall) buys back. One summary row; the truth
+    set is the deliberate brute-force baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    topq = (similarity.ivfbq_topk(e, "vec_id", "embedding",
+                                  k_neighbors=5, n_cells=8, nprobe=4,
+                                  coarse_iters=2)
+            .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
+    truth = (similarity.brute_force_topk(e, "vec_id", "embedding", k=5)
+             .select("id", "neighbor_id"))
+    j = truth.join(topq, ["id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.count("hit").alias("hits"),
+        F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall"))
+
+
 _IVFBQ_INDEX_PROBE_SQL = f"""
 WITH emb_c AS (SELECT vec_id, embedding FROM embeddings
                WHERE vec_id % 10 != 0),

@@ -114,6 +114,7 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # truth baseline
                   "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
                   "ann_binary_rerank_recall", "ann_ivfbq_batch_search",
+                  "ann_ivfbq_recall",
                   # sketch finishers: 1-row aggregate cross-joins only
                   # (harmonic sums / exact baselines / min-max stats —
                   # the scalar-join shape; the sketch builds themselves
@@ -214,7 +215,7 @@ def test_ivfpq_adc_meet_never_broadcasts_the_index(plans):
                  "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
                  "ann_ivfsq_recall", "ann_ivfbq_topk",
                  "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
-                 "ann_ivfbq_batch_search"):
+                 "ann_ivfbq_batch_search", "ann_ivfbq_recall"):
         assert "ShuffledHashJoin" in plans[name], name
 
 
@@ -274,7 +275,7 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                   "ann_ivfbq_topk", "ann_binary_topk",
                   "ann_binary_recall", "ann_ivfbq_index_probe",
                   "ann_binary_rerank_topk", "ann_binary_rerank_recall",
-                  "ann_ivfbq_batch_search",
+                  "ann_ivfbq_batch_search", "ann_ivfbq_recall",
                     # BPE merge rank runs over the symbol-PAIR count
                     # table — at most |alphabet|^2 rows regardless of
                     # corpus size (the word-frequency collapse before
