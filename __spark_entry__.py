@@ -196,6 +196,7 @@ _PRIORITY = [
     "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
     "ann_binary_rerank_recall", "ann_ivfbq_batch_search",
     "ann_ivfbq_recall", "tok_fertility_report",
+    "dedup_cluster_size_dist", "qa_psi_drift",
 ]
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED

@@ -924,6 +924,146 @@ def dedup_cluster_canonical(spark, sf_dir):
          .alias("is_canonical"))
 
 
+_CLUSTER_SIZE_DIST_SQL = f"""
+WITH cc AS ({_CLUSTER_SQL}),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY cluster_id),
+dist AS (
+  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY cluster_size),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d ANTI JOIN cc ON d.doc_id = cc.id)
+SELECT * FROM dist
+UNION ALL
+SELECT * FROM singles WHERE n_clusters > 0
+"""
+
+
+@register("dedup_cluster_size_dist", _CLUSTER_SIZE_DIST_SQL)
+def dedup_cluster_size_dist(spark, sf_dir):
+    """Near-dup cluster-SIZE distribution — the audit a dedup run
+    reports before deleting anything: one row per cluster size with
+    the cluster count and the documents they hold, INCLUDING the
+    singleton row (docs in no near-dup pair — the anti-join
+    complement of the connected-components output, which only emits
+    paired docs). A heavy tail here is the template/boilerplate
+    signal; n_docs - n_clusters summed over rows is exactly the
+    keep-first deletion count.
+
+    Scale shape: rides dedup_cluster_canonical (pointer-jumping over
+    LSH pairs); adds one cluster-keyed count, one size-keyed count,
+    and a slim anti-join for singletons."""
+    d = _t(spark, sf_dir, "documents")
+    cc = dedup_cluster_canonical(spark, sf_dir)
+    sizes = (cc.groupBy("cluster_id")
+               .agg(F.count(F.lit(1)).alias("cluster_size")))
+    dist = (sizes.groupBy("cluster_size")
+                 .agg(F.count(F.lit(1)).alias("n_clusters"))
+                 .select(F.col("cluster_size").cast("long"),
+                         F.col("n_clusters").cast("long"),
+                         (F.col("cluster_size") * F.col("n_clusters"))
+                          .cast("long").alias("n_docs")))
+    singles = (d.select(F.col("doc_id"))
+                .join(cc.select(F.col("id").alias("doc_id")),
+                      "doc_id", "left_anti")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(1).cast("long").alias("cluster_size"),
+                        F.col("n").cast("long").alias("n_clusters"),
+                        F.col("n").cast("long").alias("n_docs"))
+                .filter(F.col("n_clusters") > 0))
+    return dist.unionByName(singles)
+
+
+_PSI_BINS = 10
+
+_PSI_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents),
+q AS (
+  SELECT doc_id % 2 AS grp,
+         least({_PSI_BINS - 1}, CAST(floor(
+           round(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+                   * 0.3
+                 + (CASE WHEN length(text) > 0 THEN
+                      CAST(length(regexp_replace(text,
+                           '[^A-Za-z \\t\\n]', '', 'g')) AS DOUBLE)
+                      / length(text) ELSE 0.0 END) * 0.3, 6)
+           * {_PSI_BINS}) AS INT)) AS bin
+  FROM base),
+spine AS (SELECT unnest(range(0, {_PSI_BINS})) AS bin),
+a AS (SELECT bin, count(*) AS n FROM q WHERE grp = 0 GROUP BY bin),
+b AS (SELECT bin, count(*) AS n FROM q WHERE grp = 1 GROUP BY bin),
+j AS (
+  SELECT spine.bin, coalesce(a.n, 0) AS n_a, coalesce(b.n, 0) AS n_b
+  FROM spine LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)),
+t AS (SELECT bin, n_a, n_b,
+             sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+      FROM j)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(((n_a + 1.0) / (ta + {_PSI_BINS}.0)
+              - (n_b + 1.0) / (tb + {_PSI_BINS}.0))
+             * ln(((n_a + 1.0) / (ta + {_PSI_BINS}.0))
+                  / ((n_b + 1.0) / (tb + {_PSI_BINS}.0))), 6)
+         AS psi_contrib
+FROM t
+"""
+
+
+@register("qa_psi_drift", _PSI_SQL)
+def qa_psi_drift(spark, sf_dir):
+    """Population-stability-index (PSI) drift screen over the quality
+    score — the standard between-snapshot distribution monitor a data
+    pipeline runs on every new crawl batch (PSI < 0.1 stable, > 0.25
+    population shift): the corpus splits into two deterministic
+    cohorts (doc_id parity, standing in for consecutive snapshots),
+    quality scores bin into {b} equal-width buckets with a full bin
+    spine (absent bins materialized — the Benford discipline), and
+    each bin carries its Laplace-smoothed PSI contribution
+    (pA - pB) * ln(pA / pB) with p = (n + 1) / (total + {b}) — the
+    smoothing makes empty bins finite and is shared exactly by the
+    oracle. Joins the QA battery next to qa_benford_prices as the
+    second distribution-level check.
+
+    Scale shape: one map-side score+bin pass, two {b}-key aggs with
+    map-side combine, {b}-row finishing arithmetic (bounded window
+    for the totals — no scalar rejoin).""".format(b=_PSI_BINS)
+    d = _t(spark, sf_dir, "documents")
+    bin_col = F.least(F.lit(_PSI_BINS - 1),
+                      F.floor(textstats.quality_score("text")
+                              * _PSI_BINS)).cast("int")
+    q = d.select((F.col("doc_id") % 2).alias("grp"),
+                 bin_col.alias("bin"))
+    spine = d.sparkSession.range(0, _PSI_BINS).select(
+        F.col("id").cast("int").alias("bin"))
+    a = (q.filter(F.col("grp") == 0).groupBy("bin")
+          .agg(F.count(F.lit(1)).alias("n_a")))
+    b = (q.filter(F.col("grp") == 1).groupBy("bin")
+          .agg(F.count(F.lit(1)).alias("n_b")))
+    j = (spine.join(a, "bin", "left").join(b, "bin", "left")
+              .select("bin",
+                      F.coalesce("n_a", F.lit(0).cast("long"))
+                       .alias("n_a"),
+                      F.coalesce("n_b", F.lit(0).cast("long"))
+                       .alias("n_b")))
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ta = F.sum("n_a").over(w)
+    tb = F.sum("n_b").over(w)
+    pa = (F.col("n_a") + 1.0) / (ta + float(_PSI_BINS))
+    pb = (F.col("n_b") + 1.0) / (tb + float(_PSI_BINS))
+    return (j.select("bin", "n_a", "n_b",
+                     F.round((pa - pb) * F.log(pa / pb), 6)
+                      .alias("psi_contrib")))
+
+
 def _simhash_sql() -> str:
     terms = []
     for j in range(16):
