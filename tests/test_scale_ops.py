@@ -1485,3 +1485,65 @@ def test_all_pairs_baselines_refuse_corpus_scale(spark, monkeypatch):
     # under the cap: plans build and run
     assert similarity.brute_force_topk(
         small, "vec_id", "embedding", k=1).count() > 0
+
+
+def test_ivfsq_ivfbq_entries_injection_parity(spark):
+    """Self-search with entries=/coarse= injected from the index
+    builders must be row-identical to the default in-plan build —
+    the append-path contract the driver oracles prove at fixture
+    scale, pinned here so a between-rounds refactor of the builders
+    cannot drift silently."""
+    import random
+
+    from sequencing_integration_pipeline1_0_spark.operators import similarity
+
+    rng = random.Random(77)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    for topk, builder in (
+            (similarity.ivfsq_topk, similarity.ivfsq_index_entries),
+            (similarity.ivfbq_topk, similarity.ivfbq_index_entries)):
+        coarse = similarity.train_ivf_codebook(
+            df, "vec_id", "embedding", n_cells=4, iters=1)
+        entries = builder(df, "vec_id", "embedding", coarse=coarse)
+        inj = sorted(map(tuple, topk(
+            df, "vec_id", "embedding", k_neighbors=3, n_cells=4,
+            nprobe=2, coarse=coarse, entries=entries).collect()))
+        dflt = sorted(map(tuple, topk(
+            df, "vec_id", "embedding", k_neighbors=3, n_cells=4,
+            nprobe=2, coarse_iters=1).collect()))
+        assert inj == dflt
+
+
+def test_psi_contribs_nonnegative_and_zero_on_identical(spark):
+    """PSI invariants: every per-bin contribution is >= 0 ((p-q) and
+    ln(p/q) always share sign), and two IDENTICAL cohorts give 0.0
+    in every bin."""
+    from sequencing_integration_pipeline1_0_spark.plans import catalog
+
+    out = catalog.Q["qa_psi_drift"](spark, "/root/testdata/sf0.001") \
+        .collect()
+    assert len(out) == 10
+    assert all(r.psi_contrib >= 0.0 for r in out)
+
+    # identical cohorts: every text appears once at even and once at
+    # odd doc_id, so the two parity cohorts have identical histograms
+    docs = [(i, "alpha beta gamma delta " * (1 + i % 3))
+            for i in range(40)]
+    mirror = [(i * 2, t) for i, t in docs] + [(i * 2 + 1, t)
+                                              for i, t in docs]
+    df = spark.createDataFrame(mirror, "doc_id LONG, text STRING")
+    import sequencing_integration_pipeline1_0_spark.operators.textstats as ts
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    bin_col = F.least(F.lit(9), F.floor(ts.quality_score("text") * 10)) \
+        .cast("int")
+    q = df.select((F.col("doc_id") % 2).alias("grp"), bin_col.alias("bin"))
+    a = q.filter("grp = 0").groupBy("bin").count() \
+         .withColumnRenamed("count", "n_a")
+    b = q.filter("grp = 1").groupBy("bin").count() \
+         .withColumnRenamed("count", "n_b")
+    j = a.join(b, "bin", "outer").fillna(0)
+    rows = j.collect()
+    assert all(r.n_a == r.n_b for r in rows)   # identical histograms
