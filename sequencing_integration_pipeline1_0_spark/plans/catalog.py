@@ -6184,6 +6184,13 @@ mh_row AS (
          CAST(count(*) AS BIGINT) AS docs_affected,
          CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_affected
   FROM mh_docs JOIN toks USING (doc_id)),
+sh AS ({_SIMHASH_BALL_SQL}),
+sh_docs AS (SELECT DISTINCT id_b AS doc_id FROM sh),
+sh_row AS (
+  SELECT 'simhash' AS method,
+         CAST(count(*) AS BIGINT) AS docs_affected,
+         CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_affected
+  FROM sh_docs JOIN toks USING (doc_id)),
 ln AS ({_LINES_SQL}),
 ln_nt AS (
   SELECT l.doc_id, l.n_removed,
@@ -6208,6 +6215,7 @@ ss_row AS (
   FROM ss),
 uni AS (
   SELECT * FROM exact_row UNION ALL SELECT * FROM mh_row
+  UNION ALL SELECT * FROM sh_row
   UNION ALL SELECT * FROM ln_row UNION ALL SELECT * FROM ss_row)
 SELECT method, docs_affected, tokens_affected,
        round(CAST(docs_affected AS DOUBLE) / (SELECT n FROM tot), 6)
@@ -6226,15 +6234,19 @@ def pipe_dedup_report(spark, sf_dir):
       minhash_lsh    docs with a >= 0.7-Jaccard lower-id partner
                      (dedup_minhash_lsh's certified lever config),
                      their full token mass
+      simhash        docs with a <= 3-bit-hamming lower-id partner
+                     (simhash_near_dup_join's certified banding),
+                     their full token mass
       lines_c4       docs touched by global line dedup, tokens in
                      their removed lines (rebuild-diff, not lines x 5
                      — the last chunk of a doc can be short)
       substring      docs with a >= 10-token verbatim run shared with
                      a lower-id doc, interval-union removable tokens
-    Composes four certified queries (dedup_exact_content_hash's
-    grouping, dedup_minhash_lsh, dedup_lines_global,
-    dedup_substring_acct) into one result, the pipe_* composite
-    pattern; the oracle nests each method's full certified SQL chain.
+    Composes five certified queries (dedup_exact_content_hash's
+    grouping, dedup_minhash_lsh, simhash_near_dup_join,
+    dedup_lines_global, dedup_substring_acct) into one result, the
+    pipe_* composite pattern; the oracle nests each method's full
+    certified SQL chain.
 
     Scale shape: each branch is its own certified shape; the report
     adds only 1-row aggregates and a 4-row union — nothing beyond
@@ -6266,6 +6278,14 @@ def pipe_dedup_report(spark, sf_dir):
          .alias("tokens_affected"))
         .select(F.lit("minhash_lsh").alias("method"),
                 "docs_affected", "tokens_affected"))
+    sh_docs = (simhash_near_dup_join_q(spark, sf_dir)
+               .select(F.col("id_b").alias("doc_id")).distinct())
+    sh_row = (sh_docs.join(toks, "doc_id").agg(
+        F.count(F.lit(1)).alias("docs_affected"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long")
+         .alias("tokens_affected"))
+        .select(F.lit("simhash").alias("method"),
+                "docs_affected", "tokens_affected"))
     ln = (dedup_lines_global_q(spark, sf_dir)
           .select("doc_id", F.col("text").alias("new_text"), "n_removed"))
     ln_row = (ln.join(toks, "doc_id")
@@ -6287,8 +6307,8 @@ def pipe_dedup_report(spark, sf_dir):
                    F.lit(0)).cast("long").alias("tokens_affected"))
         .select(F.lit("substring").alias("method"),
                 "docs_affected", "tokens_affected"))
-    uni = (exact_row.unionByName(mh_row).unionByName(ln_row)
-           .unionByName(ss_row))
+    uni = (exact_row.unionByName(mh_row).unionByName(sh_row)
+           .unionByName(ln_row).unionByName(ss_row))
     return uni.select(
         "method", F.col("docs_affected").cast("long"), "tokens_affected",
         F.round(F.col("docs_affected").cast("double") / F.lit(total), 6)
