@@ -173,9 +173,12 @@ _R6_CONFIRMED = frozenset({
     "u1_union_provenance", "j12_dim_lookup", "f3_prefix_strip",
 })
 
-# Round-7 priorities: the six NEW queries (SQ8 incremental proof +
-# serving batch + composed recall, the substring REWRITE, the audio
-# fingerprint band join, the sampled/adaptive-geometry IVF row), plus
+# Round-7 priorities: session 2 adds six more NEW queries (DSIR
+# selection + Gumbel resampling, binned KS drift, Mahalanobis
+# outliers, PCA power iteration, char entropy) ahead of session 1's
+# batch (SQ8 incremental proof + serving batch + composed recall, the
+# substring REWRITE, the audio fingerprint band join, the
+# sampled/adaptive-geometry IVF row), plus
 # the two whose
 # BEHAVIOR or SQL changed this round: ann_ivfsq_topk (refactored into
 # the injectable ivfsq_pairs) and qa_benford_prices (degenerate-case
@@ -187,6 +190,9 @@ _R6_CONFIRMED = frozenset({
 # leave ~42 rotation slots — stalest-first finally clears the 15
 # r2-stale stragglers (r6 verdict item 1) with room into the r3 tail.
 _PRIORITY = [
+    "dsir_select_topk", "dsir_gumbel_topk", "qa_ks_drift",
+    "emb_mahalanobis_outliers", "emb_pca_top_component",
+    "text_char_entropy",
     "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
     "ann_ivfsq_recall", "dedup_substring_rewrite",
     "mm_audio_fingerprint_pairs", "mm_audio_fingerprint_near_dup",

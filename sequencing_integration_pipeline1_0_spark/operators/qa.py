@@ -444,3 +444,77 @@ def benford_first_digit(df: DataFrame, col: str, *,
                .select("digit", "observed",
                        F.round(exp, round_to).alias("expected"),
                        F.round(contrib, round_to).alias("chi2_contrib")))
+
+
+#: ks_binned_drift default bin count; the oracle SQL (catalog._KS_SQL)
+#: interpolates the SAME value the keyword default binds
+KS_BINS = 32
+
+
+def ks_binned_drift(df: DataFrame, value_col: str, grp_col: str, *,
+                    bins: int = KS_BINS,
+                    round_to: int = 6) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift screen over a
+    numeric column split into two cohorts (grp 0 vs 1) — the
+    rank-based complement to the PSI screen (PSI is sensitive to
+    mass reallocation between bins; KS to a location/scale shift of
+    the whole distribution). Values bin into `bins` equal-width
+    buckets over the pooled [min, max]; each bucket row carries both
+    cohorts' counts, empirical CDFs, and |CDF_a - CDF_b| — the KS
+    statistic is the column max, and the bin where it peaks localizes
+    the drift. Exact KS needs a global sort of every observation;
+    binning bounds the error by the largest bucket's mass while
+    keeping every step bounded — the only honest shape at 100 TB.
+
+    Determinism: the bin index comes from one double division of
+    pooled-extreme-derived operands, mirrored exactly by the oracle;
+    CDFs are single divisions of exact integer cumulative counts.
+    Degenerate cohorts (one side empty) yield CDF 0 via the
+    greatest(total, 1) guard instead of engine-dependent nulls; a
+    constant column (max == min) lands everything in bin 0.
+
+    Scale shape: one 2-scalar extremes agg broadcast back map-side,
+    one bins-key agg with map-side combine, then bounded spine
+    windows (cumulative + totals) over `bins` rows."""
+    mm = df.agg(F.min(F.col(value_col).cast("double")).alias("lo"),
+                F.max(F.col(value_col).cast("double")).alias("hi"))
+    v = (df.filter(F.col(value_col).isNotNull())
+           .select(F.col(grp_col).cast("int").alias("grp"),
+                   F.col(value_col).cast("double").alias("v"))
+           .join(F.broadcast(mm)))
+    bin_col = (F.when(F.col("hi") > F.col("lo"),
+                      F.least(F.lit(bins - 1),
+                              F.floor((F.col("v") - F.col("lo"))
+                                      / (F.col("hi") - F.col("lo"))
+                                      * bins)))
+                .otherwise(F.lit(0))).cast("int")
+    q = v.select("grp", bin_col.alias("bin"))
+    spine = df.sparkSession.range(0, bins).select(
+        F.col("id").cast("int").alias("bin"))
+    cnt = (q.groupBy("bin")
+            .agg(F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+                  .cast("long").alias("n_a"),
+                 F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_b")))
+    j = (spine.join(cnt, "bin", "left")
+              .select("bin",
+                      F.coalesce("n_a", F.lit(0).cast("long"))
+                       .alias("n_a"),
+                      F.coalesce("n_b", F.lit(0).cast("long"))
+                       .alias("n_b")))
+    from pyspark.sql import Window
+    w_cum = Window.partitionBy(F.lit(1)).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cdf_a = F.round(F.sum("n_a").over(w_cum)
+                    / F.greatest(F.sum("n_a").over(w_all), F.lit(1)),
+                    round_to)
+    cdf_b = F.round(F.sum("n_b").over(w_cum)
+                    / F.greatest(F.sum("n_b").over(w_all), F.lit(1)),
+                    round_to)
+    return (j.select("bin", "n_a", "n_b",
+                     cdf_a.alias("cdf_a"), cdf_b.alias("cdf_b"))
+             .select("bin", "n_a", "n_b", "cdf_a", "cdf_b",
+                     F.round(F.abs(F.col("cdf_a") - F.col("cdf_b")),
+                             round_to).alias("ks_dist")))

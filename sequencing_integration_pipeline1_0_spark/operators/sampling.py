@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedupe_scale import lcg_bucket
+from .dedupe_scale import lcg_bucket, words
 
 #: bucket space for keep-rates; rate resolution = 1/4096
 RATE_DENOM = 4096
@@ -201,6 +201,140 @@ def sample_temperature(df: DataFrame, domain_col: str, id_col: str, *,
                       "keep_buckets",
                       (lcg_bucket(F.col(id_col), rate_denom)
                        < F.col("keep_buckets")).cast("int").alias("kept")))
+
+
+#: DSIR defaults; the oracle SQL (catalog._DSIR_SQL) interpolates the
+#: SAME values the keyword defaults bind
+DSIR_N_BUCKETS = 64
+DSIR_TOPK = 100
+
+
+def dsir_log_weights(df: DataFrame, id_col: str, text_col: str,
+                     is_target, *, n_buckets: int = DSIR_N_BUCKETS,
+                     round_to: int = 6) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-unigram features are
+    under a TARGET domain's token distribution than under the raw
+    corpus's. Tokens hash into n_buckets buckets (the paper's hashed
+    n-gram feature space — collisions are the point: the model stays
+    a fixed-size broadcastable dim no matter the vocabulary), both
+    distributions are Laplace-smoothed bucket frequencies over a full
+    bucket spine, and a doc's weight is the sum over its tokens of
+    round(ln p_target(b) - ln p_raw(b), round_to).
+
+    `is_target` is a boolean Column over df's rows marking the target
+    exemplars (they stay in the raw pool too, as in the paper: raw =
+    the whole crawl, target = the trusted slice).
+
+    Returns (id, n_tokens, w) for every doc with >=1 token; w is the
+    DECIMAL(28,r) exact sum of quantized per-bucket log-ratios, so it
+    is partition-order independent and oracle-exact (the house
+    unigram_doc_score discipline). Token-less docs drop out — they
+    carry no evidence either way and a selector takes top-k anyway.
+
+    Scale shape: the bucket LM is one n_buckets-row agg (map-side
+    combinable) finished by bounded spine windows; it broadcast-joins
+    back onto the exploded corpus (map-side), then one groupBy(id)
+    partial-aggregating sum. The corpus text never shuffles."""
+    tok_bucket = (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10)
+                   .cast("int") % n_buckets)
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__is_t"),
+        F.explode(F.filter(words(text_col), lambda x: x != ""))
+         .alias("tok"))
+    b = toks.select("__id", "__is_t", tok_bucket.alias("bkt"))
+    spine = (df.sparkSession.range(0, n_buckets)
+               .select(F.col("id").cast("int").alias("bkt")))
+    cnt = (b.groupBy("bkt")
+            .agg(F.sum(F.col("__is_t").cast("long")).alias("n_t"),
+                 F.count(F.lit(1)).alias("n_r")))
+    cnt = (spine.join(cnt, "bkt", "left")
+                .select("bkt",
+                        F.coalesce("n_t", F.lit(0).cast("long"))
+                         .alias("n_t"),
+                        F.coalesce("n_r", F.lit(0).cast("long"))
+                         .alias("n_r")))
+    from pyspark.sql import Window
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    tt = F.sum("n_t").over(w_all)
+    tr = F.sum("n_r").over(w_all)
+    bb = float(n_buckets)
+    lr = F.round(F.log((F.col("n_t") + 1.0) / (tt + bb))
+                 - F.log((F.col("n_r") + 1.0) / (tr + bb)),
+                 round_to).cast(f"decimal(18,{round_to})")
+    lm = cnt.select("bkt", lr.alias("lr"))
+    return (b.join(F.broadcast(lm), "bkt")
+             .groupBy("__id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                  F.sum("lr").alias("w"))
+             .select(F.col("__id").alias(id_col), "n_tokens", "w"))
+
+
+def dsir_select_topk(df: DataFrame, id_col: str, text_col: str,
+                     is_target, *, n_buckets: int = DSIR_N_BUCKETS,
+                     k: int = DSIR_TOPK,
+                     round_to: int = 6) -> DataFrame:
+    """DSIR selection: the k raw documents whose hashed-unigram
+    importance weight (dsir_log_weights) is highest — the docs that
+    look most like the target domain. Deterministic rank (weight
+    desc, id asc) stands in for the paper's Gumbel-top-k resampling:
+    add engine-portable Gumbel noise (-ln(-ln(u)) with u from
+    lcg_bucket) to w before ranking to get the sampled variant;
+    certification pins the noiseless rank.
+
+    Scale shape: orderBy(...).limit(k) compiles to TakeOrdered —
+    per-partition top-k then a k-row driver merge; the full weight
+    table never globally sorts."""
+    scored = dsir_log_weights(df, id_col, text_col, is_target,
+                              n_buckets=n_buckets, round_to=round_to)
+    return (scored.orderBy(F.col("w").desc(), id_col)
+                  .limit(k)
+                  .select(id_col, "n_tokens",
+                          F.round(F.col("w").cast("double"), round_to)
+                           .alias("logratio")))
+
+
+#: Gumbel resampling defaults (oracle-interpolated)
+DSIR_GUMBEL_DENOM = 4096
+DSIR_GUMBEL_TAU = 1.0
+
+
+def dsir_gumbel_topk(df: DataFrame, id_col: str, text_col: str,
+                     is_target, *, n_buckets: int = DSIR_N_BUCKETS,
+                     k: int = DSIR_TOPK, tau: float = DSIR_GUMBEL_TAU,
+                     denom: int = DSIR_GUMBEL_DENOM,
+                     round_to: int = 6) -> DataFrame:
+    """DSIR's actual resampling step (Xie et al. 2023 §3): sample k
+    docs WITHOUT replacement with probability proportional to
+    exp(w/tau) via the Gumbel-top-k trick — rank by w + tau * g where
+    g = -ln(-ln(u)) is standard Gumbel noise. u comes from lcg_bucket
+    (id-seeded, engine-portable), u = (bucket + 0.5) / denom — strictly
+    inside (0,1), so g is always finite — making the SAMPLE itself
+    reproducible across reruns and engines (the module-header rand()
+    ban), hence certifiable: the oracle draws the same noise.
+    tau -> 0 degenerates to dsir_select_topk's argmax rank; larger tau
+    admits more diversity from the raw pool.
+
+    Returns (id, n_tokens, logratio, gumbel_key) for the k sampled
+    docs, key ties broken by id.
+
+    Scale shape: dsir_log_weights (broadcast bucket LM, one groupBy)
+    + a map-side noise column + TakeOrdered."""
+    scored = dsir_log_weights(df, id_col, text_col, is_target,
+                              n_buckets=n_buckets, round_to=round_to)
+    u = ((lcg_bucket(F.col(id_col), denom) + 0.5)
+         / F.lit(float(denom)))
+    g = -F.log(-F.log(u))
+    key = F.round(F.col("w").cast("double") + F.lit(tau) * g, round_to)
+    return (scored.select(id_col, "n_tokens",
+                          F.round(F.col("w").cast("double"), round_to)
+                           .alias("logratio"),
+                          key.alias("gumbel_key"))
+                  .orderBy(F.col("gumbel_key").desc(), id_col)
+                  .limit(k))
 
 
 #: training-shard manifest defaults; oracle SQL interpolates these

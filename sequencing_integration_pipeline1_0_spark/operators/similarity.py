@@ -1488,3 +1488,203 @@ def ivfsq_topk(df: DataFrame, id_col: str, vec_col: str, *,
                  .select(F.col("qid").alias("id"), "neighbor_id",
                          "cos_q",
                          F.col("rank").cast("int").alias("rank")))
+
+
+# ------------------------------------------- embedding-space outliers
+# Distributional screens over the embedding column itself — the
+# curation step that runs BEFORE indexing: junk vectors (all-zero,
+# clipped, off-manifold encoder failures) poison both the coarse
+# codebooks and the dedup thresholds, so a pipeline drops the extreme
+# tail first.
+
+
+def mahalanobis_diag_stats(df: DataFrame, id_col: str, vec_col: str,
+                           *, round_to: int = 6) -> DataFrame:
+    """Per-dimension corpus statistics for the diagonal-covariance
+    Mahalanobis screen: (dim, n, mu, var) with the sums on the house
+    decimal-exact path (components quantize to 1e-round_to, sums are
+    DECIMAL — partition-order independent, oracle-exact) and the
+    finishing mean/variance single double divisions of exact values.
+
+    Scale shape: one posexplode + a d-key agg with map-side combine —
+    the output is a d-row dim (broadcast size regardless of corpus)."""
+    xq = (F.round(F.col("x").cast("double"), round_to)
+           .cast(f"decimal(18,{round_to})"))
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .select("id", F.col("dim").cast("int").alias("dim"),
+                    xq.alias("xq")))
+    st = (ex.groupBy("dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("xq").alias("s1"),
+                 F.sum((F.col("xq") * F.col("xq"))
+                       .cast(f"decimal(38,{2 * round_to})"))
+                  .alias("s2")))
+    mu = F.col("s1").cast("double") / F.col("n")
+    return st.select(
+        "dim", "n", mu.alias("mu"),
+        (F.col("s2").cast("double") / F.col("n") - mu * mu).alias("var"))
+
+
+def mahalanobis_diag_topk(df: DataFrame, id_col: str, vec_col: str, *,
+                          k_out: int = 100, eps: float = 1e-6,
+                          round_to: int = 6) -> DataFrame:
+    """Top-k embedding-space outliers by diagonal-covariance
+    Mahalanobis distance: score(v) = sum_d (v_d - mu_d)^2 /
+    (var_d + eps) — the standard cheap off-manifold screen (the full
+    covariance needs a d x d inverse; the diagonal form is the
+    per-dimension z-score energy and is what's computable in one agg
+    pass at corpus scale). Returns (id, n_dims, maha_sq), the k_out
+    highest scores, rank ties broken by id.
+
+    Per-dimension contributions quantize to 1e-round_to and sum in
+    DECIMAL (partition-order exact, oracle-exact); mu/var come from
+    mahalanobis_diag_stats' decimal-exact sums, so every double op
+    has identical operands in both engines. eps keeps constant
+    dimensions finite (their numerator is 0, so they contribute 0).
+
+    Scale shape: the d-row stats dim broadcast-joins back onto the
+    exploded corpus (map-side), one groupBy(id) partial-aggregating
+    sum, then orderBy().limit(k_out) — TakeOrdered, per-partition
+    top-k + a k-row driver merge, never a global sort."""
+    stats = mahalanobis_diag_stats(df, id_col, vec_col,
+                                   round_to=round_to)
+    xq = (F.round(F.col("x").cast("double"), round_to)
+           .cast(f"decimal(18,{round_to})"))
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .select("id", F.col("dim").cast("int").alias("dim"),
+                    xq.alias("xq")))
+    d = F.col("xq").cast("double") - F.col("mu")
+    contrib = (F.round(d * d / (F.col("var") + F.lit(eps)), round_to)
+                .cast(f"decimal(18,{round_to})"))
+    scored = (ex.join(F.broadcast(stats), "dim")
+                .select("id", contrib.alias("c"))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).cast("int").alias("n_dims"),
+                     F.sum("c").alias("m")))
+    return (scored.orderBy(F.col("m").desc(), "id")
+                  .limit(k_out)
+                  .select("id", "n_dims",
+                          F.round(F.col("m").cast("double"), round_to)
+                           .alias("maha_sq")))
+
+
+#: power-iteration sweep count; the oracle SQL (catalog._PCA_SQL)
+#: unrolls the SAME number of CTE rounds
+PCA_ITERS = 8
+
+
+def pca_top_component(df: DataFrame, id_col: str, vec_col: str, *,
+                      iters: int = PCA_ITERS,
+                      round_to: int = 6) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration — the whitening/centering prerequisite for
+    quantization and the classic "dominant direction" diagnostic
+    (a single direction explaining most variance usually means the
+    encoder collapsed or one feature leaks). Returns d rows
+    (dim, loading, eigval, explained_frac): the unit top eigenvector
+    of the covariance matrix, its eigenvalue, and eigval / trace.
+
+    Covariance build is the scale-honest shape: each vector emits its
+    d x d outer-product terms MAP-SIDE via higher-order functions
+    (exact DECIMAL products of 1e-round_to-quantized components — no
+    per-pair self-join), and one groupBy((i, j)) with map-side combine
+    reduces to a d^2-row table; the corpus never shuffles. C(i,j) =
+    G(i,j)/n - mu_i mu_j quantizes to 1e-round_to, making every
+    subsequent op a mirrored exact-operand double/decimal step:
+    iterate v <- round(Cv / |Cv|, 1e-r) from the uniform start
+    1/sqrt(d), each matrix-vector product an exact decimal sum. The
+    sign is the (deterministic) power-iteration sign from that fixed
+    start — identical across engines because every operation is.
+    iters is the convergence lever (8 sweeps separate the top
+    eigenvalue unless the spectrum is near-degenerate — in which case
+    ANY direction in the top eigenspace is an equally-valid answer).
+
+    Scale shape: after the one map-side pass + d^2-key agg, all
+    iteration state is d^2 + d rows (broadcast joins, bounded
+    windows) regardless of corpus size."""
+    from .dedupe_scale import bind_once
+
+    dec = f"decimal(18,{round_to})"
+    dec2 = f"decimal(38,{2 * round_to})"
+    stats = mahalanobis_diag_stats(df, id_col, vec_col,
+                                   round_to=round_to)
+    vq = F.transform(F.col(vec_col),
+                     lambda v: F.round(v.cast("double"), round_to)
+                                .cast(dec))
+
+    def pair_terms(q):
+        seq = F.sequence(F.lit(0), F.size(q) - 1)
+        return F.flatten(F.transform(seq, lambda i: F.transform(
+            seq, lambda j: F.struct(
+                i.cast("int").alias("i"), j.cast("int").alias("j"),
+                (F.element_at(q, (i + 1).cast("int"))
+                 * F.element_at(q, (j + 1).cast("int"))).alias("p")))))
+
+    g = (df.select(F.explode(bind_once(vq, pair_terms)).alias("t"))
+           .select("t.i", "t.j", "t.p")
+           .groupBy("i", "j")
+           .agg(F.sum("p").alias("gp"),
+                F.count(F.lit(1)).alias("nv")))
+    mu = stats.select("dim", "mu")
+    c = (g.join(F.broadcast(mu.select(F.col("dim").alias("i"),
+                                      F.col("mu").alias("mu_i"))), "i")
+          .join(F.broadcast(mu.select(F.col("dim").alias("j"),
+                                      F.col("mu").alias("mu_j"))), "j")
+          .select("i", "j",
+                  F.round(F.col("gp").cast("double") / F.col("nv")
+                          - F.col("mu_i") * F.col("mu_j"), round_to)
+                   .cast(dec).alias("qc")))
+    # every power sweep re-joins against C; without lineage truncation
+    # each sweep would re-derive it — i.e. re-scan the CORPUS per
+    # iteration (the connected-components localCheckpoint discipline,
+    # dedupe_scale.py). C is d^2 rows: materializing it is free, and
+    # the corpus is now touched exactly once per stats/Gram pass.
+    c = c.localCheckpoint()
+
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    # dim spine from the CHECKPOINTED diagonal — not from stats, whose
+    # lineage is another corpus scan
+    v = (c.filter(F.col("i") == F.col("j"))
+          .select(F.col("i").alias("j"))
+          .select("j",
+                  F.round(F.lit(1.0)
+                          / F.sqrt(F.count(F.lit(1)).over(w_all)
+                                    .cast("double")), round_to)
+                   .cast(dec).alias("v")))
+    for _ in range(iters):
+        w = (c.join(F.broadcast(v), "j")
+              .groupBy("i")
+              .agg(F.sum(F.col("qc") * F.col("v")).alias("wv")))
+        wd = F.col("wv").cast("double")
+        w = w.select("i", wd.alias("wd"),
+                     F.round(wd * wd, 2 * round_to).cast(dec2)
+                      .alias("w2"))
+        nm = F.sqrt(F.sum("w2").over(w_all).cast("double"))
+        v = w.select(F.col("i").alias("j"),
+                     F.when(nm > 0,
+                            F.round(F.col("wd") / nm, round_to))
+                      .otherwise(F.lit(0.0)).cast(dec).alias("v"))
+
+    vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v.select("j", F.col("v").alias("vj"))
+    terms = (c.join(F.broadcast(vj), "j")
+              .join(F.broadcast(vi), "i")
+              .select(F.round(F.col("qc").cast("double")
+                              * F.col("vi").cast("double")
+                              * F.col("vj").cast("double"),
+                              2 * round_to).cast(dec2).alias("t"),
+                      F.when(F.col("i") == F.col("j"), F.col("qc"))
+                       .alias("diag")))
+    scal = terms.agg(F.sum("t").alias("e"), F.sum("diag").alias("tr"))
+    e_d = F.col("e").cast("double")
+    tr_d = F.col("tr").cast("double")
+    return (v.join(F.broadcast(scal))
+             .select(F.col("j").cast("int").alias("dim"),
+                     F.col("v").cast("double").alias("loading"),
+                     F.round(e_d, round_to).alias("eigval"),
+                     F.when(tr_d != 0,
+                            F.round(e_d / tr_d, round_to))
+                      .otherwise(F.lit(0.0)).alias("explained_frac")))

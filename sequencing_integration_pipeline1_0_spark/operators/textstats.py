@@ -1560,3 +1560,54 @@ def tfidf_cosine_topk(df, id_col: str = "doc_id", text_col: str = "text",
                                              "doc_b")
     return (loc.withColumn("rank", F.row_number().over(fw).cast("int"))
                .where(F.col("rank") <= k))
+
+
+def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
+                 *, round_to: int = 6):
+    """Per-document Shannon character entropy — the classic gibberish
+    / repeated-junk screen (a doc of one repeated character scores 0;
+    natural English sits ~4.1 bits ≈ 2.85 nats): H = ln(L) - S/L with
+    S = sum over distinct chars of n_c * ln(n_c). Returns
+    (id, n_chars_tot, n_distinct, entropy) for EVERY doc; empty docs
+    get 0.0, never null, so gates compose.
+
+    The per-char n*ln(n) terms quantize to 1e-round_to and sum in
+    DECIMAL (house decimal-exact path), so the result is
+    partition-order independent and oracle-exact; ln(L) - S/L is two
+    double ops on exact values.
+
+    Scale shape: the char histogram is computed MAP-SIDE per row with
+    higher-order functions (distinct chars x occurrences — O(a*L)
+    per doc with alphabet-bounded a, no per-character explode);
+    only slim (id, char, n) rows shuffle into the per-doc agg,
+    fan-out bounded by the alphabet, not the text length."""
+    chars = bind_once(
+        F.filter(F.split(F.col(text_col), ""), lambda c: c != ""),
+        lambda cs: F.transform(
+            F.array_distinct(cs),
+            lambda c: F.struct(
+                c.alias("ch"),
+                F.size(F.filter(cs, lambda x: x == c)).alias("n"))))
+    ex = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(chars).alias("p"))
+            .select("__id", F.col("p.ch").alias("ch"),
+                    F.col("p.n").cast("long").alias("n")))
+    s_term = (F.round(F.col("n") * F.log(F.col("n")), round_to)
+               .cast(f"decimal(18,{round_to})"))
+    per = (ex.select("__id", "n", s_term.alias("s"))
+             .groupBy("__id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                  F.sum("n").cast("long").alias("len"),
+                  F.sum("s").alias("s")))
+    return (df.select(F.col(id_col).alias("__id"))
+              .join(per, "__id", "left")
+              .select(F.col("__id").alias(id_col),
+                      F.coalesce("len", F.lit(0).cast("long"))
+                       .alias("n_chars_tot"),
+                      F.coalesce("n_distinct", F.lit(0).cast("long"))
+                       .alias("n_distinct"),
+                      F.when(F.col("len") > 0,
+                             F.round(F.log(F.col("len"))
+                                     - F.col("s").cast("double")
+                                       / F.col("len"), round_to))
+                       .otherwise(F.lit(0.0)).alias("entropy")))

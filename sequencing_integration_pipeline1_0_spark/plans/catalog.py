@@ -10251,3 +10251,372 @@ def qa_benford_prices(spark, sf_dir):
     literals are Python-computed (no per-row transcendental)."""
     li = _t(spark, sf_dir, "lineitem")
     return qa.benford_first_digit(li, "l_extendedprice")
+
+
+# --------------------------------------------------------------- DSIR
+from ..operators import sampling as _sampling  # noqa: E402
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
+         unnest(list_filter(
+             regexp_split_to_array(trim(text), '\\s+'),
+             x -> x != '')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS INT)
+           % {_sampling.DSIR_N_BUCKETS} AS bkt
+  FROM toks),
+spine AS (
+  SELECT unnest(range(0, {_sampling.DSIR_N_BUCKETS})) AS bkt),
+cnt AS (
+  SELECT spine.bkt,
+         coalesce(sum(CASE WHEN b.is_t THEN 1 ELSE 0 END), 0) AS n_t,
+         count(b.bkt) AS n_r
+  FROM spine LEFT JOIN b ON spine.bkt = b.bkt
+  GROUP BY spine.bkt),
+lm AS (
+  SELECT bkt,
+         CAST(round(
+             ln((n_t + 1.0) / (tt + {_sampling.DSIR_N_BUCKETS}.0))
+             - ln((n_r + 1.0) / (tr + {_sampling.DSIR_N_BUCKETS}.0)),
+             6) AS DECIMAL(18,6)) AS lr
+  FROM (SELECT bkt, n_t, n_r,
+               sum(n_t) OVER () AS tt, sum(n_r) OVER () AS tr
+        FROM cnt)),
+scored AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(lm.lr) AS w
+  FROM b JOIN lm ON b.bkt = lm.bkt
+  GROUP BY b.doc_id)
+SELECT doc_id, n_tokens, round(CAST(w AS DOUBLE), 6) AS logratio
+FROM scored ORDER BY w DESC, doc_id LIMIT {_sampling.DSIR_TOPK}
+"""
+
+
+@register("dsir_select_topk", _DSIR_SQL)
+def dsir_select_topk_q(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): pick the raw documents
+    whose hashed-unigram features look most like a trusted target
+    domain (here the lang='en' slice stands in for the paper's
+    Wikipedia+books target). Tokens hash into a fixed bucket space,
+    target and raw bucket distributions are Laplace-smoothed over a
+    full spine, and each doc scores the decimal-exact sum of its
+    tokens' quantized log importance ratios
+    (sampling.dsir_log_weights); the top-k by (weight desc, doc_id)
+    is the selected slice — the deterministic certification rank for
+    the paper's Gumbel-top-k resampling (sampling.dsir_select_topk's
+    docstring names the noise recipe).
+
+    Scale shape: bucket LM = one 64-row agg finished by bounded spine
+    windows, broadcast back map-side; one groupBy(doc) sum; the
+    selection is TakeOrdered (per-partition top-k + k-row driver
+    merge). Corpus text never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    return _sampling.dsir_select_topk(
+        d, "doc_id", "text",
+        F.coalesce(F.col("lang") == "en", F.lit(False)))
+
+
+_KS_SQL = f"""
+WITH v AS (
+  SELECT CAST(event_id % 2 AS INT) AS grp, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+q AS (
+  SELECT grp,
+         CASE WHEN hi > lo THEN least({qa.KS_BINS - 1},
+             CAST(floor((v - lo) / (hi - lo) * {qa.KS_BINS}) AS INT))
+         ELSE 0 END AS bin
+  FROM v CROSS JOIN mm),
+spine AS (SELECT unnest(range(0, {qa.KS_BINS})) AS bin),
+cnt AS (
+  SELECT bin, sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM q GROUP BY bin),
+j AS (
+  SELECT spine.bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM spine LEFT JOIN cnt USING (bin)),
+c AS (
+  SELECT bin, n_a, n_b,
+         round(CAST(sum(n_a) OVER (ORDER BY bin) AS DOUBLE)
+               / greatest(sum(n_a) OVER (), 1), 6) AS cdf_a,
+         round(CAST(sum(n_b) OVER (ORDER BY bin) AS DOUBLE)
+               / greatest(sum(n_b) OVER (), 1), 6) AS cdf_b
+  FROM j)
+SELECT CAST(bin AS INT) AS bin, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, cdf_a, cdf_b,
+       round(abs(cdf_a - cdf_b), 6) AS ks_dist
+FROM c
+"""
+
+
+@register("qa_ks_drift", _KS_SQL)
+def qa_ks_drift(spark, sf_dir):
+    """Binned two-sample Kolmogorov-Smirnov drift screen over the
+    event value distribution (qa.ks_binned_drift), cohorts split by
+    event_id parity (standing in for consecutive snapshots, the
+    qa_psi_drift convention) — the rank-based complement to PSI in
+    the QA battery: PSI flags mass reallocation between bins, KS
+    flags a location/scale shift of the whole distribution, and the
+    per-bin |CDF_a - CDF_b| column localizes WHERE the distributions
+    diverge (the KS statistic is the column max). Exact KS needs a
+    global sort of every observation — the binned form is the
+    bounded-state shape that survives 100 TB, with error bounded by
+    the largest bin's mass.
+
+    Scale shape: one 2-scalar extremes agg broadcast back map-side,
+    one 32-key agg with map-side combine, bounded spine windows for
+    the CDFs."""
+    ev = _t(spark, sf_dir, "events")
+    return qa.ks_binned_drift(
+        ev.select((F.col("event_id") % 2).alias("grp"), "value"),
+        "value", "grp")
+
+
+_MAHA_SQL = """
+WITH ex AS (
+  SELECT vec_id AS id, CAST(i AS INT) - 1 AS dim,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+st AS (
+  SELECT dim, count(*) AS n, sum(xq) AS s1,
+         sum(CAST(xq * xq AS DECIMAL(38,12))) AS s2
+  FROM ex GROUP BY dim),
+mv AS (
+  SELECT dim, CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS vr
+  FROM st),
+c AS (
+  SELECT ex.id,
+         CAST(round((CAST(xq AS DOUBLE) - mu)
+                    * (CAST(xq AS DOUBLE) - mu)
+                    / (vr + 1e-06), 6) AS DECIMAL(18,6)) AS contrib
+  FROM ex JOIN mv USING (dim)),
+s AS (
+  SELECT id, CAST(count(*) AS INT) AS n_dims, sum(contrib) AS m
+  FROM c GROUP BY id)
+SELECT id, n_dims, round(CAST(m AS DOUBLE), 6) AS maha_sq
+FROM s ORDER BY m DESC, id LIMIT 100
+"""
+
+
+@register("emb_mahalanobis_outliers", _MAHA_SQL)
+def emb_mahalanobis_outliers(spark, sf_dir):
+    """Embedding-space outlier screen: the 100 vectors with the
+    highest diagonal-covariance Mahalanobis distance — per-dimension
+    z-score energy sum_d (v_d - mu_d)^2 / (var_d + eps)
+    (similarity.mahalanobis_diag_topk). The curation step that runs
+    BEFORE indexing or embedding-dedup: all-zero, clipped, or
+    off-manifold encoder failures distort coarse codebooks and
+    cosine thresholds, so the extreme tail is dropped (or re-embedded)
+    first. Diagonal covariance is the corpus-scale form — the full
+    matrix needs a d x d inverse; the diagonal is one agg pass.
+
+    Scale shape: posexplode + d-key stats agg (map-side combine,
+    d-row broadcast dim), map-side rejoin, one groupBy(id) decimal
+    sum, TakeOrdered top-k — never a global sort."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.mahalanobis_diag_topk(e, "vec_id", "embedding")
+
+
+_GUMBEL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
+         unnest(list_filter(
+             regexp_split_to_array(trim(text), '\\s+'),
+             x -> x != '')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS INT)
+           % {_sampling.DSIR_N_BUCKETS} AS bkt
+  FROM toks),
+spine AS (
+  SELECT unnest(range(0, {_sampling.DSIR_N_BUCKETS})) AS bkt),
+cnt AS (
+  SELECT spine.bkt,
+         coalesce(sum(CASE WHEN b.is_t THEN 1 ELSE 0 END), 0) AS n_t,
+         count(b.bkt) AS n_r
+  FROM spine LEFT JOIN b ON spine.bkt = b.bkt
+  GROUP BY spine.bkt),
+lm AS (
+  SELECT bkt,
+         CAST(round(
+             ln((n_t + 1.0) / (tt + {_sampling.DSIR_N_BUCKETS}.0))
+             - ln((n_r + 1.0) / (tr + {_sampling.DSIR_N_BUCKETS}.0)),
+             6) AS DECIMAL(18,6)) AS lr
+  FROM (SELECT bkt, n_t, n_r,
+               sum(n_t) OVER () AS tt, sum(n_r) OVER () AS tr
+        FROM cnt)),
+scored AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(lm.lr) AS w
+  FROM b JOIN lm ON b.bkt = lm.bkt
+  GROUP BY b.doc_id),
+keyed AS (
+  SELECT doc_id, n_tokens, round(CAST(w AS DOUBLE), 6) AS logratio,
+         round(CAST(w AS DOUBLE) + {_sampling.DSIR_GUMBEL_TAU}
+               * (-ln(-ln((CAST(floor(((doc_id * 1103515245 + 12345)
+                       % {65536 * _sampling.DSIR_GUMBEL_DENOM})
+                       / 65536) AS DOUBLE) + 0.5)
+                   / {_sampling.DSIR_GUMBEL_DENOM}.0))), 6)
+           AS gumbel_key
+  FROM scored)
+SELECT doc_id, n_tokens, logratio, gumbel_key
+FROM keyed ORDER BY gumbel_key DESC, doc_id
+LIMIT {_sampling.DSIR_TOPK}
+"""
+
+
+@register("dsir_gumbel_topk", _GUMBEL_SQL)
+def dsir_gumbel_topk_q(spark, sf_dir):
+    """DSIR's actual RESAMPLING step (Xie et al. 2023 §3): Gumbel-
+    top-k sampling without replacement with probability proportional
+    to exp(w/tau) — rank by w + tau * (-ln(-ln u)) — with the noise u
+    drawn from the id-seeded engine-portable LCG ((bucket + 0.5) /
+    4096, strictly inside (0,1) so the Gumbel is finite), making the
+    SAMPLE itself reproducible and oracle-certifiable (the module-
+    header rand() ban applied to a randomized algorithm: the
+    randomness is data, not engine state). dsir_select_topk is this
+    query's tau->0 argmax limit; together they certify both the
+    deterministic and the sampled selection paths.
+
+    Scale shape: identical to dsir_select_topk (broadcast 64-row
+    bucket LM, one groupBy(doc), TakeOrdered) plus one map-side noise
+    column."""
+    d = _t(spark, sf_dir, "documents")
+    return _sampling.dsir_gumbel_topk(
+        d, "doc_id", "text",
+        F.coalesce(F.col("lang") == "en", F.lit(False)))
+
+
+_CHAR_ENTROPY_SQL = """
+WITH ex AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+cnt AS (SELECT doc_id, ch, count(*) AS n FROM ex GROUP BY doc_id, ch),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(n) AS BIGINT) AS len,
+         sum(CAST(round(n * ln(n), 6) AS DECIMAL(18,6))) AS s
+  FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.len, 0) AS n_chars_tot,
+       coalesce(p.n_distinct, 0) AS n_distinct,
+       CASE WHEN p.len > 0
+            THEN round(ln(p.len) - CAST(p.s AS DOUBLE) / p.len, 6)
+            ELSE 0.0 END AS entropy
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("text_char_entropy", _CHAR_ENTROPY_SQL)
+def text_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy
+    (textstats.char_entropy) — the classic gibberish / repeated-junk
+    screen (one repeated char scores 0 nats; natural English ~2.8):
+    H = ln(L) - sum_c n_c ln(n_c) / L, the n ln n terms on the house
+    decimal-exact path. Joins the quality battery next to
+    text_lang_quality_fingerprint (ratio features) and
+    text_repetition_metrics (span features) as the
+    distribution-of-characters feature.
+
+    Scale shape: the char histogram is computed map-side per row with
+    higher-order functions (no per-character explode); only slim
+    (id, char, n) rows — fan-out bounded by the alphabet — shuffle
+    into the per-doc agg."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.char_entropy(d, "doc_id", "text")
+
+
+def _pca_sql() -> str:
+    """Unrolled power-iteration oracle: one (w, x, v) CTE triple per
+    sweep, mirroring similarity.pca_top_component's exact arithmetic
+    (decimal matrix-vector sums, quantized normalize)."""
+    it = similarity.PCA_ITERS
+    parts = ["""
+WITH ex AS (
+  SELECT vec_id AS id, CAST(i AS INT) - 1 AS dim,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+st AS (
+  SELECT dim, count(*) AS n, sum(xq) AS s1 FROM ex GROUP BY dim),
+mu AS (SELECT dim, CAST(s1 AS DOUBLE) / n AS mu FROM st),
+g AS (
+  SELECT a.dim AS i, b.dim AS j, sum(a.xq * b.xq) AS gp,
+         count(*) AS nv
+  FROM ex a JOIN ex b USING (id) GROUP BY a.dim, b.dim),
+c AS (
+  SELECT g.i, g.j,
+         CAST(round(CAST(gp AS DOUBLE) / nv - mi.mu * mj.mu, 6)
+              AS DECIMAL(18,6)) AS qc
+  FROM g JOIN mu mi ON g.i = mi.dim JOIN mu mj ON g.j = mj.dim),
+v0 AS (
+  SELECT dim AS j,
+         CAST(round(1.0 / sqrt(CAST(count(*) OVER () AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS v
+  FROM st)"""]
+    prev = "v0"
+    for k in range(1, it + 1):
+        parts.append(f""",
+w{k} AS (
+  SELECT c.i, sum(c.qc * {prev}.v) AS wv
+  FROM c JOIN {prev} ON c.j = {prev}.j GROUP BY c.i),
+x{k} AS (
+  SELECT i, CAST(wv AS DOUBLE) AS wd,
+         CAST(round(CAST(wv AS DOUBLE) * CAST(wv AS DOUBLE), 12)
+              AS DECIMAL(38,12)) AS w2
+  FROM w{k}),
+v{k} AS (
+  SELECT i AS j,
+         CASE WHEN sqrt(CAST(sum(w2) OVER () AS DOUBLE)) > 0
+              THEN CAST(round(wd / sqrt(CAST(sum(w2) OVER ()
+                                             AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))
+              ELSE CAST(0.0 AS DECIMAL(18,6)) END AS v
+  FROM x{k})""")
+        prev = f"v{k}"
+    parts.append(f""",
+terms AS (
+  SELECT CAST(round(CAST(c.qc AS DOUBLE) * CAST(vi.v AS DOUBLE)
+                    * CAST(vj.v AS DOUBLE), 12)
+              AS DECIMAL(38,12)) AS t,
+         CASE WHEN c.i = c.j THEN c.qc END AS diag
+  FROM c JOIN {prev} vj ON c.j = vj.j JOIN {prev} vi ON c.i = vi.j),
+scal AS (SELECT sum(t) AS e, sum(diag) AS tr FROM terms)
+SELECT CAST(v.j AS INT) AS dim, CAST(v.v AS DOUBLE) AS loading,
+       round(CAST(e AS DOUBLE), 6) AS eigval,
+       CASE WHEN CAST(tr AS DOUBLE) <> 0
+            THEN round(CAST(e AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+            ELSE 0.0 END AS explained_frac
+FROM {prev} v CROSS JOIN scal""")
+    return "".join(parts)
+
+
+@register("emb_pca_top_component", _pca_sql())
+def emb_pca_top_component(spark, sf_dir):
+    """Top principal component of the embedding corpus by distributed
+    power iteration (similarity.pca_top_component) — the whitening /
+    dominant-direction diagnostic run before quantization or
+    embedding-dedup (one direction explaining most variance = encoder
+    collapse or a leaking feature): d rows (dim, loading, eigval,
+    explained_frac) — the unit top eigenvector of the covariance
+    matrix, its eigenvalue, and its share of total variance.
+
+    The outer-product terms are emitted MAP-SIDE per vector with
+    higher-order functions and reduced by one d^2-key agg (map-side
+    combine); the oracle builds the same Gram matrix with an exact
+    decimal pair self-join and unrolls the SAME 8 normalize-quantized
+    power sweeps as CTE rounds — every double op has identical
+    operands in both engines, so even the eigenvector SIGN matches.
+
+    Scale shape: corpus touched once map-side; all iteration state is
+    d^2 + d rows (broadcast joins, bounded windows) independent of
+    corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_top_component(e, "vec_id", "embedding")

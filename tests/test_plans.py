@@ -44,6 +44,14 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # 1-row (min_day, max_day) span broadcast fencing the
                   # partial leading windows
                   "evt_active_users",
+                  # 1-row pooled (lo, hi) extremes broadcast onto every
+                  # observation for the bin index (the same scalar
+                  # shape as evt_active_users' span row)
+                  "qa_ks_drift",
+                  # 1-row (eigval, trace) scalar pair broadcast onto
+                  # the d-row eigenvector dim — all iteration state is
+                  # d^2 + d rows, never the corpus
+                  "emb_pca_top_component",
                   # 1-row OOV-floor scalar + broadcast LM joined onto
                   # the exploded corpus (same scalar-broadcast shape
                   # as tfidf's corpus-size row)
@@ -293,6 +301,10 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     # cumulative counts over the 64-row bucket table
                     # (fixed sketch size regardless of input rows)
                     "sketch_histogram_quantiles",
+                  # cohort CDFs: cumulative counts over the 32-row bin
+                  # spine (fixed bin count regardless of input rows —
+                  # the histogram-quantiles shape)
+                  "qa_ks_drift",
                     # the global-sort row_number IS the modeled
                     # clustered write (a z-ordered layout is a total
                     # sort by definition); the production path is the

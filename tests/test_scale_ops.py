@@ -1547,3 +1547,177 @@ def test_psi_contribs_nonnegative_and_zero_on_identical(spark):
     j = a.join(b, "bin", "outer").fillna(0)
     rows = j.collect()
     assert all(r.n_a == r.n_b for r in rows)   # identical histograms
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """dsir_log_weights equals an independently-written Python
+    reference (hashlib bucketing, Laplace smoothing, quantized
+    log-ratio sum), and a target-looking doc outranks a raw-common
+    one."""
+    import hashlib
+    import math
+
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+
+    docs = [(0, "wiki wiki encyclopedia article", True),
+            (1, "spam spam click here click", False),
+            (2, "wiki article references", False),
+            (3, "click spam offer", False)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, t BOOLEAN")
+    out = {r.doc_id: (r.n_tokens, float(r.w))
+           for r in sampling.dsir_log_weights(
+               df, "doc_id", "text", F.col("t"), n_buckets=16).collect()}
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 16
+
+    n_t, n_r = [0] * 16, [0] * 16
+    for _, text, is_t in docs:
+        for tok in text.split():
+            n_r[bkt(tok)] += 1
+            if is_t:
+                n_t[bkt(tok)] += 1
+    tt, tr = sum(n_t), sum(n_r)
+    lr = [round(math.log((n_t[b] + 1.0) / (tt + 16.0))
+                - math.log((n_r[b] + 1.0) / (tr + 16.0)), 6)
+          for b in range(16)]
+    for doc_id, text, _ in docs:
+        toks = text.split()
+        want = round(sum(lr[bkt(t)] for t in toks), 6)
+        assert out[doc_id][0] == len(toks)
+        assert abs(out[doc_id][1] - want) < 1e-9, (doc_id, out[doc_id], want)
+    # the doc reusing the target's tokens scores above the spam doc
+    assert out[2][1] > out[3][1]
+
+
+def test_ks_binned_identical_cohorts_zero_and_cdf_monotone(spark):
+    """Identical cohorts give ks_dist 0.0 everywhere; CDFs are
+    monotone and end at 1.0; a shifted cohort yields a positive max
+    ks_dist."""
+    from sequencing_integration_pipeline1_0_spark.operators import qa
+
+    same = [(i % 2, float(v)) for i, v in enumerate(
+        [x for x in range(50) for _ in (0, 1)])]
+    df = spark.createDataFrame(same, "grp INT, v DOUBLE")
+    rows = sorted(qa.ks_binned_drift(df, "v", "grp", bins=8).collect(),
+                  key=lambda r: r.bin)
+    assert len(rows) == 8
+    assert all(r.ks_dist == 0.0 for r in rows)
+    assert rows[-1].cdf_a == 1.0 and rows[-1].cdf_b == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.cdf_a >= a.cdf_a and b.cdf_b >= a.cdf_b
+
+    shifted = ([(0, float(v)) for v in range(100)]
+               + [(1, float(v) + 40.0) for v in range(100)])
+    df2 = spark.createDataFrame(shifted, "grp INT, v DOUBLE")
+    rows2 = qa.ks_binned_drift(df2, "v", "grp", bins=8).collect()
+    assert max(r.ks_dist for r in rows2) > 0.2
+
+
+def test_ks_binned_constant_column_lands_in_bin_zero(spark):
+    from sequencing_integration_pipeline1_0_spark.operators import qa
+
+    df = spark.createDataFrame([(i % 2, 7.0) for i in range(10)],
+                               "grp INT, v DOUBLE")
+    rows = sorted(qa.ks_binned_drift(df, "v", "grp", bins=4).collect(),
+                  key=lambda r: r.bin)
+    assert rows[0].n_a == 5 and rows[0].n_b == 5
+    assert all(r.n_a == 0 and r.n_b == 0 for r in rows[1:])
+
+
+def test_mahalanobis_diag_matches_numpy_and_ranks_outlier_first(spark):
+    import numpy as np
+
+    rng = [(i, [((i * 7 + d * 3) % 5) / 5.0 for d in range(4)])
+           for i in range(20)]
+    rng.append((99, [50.0, -50.0, 50.0, -50.0]))  # the off-manifold vector
+    df = spark.createDataFrame(rng, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = sim.mahalanobis_diag_topk(df, "vec_id", "embedding",
+                                    k_out=3).collect()
+    assert out[0].id == 99 and out[0].n_dims == 4
+
+    x = np.array([v for _, v in rng])
+    xq = np.round(x, 6)
+    mu = xq.sum(0) / len(xq)
+    var = (xq * xq).sum(0) / len(xq) - mu * mu
+    want = np.round((np.round(xq, 6) - mu) ** 2 / (var + 1e-6),
+                    6).sum(1)[-1]
+    assert abs(float(out[0].maha_sq) - round(float(want), 6)) < 1e-5
+
+
+def test_dsir_gumbel_key_matches_python_and_is_reproducible(spark):
+    """The Gumbel key equals w + tau * -ln(-ln(u)) with u from the
+    ANSI-C LCG high bits — recomputed independently in Python — and
+    two executions return identical samples (noise is data, not
+    engine state)."""
+    import math
+
+    from sequencing_integration_pipeline1_0_spark.operators import sampling
+
+    docs = [(i, "alpha beta gamma wiki article " * (1 + i % 3),
+             i % 3 == 0) for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, t BOOLEAN")
+    out = sampling.dsir_gumbel_topk(df, "doc_id", "text", F.col("t"),
+                                    n_buckets=16, k=5).collect()
+    out2 = sampling.dsir_gumbel_topk(df, "doc_id", "text", F.col("t"),
+                                     n_buckets=16, k=5).collect()
+    assert [r.doc_id for r in out] == [r.doc_id for r in out2]
+
+    def gumbel(doc_id):
+        b = ((doc_id * 1103515245 + 12345) % (65536 * 4096)) // 65536
+        u = (b + 0.5) / 4096.0
+        return -math.log(-math.log(u))
+
+    for r in out:
+        assert abs(r.gumbel_key
+                   - round(r.logratio + gumbel(r.doc_id), 6)) < 2e-6, r
+
+
+def test_char_entropy_known_values(spark):
+    """aaaa -> 0; abcd -> ln 4; ab x2 -> ln 2; empty -> 0; matches an
+    independent Python reference with the same quantization."""
+    import math
+
+    docs = [(0, "aaaa"), (1, "abcd"), (2, "abab"), (3, ""),
+            (4, "mississippi river")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in ts.char_entropy(df).collect()}
+    assert out[0].entropy == 0.0 and out[0].n_distinct == 1
+    assert abs(out[1].entropy - round(math.log(4), 6)) < 1e-9
+    assert abs(out[2].entropy - round(math.log(2), 6)) < 1e-9
+    assert out[3].entropy == 0.0 and out[3].n_chars_tot == 0
+
+    from collections import Counter
+    c = Counter("mississippi river")
+    length = sum(c.values())
+    s = sum(round(n * math.log(n), 6) for n in c.values())
+    assert abs(out[4].entropy - round(math.log(length) - s / length, 6)) \
+        < 1e-9
+    assert out[4].n_distinct == len(c)
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """The power-iteration output approximates numpy's top
+    eigenvector of the covariance matrix (up to sign), unit norm,
+    and the explained-variance share matches eig_max / trace."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 6)
+    base[:, 2] = 3.0 * base[:, 0] + 0.1 * base[:, 2]  # dominant direction
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = sorted(sim.pca_top_component(df, "vec_id", "embedding").collect(),
+                 key=lambda r: r.dim)
+    v = np.array([r.loading for r in out])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+    xq = np.round(base, 6)
+    c = np.cov(xq, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+    cos = abs(float(np.dot(v, top)))
+    assert cos > 0.999, cos
+    want_frac = float(evals[-1] / evals.sum())
+    assert abs(out[0].explained_frac - want_frac) < 1e-2
+    assert all(r.eigval == out[0].eigval for r in out)

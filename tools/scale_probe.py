@@ -131,6 +131,20 @@ PROBES = [
     # the cross-method dedup dashboard: the sum of its four certified
     # branches plus 1-row finishers
     "pipe_dedup_report",
+    # round-7 session 2: DSIR selection (64-row bucket LM broadcast
+    # onto the exploded corpus + TakeOrdered — growth tracks the token
+    # scan), binned KS drift (scalar-extremes broadcast + 32-key agg —
+    # pure scan slope), and the diagonal-Mahalanobis outlier screen
+    # (posexplode + d-key stats + TakeOrdered — tracks n x d)
+    "dsir_select_topk",
+    "qa_ks_drift",
+    "emb_mahalanobis_outliers",
+    # PCA: one map-side outer-product pass + d^2-key agg; the 8
+    # iteration sweeps are corpus-independent d^2-row joins, so
+    # growth should track the single corpus scan
+    "emb_pca_top_component",
+    # char entropy: map-side HOF histogram, alphabet-bounded shuffle
+    "text_char_entropy",
 ]
 
 #: executions per (query, sf) cell — min-of-N. Three runs settle the
