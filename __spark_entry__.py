@@ -192,6 +192,7 @@ _R6_CONFIRMED = frozenset({
 _PRIORITY = [
     "dsir_select_topk", "dsir_gumbel_topk", "qa_ks_drift",
     "emb_mahalanobis_outliers", "emb_pca_top_component",
+    "emb_remove_top_component", "dedup_minhash_calibration",
     "text_char_entropy",
     "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
     "ann_ivfsq_recall", "dedup_substring_rewrite",

@@ -693,3 +693,37 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str, *,
     return df.select(F.col(id_col),
                      canonical.alias("canonical_doc_id"),
                      side.alias(split_col))
+
+
+def minhash_calibration(df: DataFrame, id_col: str, text_col: str, *,
+                        shingle_n: int = 1, k: int = 8, bands: int = 4,
+                        max_bucket: int | None = 256,
+                        round_to: int = 6) -> DataFrame:
+    """Estimator-vs-truth calibration of the MinHash pipeline: for
+    every LSH candidate pair, the signature-agreement Jaccard
+    estimate (matching components / k — the unbiased MinHash
+    estimator) next to the exact shingle Jaccard, with the signed
+    error. This is the measurement that justifies k and the verify
+    threshold: the estimator's stderr is sqrt(J(1-J)/k), so k=8 is
+    only a coarse screen — the distribution of `err` over real
+    candidates is what says whether banding alone could replace the
+    exact verify (it can't at k=8; this query shows by how much).
+
+    Returns (id_a, id_b, est_jaccard, true_jaccard, err) per
+    candidate pair. Signatures are recomputed from the re-attached
+    shingle arrays (identical values to the banding pass — md5 is
+    pure); a serving variant would join the per-doc signature table
+    by id instead of recomputing, the minhash_index layout."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col,
+                                   shingle_n=shingle_n, k=k,
+                                   bands=bands, max_bucket=max_bucket)
+    sa = minhash_signature(F.col("sh_a"), k)
+    sb = minhash_signature(F.col("sh_b"), k)
+    eq = F.size(F.filter(F.zip_with(sa, sb, lambda x, y: x == y),
+                         lambda z: z))
+    est = eq.cast("double") / F.lit(float(k))
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (pairs.select("id_a", "id_b",
+                         est.alias("est_jaccard"),
+                         F.round(jac, round_to).alias("true_jaccard"),
+                         F.round(est - jac, round_to).alias("err")))

@@ -1604,6 +1604,40 @@ def pca_top_component(df: DataFrame, id_col: str, vec_col: str, *,
     Scale shape: after the one map-side pass + d^2-key agg, all
     iteration state is d^2 + d rows (broadcast joins, bounded
     windows) regardless of corpus size."""
+    c, v = pca_power_state(df, id_col, vec_col, iters=iters,
+                           round_to=round_to)
+    dec2 = f"decimal(38,{2 * round_to})"
+    vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v.select("j", F.col("v").alias("vj"))
+    terms = (c.join(F.broadcast(vj), "j")
+              .join(F.broadcast(vi), "i")
+              .select(F.round(F.col("qc").cast("double")
+                              * F.col("vi").cast("double")
+                              * F.col("vj").cast("double"),
+                              2 * round_to).cast(dec2).alias("t"),
+                      F.when(F.col("i") == F.col("j"), F.col("qc"))
+                       .alias("diag")))
+    scal = terms.agg(F.sum("t").alias("e"), F.sum("diag").alias("tr"))
+    e_d = F.col("e").cast("double")
+    tr_d = F.col("tr").cast("double")
+    return (v.join(F.broadcast(scal))
+             .select(F.col("j").cast("int").alias("dim"),
+                     F.col("v").cast("double").alias("loading"),
+                     F.round(e_d, round_to).alias("eigval"),
+                     F.when(tr_d != 0,
+                            F.round(e_d / tr_d, round_to))
+                      .otherwise(F.lit(0.0)).alias("explained_frac")))
+
+
+def pca_power_state(df: DataFrame, id_col: str, vec_col: str, *,
+                    iters: int = PCA_ITERS,
+                    round_to: int = 6) -> tuple[DataFrame, DataFrame]:
+    """The shared PCA machinery: returns (c, v) — the checkpointed
+    d^2-row quantized covariance table (i, j, qc) and the d-row unit
+    top-eigenvector (j, v) after `iters` normalize-quantized power
+    sweeps from the uniform start. pca_top_component finishes it into
+    the diagnostic row set; pca_remove_top applies it back to the
+    corpus. Arithmetic discipline documented on pca_top_component."""
     from .dedupe_scale import bind_once
 
     dec = f"decimal(18,{round_to})"
@@ -1667,24 +1701,85 @@ def pca_top_component(df: DataFrame, id_col: str, vec_col: str, *,
                      F.when(nm > 0,
                             F.round(F.col("wd") / nm, round_to))
                       .otherwise(F.lit(0.0)).cast(dec).alias("v"))
+    return c, v
 
-    vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
-    vj = v.select("j", F.col("v").alias("vj"))
-    terms = (c.join(F.broadcast(vj), "j")
-              .join(F.broadcast(vi), "i")
-              .select(F.round(F.col("qc").cast("double")
-                              * F.col("vi").cast("double")
-                              * F.col("vj").cast("double"),
-                              2 * round_to).cast(dec2).alias("t"),
-                      F.when(F.col("i") == F.col("j"), F.col("qc"))
-                       .alias("diag")))
-    scal = terms.agg(F.sum("t").alias("e"), F.sum("diag").alias("tr"))
-    e_d = F.col("e").cast("double")
-    tr_d = F.col("tr").cast("double")
-    return (v.join(F.broadcast(scal))
-             .select(F.col("j").cast("int").alias("dim"),
-                     F.col("v").cast("double").alias("loading"),
-                     F.round(e_d, round_to).alias("eigval"),
-                     F.when(tr_d != 0,
-                            F.round(e_d / tr_d, round_to))
-                      .otherwise(F.lit(0.0)).alias("explained_frac")))
+
+def pca_remove_top(df: DataFrame, id_col: str, vec_col: str, *,
+                   iters: int = PCA_ITERS,
+                   round_to: int = 6) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath
+    2018): center every vector and remove its projection on the top
+    principal component — x' = (x - mu) - (v.(x - mu)) v — the
+    standard isotropy fix that measurably improves cosine-similarity
+    tasks when one dominant direction (frequency, length, encoder
+    bias) swamps the signal. Returns long-format rows
+    (id, dim, x_abt, proj_r) — the int8_quantize grain — with proj_r
+    the vector's scalar loading on the removed direction (itself a
+    useful feature: extreme |proj| marks the docs that RIDE the
+    dominant direction).
+
+    The projection is a decimal-exact fold (per-dim terms quantized
+    to 1e-round_to) and every double op mirrors the oracle exactly —
+    same discipline as pca_top_component, whose eigenvector this
+    reuses (pca_power_state).
+
+    Scale shape: mu and v pack into 1-row ARRAYS (d-row dims —
+    sort_array(collect_list) over bounded input, the packed-LUT
+    ivfpq precedent) broadcast onto the corpus; the rewrite is then
+    ONE map-side pass — fold for the projection, transform for the
+    corrected components — with no corpus shuffle at all."""
+    from .dedupe_scale import bind_once
+
+    dec = f"decimal(18,{round_to})"
+    stats = mahalanobis_diag_stats(df, id_col, vec_col,
+                                   round_to=round_to).localCheckpoint()
+    _, v = pca_power_state(df, id_col, vec_col, iters=iters,
+                           round_to=round_to)
+    v_arr = (v.groupBy()
+              .agg(F.sort_array(F.collect_list(F.struct("j", "v")))
+                    .alias("sv"))
+              .select(F.transform("sv", lambda s: s["v"])
+                       .alias("v_arr")))
+    mu_arr = (stats.groupBy()
+                   .agg(F.sort_array(F.collect_list(
+                            F.struct("dim", "mu"))).alias("sm"))
+                   .select(F.transform("sm", lambda s: s["mu"])
+                            .alias("mu_arr")))
+    vq = F.transform(F.col(vec_col),
+                     lambda x: F.round(x.cast("double"), round_to)
+                                .cast(dec))
+
+    def centered(q, i):
+        return (F.element_at(q, i).cast("double")
+                - F.element_at(F.col("mu_arr"), i))
+
+    def proj_terms(q):
+        seq = F.sequence(F.lit(1), F.size(q))
+        return F.transform(seq, lambda i: F.round(
+            centered(q, i.cast("int"))
+            * F.element_at(F.col("v_arr"), i.cast("int"))
+               .cast("double"), round_to).cast(dec))
+
+    base = (df.select(F.col(id_col).alias("id"), vq.alias("q"))
+              .join(F.broadcast(v_arr))
+              .join(F.broadcast(mu_arr))
+              .withColumn("proj", F.aggregate(
+                  bind_once(F.col("q"), proj_terms),
+                  F.lit(0).cast(dec),
+                  lambda a, x: (a + x).cast(dec))))
+
+    def abt(q):
+        seq = F.sequence(F.lit(1), F.size(q))
+        return F.transform(seq, lambda i: F.round(
+            centered(q, i.cast("int"))
+            - F.col("proj").cast("double")
+              * F.element_at(F.col("v_arr"), i.cast("int"))
+                 .cast("double"), round_to))
+
+    return (base.select("id",
+                        F.round(F.col("proj").cast("double"), round_to)
+                         .alias("proj_r"),
+                        F.posexplode(bind_once(F.col("q"), abt))
+                         .alias("dim", "x_abt"))
+                .select("id", F.col("dim").cast("int").alias("dim"),
+                        "x_abt", "proj_r"))

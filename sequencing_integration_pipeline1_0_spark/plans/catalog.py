@@ -672,7 +672,7 @@ def _minhash_sig_sql(k: int = 8, src: str = "base") -> str:
 # shingle sets collapse to a min-id representative (lossless — expanded
 # back bipartite + within-group below), and band buckets over 256
 # DISTINCT texts are dropped before pairing.
-_MINHASH_SQL = f"""
+_MINHASH_CTES = f"""
 WITH base AS (
   SELECT doc_id AS id,
          list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS sh
@@ -698,7 +698,9 @@ cand AS (
   SELECT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b
   FROM rp JOIN m x ON x.rep = rp.ra JOIN m y ON y.rep = rp.rb
   UNION
-  SELECT x.id, y.id FROM m x JOIN m y ON x.rep = y.rep AND x.id < y.id),
+  SELECT x.id, y.id FROM m x JOIN m y ON x.rep = y.rep AND x.id < y.id)"""
+
+_MINHASH_SQL = f"""{_MINHASH_CTES},
 scored AS (
   SELECT p.id_a, p.id_b,
          CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -10533,10 +10535,11 @@ def text_char_entropy(spark, sf_dir):
     return textstats.char_entropy(d, "doc_id", "text")
 
 
-def _pca_sql() -> str:
-    """Unrolled power-iteration oracle: one (w, x, v) CTE triple per
-    sweep, mirroring similarity.pca_top_component's exact arithmetic
-    (decimal matrix-vector sums, quantized normalize)."""
+def _pca_cte_prefix() -> tuple[str, str]:
+    """Shared unrolled power-iteration CTE chain (one (w, x, v) CTE
+    triple per sweep, mirroring similarity.pca_power_state's exact
+    arithmetic — decimal matrix-vector sums, quantized normalize).
+    Returns (prefix, final_v_name); both PCA oracles compose it."""
     it = similarity.PCA_ITERS
     parts = ["""
 WITH ex AS (
@@ -10581,7 +10584,12 @@ v{k} AS (
               ELSE CAST(0.0 AS DECIMAL(18,6)) END AS v
   FROM x{k})""")
         prev = f"v{k}"
-    parts.append(f""",
+    return "".join(parts), prev
+
+
+def _pca_sql() -> str:
+    prefix, prev = _pca_cte_prefix()
+    return prefix + f""",
 terms AS (
   SELECT CAST(round(CAST(c.qc AS DOUBLE) * CAST(vi.v AS DOUBLE)
                     * CAST(vj.v AS DOUBLE), 12)
@@ -10594,8 +10602,26 @@ SELECT CAST(v.j AS INT) AS dim, CAST(v.v AS DOUBLE) AS loading,
        CASE WHEN CAST(tr AS DOUBLE) <> 0
             THEN round(CAST(e AS DOUBLE) / CAST(tr AS DOUBLE), 6)
             ELSE 0.0 END AS explained_frac
-FROM {prev} v CROSS JOIN scal""")
-    return "".join(parts)
+FROM {prev} v CROSS JOIN scal"""
+
+
+def _pca_abt_sql() -> str:
+    prefix, prev = _pca_cte_prefix()
+    return prefix + f""",
+proj AS (
+  SELECT ex.id,
+         sum(CAST(round((CAST(ex.xq AS DOUBLE) - mu.mu)
+                        * CAST({prev}.v AS DOUBLE), 6)
+                  AS DECIMAL(18,6))) AS p
+  FROM ex JOIN mu ON ex.dim = mu.dim JOIN {prev} ON ex.dim = {prev}.j
+  GROUP BY ex.id)
+SELECT ex.id, ex.dim,
+       round((CAST(ex.xq AS DOUBLE) - mu.mu)
+             - CAST(p AS DOUBLE) * CAST({prev}.v AS DOUBLE), 6)
+         AS x_abt,
+       round(CAST(p AS DOUBLE), 6) AS proj_r
+FROM ex JOIN mu ON ex.dim = mu.dim JOIN {prev} ON ex.dim = {prev}.j
+JOIN proj ON ex.id = proj.id"""
 
 
 @register("emb_pca_top_component", _pca_sql())
@@ -10620,3 +10646,70 @@ def emb_pca_top_component(spark, sf_dir):
     corpus size."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.pca_top_component(e, "vec_id", "embedding")
+
+
+@register("emb_remove_top_component", _pca_abt_sql())
+def emb_remove_top_component(spark, sf_dir):
+    """All-but-the-top embedding post-processing (Mu & Viswanath
+    2018, similarity.pca_remove_top): center every vector and remove
+    its projection on the corpus's top principal component — the
+    standard isotropy fix applied before cosine-similarity search or
+    embedding-dedup when one dominant direction (frequency, length,
+    encoder bias) swamps the signal. Long-format output
+    (id, dim, x_abt, proj_r), the int8_quantize grain; proj_r — the
+    vector's loading on the removed direction — is itself a screen
+    (extreme |proj| marks the docs riding the dominant direction).
+
+    Scale shape: the eigenvector comes from the pca_top_component
+    machinery (map-side outer products, checkpointed d^2 covariance);
+    mu and v then pack into 1-row broadcast ARRAYS and the rewrite is
+    ONE map-side pass over the corpus — decimal-exact projection
+    fold + component transform, no corpus shuffle. The oracle
+    composes the same unrolled power-sweep CTEs plus an exploded
+    projection join."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_remove_top(e, "vec_id", "embedding")
+
+
+_MINHASH_CALIB_SQL = f"""{_MINHASH_CTES},
+calib AS (
+  SELECT p.id_a, p.id_b, sa.sig AS sig_a, sb.sig AS sig_b,
+         x.sh AS sh_a, y.sh AS sh_b
+  FROM cand p
+  JOIN m x ON p.id_a = x.id JOIN sig sa ON x.rep = sa.id
+  JOIN m y ON p.id_b = y.id JOIN sig sb ON y.rep = sb.id),
+sc AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(range(1, 9),
+             i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)]))
+           AS DOUBLE) / 8.0 AS est,
+         CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / len(list_distinct(list_concat(sh_a, sh_b))) AS jac
+  FROM calib)
+SELECT id_a, id_b, est AS est_jaccard,
+       round(jac, 6) AS true_jaccard,
+       round(est - jac, 6) AS err
+FROM sc
+"""
+
+
+@register("dedup_minhash_calibration", _MINHASH_CALIB_SQL)
+def dedup_minhash_calibration(spark, sf_dir):
+    """Estimator-vs-truth calibration of the MinHash dedup pipeline
+    (dedupe_scale.minhash_calibration): every LSH candidate pair with
+    the k=8 signature-agreement Jaccard ESTIMATE (the unbiased
+    MinHash estimator, stderr sqrt(J(1-J)/k)) next to the exact
+    shingle Jaccard and the signed error — the measurement that
+    justifies the pipeline's k, band geometry, and the exact-verify
+    stage ("measure, don't guess" applied to the engine's own
+    estimator: at k=8 the estimate quantizes to eighths, so the
+    verify is load-bearing, and this query shows by exactly how
+    much).
+
+    Scale shape: rides minhash_lsh_candidates' certified slim-pair
+    shape (exact-first collapse, max_bucket cap, arrays re-attached
+    per-id after the pair join); the estimator adds one map-side
+    signature recompute per side."""
+    d = _t(spark, sf_dir, "documents")
+    return dedupe_scale.minhash_calibration(d, "doc_id", "text",
+                                            shingle_n=1, k=8, bands=4)

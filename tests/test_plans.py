@@ -52,6 +52,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # the d-row eigenvector dim — all iteration state is
                   # d^2 + d rows, never the corpus
                   "emb_pca_top_component",
+                  # two 1-row packed arrays (mu, eigenvector) broadcast
+                  # onto the corpus for the map-side all-but-the-top
+                  # rewrite (the packed-LUT ivfpq shape)
+                  "emb_remove_top_component",
                   # 1-row OOV-floor scalar + broadcast LM joined onto
                   # the exploded corpus (same scalar-broadcast shape
                   # as tfidf's corpus-size row)

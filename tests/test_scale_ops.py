@@ -1721,3 +1721,73 @@ def test_pca_top_component_matches_numpy(spark):
     want_frac = float(evals[-1] / evals.sum())
     assert abs(out[0].explained_frac - want_frac) < 1e-2
     assert all(r.eigval == out[0].eigval for r in out)
+
+
+def test_remove_top_component_kills_projection_and_mean(spark):
+    """After all-but-the-top, every vector's projection on the
+    removed direction is ~0, the per-dim corpus mean is ~0, and the
+    reported proj_r matches numpy's v.(x - mu)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(50, 5)
+    base[:, 1] = 4.0 * base[:, 0]  # dominant direction
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = sim.pca_remove_top(df, "vec_id", "embedding").collect()
+    assert len(out) == 50 * 5
+
+    xq = np.round(base, 6)
+    mu = xq.mean(0)
+    c = np.cov(xq, rowvar=False, bias=True)
+    _, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+
+    mat = np.zeros_like(base)
+    projs = {}
+    for r in out:
+        mat[r.id, r.dim] = r.x_abt
+        projs[r.id] = r.proj_r
+    # per-vector projection on the dominant direction ~ 0 afterwards
+    assert float(np.abs(mat @ top).max()) < 1e-3
+    # corpus mean removed
+    assert float(np.abs(mat.mean(0)).max()) < 1e-3
+    # proj_r matches numpy's loading up to the shared sign
+    want = (xq - mu) @ top
+    got = np.array([projs[i] for i in range(50)])
+    err = min(float(np.abs(got - want).max()),
+              float(np.abs(got + want).max()))
+    assert err < 1e-3, err
+
+
+def test_minhash_calibration_exact_dups_and_python_estimator(spark):
+    """Exact-dup pairs calibrate to est=1, true=1, err=0; every
+    estimate is a multiple of 1/k; est matches a hashlib recompute."""
+    import hashlib
+
+    docs = [(0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),          # exact dup of 0
+            (2, "alpha beta gamma epsilon zeta"),   # near dup
+            (3, "totally different words here")]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {(r.id_a, r.id_b): r
+           for r in ds.minhash_calibration(df, "doc_id", "text",
+                                           shingle_n=1, k=8,
+                                           bands=4).collect()}
+    assert (0, 1) in out
+    r01 = out[(0, 1)]
+    assert r01.est_jaccard == 1.0 and r01.true_jaccard == 1.0
+    assert r01.err == 0.0
+    for r in out.values():
+        assert abs(r.est_jaccard * 8 - round(r.est_jaccard * 8)) < 1e-9
+        assert -1.0 <= r.err <= 1.0
+
+    def sig(text):
+        sh = sorted(set(text.split()))
+        return [min(hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+                    for s in sh) for i in range(8)]
+
+    if (0, 2) in out:
+        sa, sb = sig(docs[0][1]), sig(docs[2][1])
+        want = sum(x == y for x, y in zip(sa, sb)) / 8.0
+        assert out[(0, 2)].est_jaccard == want

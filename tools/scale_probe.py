@@ -145,6 +145,12 @@ PROBES = [
     "emb_pca_top_component",
     # char entropy: map-side HOF histogram, alphabet-bounded shuffle
     "text_char_entropy",
+    # all-but-the-top: PCA machinery + ONE map-side corpus rewrite
+    # (broadcast packed mu/v arrays) — growth tracks the corpus scan
+    "emb_remove_top_component",
+    # minhash calibration: rides the certified slim-pair LSH shape;
+    # growth tracks candidate pairs (capped buckets)
+    "dedup_minhash_calibration",
 ]
 
 #: executions per (query, sf) cell — min-of-N. Three runs settle the
