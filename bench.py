@@ -63,6 +63,14 @@ HEADLINE = [
     "dedup_substring_rewrite",  # Lee-et-al rewrite: runs + rebuild
     "ann_ivf_sampled_topk",     # sampled Lloyd + adaptive n_cells
     "mm_audio_fingerprint_pairs",  # WAV decode + banded fp join
+    # r7 session 2: the data-selection and embedding-hygiene families'
+    # representatives get driver history from day one — DSIR is one
+    # corpus token scan + broadcast LM (wall time should track
+    # unigram-LM class), PCA is the map-side outer-product pass + the
+    # corpus-independent power sweeps (its wall time IS the claim that
+    # distributed linear algebra is affordable per ingest batch)
+    "dsir_select_topk",        # hashed-unigram importance selection
+    "emb_pca_top_component",   # power-iteration top component
 ]
 
 

@@ -10258,7 +10258,9 @@ def qa_benford_prices(spark, sf_dir):
 # --------------------------------------------------------------- DSIR
 from ..operators import sampling as _sampling  # noqa: E402
 
-_DSIR_SQL = f"""
+#: shared DSIR scoring chain (token buckets -> smoothed bucket LM ->
+#: per-doc decimal weight); both selection oracles compose it
+_DSIR_CTES = f"""
 WITH toks AS (
   SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
          unnest(list_filter(
@@ -10291,7 +10293,9 @@ scored AS (
   SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          sum(lm.lr) AS w
   FROM b JOIN lm ON b.bkt = lm.bkt
-  GROUP BY b.doc_id)
+  GROUP BY b.doc_id)"""
+
+_DSIR_SQL = f"""{_DSIR_CTES}
 SELECT doc_id, n_tokens, round(CAST(w AS DOUBLE), 6) AS logratio
 FROM scored ORDER BY w DESC, doc_id LIMIT {_sampling.DSIR_TOPK}
 """
@@ -10425,40 +10429,7 @@ def emb_mahalanobis_outliers(spark, sf_dir):
     return similarity.mahalanobis_diag_topk(e, "vec_id", "embedding")
 
 
-_GUMBEL_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
-         unnest(list_filter(
-             regexp_split_to_array(trim(text), '\\s+'),
-             x -> x != '')) AS tok
-  FROM documents),
-b AS (
-  SELECT doc_id, is_t,
-         CAST(('0x' || substr(md5(tok), 1, 4)) AS INT)
-           % {_sampling.DSIR_N_BUCKETS} AS bkt
-  FROM toks),
-spine AS (
-  SELECT unnest(range(0, {_sampling.DSIR_N_BUCKETS})) AS bkt),
-cnt AS (
-  SELECT spine.bkt,
-         coalesce(sum(CASE WHEN b.is_t THEN 1 ELSE 0 END), 0) AS n_t,
-         count(b.bkt) AS n_r
-  FROM spine LEFT JOIN b ON spine.bkt = b.bkt
-  GROUP BY spine.bkt),
-lm AS (
-  SELECT bkt,
-         CAST(round(
-             ln((n_t + 1.0) / (tt + {_sampling.DSIR_N_BUCKETS}.0))
-             - ln((n_r + 1.0) / (tr + {_sampling.DSIR_N_BUCKETS}.0)),
-             6) AS DECIMAL(18,6)) AS lr
-  FROM (SELECT bkt, n_t, n_r,
-               sum(n_t) OVER () AS tt, sum(n_r) OVER () AS tr
-        FROM cnt)),
-scored AS (
-  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         sum(lm.lr) AS w
-  FROM b JOIN lm ON b.bkt = lm.bkt
-  GROUP BY b.doc_id),
+_GUMBEL_SQL = f"""{_DSIR_CTES},
 keyed AS (
   SELECT doc_id, n_tokens, round(CAST(w AS DOUBLE), 6) AS logratio,
          round(CAST(w AS DOUBLE) + {_sampling.DSIR_GUMBEL_TAU}
