@@ -727,3 +727,52 @@ def minhash_calibration(df: DataFrame, id_col: str, text_col: str, *,
                          est.alias("est_jaccard"),
                          F.round(jac, round_to).alias("true_jaccard"),
                          F.round(est - jac, round_to).alias("err")))
+
+
+def minhash_contamination(corpus: DataFrame, bench: DataFrame,
+                          id_col: str, text_col: str, *,
+                          shingle_n: int = 1, k: int = 8,
+                          bands: int = 4,
+                          threshold: float = 0.7) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus documents that are
+    near-duplicates of an eval-set document, found by a BIPARTITE
+    MinHash band join — the screen that catches paraphrased or
+    lightly-edited test-set leakage that exact n-gram overlap
+    (ngram_contamination) misses. Returns (id, bench_id, jaccard)
+    for every corpus/bench pair with true shingle Jaccard >=
+    threshold.
+
+    Scale shape: both sides band independently; the band join moves
+    slim (id, band) rows with the BENCH side broadcast (an eval set
+    is MBs by definition — that asymmetry is the whole design), so
+    candidate volume is bounded by bench bucket occupancy, not
+    corpus^2; shingle arrays re-attach per-id afterwards (bench side
+    broadcast again) and the exact-Jaccard verify makes the banding
+    loss-free above the threshold for pairs sharing a band. No
+    exact-first collapse or bucket cap: those are self-join levers —
+    here every candidate touches the tiny side."""
+    rows_per_band = k // bands
+
+    def prep(df: DataFrame, name: str) -> tuple[DataFrame, DataFrame]:
+        docs = df.select(F.col(id_col).alias(name),
+                         word_shingles(text_col, shingle_n)
+                          .alias(f"sh_{name}"))
+        banded = (docs.withColumn(
+                      "sig", minhash_signature(F.col(f"sh_{name}"), k))
+                      .select(name, F.explode(
+                          lsh_bands(F.col("sig"), bands, rows_per_band))
+                           .alias("b")))
+        return docs, banded
+
+    cdocs, cband = prep(corpus, "id")
+    bdocs, bband = prep(bench, "bench_id")
+    pairs = (cband.join(F.broadcast(bband), "b")
+                  .select("id", "bench_id")
+                  .dropDuplicates(["id", "bench_id"]))
+    return (pairs
+            .join(cdocs, "id")
+            .join(F.broadcast(bdocs), "bench_id")
+            .withColumn("jaccard",
+                        jaccard(F.col("sh_id"), F.col("sh_bench_id")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id", "bench_id", "jaccard"))

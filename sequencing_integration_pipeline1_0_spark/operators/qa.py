@@ -518,3 +518,55 @@ def ks_binned_drift(df: DataFrame, value_col: str, grp_col: str, *,
              .select("bin", "n_a", "n_b", "cdf_a", "cdf_b",
                      F.round(F.abs(F.col("cdf_a") - F.col("cdf_b")),
                              round_to).alias("ks_dist")))
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str, *,
+                      missing: str = "(missing)",
+                      round_to: int = 6) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns — the QA battery's cross-feature screen (are quality
+    labels independent of source? language of crawl batch?): the full
+    contingency table with expected counts under independence and the
+    per-cell chi-square contribution, so the DEVIANT cell is visible,
+    not just the aggregate statistic. NULL categories become a real
+    `missing` level (the a8 missing-as-level discipline) and absent
+    combinations materialize with observed = 0 via the level-spine
+    cross join — a combination that never occurs is exactly what the
+    screen exists to flag.
+
+    Determinism: expected = (row_total * col_total) / n with the
+    totals exact integers (cast double before the multiply so giant
+    corpora can't overflow the product), one mirrored division;
+    contributions guard expected > 0 (the Benford 0/0 rule).
+
+    Scale shape: one map-side coalesce + a (a, b)-key agg with
+    map-side combine; everything after runs on the contingency table,
+    whose size is |levels(a)| x |levels(b)| — bounded by the category
+    vocabularies, not the row count."""
+    from pyspark.sql import Window
+    a = F.coalesce(F.col(a_col).cast("string"), F.lit(missing))
+    b = F.coalesce(F.col(b_col).cast("string"), F.lit(missing))
+    d2 = df.select(a.alias("a"), b.alias("b"))
+    obs = d2.groupBy("a", "b").agg(F.count(F.lit(1)).alias("observed"))
+    spine = (d2.select("a").distinct()
+               .join(F.broadcast(d2.select("b").distinct())))
+    j = (spine.join(obs, ["a", "b"], "left")
+              .select("a", "b",
+                      F.coalesce("observed", F.lit(0).cast("long"))
+                       .alias("observed")))
+    w_row = Window.partitionBy("a").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_col = Window.partitionBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    rt = F.sum("observed").over(w_row)
+    ct = F.sum("observed").over(w_col)
+    n = F.sum("observed").over(w_all)
+    exp = rt.cast("double") * ct.cast("double") / n
+    o = F.col("observed").cast("double")
+    contrib = F.when(exp > 0, (o - exp) * (o - exp) / exp) \
+               .otherwise(F.lit(0.0))
+    return (j.select("a", "b", "observed",
+                     F.round(exp, round_to).alias("expected"),
+                     F.round(contrib, round_to).alias("chi2_contrib")))

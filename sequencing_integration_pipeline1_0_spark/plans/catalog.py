@@ -10684,3 +10684,105 @@ def dedup_minhash_calibration(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedupe_scale.minhash_calibration(d, "doc_id", "text",
                                             shingle_n=1, k=8, bands=4)
+
+
+_DECONTAM_MINHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS sh
+  FROM documents),
+bench AS (SELECT * FROM base WHERE id % 97 = 0),
+corp AS (SELECT * FROM base WHERE id % 97 != 0),
+sigc AS ({_minhash_sig_sql(8, "corp")}),
+sigb AS ({_minhash_sig_sql(8, "bench")}),
+bc AS (
+  SELECT id, b AS band_idx,
+         md5(array_to_string(list_slice(sig, b*2+1, b*2+2), '|')) AS band_key
+  FROM sigc, unnest([0,1,2,3]) AS t(b)),
+bb AS (
+  SELECT id AS bench_id, b AS band_idx,
+         md5(array_to_string(list_slice(sig, b*2+1, b*2+2), '|')) AS band_key
+  FROM sigb, unnest([0,1,2,3]) AS t(b)),
+cand AS (
+  SELECT DISTINCT bc.id, bb.bench_id
+  FROM bc JOIN bb ON bc.band_idx = bb.band_idx
+                 AND bc.band_key = bb.band_key),
+scored AS (
+  SELECT c.id, c.bench_id,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+  FROM cand c JOIN corp x ON c.id = x.id
+              JOIN bench y ON c.bench_id = y.id)
+SELECT id, bench_id, jaccard FROM scored WHERE jaccard >= 0.7
+"""
+
+
+@register("decontam_minhash", _DECONTAM_MINHASH_SQL)
+def decontam_minhash(spark, sf_dir):
+    """FUZZY benchmark decontamination
+    (dedupe_scale.minhash_contamination): corpus documents that are
+    near-duplicates (true Jaccard >= 0.7) of an eval-set document —
+    paraphrased/lightly-edited test-set leakage that
+    decontam_ngram_overlap's exact 5-gram hits miss — via a BIPARTITE
+    MinHash band join, doc_id % 97 standing in for the benchmark (the
+    ngram_overlap convention). Completes the decontamination family:
+    exact n-gram overlap, Bloom prefilter, and now fuzzy near-dup.
+
+    Scale shape: both sides band independently; the band join and the
+    shingle re-attach BROADCAST the bench side (an eval set is MBs by
+    definition), so the corpus never shuffles and candidate volume is
+    bounded by bench bucket occupancy."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return dedupe_scale.minhash_contamination(
+        corpus, bench, "doc_id", "text", shingle_n=1, k=8, bands=4,
+        threshold=0.7)
+
+
+_CHI2_SQL = """
+WITH d2 AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '(missing)') AS a,
+         coalesce(CAST(source AS VARCHAR), '(missing)') AS b
+  FROM documents),
+obs AS (SELECT a, b, count(*) AS observed FROM d2 GROUP BY a, b),
+spine AS (
+  SELECT la.a, lb.b
+  FROM (SELECT DISTINCT a FROM d2) la
+  CROSS JOIN (SELECT DISTINCT b FROM d2) lb),
+j AS (
+  SELECT spine.a, spine.b, coalesce(obs.observed, 0) AS observed
+  FROM spine LEFT JOIN obs ON spine.a = obs.a AND spine.b = obs.b),
+t AS (
+  SELECT a, b, observed,
+         CAST(sum(observed) OVER (PARTITION BY a) AS DOUBLE)
+           * CAST(sum(observed) OVER (PARTITION BY b) AS DOUBLE)
+           / sum(observed) OVER () AS exp
+  FROM j)
+SELECT a, b, CAST(observed AS BIGINT) AS observed,
+       round(exp, 6) AS expected,
+       round(CASE WHEN exp > 0
+             THEN (observed - exp) * (observed - exp) / exp
+             ELSE 0.0 END, 6) AS chi2_contrib
+FROM t
+"""
+
+
+@register("qa_chi2_independence", _CHI2_SQL)
+def qa_chi2_independence(spark, sf_dir):
+    """Chi-square independence screen between document language and
+    source (qa.chi2_independence) — the QA battery's cross-feature
+    check (a language that only ever arrives from one source is a
+    crawl-routing smell): the full contingency table with expected
+    counts under independence and per-cell chi-square contributions,
+    NULLs as a real level and absent combinations materialized at
+    observed = 0 (the Benford/PSI spine discipline). Third
+    distribution-level check next to qa_benford_prices (one
+    numeric), qa_psi_drift / qa_ks_drift (one numeric across
+    cohorts); this one is two categoricals against each other.
+
+    Scale shape: one map-side coalesce, one (a, b)-key agg with
+    map-side combine; all finishing windows run on the contingency
+    table, bounded by the category vocabularies."""
+    d = _t(spark, sf_dir, "documents")
+    return qa.chi2_independence(d, "lang", "source")

@@ -56,6 +56,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # onto the corpus for the map-side all-but-the-top
                   # rewrite (the packed-LUT ivfpq shape)
                   "emb_remove_top_component",
+                  # level-spine cross join: distinct(a) x distinct(b)
+                  # — both sides bounded by the category vocabularies,
+                  # never the row count
+                  "qa_chi2_independence",
                   # 1-row OOV-floor scalar + broadcast LM joined onto
                   # the exploded corpus (same scalar-broadcast shape
                   # as tfidf's corpus-size row)
@@ -309,6 +313,9 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                   # spine (fixed bin count regardless of input rows —
                   # the histogram-quantiles shape)
                   "qa_ks_drift",
+                  # grand-total window over the CONTINGENCY table —
+                  # |levels(a)| x |levels(b)| rows, category-bounded
+                  "qa_chi2_independence",
                     # the global-sort row_number IS the modeled
                     # clustered write (a z-ordered layout is a total
                     # sort by definition); the production path is the

@@ -1791,3 +1791,54 @@ def test_minhash_calibration_exact_dups_and_python_estimator(spark):
         sa, sb = sig(docs[0][1]), sig(docs[2][1])
         want = sum(x == y for x, y in zip(sa, sb)) / 8.0
         assert out[(0, 2)].est_jaccard == want
+
+
+def test_chi2_independence_invariants_and_hand_value(spark):
+    """Expected counts sum to n; an exactly-independent table has
+    chi2_contrib 0 everywhere; a hand-computed 2x2 matches."""
+    from sequencing_integration_pipeline1_0_spark.operators import qa
+
+    # independent: P(a)P(b) product design, 2x2 with counts 40/40/10/10
+    rows = ([("x", "u")] * 40 + [("x", "v")] * 40
+            + [("y", "u")] * 10 + [("y", "v")] * 10)
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    out = qa.chi2_independence(df, "a", "b").collect()
+    assert len(out) == 4
+    assert abs(sum(r.expected for r in out) - 100) < 1e-6
+    assert all(r.chi2_contrib == 0.0 for r in out)
+
+    # dependent 2x2: (30,10 / 10,30); expected all 20, contrib 5.0
+    rows2 = ([("x", "u")] * 30 + [("x", "v")] * 10
+             + [("y", "u")] * 10 + [("y", "v")] * 30)
+    out2 = qa.chi2_independence(
+        spark.createDataFrame(rows2, "a STRING, b STRING"),
+        "a", "b").collect()
+    assert all(r.expected == 20.0 for r in out2)
+    assert all(r.chi2_contrib == 5.0 for r in out2)
+
+    # nulls become a real level; absent combos materialize at 0
+    rows3 = [("x", "u"), ("x", None), (None, "u")]
+    out3 = {(r.a, r.b): r.observed for r in qa.chi2_independence(
+        spark.createDataFrame(rows3, "a STRING, b STRING"),
+        "a", "b").collect()}
+    assert out3[("(missing)", "(missing)")] == 0
+    assert out3[("x", "(missing)")] == 1
+
+
+def test_minhash_contamination_finds_planted_near_dup(spark):
+    """A corpus doc sharing most tokens with a bench doc is caught;
+    an unrelated doc is not; exact copies score 1.0."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id LONG, text STRING")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog yesterday"),
+         (3, "completely unrelated words about spark and parquet")],
+        "doc_id LONG, text STRING")
+    out = {r.id: (r.bench_id, r.jaccard)
+           for r in ds.minhash_contamination(
+               corpus, bench, "doc_id", "text").collect()}
+    assert out[1] == (0, 1.0)
+    assert 2 in out and out[2][1] >= 0.7
+    assert 3 not in out

@@ -151,6 +151,9 @@ PROBES = [
     # minhash calibration: rides the certified slim-pair LSH shape;
     # growth tracks candidate pairs (capped buckets)
     "dedup_minhash_calibration",
+    # bipartite fuzzy decontamination: bench side broadcast, growth
+    # tracks the corpus banding scan + bench bucket occupancy
+    "decontam_minhash",
 ]
 
 #: executions per (query, sf) cell — min-of-N. Three runs settle the
