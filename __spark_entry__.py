@@ -194,6 +194,7 @@ _PRIORITY = [
     "emb_mahalanobis_outliers", "emb_pca_top_component",
     "emb_remove_top_component", "dedup_minhash_calibration",
     "text_char_entropy", "decontam_minhash", "qa_chi2_independence",
+    "evt_markov_transitions", "quality_logreg_calibration",
     "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
     "ann_ivfsq_recall", "dedup_substring_rewrite",
     "mm_audio_fingerprint_pairs", "mm_audio_fingerprint_near_dup",

@@ -119,3 +119,52 @@ def latest_per_group(df: DataFrame, keys: Sequence[str], ts: str) -> DataFrame:
     w = Window.partitionBy(*keys).orderBy(F.col(ts).desc(), *[F.col(k) for k in keys])
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def markov_transitions(df: DataFrame, user_col: str, type_col: str,
+                       order_cols: Sequence[str], *,
+                       end_label: str = "(end)",
+                       round_to: int = 6) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-analytics summary behind next-action
+    prediction, funnel-dropout diagnosis, and bot detection (a
+    near-deterministic row is a scripted client): every (src, dst)
+    state pair with its transition count and row-normalized
+    probability, including the terminal `end_label` state (each
+    user's last event transitions to it, so every row of the matrix
+    sums to 1) and absent pairs materialized at 0 via the full
+    state-spine cross join (the Benford/PSI discipline).
+
+    `order_cols` must give a deterministic total order per user
+    (e.g. [ts, event_id] — the id tiebreak matters: equal timestamps
+    would otherwise make lead() engine-dependent).
+
+    Scale shape: ONE per-user window (lead) over the fact table —
+    the same (user, ts) partitioning sessionize/attribution reuse —
+    then a states^2-key agg with map-side combine; everything after
+    runs on the matrix, bounded by the state vocabulary."""
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    tr = df.select(
+        F.col(type_col).alias("src"),
+        F.coalesce(F.lead(type_col).over(w), F.lit(end_label))
+         .alias("dst"))
+    cnt = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    types = df.select(F.col(type_col).alias("t")).distinct()
+    dsts = (types.select(F.col("t").alias("dst"))
+                 .unionByName(types.sparkSession.createDataFrame(
+                     [(end_label,)], "dst STRING")))
+    spine = (types.select(F.col("t").alias("src"))
+                  .join(F.broadcast(dsts)))
+    j = (spine.join(cnt, ["src", "dst"], "left")
+              .select("src", "dst",
+                      F.coalesce("n", F.lit(0).cast("long")).alias("n")))
+    w_row = Window.partitionBy("src").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = F.sum("n").over(w_row)
+    return (j.select("src", "dst",
+                     F.col("n").cast("long").alias("n_transitions"),
+                     F.when(tot > 0,
+                            F.round(F.col("n").cast("double") / tot,
+                                    round_to))
+                      .otherwise(F.lit(0.0)).alias("prob")))

@@ -1611,3 +1611,71 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
                                      - F.col("s").cast("double")
                                        / F.col("len"), round_to))
                        .otherwise(F.lit(0.0)).alias("entropy")))
+
+
+#: calibration-report bin count (oracle-interpolated)
+LOGREG_CALIB_BINS = 10
+
+
+def quality_logreg_calibration(df, text_col: str = "text", *,
+                               bins: int = LOGREG_CALIB_BINS,
+                               lr: float = LOGREG_LR,
+                               iters: int = LOGREG_ITERS,
+                               label_min_tokens: int =
+                               LOGREG_LABEL_MIN_TOKENS,
+                               round_to: int = 6) -> "DataFrame":
+    """Reliability diagram + ECE decomposition for the quality
+    classifier: predicted probabilities bin into `bins` equal-width
+    buckets (full spine, absent bins materialized) and each bin
+    carries its doc count, MEAN PREDICTED probability, OBSERVED
+    positive fraction, and Expected-Calibration-Error contribution
+    (n/total * |mean_pred - frac_pos|; the column sum IS the ECE).
+    Accuracy (quality_logreg_eval) says the boundary is right;
+    calibration says the PROBABILITIES are honest — which is what a
+    curation pipeline thresholds on when it keeps 'p >= 0.9' docs.
+
+    Exactness: p = sigmoid(z) rounds to 1e-round_to before both
+    binning and the DECIMAL mean (the PSI binning discipline); bin
+    stats are exact integer/decimal sums finished by single mirrored
+    divisions.
+
+    Scale shape: training is the in-plan Lloyd-style recurrence
+    (quality_logreg_train's shape); scoring is one map-side pass
+    under the broadcast 1-row weights; everything after runs on the
+    `bins`-row spine."""
+    feats, wcur = _logreg_fit(df, text_col, lr=lr, iters=iters,
+                              label_min_tokens=label_min_tokens)
+    pr = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z())),
+                 round_to)
+    sc = (feats.crossJoin(F.broadcast(wcur))
+               .select(F.least(F.lit(bins - 1),
+                               F.floor(pr * bins)).cast("int")
+                        .alias("bin"),
+                       pr.cast(f"decimal(18,{round_to})").alias("p"),
+                       F.col("y").cast("long").alias("y")))
+    spine = df.sparkSession.range(0, bins).select(
+        F.col("id").cast("int").alias("bin"))
+    c = sc.groupBy("bin").agg(F.count(F.lit(1)).alias("n"),
+                              F.sum("p").alias("sp"),
+                              F.sum("y").alias("sy"))
+    j = (spine.join(c, "bin", "left")
+              .select("bin",
+                      F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+                      "sp", "sy"))
+    mean_pred = F.when(F.col("n") > 0,
+                       F.round(F.col("sp").cast("double") / F.col("n"),
+                               round_to)).otherwise(F.lit(0.0))
+    frac_pos = F.when(F.col("n") > 0,
+                      F.round(F.col("sy").cast("double") / F.col("n"),
+                              round_to)).otherwise(F.lit(0.0))
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    t = j.select("bin", "n", mean_pred.alias("mean_pred"),
+                 frac_pos.alias("frac_pos"),
+                 F.sum("n").over(w_all).alias("tot"))
+    return (t.select("bin", F.col("n").cast("long").alias("n_docs"),
+                     "mean_pred", "frac_pos",
+                     F.round(F.col("n").cast("double") / F.col("tot")
+                             * F.abs(F.col("mean_pred")
+                                     - F.col("frac_pos")), round_to)
+                      .alias("ece_contrib")))

@@ -10786,3 +10786,104 @@ def qa_chi2_independence(spark, sf_dir):
     table, bounded by the category vocabularies."""
     d = _t(spark, sf_dir, "documents")
     return qa.chi2_independence(d, "lang", "source")
+
+
+_MARKOV_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events),
+tr AS (
+  SELECT event_type AS src,
+         coalesce(lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id),
+           '(end)') AS dst
+  FROM e),
+cnt AS (SELECT src, dst, count(*) AS n FROM tr GROUP BY src, dst),
+types AS (SELECT DISTINCT event_type AS t FROM e),
+spine AS (
+  SELECT s.t AS src, d.dst
+  FROM types s CROSS JOIN
+    (SELECT t AS dst FROM types UNION ALL SELECT '(end)') d),
+j AS (
+  SELECT spine.src, spine.dst, coalesce(cnt.n, 0) AS n
+  FROM spine LEFT JOIN cnt
+    ON spine.src = cnt.src AND spine.dst = cnt.dst),
+t AS (SELECT src, dst, n, sum(n) OVER (PARTITION BY src) AS tot FROM j)
+SELECT src, dst, CAST(n AS BIGINT) AS n_transitions,
+       CASE WHEN tot > 0 THEN round(CAST(n AS DOUBLE) / tot, 6)
+            ELSE 0.0 END AS prob
+FROM t
+"""
+
+
+@register("evt_markov_transitions", _MARKOV_SQL)
+def evt_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (agg.markov_transitions, event_id tiebreak for
+    deterministic lead under equal timestamps): every (src, dst)
+    state pair with count and row-normalized probability, the
+    terminal '(end)' state included so each row sums to 1, absent
+    pairs at 0 via the state-spine cross join. The sequence-analytics
+    complement to evt_funnel_steps (which checks ONE prescribed
+    order; this surfaces ALL observed orders) and st_click_attribution
+    (which scores one target transition).
+
+    Scale shape: one per-user lead window over the fact table (the
+    sessionize partitioning), a states^2-key agg with map-side
+    combine, then bounded matrix finishing."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.markov_transitions(ev, "user_id", "event_type",
+                                  ["ts_us", "event_id"])
+
+
+def _logreg_calib_sql() -> str:
+    prefix, iters = _logreg_prefix()
+    b = textstats.LOGREG_CALIB_BINS
+    zs = " + ".join(f"w.w{j} * f.x{j}" for j in range(4))
+    p = f"round(1.0 / (1.0 + exp(-({zs}))), 6)"
+    return prefix + f""",
+sc AS (
+  SELECT least({b - 1}, CAST(floor({p} * {b}) AS INT)) AS bin,
+         CAST({p} AS DECIMAL(18,6)) AS p,
+         CAST(f.y AS BIGINT) AS y
+  FROM f, w{iters} w),
+spine AS (SELECT unnest(range(0, {b})) AS bin),
+c AS (
+  SELECT bin, count(*) AS n, sum(p) AS sp, sum(y) AS sy
+  FROM sc GROUP BY bin),
+j AS (
+  SELECT spine.bin, coalesce(n, 0) AS n, sp, sy
+  FROM spine LEFT JOIN c USING (bin)),
+t AS (
+  SELECT bin, n,
+         CASE WHEN n > 0 THEN round(CAST(sp AS DOUBLE) / n, 6)
+              ELSE 0.0 END AS mean_pred,
+         CASE WHEN n > 0 THEN round(CAST(sy AS DOUBLE) / n, 6)
+              ELSE 0.0 END AS frac_pos,
+         sum(n) OVER () AS tot
+  FROM j)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n_docs,
+       mean_pred, frac_pos,
+       round(CAST(n AS DOUBLE) / tot * abs(mean_pred - frac_pos), 6)
+         AS ece_contrib
+FROM t"""
+
+
+@register("quality_logreg_calibration", _logreg_calib_sql())
+def quality_logreg_calibration_q(spark, sf_dir):
+    """Reliability diagram + ECE decomposition for the trained
+    quality classifier (textstats.quality_logreg_calibration):
+    sigmoid probabilities bin into 10 equal-width buckets (full
+    spine); each bin carries doc count, mean predicted probability,
+    observed positive fraction, and its Expected-Calibration-Error
+    contribution — the column sum IS the ECE. Completes the
+    classifier row set: train (weights), eval (boundary accuracy),
+    calibration (are the PROBABILITIES honest — what a curation
+    pipeline actually thresholds on). The oracle composes the shared
+    unrolled-GD chain plus the same rounded-sigmoid binning.
+
+    Scale shape: in-plan training (Lloyd recurrence), one map-side
+    scoring pass under broadcast 1-row weights, 10-key agg with
+    map-side combine, bounded spine finishing."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_logreg_calibration(d, "text")

@@ -60,6 +60,12 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # — both sides bounded by the category vocabularies,
                   # never the row count
                   "qa_chi2_independence",
+                  # state-spine cross join (types x types+end) — the
+                  # same vocabulary-bounded shape
+                  "evt_markov_transitions",
+                  # unrolled GD recurrence + broadcast 1-row weights
+                  # for scoring (the quality_logreg_train/eval shape)
+                  "quality_logreg_calibration",
                   # 1-row OOV-floor scalar + broadcast LM joined onto
                   # the exploded corpus (same scalar-broadcast shape
                   # as tfidf's corpus-size row)
@@ -316,6 +322,9 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                   # grand-total window over the CONTINGENCY table —
                   # |levels(a)| x |levels(b)| rows, category-bounded
                   "qa_chi2_independence",
+                  # corpus-total window over the 10-row calibration
+                  # bin spine (the histogram-quantiles shape)
+                  "quality_logreg_calibration",
                     # the global-sort row_number IS the modeled
                     # clustered write (a z-ordered layout is a total
                     # sort by definition); the production path is the

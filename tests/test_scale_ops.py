@@ -1842,3 +1842,51 @@ def test_minhash_contamination_finds_planted_near_dup(spark):
     assert out[1] == (0, 1.0)
     assert 2 in out and out[2][1] >= 0.7
     assert 3 not in out
+
+
+def test_markov_transitions_rows_sum_to_one_and_hand_chain(spark):
+    """Each src row's probs sum to 1; a deterministic a->b->a chain
+    yields exactly the expected matrix incl. the (end) state."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        aggregates as agg,
+    )
+
+    # user 1: a b a b (3 transitions + end); user 2: a b (1 + end)
+    rows = [(1, "a", 1, 10), (1, "b", 2, 11), (1, "a", 3, 12),
+            (1, "b", 4, 13), (2, "a", 5, 20), (2, "b", 6, 21)]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, ts_us LONG, event_id LONG")
+    out = {(r.src, r.dst): (r.n_transitions, r.prob)
+           for r in agg.markov_transitions(
+               df, "user_id", "event_type", ["ts_us", "event_id"]).collect()}
+    assert len(out) == 2 * 3  # 2 srcs x (2 types + end)
+    assert out[("a", "b")] == (3, 1.0)
+    assert out[("a", "(end)")] == (0, 0.0)
+    assert out[("b", "a")][0] == 1 and out[("b", "(end)")][0] == 2
+    assert abs(out[("b", "a")][1] + out[("b", "(end)")][1]
+               + out[("b", "b")][1] - 1.0) < 1e-9
+    import itertools
+    for src in ("a", "b"):
+        s = sum(out[(src, d)][1] for d in ("a", "b", "(end)"))
+        assert abs(s - 1.0) < 1e-9, (src, s)
+
+
+def test_logreg_calibration_invariants(spark):
+    """Bin stats: n sums to corpus size, mean_pred stays inside the
+    bin's probability range, ECE contributions are nonneg and bounded
+    by the bin mass share."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        textstats as tstats,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(tstats.quality_logreg_calibration(df).collect(),
+                  key=lambda r: r.bin)
+    assert len(rows) == 10
+    assert sum(r.n_docs for r in rows) == df.count()
+    tot = sum(r.n_docs for r in rows)
+    for r in rows:
+        if r.n_docs > 0:
+            assert r.bin / 10 - 1e-6 <= r.mean_pred <= (r.bin + 1) / 10 + 1e-6
+            assert 0.0 <= r.frac_pos <= 1.0
+        assert 0.0 <= r.ece_contrib <= r.n_docs / tot + 1e-9
