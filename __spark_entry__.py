@@ -173,9 +173,12 @@ _R6_CONFIRMED = frozenset({
     "u1_union_provenance", "j12_dim_lookup", "f3_prefix_strip",
 })
 
-# Round-7 priorities: session 2 adds six more NEW queries (DSIR
-# selection + Gumbel resampling, binned KS drift, Mahalanobis
-# outliers, PCA power iteration, char entropy) ahead of session 1's
+# Round-7 priorities: session 2 adds twelve more NEW queries (DSIR
+# selection + Gumbel resampling, binned KS drift + chi-square
+# independence, Mahalanobis outliers, PCA power iteration +
+# all-but-the-top, char entropy, MinHash estimator calibration,
+# fuzzy benchmark decontamination, Markov transitions, classifier
+# calibration) ahead of session 1's
 # batch (SQ8 incremental proof + serving batch + composed recall, the
 # substring REWRITE, the audio fingerprint band join, the
 # sampled/adaptive-geometry IVF row), plus
@@ -186,9 +189,11 @@ _R6_CONFIRMED = frozenset({
 # baselines gaining the scope gate (ann_brute_force_topk / int8_topk /
 # ann_pq_*) — the gate is a pre-flight count that raises on oversize
 # inputs; the returned plan and values are byte-identical on the
-# fixture (gate unit-tested in test_scale_ops.py). ~8 front slots
-# leave ~42 rotation slots — stalest-first finally clears the 15
-# r2-stale stragglers (r6 verdict item 1) with room into the r3 tail.
+# fixture (gate unit-tested in test_scale_ops.py). 32 unconfirmed
+# front slots (incl. j6b) leave 18 rotation slots — stalest-first
+# clears all 15 r2-stale stragglers (r6 verdict item 1) plus three
+# of the r3 tail; session 2 stopped registering at 232 exactly to
+# keep those 15 inside the 50-slot window.
 _PRIORITY = [
     "dsir_select_topk", "dsir_gumbel_topk", "qa_ks_drift",
     "emb_mahalanobis_outliers", "emb_pca_top_component",

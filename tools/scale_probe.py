@@ -154,6 +154,12 @@ PROBES = [
     # bipartite fuzzy decontamination: bench side broadcast, growth
     # tracks the corpus banding scan + bench bucket occupancy
     "decontam_minhash",
+    # markov matrix: one per-user lead window then vocabulary-bounded
+    # finishing — growth tracks the fact scan
+    "evt_markov_transitions",
+    # calibration: in-plan GD training dominates (8 corpus feature
+    # passes in one lazy plan) — growth tracks the corpus x iters
+    "quality_logreg_calibration",
 ]
 
 #: executions per (query, sf) cell — min-of-N. Three runs settle the
