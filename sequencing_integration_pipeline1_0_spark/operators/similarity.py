@@ -1656,7 +1656,11 @@ def pca_power_state(df: DataFrame, id_col: str, vec_col: str, *,
                 (F.element_at(q, (i + 1).cast("int"))
                  * F.element_at(q, (j + 1).cast("int"))).alias("p")))))
 
-    g = (df.select(F.explode(bind_once(vq, pair_terms)).alias("t"))
+    # empty embeddings contribute no rows to any per-dim pass (the
+    # posexplode shapes drop them naturally; the pair HOF must filter
+    # them — sequence(0, -1) is a DESCENDING range, not empty)
+    g = (df.filter(F.size(F.col(vec_col)) > 0)
+           .select(F.explode(bind_once(vq, pair_terms)).alias("t"))
            .select("t.i", "t.j", "t.p")
            .groupBy("i", "j")
            .agg(F.sum("p").alias("gp"),
@@ -1760,7 +1764,8 @@ def pca_remove_top(df: DataFrame, id_col: str, vec_col: str, *,
             * F.element_at(F.col("v_arr"), i.cast("int"))
                .cast("double"), round_to).cast(dec))
 
-    base = (df.select(F.col(id_col).alias("id"), vq.alias("q"))
+    base = (df.filter(F.size(F.col(vec_col)) > 0)
+              .select(F.col(id_col).alias("id"), vq.alias("q"))
               .join(F.broadcast(v_arr))
               .join(F.broadcast(mu_arr))
               .withColumn("proj", F.aggregate(

@@ -1607,9 +1607,15 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
                       F.coalesce("n_distinct", F.lit(0).cast("long"))
                        .alias("n_distinct"),
                       F.when(F.col("len") > 0,
+                             # + 0.0 normalizes IEEE -0.0 (a tiny
+                             # negative residual rounds to the signed
+                             # zero in DuckDB but not in Spark — the
+                             # edge harness caught the repr diverging
+                             # on a whitespace-only doc)
                              F.round(F.log(F.col("len"))
                                      - F.col("s").cast("double")
-                                       / F.col("len"), round_to))
+                                       / F.col("len"), round_to)
+                             + F.lit(0.0))
                        .otherwise(F.lit(0.0)).alias("entropy")))
 
 

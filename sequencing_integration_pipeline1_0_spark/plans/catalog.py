@@ -10389,7 +10389,8 @@ WITH ex AS (
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
 st AS (
   SELECT dim, count(*) AS n, sum(xq) AS s1,
-         sum(CAST(xq * xq AS DECIMAL(38,12))) AS s2
+         sum(CAST(xq AS DECIMAL(19,6))
+             * CAST(xq AS DECIMAL(19,6))) AS s2
   FROM ex GROUP BY dim),
 mv AS (
   SELECT dim, CAST(s1 AS DOUBLE) / n AS mu,
@@ -10482,6 +10483,7 @@ SELECT d.doc_id,
        coalesce(p.n_distinct, 0) AS n_distinct,
        CASE WHEN p.len > 0
             THEN round(ln(p.len) - CAST(p.s AS DOUBLE) / p.len, 6)
+                 + 0.0
             ELSE 0.0 END AS entropy
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
@@ -10522,7 +10524,9 @@ st AS (
   SELECT dim, count(*) AS n, sum(xq) AS s1 FROM ex GROUP BY dim),
 mu AS (SELECT dim, CAST(s1 AS DOUBLE) / n AS mu FROM st),
 g AS (
-  SELECT a.dim AS i, b.dim AS j, sum(a.xq * b.xq) AS gp,
+  SELECT a.dim AS i, b.dim AS j,
+         sum(CAST(a.xq AS DECIMAL(19,6))
+             * CAST(b.xq AS DECIMAL(19,6))) AS gp,
          count(*) AS nv
   FROM ex a JOIN ex b USING (id) GROUP BY a.dim, b.dim),
 c AS (
