@@ -587,3 +587,93 @@ def test_canonicalize_url_matches_python_reference(spark, parts):
                  .collect())
     for i, r in enumerate(raws):
         assert got[i] == _py_canonicalize_url(r), r
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 1),
+                          st.floats(-1e6, 1e6, allow_nan=False)),
+                min_size=2, max_size=60))
+def test_ks_binned_matches_python_reference(spark, rows):
+    """ks_binned_drift equals an independently-written binned-ECDF
+    reference for arbitrary two-cohort samples."""
+    from sequencing_integration_pipeline1_0_spark.operators import qa
+
+    df = spark.createDataFrame(rows, "grp INT, v DOUBLE")
+    got = {r.bin: r for r in
+           qa.ks_binned_drift(df, "v", "grp", bins=8).collect()}
+
+    lo = min(v for _, v in rows)
+    hi = max(v for _, v in rows)
+    cnt = {b: [0, 0] for b in range(8)}
+    for g, v in rows:
+        b = min(7, int((v - lo) / (hi - lo) * 8)) if hi > lo else 0
+        cnt[b][g] += 1
+    ta = max(sum(c[0] for c in cnt.values()), 1)
+    tb = max(sum(c[1] for c in cnt.values()), 1)
+    ca = cb = 0
+    for b in range(8):
+        ca += cnt[b][0]
+        cb += cnt[b][1]
+        r = got[b]
+        assert (r.n_a, r.n_b) == tuple(cnt[b])
+        assert abs(r.cdf_a - round(ca / ta, 6)) < 1e-9
+        assert abs(r.cdf_b - round(cb / tb, 6)) < 1e-9
+        assert abs(r.ks_dist
+                   - round(abs(round(ca / ta, 6) - round(cb / tb, 6)),
+                           6)) < 1e-9
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="abr cé\U0001f642",
+                        min_size=0, max_size=40),
+                min_size=1, max_size=12))
+def test_char_entropy_matches_python_reference(spark, texts):
+    """char_entropy equals the quantized Python reference for
+    arbitrary unicode strings (incl. emoji and empties)."""
+    import math
+    from collections import Counter
+
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        textstats as tstats,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in tstats.char_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        n = sum(c.values())
+        r = got[i]
+        assert r.n_chars_tot == n and r.n_distinct == len(c)
+        if n == 0:
+            assert r.entropy == 0.0
+        else:
+            s = sum(round(k * math.log(k), 6) for k in c.values())
+            assert abs(r.entropy - round(math.log(n) - s / n, 6)) < 1e-9
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 3), st.sampled_from("abc")),
+                min_size=1, max_size=40))
+def test_markov_rows_sum_to_one_and_conserve_events(spark, evs):
+    """Matrix invariants on arbitrary event streams: observed-state
+    rows sum to 1; total transitions == total events (every event
+    transitions exactly once, the last to '(end)')."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        aggregates as agg,
+    )
+
+    rows = [(u, t, i, i) for i, (u, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, ts_us LONG, event_id LONG")
+    out = agg.markov_transitions(df, "user_id", "event_type",
+                                 ["ts_us", "event_id"]).collect()
+    assert sum(r.n_transitions for r in out) == len(evs)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r)
+    seen_src = {t for _, t in evs}
+    for src, rs in by_src.items():
+        total = sum(r.n_transitions for r in rs)
+        if src in seen_src and total > 0:
+            assert abs(sum(r.prob for r in rs) - 1.0) < 1e-5, src
