@@ -151,9 +151,16 @@ def markov_transitions(df: DataFrame, user_col: str, type_col: str,
          .alias("dst"))
     cnt = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
     types = df.select(F.col(type_col).alias("t")).distinct()
+    # distinct() guards the end_label collision: a stream that
+    # contains an event literally typed like end_label would
+    # otherwise duplicate its spine row and double-count the per-src
+    # window total. The colliding STATE still conflates with the
+    # terminal marker (pick a sentinel not in the vocabulary); the
+    # dedup keeps the matrix consistent either way.
     dsts = (types.select(F.col("t").alias("dst"))
                  .unionByName(types.sparkSession.createDataFrame(
-                     [(end_label,)], "dst STRING")))
+                     [(end_label,)], "dst STRING"))
+                 .distinct())
     spine = (types.select(F.col("t").alias("src"))
                   .join(F.broadcast(dsts)))
     j = (spine.join(cnt, ["src", "dst"], "left")

@@ -710,17 +710,27 @@ def minhash_calibration(df: DataFrame, id_col: str, text_col: str, *,
     exact verify (it can't at k=8; this query shows by how much).
 
     Returns (id_a, id_b, est_jaccard, true_jaccard, err) per
-    candidate pair. Signatures are recomputed from the re-attached
-    shingle arrays (identical values to the banding pass — md5 is
-    pure); a serving variant would join the per-doc signature table
-    by id instead of recomputing, the minhash_index layout."""
+    candidate pair. Signatures come from a per-doc signature table
+    joined by id (the minhash_index layout) — computed ONCE per doc,
+    O(N * k * |shingles|) md5 work, not once per pair: on a
+    template-heavy corpus a dense bucket emits B^2/2 pairs and a
+    per-pair recompute would multiply signature cost by the pair
+    fan-in."""
     pairs = minhash_lsh_candidates(df, id_col, text_col,
                                    shingle_n=shingle_n, k=k,
                                    bands=bands, max_bucket=max_bucket)
-    sa = minhash_signature(F.col("sh_a"), k)
-    sb = minhash_signature(F.col("sh_b"), k)
-    eq = F.size(F.filter(F.zip_with(sa, sb, lambda x, y: x == y),
-                         lambda z: z))
+    sigs = df.select(
+        F.col(id_col).alias("__sid"),
+        minhash_signature(word_shingles(text_col, shingle_n), k)
+         .alias("__sig"))
+    pairs = (pairs
+             .join(sigs.select(F.col("__sid").alias("id_a"),
+                               F.col("__sig").alias("sig_a")), "id_a")
+             .join(sigs.select(F.col("__sid").alias("id_b"),
+                               F.col("__sig").alias("sig_b")), "id_b"))
+    eq = F.size(F.filter(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                   lambda x, y: x == y), lambda z: z))
     est = eq.cast("double") / F.lit(float(k))
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (pairs.select("id_a", "id_b",

@@ -1604,8 +1604,8 @@ def pca_top_component(df: DataFrame, id_col: str, vec_col: str, *,
     Scale shape: after the one map-side pass + d^2-key agg, all
     iteration state is d^2 + d rows (broadcast joins, bounded
     windows) regardless of corpus size."""
-    c, v = pca_power_state(df, id_col, vec_col, iters=iters,
-                           round_to=round_to)
+    c, v, _ = pca_power_state(df, id_col, vec_col, iters=iters,
+                              round_to=round_to)
     dec2 = f"decimal(38,{2 * round_to})"
     vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
     vj = v.select("j", F.col("v").alias("vj"))
@@ -1629,21 +1629,28 @@ def pca_top_component(df: DataFrame, id_col: str, vec_col: str, *,
                       .otherwise(F.lit(0.0)).alias("explained_frac")))
 
 
-def pca_power_state(df: DataFrame, id_col: str, vec_col: str, *,
-                    iters: int = PCA_ITERS,
-                    round_to: int = 6) -> tuple[DataFrame, DataFrame]:
-    """The shared PCA machinery: returns (c, v) — the checkpointed
-    d^2-row quantized covariance table (i, j, qc) and the d-row unit
-    top-eigenvector (j, v) after `iters` normalize-quantized power
-    sweeps from the uniform start. pca_top_component finishes it into
-    the diagnostic row set; pca_remove_top applies it back to the
-    corpus. Arithmetic discipline documented on pca_top_component."""
+def pca_power_state(
+        df: DataFrame, id_col: str, vec_col: str, *,
+        iters: int = PCA_ITERS,
+        round_to: int = 6) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared PCA machinery: returns (c, v, stats) — the
+    checkpointed d^2-row quantized covariance table (i, j, qc), the
+    d-row unit top-eigenvector (j, v) after `iters`
+    normalize-quantized power sweeps from the uniform start, and the
+    CHECKPOINTED d-row per-dim stats (dim, n, mu, var) the covariance
+    was centered with — returned so consumers needing mu
+    (pca_remove_top) reuse it instead of re-scanning the corpus.
+    pca_top_component finishes (c, v) into the diagnostic row set;
+    pca_remove_top applies them back to the corpus. Arithmetic
+    discipline documented on pca_top_component."""
     from .dedupe_scale import bind_once
 
     dec = f"decimal(18,{round_to})"
     dec2 = f"decimal(38,{2 * round_to})"
+    # checkpointed: consumed twice here (covariance centering) and
+    # again by pca_remove_top's mu packing — one corpus scan total
     stats = mahalanobis_diag_stats(df, id_col, vec_col,
-                                   round_to=round_to)
+                                   round_to=round_to).localCheckpoint()
     vq = F.transform(F.col(vec_col),
                      lambda v: F.round(v.cast("double"), round_to)
                                 .cast(dec))
@@ -1705,7 +1712,7 @@ def pca_power_state(df: DataFrame, id_col: str, vec_col: str, *,
                      F.when(nm > 0,
                             F.round(F.col("wd") / nm, round_to))
                       .otherwise(F.lit(0.0)).cast(dec).alias("v"))
-    return c, v
+    return c, v, stats
 
 
 def pca_remove_top(df: DataFrame, id_col: str, vec_col: str, *,
@@ -1735,10 +1742,10 @@ def pca_remove_top(df: DataFrame, id_col: str, vec_col: str, *,
     from .dedupe_scale import bind_once
 
     dec = f"decimal(18,{round_to})"
-    stats = mahalanobis_diag_stats(df, id_col, vec_col,
-                                   round_to=round_to).localCheckpoint()
-    _, v = pca_power_state(df, id_col, vec_col, iters=iters,
-                           round_to=round_to)
+    # mu comes from the SAME checkpointed stats the covariance was
+    # centered with — no second corpus stats scan
+    _, v, stats = pca_power_state(df, id_col, vec_col, iters=iters,
+                                  round_to=round_to)
     v_arr = (v.groupBy()
               .agg(F.sort_array(F.collect_list(F.struct("j", "v")))
                     .alias("sv"))

@@ -1576,22 +1576,49 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text",
     partition-order independent and oracle-exact; ln(L) - S/L is two
     double ops on exact values.
 
-    Scale shape: the char histogram is computed MAP-SIDE per row with
-    higher-order functions (distinct chars x occurrences — O(a*L)
-    per doc with alphabet-bounded a, no per-character explode);
-    only slim (id, char, n) rows shuffle into the per-doc agg,
-    fan-out bounded by the alphabet, not the text length."""
-    chars = bind_once(
-        F.filter(F.split(F.col(text_col), ""), lambda c: c != ""),
-        lambda cs: F.transform(
-            F.array_distinct(cs),
-            lambda c: F.struct(
-                c.alias("ch"),
-                F.size(F.filter(cs, lambda x: x == c)).alias("n"))))
+    Scale shape: the char histogram is computed MAP-SIDE per row via
+    sort + run-length (array_sort then boundary indices then run
+    widths — O(L log L) per doc, NOT the naive O(distinct * L)
+    filter-per-distinct-char, which degenerates to O(L^2) exactly on
+    the high-entropy gibberish this screen exists to catch); only
+    slim (id, char, n) rows shuffle into the per-doc agg, fan-out
+    bounded by the alphabet, not the text length."""
+    def runs(sorted_cs):
+        n = F.size(sorted_cs)
+        # boundary positions: i where a new character run starts.
+        # greatest(i-1, 1) keeps element_at in range at i = 1 (the
+        # i == 1 arm already owns that case; ANSI element_at(_, 0)
+        # would throw even though the OR makes it irrelevant)
+        bnd_expr = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1)
+            | (F.element_at(sorted_cs,
+                            F.greatest(i - 1, F.lit(1)).cast("int"))
+               != F.element_at(sorted_cs, i.cast("int"))))
+        return bind_once(bnd_expr, lambda bnd: F.transform(
+            F.sequence(F.lit(1), F.size(bnd)),
+            lambda kk: F.struct(
+                F.element_at(
+                    sorted_cs,
+                    F.element_at(bnd, kk.cast("int")).cast("int"))
+                 .alias("ch"),
+                (F.when(kk < F.size(bnd),
+                        F.element_at(bnd, (kk + 1).cast("int")))
+                  .otherwise(n + 1)
+                 - F.element_at(bnd, kk.cast("int")))
+                .cast("long").alias("n"))))
+
+    cs = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    # the when() guard keeps sequence(1, 0) — a DESCENDING range in
+    # Spark, not empty — away from empty/NULL texts; explode of the
+    # NULL branch emits no rows, exactly like the oracle's empty
+    # unnest(range(...))
+    pairs = bind_once(cs, lambda c: F.when(
+        F.size(c) > 0, bind_once(F.array_sort(c), runs)))
     ex = (df.select(F.col(id_col).alias("__id"),
-                    F.explode(chars).alias("p"))
+                    F.explode(pairs).alias("p"))
             .select("__id", F.col("p.ch").alias("ch"),
-                    F.col("p.n").cast("long").alias("n")))
+                    F.col("p.n").alias("n")))
     s_term = (F.round(F.col("n") * F.log(F.col("n")), round_to)
                .cast(f"decimal(18,{round_to})"))
     per = (ex.select("__id", "n", s_term.alias("s"))

@@ -10256,7 +10256,8 @@ def qa_benford_prices(spark, sf_dir):
 
 
 # --------------------------------------------------------------- DSIR
-from ..operators import sampling as _sampling  # noqa: E402
+# (the sampling module import lives at the temperature-sampling
+# section above; the DSIR oracles interpolate the same constants)
 
 #: shared DSIR scoring chain (token buckets -> smoothed bucket LM ->
 #: per-doc decimal weight); both selection oracles compose it
@@ -10270,10 +10271,10 @@ WITH toks AS (
 b AS (
   SELECT doc_id, is_t,
          CAST(('0x' || substr(md5(tok), 1, 4)) AS INT)
-           % {_sampling.DSIR_N_BUCKETS} AS bkt
+           % {sampling.DSIR_N_BUCKETS} AS bkt
   FROM toks),
 spine AS (
-  SELECT unnest(range(0, {_sampling.DSIR_N_BUCKETS})) AS bkt),
+  SELECT unnest(range(0, {sampling.DSIR_N_BUCKETS})) AS bkt),
 cnt AS (
   SELECT spine.bkt,
          coalesce(sum(CASE WHEN b.is_t THEN 1 ELSE 0 END), 0) AS n_t,
@@ -10283,8 +10284,8 @@ cnt AS (
 lm AS (
   SELECT bkt,
          CAST(round(
-             ln((n_t + 1.0) / (tt + {_sampling.DSIR_N_BUCKETS}.0))
-             - ln((n_r + 1.0) / (tr + {_sampling.DSIR_N_BUCKETS}.0)),
+             ln((n_t + 1.0) / (tt + {sampling.DSIR_N_BUCKETS}.0))
+             - ln((n_r + 1.0) / (tr + {sampling.DSIR_N_BUCKETS}.0)),
              6) AS DECIMAL(18,6)) AS lr
   FROM (SELECT bkt, n_t, n_r,
                sum(n_t) OVER () AS tt, sum(n_r) OVER () AS tr
@@ -10297,7 +10298,7 @@ scored AS (
 
 _DSIR_SQL = f"""{_DSIR_CTES}
 SELECT doc_id, n_tokens, round(CAST(w AS DOUBLE), 6) AS logratio
-FROM scored ORDER BY w DESC, doc_id LIMIT {_sampling.DSIR_TOPK}
+FROM scored ORDER BY w DESC, doc_id LIMIT {sampling.DSIR_TOPK}
 """
 
 
@@ -10320,7 +10321,7 @@ def dsir_select_topk_q(spark, sf_dir):
     selection is TakeOrdered (per-partition top-k + k-row driver
     merge). Corpus text never shuffles."""
     d = _t(spark, sf_dir, "documents")
-    return _sampling.dsir_select_topk(
+    return sampling.dsir_select_topk(
         d, "doc_id", "text",
         F.coalesce(F.col("lang") == "en", F.lit(False)))
 
@@ -10433,16 +10434,16 @@ def emb_mahalanobis_outliers(spark, sf_dir):
 _GUMBEL_SQL = f"""{_DSIR_CTES},
 keyed AS (
   SELECT doc_id, n_tokens, round(CAST(w AS DOUBLE), 6) AS logratio,
-         round(CAST(w AS DOUBLE) + {_sampling.DSIR_GUMBEL_TAU}
+         round(CAST(w AS DOUBLE) + {sampling.DSIR_GUMBEL_TAU}
                * (-ln(-ln((CAST(floor(((doc_id * 1103515245 + 12345)
-                       % {65536 * _sampling.DSIR_GUMBEL_DENOM})
+                       % {65536 * sampling.DSIR_GUMBEL_DENOM})
                        / 65536) AS DOUBLE) + 0.5)
-                   / {_sampling.DSIR_GUMBEL_DENOM}.0))), 6)
+                   / {sampling.DSIR_GUMBEL_DENOM}.0))), 6)
            AS gumbel_key
   FROM scored)
 SELECT doc_id, n_tokens, logratio, gumbel_key
 FROM keyed ORDER BY gumbel_key DESC, doc_id
-LIMIT {_sampling.DSIR_TOPK}
+LIMIT {sampling.DSIR_TOPK}
 """
 
 
@@ -10463,7 +10464,7 @@ def dsir_gumbel_topk_q(spark, sf_dir):
     bucket LM, one groupBy(doc), TakeOrdered) plus one map-side noise
     column."""
     d = _t(spark, sf_dir, "documents")
-    return _sampling.dsir_gumbel_topk(
+    return sampling.dsir_gumbel_topk(
         d, "doc_id", "text",
         F.coalesce(F.col("lang") == "en", F.lit(False)))
 
@@ -10807,7 +10808,7 @@ types AS (SELECT DISTINCT event_type AS t FROM e),
 spine AS (
   SELECT s.t AS src, d.dst
   FROM types s CROSS JOIN
-    (SELECT t AS dst FROM types UNION ALL SELECT '(end)') d),
+    (SELECT t AS dst FROM types UNION SELECT '(end)') d),
 j AS (
   SELECT spine.src, spine.dst, coalesce(cnt.n, 0) AS n
   FROM spine LEFT JOIN cnt

@@ -114,6 +114,9 @@ EDGE_EVENTS = [
     (5, "2024-01-01 00:00:02", 200, "b", -5.5, None),
     (6, "2024-01-01 00:00:03", 300, "a", 7.75, None),
     (7, "2024-01-01 00:00:03", 300, "a", 7.75, None),
+    # an event literally typed like the terminal sentinel: the spine
+    # dedup must keep one '(end)' row per src, never two
+    (8, "2024-01-01 00:00:04", 300, "(end)", 0.5, None),
 ]
 
 EDGE_EVENT_QUERIES = ["qa_ks_drift", "evt_markov_transitions"]
