@@ -173,28 +173,35 @@ _R6_CONFIRMED = frozenset({
     "u1_union_provenance", "j12_dim_lookup", "f3_prefix_strip",
 })
 
-# Round-7 priorities: session 2 adds twelve more NEW queries (DSIR
-# selection + Gumbel resampling, binned KS drift + chi-square
-# independence, Mahalanobis outliers, PCA power iteration +
-# all-but-the-top, char entropy, MinHash estimator calibration,
-# fuzzy benchmark decontamination, Markov transitions, classifier
-# calibration) ahead of session 1's
-# batch (SQ8 incremental proof + serving batch + composed recall, the
-# substring REWRITE, the audio fingerprint band join, the
-# sampled/adaptive-geometry IVF row), plus
-# the two whose
-# BEHAVIOR or SQL changed this round: ann_ivfsq_topk (refactored into
-# the injectable ivfsq_pairs) and qa_benford_prices (degenerate-case
-# chi2 guard, oracle mirrored). NOT re-prioritized: the all-pairs
-# baselines gaining the scope gate (ann_brute_force_topk / int8_topk /
-# ann_pq_*) — the gate is a pre-flight count that raises on oversize
-# inputs; the returned plan and values are byte-identical on the
-# fixture (gate unit-tested in test_scale_ops.py). 32 unconfirmed
-# front slots (incl. j6b) leave 18 rotation slots — stalest-first
-# clears all 15 r2-stale stragglers (r6 verdict item 1) plus three
-# of the r3 tail; session 2 stopped registering at 232 exactly to
-# keep those 15 inside the 50-slot window.
+# Round-8 priorities: the three NEW queries (the j6d OSA witness —
+# the certified subset where levenshtein == damerau_levenshtein, on
+# which OSA provably coincides with DuckDB's DL; the binned
+# Cramér-von-Mises integral drift screen; the per-day sliding-window
+# PSI feed monitor) plus every query whose PLAN or ORACLE changed
+# this round: the two PCA rows (fused single-pass upper-triangle
+# Gram + the signed-zero '+ 0.0' normalization MIRRORED IN THE
+# ORACLE — must re-certify), the five IVF-PQ rows riding the
+# map-side packed-LUT rewrite (its two headline searches), and
+# decontam_minhash (bipartite exact-first collapse; oracle
+# unchanged, output-identical by construction — re-certified anyway
+# since the plan is new). NOT re-prioritized (the r7 precedent:
+# values byte-identical on the fixture, selfcheck re-green): the
+# remaining IVF-PQ compositions of the same packed LUT
+# (ann_ivfpq_recall / index_probe / batch_search) and every consumer
+# of the codebook trainers' localCheckpoints (lineage truncation
+# only). 9 front slots incl. j6b leave 41 rotation slots —
+# stalest-first clears all but 4 of the 45-query r3-stale tail (the
+# leftovers lead r9's rotation).
 _PRIORITY = [
+    "j6d_osa_witness", "qa_cvm_drift", "qa_psi_sliding",
+    "emb_pca_top_component", "emb_remove_top_component",
+    "ann_ivfpq_residual_topk", "ann_ivfpq_topk",
+    "decontam_minhash",
+]
+
+# Green rows in CORRECTNESS_r07.json (49 hash-green; j6b stays
+# rows-only by design).
+_R7_CONFIRMED = frozenset({
     "dsir_select_topk", "dsir_gumbel_topk", "qa_ks_drift",
     "emb_mahalanobis_outliers", "emb_pca_top_component",
     "emb_remove_top_component", "dedup_minhash_calibration",
@@ -203,17 +210,24 @@ _PRIORITY = [
     "ann_ivfsq_index_probe", "ann_ivfsq_batch_search",
     "ann_ivfsq_recall", "dedup_substring_rewrite",
     "mm_audio_fingerprint_pairs", "mm_audio_fingerprint_near_dup",
-    "ann_ivf_sampled_topk",
-    "ann_ivfsq_topk", "qa_benford_prices", "pipe_dedup_report",
-    "ann_binary_topk", "ann_binary_recall", "ann_ivfbq_topk",
-    "ann_ivfbq_index_probe", "ann_binary_rerank_topk",
-    "ann_binary_rerank_recall", "ann_ivfbq_batch_search",
-    "ann_ivfbq_recall", "tok_fertility_report",
-    "dedup_cluster_size_dist", "qa_psi_drift",
-]
+    "ann_ivf_sampled_topk", "ann_ivfsq_topk", "qa_benford_prices",
+    "pipe_dedup_report", "ann_binary_topk", "ann_binary_recall",
+    "ann_ivfbq_topk", "ann_ivfbq_index_probe",
+    "ann_binary_rerank_topk", "ann_binary_rerank_recall",
+    "ann_ivfbq_batch_search", "ann_ivfbq_recall",
+    "tok_fertility_report", "dedup_cluster_size_dist", "qa_psi_drift",
+    "f6_length_keyed_rewrite", "f8_lab_standardize",
+    "f9_reason_normalize", "f15_validation_battery",
+    "f18_lineage_list_hygiene", "s1_na_normalize",
+    "fuzzy_band_routing", "t1_ledger_dedup", "dedup_embedding_cosine",
+    "pipe_template_route", "pipe_roster_contract",
+    "pipe_elr_new_records", "pipe_roster_compile_chunks",
+    "pipe_gap_report", "pipe_dup_triage", "dedup_minhash_lsh",
+})
 
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
-                     | _R4_CONFIRMED | _R5_CONFIRMED | _R6_CONFIRMED)
+                     | _R4_CONFIRMED | _R5_CONFIRMED | _R6_CONFIRMED
+                     | _R7_CONFIRMED)
 
 # Queries whose behavior changed after their last driver-green row; force
 # them back into the front-50 window even though they are confirmed.

@@ -91,14 +91,18 @@ def main() -> None:
     for t in ("orders", "lineitem", "customer", "documents"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
-    # best-of-2 per query: a single pass conflates the operator with
+    # best-of-3 per query: a single pass conflates the operator with
     # whatever else the host is doing (observed 3x swings on identical
-    # code under background load); min-of-2 measures the plan
+    # code under background load), and r7 showed best-of-2 still lets
+    # one GC pause through (10 of 23 common queries moved >20% with
+    # unchanged plans, all contradicted by the probe's min-of-3).
+    # min-of-3 is the same statistic SCALING.md records, so the two
+    # records adjudicate each other directly.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0

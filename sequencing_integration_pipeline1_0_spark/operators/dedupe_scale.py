@@ -739,6 +739,15 @@ def minhash_calibration(df: DataFrame, id_col: str, text_col: str, *,
                          F.round(est - jac, round_to).alias("err")))
 
 
+#: minhash_contamination broadcasts the BENCH (eval-set) side of its
+#: bipartite band join by design — an eval set is MBs. The cap makes
+#: that assumption self-enforcing (the all-pairs-baseline-gate
+#: precedent, similarity.ALL_PAIRS_BASELINE_CAP): a caller passing a
+#: corpus-sized frame as `bench` gets a clear error up front, not a
+#: driver OOM when the broadcast build materializes.
+BENCH_BROADCAST_CAP = 1_000_000
+
+
 def minhash_contamination(corpus: DataFrame, bench: DataFrame,
                           id_col: str, text_col: str, *,
                           shingle_n: int = 1, k: int = 8,
@@ -752,37 +761,67 @@ def minhash_contamination(corpus: DataFrame, bench: DataFrame,
     for every corpus/bench pair with true shingle Jaccard >=
     threshold.
 
-    Scale shape: both sides band independently; the band join moves
-    slim (id, band) rows with the BENCH side broadcast (an eval set
-    is MBs by definition — that asymmetry is the whole design), so
-    candidate volume is bounded by bench bucket occupancy, not
-    corpus^2; shingle arrays re-attach per-id afterwards (bench side
-    broadcast again) and the exact-Jaccard verify makes the banding
-    loss-free above the threshold for pairs sharing a band. No
-    exact-first collapse or bucket cap: those are self-join levers —
-    here every candidate touches the tiny side."""
+    Scale shape: both sides exact-first COLLAPSE byte-identical
+    shingle sets to a representative (lossless — identical texts
+    share every band, and Jaccard depends only on the shingle set,
+    so banding, verify, and the threshold all commute with the
+    collapse; the minhash_lsh_candidates default applied bipartite),
+    band independently, and the band join moves slim (rep, band)
+    rows with the BENCH side broadcast (an eval set is MBs by
+    definition — that asymmetry is the whole design), so candidate
+    volume is bounded by DISTINCT-text bench bucket occupancy, not
+    corpus^2 — on a template-heavy corpus the pair verify shrinks by
+    the duplication factor. Shingle arrays re-attach per-rep for the
+    exact-Jaccard verify (loss-free above the threshold for pairs
+    sharing a band); members expand back through two slim joins
+    AFTER the threshold, so the verify itself runs once per distinct
+    pair. No bucket cap: that is a self-join lever — here every
+    candidate touches the tiny side. The tiny-side assumption is
+    ENFORCED: a bounded limit+count probe (never a full scan) raises
+    when bench exceeds BENCH_BROADCAST_CAP rows."""
+    from pyspark.sql import Window
+
+    cap = BENCH_BROADCAST_CAP
+    if bench.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"minhash_contamination broadcasts the bench side of its "
+            f"bipartite band join and refuses bench inputs over {cap} "
+            f"rows; swap the arguments (the corpus side is never "
+            f"broadcast) or pre-partition the eval set.")
     rows_per_band = k // bands
 
-    def prep(df: DataFrame, name: str) -> tuple[DataFrame, DataFrame]:
-        docs = df.select(F.col(id_col).alias(name),
-                         word_shingles(text_col, shingle_n)
-                          .alias(f"sh_{name}"))
-        banded = (docs.withColumn(
+    def prep(df: DataFrame, name: str) \
+            -> tuple[DataFrame, DataFrame, DataFrame]:
+        sig = df.select(F.col(id_col).alias(name),
+                        word_shingles(text_col, shingle_n)
+                         .alias(f"sh_{name}"))
+        rep = F.min(name).over(Window.partitionBy(
+            _collapse_key(F.col(f"sh_{name}"), F.col(name))))
+        m = sig.withColumn("rep", rep)
+        members = m.select(name, F.col("rep").alias(f"rep_{name}"))
+        reps = (m.filter(F.col(name) == F.col("rep"))
+                 .select(F.col(name).alias(f"rep_{name}"),
+                         f"sh_{name}"))
+        banded = (reps.withColumn(
                       "sig", minhash_signature(F.col(f"sh_{name}"), k))
-                      .select(name, F.explode(
+                      .select(f"rep_{name}", F.explode(
                           lsh_bands(F.col("sig"), bands, rows_per_band))
                            .alias("b")))
-        return docs, banded
+        return members, reps, banded
 
-    cdocs, cband = prep(corpus, "id")
-    bdocs, bband = prep(bench, "bench_id")
-    pairs = (cband.join(F.broadcast(bband), "b")
-                  .select("id", "bench_id")
-                  .dropDuplicates(["id", "bench_id"]))
-    return (pairs
-            .join(cdocs, "id")
-            .join(F.broadcast(bdocs), "bench_id")
-            .withColumn("jaccard",
-                        jaccard(F.col("sh_id"), F.col("sh_bench_id")))
-            .filter(F.col("jaccard") >= threshold)
+    cmem, creps, cband = prep(corpus, "id")
+    bmem, breps, bband = prep(bench, "bench_id")
+    rep_pairs = (cband.join(F.broadcast(bband), "b")
+                      .select("rep_id", "rep_bench_id")
+                      .dropDuplicates(["rep_id", "rep_bench_id"]))
+    scored = (rep_pairs
+              .join(creps, "rep_id")
+              .join(F.broadcast(breps), "rep_bench_id")
+              .withColumn("jaccard",
+                          jaccard(F.col("sh_id"), F.col("sh_bench_id")))
+              .filter(F.col("jaccard") >= threshold)
+              .select("rep_id", "rep_bench_id", "jaccard"))
+    return (scored
+            .join(cmem, "rep_id")
+            .join(F.broadcast(bmem), "rep_bench_id")
             .select("id", "bench_id", "jaccard"))

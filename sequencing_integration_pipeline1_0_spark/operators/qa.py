@@ -520,6 +520,141 @@ def ks_binned_drift(df: DataFrame, value_col: str, grp_col: str, *,
                              round_to).alias("ks_dist")))
 
 
+def cvm_binned_drift(df: DataFrame, value_col: str, grp_col: str, *,
+                     bins: int = KS_BINS,
+                     round_to: int = 6) -> DataFrame:
+    """Binned two-sample Cramér-von-Mises drift screen — the
+    integral complement to the KS screen on the same binned shape:
+    KS reads only the SINGLE largest CDF gap, so a distribution that
+    diverges moderately across its whole range (heavier tails, wider
+    spread) can slip under a KS threshold; CvM accumulates the
+    SQUARED gap over every bin weighted by pooled mass,
+      term_bin = ((n_a + n_b) / N) * (cdf_a - cdf_b)^2,
+    i.e. the integral of (F_a - F_b)^2 under the pooled empirical
+    measure — the T2 statistic's binned form. Returns the ks
+    per-bin rows with cvm_term replacing ks_dist plus the constant
+    cvm_stat column (the exact-decimal sum of the rounded terms), so
+    both the aggregate and WHERE the divergence accumulates are
+    visible.
+
+    Determinism: cdf_a/cdf_b are the ks screen's rounded values; the
+    term is one mirrored double expression of exact-integer-derived
+    operands, rounded and summed in DECIMAL (partition-order
+    independent).
+
+    Scale shape: rides ks_binned_drift (one extremes agg, one
+    bins-key agg, bounded spine windows); adds only bins-row
+    finishing arithmetic."""
+    from pyspark.sql import Window
+
+    base = ks_binned_drift(df, value_col, grp_col, bins=bins,
+                           round_to=round_to)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    big_n = F.greatest(F.sum(F.col("n_a") + F.col("n_b")).over(w_all)
+                        .cast("double"), F.lit(1.0))
+    gap = F.col("cdf_a") - F.col("cdf_b")
+    term = F.round(nn / big_n * gap * gap, round_to) \
+            .cast(f"decimal(18,{round_to})")
+    return (base.select("bin", "n_a", "n_b", "cdf_a", "cdf_b",
+                        term.alias("t"))
+                .select("bin", "n_a", "n_b", "cdf_a", "cdf_b",
+                        F.col("t").cast("double").alias("cvm_term"),
+                        F.round(F.sum("t").over(w_all).cast("double"),
+                                round_to).alias("cvm_stat")))
+
+
+#: sliding-PSI defaults; the oracle SQL interpolates the SAME values
+PSI_SLIDING_BINS = 10
+PSI_SLIDING_WINDOW = 7
+
+
+def psi_sliding_drift(df: DataFrame, value_col: str, day_col: str, *,
+                      bins: int = PSI_SLIDING_BINS,
+                      window: int = PSI_SLIDING_WINDOW,
+                      round_to: int = 6) -> DataFrame:
+    """Per-day SLIDING-window PSI drift monitor — the continuous form
+    of the two-snapshot PSI screen: for every day with a full
+    `window`-day history, the PSI of the feature distribution in the
+    trailing window against the GLOBAL baseline distribution,
+      psi(d) = sum_bins (p_win - p_base) * ln(p_win / p_base),
+    Laplace-smoothed p = (n + 1) / (total + bins) so empty bins stay
+    finite (the qa_psi_drift smoothing, shared exactly by the
+    oracle). This is the shape a production feed monitor runs: one
+    row per day, alertable at the usual PSI thresholds (0.1 / 0.25),
+    catching gradual drift that any single snapshot pair misses.
+    Returns (day, n_win, psi) ordered by the day spine.
+
+    The calendar DENSIFIES over the global [min, max] day x the full
+    bin spine (absent (day, bin) cells zero-filled) so an outage day
+    scores against the baseline instead of vanishing from a ROWS
+    window (the evt_anomaly_zscore discipline); days without a full
+    history are fenced off.
+
+    Determinism: bin indices from one mirrored double division of
+    pooled-extreme operands (the ks screen's rule); window sums are
+    exact integers; contributions round to 1e-round_to and sum in
+    DECIMAL per day.
+
+    Scale shape: one 2-scalar extremes agg broadcast map-side, one
+    (day, bin)-key agg with map-side combine — the fact table never
+    shuffles again; everything after runs on the days x bins grid
+    (bounded by the calendar, not the row count): per-bin ordered
+    windows for the trailing sums, one grid-sized groupBy(day)."""
+    from pyspark.sql import Window
+
+    mm = df.agg(F.min(F.col(value_col).cast("double")).alias("lo"),
+                F.max(F.col(value_col).cast("double")).alias("hi"))
+    v = (df.filter(F.col(value_col).isNotNull())
+           .select(F.col(day_col).alias("day"),
+                   F.col(value_col).cast("double").alias("v"))
+           .join(F.broadcast(mm)))
+    bin_col = (F.when(F.col("hi") > F.col("lo"),
+                      F.least(F.lit(bins - 1),
+                              F.floor((F.col("v") - F.col("lo"))
+                                      / (F.col("hi") - F.col("lo"))
+                                      * bins)))
+                .otherwise(F.lit(0))).cast("int")
+    cnt = (v.select("day", bin_col.alias("bin"))
+            .groupBy("day", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    days = (cnt.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+               .select(F.explode(F.sequence("d0", "d1")).alias("day")))
+    spine = (days.join(df.sparkSession.range(0, bins).select(
+                 F.col("id").cast("int").alias("bin"))))
+    grid = (spine.join(cnt, ["day", "bin"], "left")
+                 .select("day", "bin",
+                         F.coalesce("n", F.lit(0).cast("long"))
+                          .alias("n")))
+    w_trail = (Window.partitionBy("bin").orderBy("day")
+               .rowsBetween(-window, -1))
+    w_bin = Window.partitionBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_day = Window.partitionBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    rn = F.row_number().over(Window.partitionBy("bin").orderBy("day"))
+    g = (grid.withColumn("n_w", F.sum("n").over(w_trail))
+             .withColumn("rn", rn)
+             .withColumn("n_base", F.sum("n").over(w_bin))
+             .filter(F.col("rn") > window)
+             .withColumn("t_w", F.sum("n_w").over(w_day))
+             .withColumn("t_base",
+                         F.sum("n_base").over(w_day)))
+    p_w = (F.col("n_w") + 1.0) / (F.col("t_w") + float(bins))
+    p_b = (F.col("n_base") + 1.0) / (F.col("t_base") + float(bins))
+    contrib = (F.round((p_w - p_b) * F.log(p_w / p_b), round_to)
+                .cast(f"decimal(18,{round_to})"))
+    return (g.select("day", F.col("n_w").alias("nw"),
+                     contrib.alias("c"))
+             .groupBy("day")
+             .agg(F.sum("nw").cast("long").alias("n_win"),
+                  F.round(F.sum("c").cast("double"), round_to)
+                   .alias("psi"))
+             .select(F.col("day").cast("string").alias("day"),
+                     "n_win", "psi"))
+
+
 def chi2_independence(df: DataFrame, a_col: str, b_col: str, *,
                       missing: str = "(missing)",
                       round_to: int = 6) -> DataFrame:

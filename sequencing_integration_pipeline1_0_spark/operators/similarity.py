@@ -146,8 +146,14 @@ def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
     linear assignment pass; component means are a (cell, pos)-keyed
     partial agg with map-side combine — n·dim rows through one
     shuffle; centroid reassembly sorts dim structs per cell (tiny).
-    Everything stays lazy/declarative — no driver collect — so the
-    whole recurrence is one Catalyst plan.
+    The recurrence is one declarative Catalyst plan — no driver
+    collect — and the TRAINED table (n_cells rows) localCheckpoints
+    before return: consumers reference the codebook several times
+    (index encode + query LUT + probe assignment), and without
+    lineage truncation every reference re-runs the whole iterative
+    train — i.e. re-scans the corpus iters times per consumer (the
+    pca_power_state discipline; measured 13.7 s -> 5.4 s on the
+    residual IVF-PQ search at sf0.1, values identical).
     """
     base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
@@ -174,9 +180,16 @@ def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
                      .agg(F.transform(
                          F.array_sort(F.collect_list(F.struct("pos", "m"))),
                          lambda s: s["m"]).alias("cv_new")))
+        # per-iteration truncation: cents is referenced TWICE per sweep
+        # (the broadcast assignment AND the lost-cell coalesce), so a
+        # lazy recurrence doubles the inlined plan per iteration — the
+        # 2^k subtree blowup (the lang_id / logreg lesson). n_cells
+        # rows per checkpoint; measured 5.8 s -> ~2 s for the 2-iter
+        # train at sf0.1.
         cents = (cents.join(newc, "cell_id", "left")
                       .select("cell_id",
-                              F.coalesce("cv_new", "cv").alias("cv")))
+                              F.coalesce("cv_new", "cv").alias("cv"))
+                      .localCheckpoint())
     return cents
 
 
@@ -603,19 +616,39 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                         .select(F.col("id").alias("neighbor_id"),
                                 "codes"))
         entries = idxc.join(enc_codes, "neighbor_id")
-    qsv = _subvectors(df, id_col, vec_col, m, out_id="qid")
-    lutrow = (qsv.join(F.broadcast(pqcb), "subspace")
-                 .select("qid", "subspace", F.col("cid").alias("code"),
-                         F.round(l2sq(F.col("sv"), F.col("cv")), round_to)
-                          .cast("decimal(18,6)").alias("d")))
-    lut_q = (lutrow.groupBy("qid", "subspace")
-                   .agg(F.transform(F.array_sort(F.collect_list(
-                            F.struct("code", "d"))),
-                        lambda s: s["d"]).alias("ds"))
-                   .groupBy("qid")
-                   .agg(F.transform(F.array_sort(F.collect_list(
-                            F.struct("subspace", "ds"))),
-                        lambda s: s["ds"]).alias("lut")))
+    # r8: the per-query LUT builds MAP-SIDE — the m*k codebook packs
+    # into ONE broadcast row (cbm[j][c] = centroid c of subspace j)
+    # and each query row computes its m x k LUT in one HOF pass,
+    # replacing the explode(m) -> codebook join -> two
+    # collect_list/array_sort shuffles of n_q x m x k rows (same
+    # entries, same code-then-subspace ordering, bit-identical). The
+    # dim % m guard matches _subvectors' (assert_true folded into a
+    # used filter so Catalyst keeps it).
+    pqcb_p = (pqcb.groupBy("subspace")
+                  .agg(F.transform(F.array_sort(F.collect_list(
+                           F.struct("cid", "cv"))),
+                       lambda s: s["cv"]).alias("cvs"))
+                  .groupBy()
+                  .agg(F.transform(F.array_sort(F.collect_list(
+                           F.struct("subspace", "cvs"))),
+                       lambda s: s["cvs"]).alias("cbm")))
+    qc = F.col(vec_col)
+    qrows = (df.filter(F.assert_true(
+                 F.size(qc) % m == 0,
+                 F.concat(F.lit(f"vector dim not divisible by m={m}: "),
+                          F.size(qc).cast("string"))).isNull())
+               .select(F.col(id_col).alias("qid"), qc.alias("qv")))
+    sub_q = (F.size("qv") / m).cast("int")
+    lut_arr = F.array(*[
+        F.transform(F.element_at(F.col("cbm"), j + 1),
+                    lambda cv: F.round(
+                        l2sq(F.slice(F.col("qv"),
+                                     (F.lit(j) * sub_q + 1).cast("int"),
+                                     sub_q), cv),
+                        round_to).cast("decimal(18,6)"))
+        for j in range(m)])
+    lut_q = (qrows.join(F.broadcast(pqcb_p))
+                  .select("qid", lut_arr.alias("lut")))
     # Index build: codes live IN the cell's INVERTED LIST — exactly
     # the FAISS IVFPQ on-disk layout. One vector-keyed build-time
     # join, then one groupBy(cell) packs each cell's (neighbor_id,
@@ -751,7 +784,11 @@ def pq_train_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
     Scale shape per iteration: broadcast m*k codebook -> linear
     assignment; means are a (subspace, cid, pos)-keyed partial agg —
     n*dim rows through one shuffle; reassembly sorts dim structs per
-    centroid (tiny). Fully declarative, no driver collect."""
+    centroid (tiny). Fully declarative, no driver collect; the
+    trained m*k-row table localCheckpoints before return (the
+    train_ivf_codebook discipline — encode and LUT sides both
+    reference it, and each reference would otherwise re-run the
+    corpus-scanning train)."""
     cb = pq_codebooks(df, id_col, vec_col, m=m, k=k)
     sv = _subvectors(df, id_col, vec_col, m)
     for _ in range(iters):
@@ -775,9 +812,13 @@ def pq_train_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
                          F.array_sort(F.collect_list(
                              F.struct("pos", "mval"))),
                          lambda s: s["mval"]).alias("cv_new")))
+        # per-iteration truncation — cb is referenced twice per sweep
+        # (assignment broadcast + lost-cell coalesce); see
+        # train_ivf_codebook. m*k rows per checkpoint.
         cb = (cb.join(newc, ["subspace", "cid"], "left")
                 .select("subspace", "cid",
-                        F.coalesce("cv_new", "cv").alias("cv")))
+                        F.coalesce("cv_new", "cv").alias("cv"))
+                .localCheckpoint())
     return cb
 
 
@@ -871,7 +912,21 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     exploded join + SUM (value-identical: decimal addition is exact,
     so fold order cannot diverge). Because the LUT is already
     (qid, probe_cell)-keyed, no separate qid join is needed at all,
-    and nothing corpus-sized is ever broadcast."""
+    and nothing corpus-sized is ever broadcast.
+
+    r8: the encode and LUT builds are MAP-SIDE — the m*k residual
+    codebook packs into ONE broadcast row (cbm[j][c] = centroid c of
+    subspace j; m*k*(d/m) doubles — tiny at any corpus size) and each
+    index/query row computes its m codes / m x k LUT in one HOF pass,
+    replacing the r6 explode(m) -> codebook join -> two
+    collect_list/array_sort shuffles of candidates x m rows (the last
+    corpus-sized shuffles in the plan besides the ADC meet itself;
+    measured 12.5 -> ~9.5 s at sf0.1, values bit-identical). The
+    assignment table localCheckpoints once — it feeds the index
+    encode AND the probe side, and each reference otherwise re-runs
+    the corpus assignment window (at 100 TB this materialization IS
+    the IVF index build; a production deployment persists it to
+    storage rather than executor memory)."""
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
@@ -884,15 +939,14 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                                     / (F.col("nv") * F.col("ncv")),
                                     round_to)))
     # v and cv ride THROUGH the assignment window so residuals compute
-    # from the carried pair — the first cut rejoined base and the
-    # broadcast codebook on both the index and query sides, inlining
-    # the whole coarse Lloyd chain three times into the plan (audit:
-    # 99 shuffles; the chain itself is ~10). One reference, same
-    # values.
+    # from the carried pair; ranks beyond nprobe feed nothing, so the
+    # checkpointed table keeps n x nprobe rows only
     cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
                                           F.col("cell_id"))
     ranked = (sims.withColumn("crank", F.row_number().over(cw))
-                  .select("id", "cell_id", "crank", "v", "cv"))
+                  .filter(F.col("crank") <= max(1, nprobe))
+                  .select("id", "cell_id", "crank", "v", "cv")
+                  .localCheckpoint())
 
     resid = F.zip_with("v", "cv", lambda a, b: a.cast("double") - b)
     r_idx = (ranked.filter(F.col("crank") == 1)
@@ -905,76 +959,57 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
         "cid", F.row_number().over(Window.orderBy("sid")) - 1)
     rcb = (_subvectors(seeds, "cid", "rv", m, out_id="cid")
            .select("subspace", "cid", F.col("sv").alias("cv")))
+    # ONE broadcast row: cbm[subspace+1][cid+1] = centroid subvector
+    rcb_p = (rcb.groupBy("subspace")
+                .agg(F.transform(F.array_sort(F.collect_list(
+                         F.struct("cid", "cv"))),
+                     lambda s: s["cv"]).alias("cvs"))
+                .groupBy()
+                .agg(F.transform(F.array_sort(F.collect_list(
+                         F.struct("subspace", "cvs"))),
+                     lambda s: s["cvs"]).alias("cbm")))
 
-    # inline subvector slicing so cell_id rides through the encode —
-    # joining it back via idxc would inline the ranked/Lloyd subtree
-    # one more time (the catalog single-DataFrame contract recomputes
-    # shared subtrees; every avoided reference is a whole chain)
-    sub_i = (F.size("rv") / m).cast("int")
-    rsv = (r_idx.select("neighbor_id", "cell_id",
-                        F.explode(F.array(*[
-                            F.struct(F.lit(j).alias("subspace"),
-                                     F.slice(F.col("rv"),
-                                             (F.lit(j) * sub_i + 1)
-                                             .cast("int"), sub_i)
-                                      .alias("sv"))
-                            for j in range(m)])).alias("s"))
-                .select("neighbor_id", "cell_id",
-                        F.col("s.subspace").alias("subspace"),
-                        F.col("s.sv").alias("sv")))
-    rscored = (rsv.join(F.broadcast(rcb), "subspace")
-                  .withColumn("d", F.round(l2sq(F.col("sv"),
-                                                F.col("cv")), round_to)))
-    enc2 = (rscored.groupBy("neighbor_id", "cell_id", "subspace")
-                   .agg(F.min(F.struct("d", "cid")).alias("b"))
-                   .select("neighbor_id", "cell_id", "subspace",
-                           F.col("b.cid").cast("int").alias("code")))
+    sub = (F.size("rv") / m).cast("int")
 
+    def codes_hof(rv):
+        # per subspace: argmin over centroids of the rounded squared
+        # L2, tie -> lower cid (array_min's struct order == the
+        # min(struct(d, cid)) the join+agg form used)
+        outs = []
+        for j in range(m):
+            cvs = F.element_at(F.col("cbm"), j + 1)
+            idx = F.sequence(F.lit(0), F.size(cvs) - 1)
+            prs = F.zip_with(cvs, idx, lambda cv, c: F.struct(
+                F.round(l2sq(F.slice(rv, (F.lit(j) * sub + 1)
+                                     .cast("int"), sub), cv),
+                        round_to).alias("d"),
+                c.cast("int").alias("cid")))
+            outs.append(F.array_min(prs)["cid"])
+        return F.array(*outs)
+
+    def lut_hof(rv):
+        return F.array(*[
+            F.transform(F.element_at(F.col("cbm"), j + 1),
+                        lambda cv: F.round(
+                            l2sq(F.slice(rv, (F.lit(j) * sub + 1)
+                                         .cast("int"), sub), cv),
+                            round_to).cast("decimal(18,6)"))
+            for j in range(m)])
+
+    enc_codes = (r_idx.join(F.broadcast(rcb_p))
+                      .select("neighbor_id", "cell_id",
+                              codes_hof(F.col("rv")).alias("codes")))
+    inv = (enc_codes.groupBy("cell_id")
+                    .agg(F.collect_list(F.struct("neighbor_id", "codes"))
+                          .alias("entries")))
     r_q = (ranked.filter(F.col("crank") <= nprobe)
                  .select(F.col("id").alias("qid"),
                          F.col("cell_id").alias("probe_cell"),
                          F.col("crank").alias("probe_rank"),
                          resid.alias("rv")))
-    sub = (F.size("rv") / m).cast("int")
-    qsv = (r_q.select("qid", "probe_cell", "probe_rank",
-                      F.explode(F.array(*[
-                          F.struct(F.lit(j).alias("subspace"),
-                                   F.slice(F.col("rv"),
-                                           (F.lit(j) * sub + 1)
-                                           .cast("int"), sub)
-                                    .alias("sv"))
-                          for j in range(m)])).alias("s"))
-              .select("qid", "probe_cell", "probe_rank",
-                      F.col("s.subspace").alias("subspace"),
-                      F.col("s.sv").alias("sv")))
-    lut = (qsv.join(F.broadcast(rcb), "subspace")
-              .select("qid", "probe_cell", "probe_rank", "subspace",
-                      F.col("cid").alias("code"),
-                      F.round(l2sq(F.col("sv"), F.col("cv")), round_to)
-                       .cast("decimal(18,6)").alias("d")))
-
-    # inverted-list packing (the ivfpq_adc_pairs recipe): codes pack
-    # per cell, the per-(query, probed cell) LUT packs to one m x k
-    # array-of-arrays row, and the meet is the salted SHUFFLE_HASH
-    # cell equi-join — pairs never explode through a join, and the
-    # probe-side exchange is a user-numbered repartition on the join
-    # keys so AQE's byte-based coalescing cannot serialize the
-    # CPU-heavy ADC fold.
-    enc_codes = (enc2.groupBy("neighbor_id", "cell_id")
-                     .agg(F.transform(F.array_sort(F.collect_list(
-                              F.struct("subspace", "code"))),
-                          lambda s: s["code"]).alias("codes")))
-    inv = (enc_codes.groupBy("cell_id")
-                    .agg(F.collect_list(F.struct("neighbor_id", "codes"))
-                          .alias("entries")))
-    lut_pc = (lut.groupBy("qid", "probe_cell", "probe_rank", "subspace")
-                 .agg(F.transform(F.array_sort(F.collect_list(
-                          F.struct("code", "d"))),
-                      lambda s: s["d"]).alias("ds"))
-                 .groupBy("qid", "probe_cell", "probe_rank")
-                 .agg(F.transform(F.array_sort(F.collect_list(
-                          F.struct("subspace", "ds"))),
-                      lambda s: s["ds"]).alias("lut")))
+    lut_pc = (r_q.join(F.broadcast(rcb_p))
+                 .select("qid", "probe_cell", "probe_rank",
+                         lut_hof(F.col("rv")).alias("lut")))
     inv_s = inv.withColumn(
         "isalt", F.explode(F.array(*[F.lit(r)
                                      for r in range(cell_salt)])))
@@ -1620,12 +1655,15 @@ def pca_top_component(df: DataFrame, id_col: str, vec_col: str, *,
     scal = terms.agg(F.sum("t").alias("e"), F.sum("diag").alias("tr"))
     e_d = F.col("e").cast("double")
     tr_d = F.col("tr").cast("double")
+    # + 0.0 normalizes signed zero on the rounded doubles (a tiny
+    # negative eigenvalue estimate rounds to -0.0 in DuckDB, 0.0 here)
     return (v.join(F.broadcast(scal))
              .select(F.col("j").cast("int").alias("dim"),
                      F.col("v").cast("double").alias("loading"),
-                     F.round(e_d, round_to).alias("eigval"),
+                     (F.round(e_d, round_to) + F.lit(0.0))
+                      .alias("eigval"),
                      F.when(tr_d != 0,
-                            F.round(e_d / tr_d, round_to))
+                            F.round(e_d / tr_d, round_to) + F.lit(0.0))
                       .otherwise(F.lit(0.0)).alias("explained_frac")))
 
 
@@ -1633,47 +1671,77 @@ def pca_power_state(
         df: DataFrame, id_col: str, vec_col: str, *,
         iters: int = PCA_ITERS,
         round_to: int = 6) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The shared PCA machinery: returns (c, v, stats) — the
-    checkpointed d^2-row quantized covariance table (i, j, qc), the
-    d-row unit top-eigenvector (j, v) after `iters`
-    normalize-quantized power sweeps from the uniform start, and the
-    CHECKPOINTED d-row per-dim stats (dim, n, mu, var) the covariance
-    was centered with — returned so consumers needing mu
-    (pca_remove_top) reuse it instead of re-scanning the corpus.
-    pca_top_component finishes (c, v) into the diagnostic row set;
-    pca_remove_top applies them back to the corpus. Arithmetic
-    discipline documented on pca_top_component."""
+    """The shared PCA machinery: returns (c, v, stats) — the d^2-row
+    quantized covariance table (i, j, qc), the d-row unit
+    top-eigenvector (j, v) after `iters` normalize-quantized power
+    sweeps from the uniform start, and the d-row per-dim stats
+    (dim, n, mu) the covariance was centered with — returned so
+    consumers needing mu (pca_remove_top) reuse it instead of
+    re-scanning the corpus. pca_top_component finishes (c, v) into
+    the diagnostic row set; pca_remove_top applies them back to the
+    corpus. Arithmetic discipline documented on pca_top_component.
+
+    The corpus is touched exactly ONCE: a single map-side HOF pass
+    emits the UPPER-TRIANGLE outer-product terms (decimal multiply
+    commutes, so G(j,i) mirrors from G(i,j) exactly — half the
+    dominant stage's multiply/shuffle volume) plus the per-dim linear
+    terms riding the same flatten as j = -1 rows; one d(d+3)/2-key
+    agg reduces both, is checkpointed (every power sweep re-joins
+    against C — without lineage truncation each sweep would re-derive
+    it, i.e. re-scan the CORPUS per iteration), and mu and the
+    mirrored covariance derive from the checkpointed table. Value
+    identity with the two-pass form: the linear sums are the same
+    exact decimals (scale widening is exact), so mu's double operands
+    are unchanged."""
     from .dedupe_scale import bind_once
 
     dec = f"decimal(18,{round_to})"
     dec2 = f"decimal(38,{2 * round_to})"
-    # checkpointed: consumed twice here (covariance centering) and
-    # again by pca_remove_top's mu packing — one corpus scan total
-    stats = mahalanobis_diag_stats(df, id_col, vec_col,
-                                   round_to=round_to).localCheckpoint()
+    # decimal(18,r) x decimal(18,r) product type — the linear terms
+    # cast to it exactly so both ride one struct schema
+    prod_t = f"decimal(37,{2 * round_to})"
     vq = F.transform(F.col(vec_col),
                      lambda v: F.round(v.cast("double"), round_to)
                                 .cast(dec))
 
-    def pair_terms(q):
+    def all_terms(q):
         seq = F.sequence(F.lit(0), F.size(q) - 1)
-        return F.flatten(F.transform(seq, lambda i: F.transform(
-            seq, lambda j: F.struct(
+        pairs = F.flatten(F.transform(seq, lambda i: F.transform(
+            F.sequence(i, F.size(q) - 1), lambda j: F.struct(
                 i.cast("int").alias("i"), j.cast("int").alias("j"),
                 (F.element_at(q, (i + 1).cast("int"))
                  * F.element_at(q, (j + 1).cast("int"))).alias("p")))))
+        lin = F.transform(seq, lambda i: F.struct(
+            i.cast("int").alias("i"), F.lit(-1).alias("j"),
+            F.element_at(q, (i + 1).cast("int")).cast(prod_t)
+             .alias("p")))
+        return F.concat(pairs, lin)
 
     # empty embeddings contribute no rows to any per-dim pass (the
     # posexplode shapes drop them naturally; the pair HOF must filter
     # them — sequence(0, -1) is a DESCENDING range, not empty)
     g = (df.filter(F.size(F.col(vec_col)) > 0)
-           .select(F.explode(bind_once(vq, pair_terms)).alias("t"))
+           .select(F.explode(bind_once(vq, all_terms)).alias("t"))
            .select("t.i", "t.j", "t.p")
            .groupBy("i", "j")
            .agg(F.sum("p").alias("gp"),
-                F.count(F.lit(1)).alias("nv")))
+                F.count(F.lit(1)).alias("nv"))).localCheckpoint()
+    # per-dim stats from the j = -1 linear rows; casting the sum back
+    # to the posexplode path's sum type (exact — the value has at most
+    # round_to fractional digits) keeps mu's double operand identical
+    # to mahalanobis_diag_stats'
+    stats = g.filter(F.col("j") == -1).select(
+        F.col("i").alias("dim"), F.col("nv").cast("long").alias("n"),
+        (F.col("gp").cast(f"decimal(28,{round_to})").cast("double")
+         / F.col("nv")).alias("mu"))
     mu = stats.select("dim", "mu")
-    c = (g.join(F.broadcast(mu.select(F.col("dim").alias("i"),
+    g_ut = g.filter(F.col("j") >= 0)
+    g_full = g_ut.unionByName(
+        g_ut.filter(F.col("i") < F.col("j"))
+            .select(F.col("j").alias("i"), F.col("i").alias("j"),
+                    "gp", "nv"))
+    c = (g_full
+          .join(F.broadcast(mu.select(F.col("dim").alias("i"),
                                       F.col("mu").alias("mu_i"))), "i")
           .join(F.broadcast(mu.select(F.col("dim").alias("j"),
                                       F.col("mu").alias("mu_j"))), "j")
@@ -1681,11 +1749,9 @@ def pca_power_state(
                   F.round(F.col("gp").cast("double") / F.col("nv")
                           - F.col("mu_i") * F.col("mu_j"), round_to)
                    .cast(dec).alias("qc")))
-    # every power sweep re-joins against C; without lineage truncation
-    # each sweep would re-derive it — i.e. re-scan the CORPUS per
-    # iteration (the connected-components localCheckpoint discipline,
-    # dedupe_scale.py). C is d^2 rows: materializing it is free, and
-    # the corpus is now touched exactly once per stats/Gram pass.
+    # c is two broadcast joins over the checkpointed d^2 rows; a
+    # second materialization keeps the 8 unrolled sweep references
+    # from repeating even those (tiny) joins in one deep plan
     c = c.localCheckpoint()
 
     w_all = Window.partitionBy(F.lit(1)).rowsBetween(
@@ -1781,12 +1847,15 @@ def pca_remove_top(df: DataFrame, id_col: str, vec_col: str, *,
                   lambda a, x: (a + x).cast(dec))))
 
     def abt(q):
+        # + 0.0 normalizes signed zero: a tiny NEGATIVE residual
+        # rounds to -0.0 in DuckDB but 0.0 here (the char_entropy
+        # precedent), flaking the hash gate on near-rank-one corpora
         seq = F.sequence(F.lit(1), F.size(q))
         return F.transform(seq, lambda i: F.round(
             centered(q, i.cast("int"))
             - F.col("proj").cast("double")
               * F.element_at(F.col("v_arr"), i.cast("int"))
-                 .cast("double"), round_to))
+                 .cast("double"), round_to) + F.lit(0.0))
 
     return (base.select("id",
                         F.round(F.col("proj").cast("double"), round_to)

@@ -5870,6 +5870,51 @@ def j6c_osa_lev_delta(spark, sf_dir):
                        lev.cast("int").alias("lev")))
 
 
+_OSA_WITNESS_SQL = """
+SELECT a.c_custkey AS l_custkey, b.c_custkey AS r_custkey,
+       CAST(damerau_levenshtein(a.c_name, b.c_name) AS INT) AS distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE damerau_levenshtein(a.c_name, b.c_name) <= 2
+  AND levenshtein(a.c_name, b.c_name)
+      = damerau_levenshtein(a.c_name, b.c_name)
+"""
+
+
+@register("j6d_osa_witness", _OSA_WITNESS_SQL)
+def j6d_osa_witness(spark, sf_dir):
+    """Hash-green WITNESS for the j6b exact-OSA join — the certified
+    subset where DuckDB CAN express the metric. OSA (restricted
+    Damerau-Levenshtein, the reference's stringdist 'osa',
+    fuzzy.Rmd:16) is sandwiched DL <= OSA <= lev, so on pairs where
+    levenshtein == unrestricted damerau_levenshtein all three
+    coincide and the oracle's DL is exactly the OSA j6b computes.
+    The two filter forms select the SAME set: the Spark side keeps
+    OSA <= 2 AND lev == OSA; a pair passing that with DL < OSA would
+    need DL < OSA <= 2, i.e. DL <= 1 — but any <=1-op edit script
+    trivially satisfies OSA's no-re-edit restriction, so DL <= 1
+    forces OSA == DL, a contradiction. The residue j6b alone covers
+    (true adjacent-transposition pairs where lev > OSA) stays pinned
+    by hash-green j6c_osa_lev_delta at distance 1 plus the
+    brute-force full-DP property tests (tests/test_operators.py).
+    Same blocked equi-join plan as j6/j6b."""
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(F.col("c_custkey").alias("l_custkey"),
+                    F.col("c_name").alias("l_name"),
+                    F.col("c_nationkey").alias("block"))
+    right = c.select(F.col("c_custkey").alias("r_custkey"),
+                     F.col("c_name").alias("r_name"),
+                     F.col("c_nationkey").alias("block"))
+    out = fuzzy.blocked_distance_join(
+        left, right, left_key="l_name", right_key="r_name",
+        block_keys=["block"], max_dist=2, how="inner", metric="osa")
+    lev = F.levenshtein("l_name", "r_name")
+    return (out.filter((F.col("l_custkey") < F.col("r_custkey"))
+                       & (lev == F.col("distance")))
+               .select("l_custkey", "r_custkey",
+                       F.col("distance").cast("int").alias("distance")))
+
+
 def _gopher_sql(src: str = "documents") -> str:
     """Gopher-rule oracle over any (doc_id, text) relation, generated
     with the stopword probe list AND the five rule thresholds from
@@ -10382,6 +10427,147 @@ def qa_ks_drift(spark, sf_dir):
         "value", "grp")
 
 
+_CVM_SQL = f"""
+WITH v AS (
+  SELECT CAST(event_id % 2 AS INT) AS grp, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+q AS (
+  SELECT grp,
+         CASE WHEN hi > lo THEN least({qa.KS_BINS - 1},
+             CAST(floor((v - lo) / (hi - lo) * {qa.KS_BINS}) AS INT))
+         ELSE 0 END AS bin
+  FROM v CROSS JOIN mm),
+spine AS (SELECT unnest(range(0, {qa.KS_BINS})) AS bin),
+cnt AS (
+  SELECT bin, sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM q GROUP BY bin),
+j AS (
+  SELECT spine.bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM spine LEFT JOIN cnt USING (bin)),
+c AS (
+  SELECT bin, n_a, n_b,
+         round(CAST(sum(n_a) OVER (ORDER BY bin) AS DOUBLE)
+               / greatest(sum(n_a) OVER (), 1), 6) AS cdf_a,
+         round(CAST(sum(n_b) OVER (ORDER BY bin) AS DOUBLE)
+               / greatest(sum(n_b) OVER (), 1), 6) AS cdf_b
+  FROM j),
+t AS (
+  SELECT bin, n_a, n_b, cdf_a, cdf_b,
+         CAST(round(CAST(n_a + n_b AS DOUBLE)
+                    / greatest(CAST(sum(n_a + n_b) OVER () AS DOUBLE),
+                               1.0)
+                    * (cdf_a - cdf_b) * (cdf_a - cdf_b), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM c)
+SELECT CAST(bin AS INT) AS bin, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, cdf_a, cdf_b,
+       CAST(term AS DOUBLE) AS cvm_term,
+       round(CAST(sum(term) OVER () AS DOUBLE), 6) AS cvm_stat
+FROM t
+"""
+
+
+@register("qa_cvm_drift", _CVM_SQL)
+def qa_cvm_drift(spark, sf_dir):
+    """Binned two-sample Cramér-von-Mises drift screen over the event
+    value distribution (qa.cvm_binned_drift), same parity cohorts and
+    binned shape as qa_ks_drift — the INTEGRAL complement: KS reads
+    only the largest single CDF gap, so a moderate divergence spread
+    across the whole range (heavier tails, wider spread) can slip
+    under it; CvM accumulates the pooled-mass-weighted SQUARED gap
+    over every bin. Per-bin terms plus the exact-decimal total
+    (cvm_stat) make both the aggregate and where divergence
+    accumulates visible. Completes the distribution-QA battery's
+    screen trio: PSI (mass reallocation), KS (location shift), CvM
+    (integrated divergence).
+
+    Scale shape: rides the ks screen (one extremes agg, one 32-key
+    agg, bounded spine windows) plus bins-row finishing."""
+    ev = _t(spark, sf_dir, "events")
+    return qa.cvm_binned_drift(
+        ev.select((F.col("event_id") % 2).alias("grp"), "value"),
+        "value", "grp")
+
+
+_PSI_SLIDING_SQL = f"""
+WITH v AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+q AS (
+  SELECT day,
+         CASE WHEN hi > lo THEN least({qa.PSI_SLIDING_BINS - 1},
+             CAST(floor((v - lo) / (hi - lo)
+                        * {qa.PSI_SLIDING_BINS}) AS INT))
+         ELSE 0 END AS bin
+  FROM v CROSS JOIN mm),
+cnt AS (SELECT day, bin, count(*) AS n FROM q GROUP BY 1, 2),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM cnt),
+cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day FROM span),
+spine AS (
+  SELECT cal.day, b.bin
+  FROM cal CROSS JOIN
+       (SELECT unnest(range(0, {qa.PSI_SLIDING_BINS})) AS bin) b),
+grid AS (
+  SELECT spine.day, spine.bin, coalesce(cnt.n, 0) AS n
+  FROM spine LEFT JOIN cnt USING (day, bin)),
+g AS (
+  SELECT day, bin, n,
+    sum(n) OVER (PARTITION BY bin ORDER BY day
+      ROWS BETWEEN {qa.PSI_SLIDING_WINDOW} PRECEDING
+               AND 1 PRECEDING) AS n_w,
+    row_number() OVER (PARTITION BY bin ORDER BY day) AS rn,
+    sum(n) OVER (PARTITION BY bin) AS n_base
+  FROM grid),
+f AS (
+  SELECT day, n_w, n_base,
+         sum(n_w) OVER (PARTITION BY day) AS t_w,
+         sum(n_base) OVER (PARTITION BY day) AS t_base
+  FROM g WHERE rn > {qa.PSI_SLIDING_WINDOW}),
+c AS (
+  SELECT day, n_w,
+         CAST(round(((n_w + 1.0)
+                     / (t_w + {qa.PSI_SLIDING_BINS}.0)
+                     - (n_base + 1.0)
+                       / (t_base + {qa.PSI_SLIDING_BINS}.0))
+                    * ln(((n_w + 1.0)
+                          / (t_w + {qa.PSI_SLIDING_BINS}.0))
+                         / ((n_base + 1.0)
+                            / (t_base + {qa.PSI_SLIDING_BINS}.0))), 6)
+              AS DECIMAL(18,6)) AS c
+  FROM f)
+SELECT CAST(day AS VARCHAR) AS day, CAST(sum(n_w) AS BIGINT) AS n_win,
+       round(CAST(sum(c) AS DOUBLE), 6) AS psi
+FROM c GROUP BY day
+"""
+
+
+@register("qa_psi_sliding", _PSI_SLIDING_SQL)
+def qa_psi_sliding(spark, sf_dir):
+    """Per-day SLIDING-window PSI feed monitor (qa.psi_sliding_drift)
+    over the event value distribution: for every day with a full
+    7-day history, the Laplace-smoothed PSI of the trailing-window
+    distribution against the global baseline — one alertable row per
+    day (0.1 / 0.25 thresholds), catching gradual drift no single
+    snapshot pair shows. The continuous composition of qa_psi_drift's
+    two-cohort screen with evt_anomaly_zscore's densified trailing
+    calendar (absent (day, bin) cells zero-filled so an outage day
+    scores instead of vanishing; partial-history days fenced).
+
+    Scale shape: one 2-scalar extremes agg broadcast map-side, one
+    (day, bin)-key agg with map-side combine — the fact table never
+    shuffles again; the rest runs on the bounded days x bins grid
+    (per-bin ordered windows, one grid groupBy(day))."""
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.date_trunc("day", F.timestamp_micros("ts_us"))
+                   .cast("date").alias("day"), "value"))
+    return qa.psi_sliding_drift(ev, "value", "day")
+
+
 _MAHA_SQL = """
 WITH ex AS (
   SELECT vec_id AS id, CAST(i AS INT) - 1 AS dim,
@@ -10574,9 +10760,9 @@ terms AS (
   FROM c JOIN {prev} vj ON c.j = vj.j JOIN {prev} vi ON c.i = vi.j),
 scal AS (SELECT sum(t) AS e, sum(diag) AS tr FROM terms)
 SELECT CAST(v.j AS INT) AS dim, CAST(v.v AS DOUBLE) AS loading,
-       round(CAST(e AS DOUBLE), 6) AS eigval,
+       round(CAST(e AS DOUBLE), 6) + 0.0 AS eigval,
        CASE WHEN CAST(tr AS DOUBLE) <> 0
-            THEN round(CAST(e AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+            THEN round(CAST(e AS DOUBLE) / CAST(tr AS DOUBLE), 6) + 0.0
             ELSE 0.0 END AS explained_frac
 FROM {prev} v CROSS JOIN scal"""
 
@@ -10593,7 +10779,7 @@ proj AS (
   GROUP BY ex.id)
 SELECT ex.id, ex.dim,
        round((CAST(ex.xq AS DOUBLE) - mu.mu)
-             - CAST(p AS DOUBLE) * CAST({prev}.v AS DOUBLE), 6)
+             - CAST(p AS DOUBLE) * CAST({prev}.v AS DOUBLE), 6) + 0.0
          AS x_abt,
        round(CAST(p AS DOUBLE), 6) AS proj_r
 FROM ex JOIN mu ON ex.dim = mu.dim JOIN {prev} ON ex.dim = {prev}.j

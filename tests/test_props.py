@@ -624,6 +624,103 @@ def test_ks_binned_matches_python_reference(spark, rows):
 
 
 @SLOW
+@given(st.lists(st.tuples(st.integers(0, 1),
+                          st.floats(-1e6, 1e6, allow_nan=False)),
+                min_size=2, max_size=60))
+def test_cvm_binned_matches_python_reference(spark, rows):
+    """cvm_binned_drift equals an independently-written
+    pooled-mass-weighted squared-CDF-gap reference for arbitrary
+    two-cohort samples, including the stat column (exact sum of the
+    rounded per-bin terms)."""
+    from sequencing_integration_pipeline1_0_spark.operators import qa
+
+    df = spark.createDataFrame(rows, "grp INT, v DOUBLE")
+    got = {r.bin: r for r in
+           qa.cvm_binned_drift(df, "v", "grp", bins=8).collect()}
+
+    lo = min(v for _, v in rows)
+    hi = max(v for _, v in rows)
+    cnt = {b: [0, 0] for b in range(8)}
+    for g, v in rows:
+        b = min(7, int((v - lo) / (hi - lo) * 8)) if hi > lo else 0
+        cnt[b][g] += 1
+    ta = max(sum(c[0] for c in cnt.values()), 1)
+    tb = max(sum(c[1] for c in cnt.values()), 1)
+    big_n = max(sum(sum(c) for c in cnt.values()), 1)
+    ca = cb = 0
+    stat = 0
+    terms = {}
+    for b in range(8):
+        ca += cnt[b][0]
+        cb += cnt[b][1]
+        gap = round(ca / ta, 6) - round(cb / tb, 6)
+        terms[b] = round(sum(cnt[b]) / big_n * gap * gap, 6)
+        stat += round(terms[b] * 10**6)
+    stat = round(stat / 10**6, 6)
+    for b in range(8):
+        r = got[b]
+        assert (r.n_a, r.n_b) == tuple(cnt[b])
+        assert abs(r.cvm_term - terms[b]) < 1e-9
+        assert abs(r.cvm_stat - stat) < 1e-9
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 14),
+                          st.floats(-1e3, 1e3, allow_nan=False)),
+                min_size=1, max_size=80))
+def test_psi_sliding_matches_python_reference(spark, rows):
+    """psi_sliding_drift equals an independently-written
+    trailing-window-vs-global Laplace-smoothed PSI reference over a
+    densified calendar, for arbitrary (day, value) samples — absent
+    days zero-fill, partial-history days are fenced."""
+    import datetime
+    import math
+
+    from sequencing_integration_pipeline1_0_spark.operators import qa
+
+    d0 = datetime.date(2024, 1, 1)
+    data = [(d0 + datetime.timedelta(days=d), v) for d, v in rows]
+    df = spark.createDataFrame(data, "day DATE, v DOUBLE")
+    bins, win = 5, 3
+    got = {r.day: r for r in
+           qa.psi_sliding_drift(df, "v", "day", bins=bins,
+                                window=win).collect()}
+
+    lo = min(v for _, v in rows)
+    hi = max(v for _, v in rows)
+    days = sorted({d for d, _ in rows})
+    span = range(days[0], days[-1] + 1)
+    cnt = {d: [0] * bins for d in span}
+    for d, v in rows:
+        b = min(bins - 1, int((v - lo) / (hi - lo) * bins)) \
+            if hi > lo else 0
+        cnt[d][b] += 1
+    base = [sum(cnt[d][b] for d in span) for b in range(bins)]
+    t_base = sum(base)
+    expect_rows = 0
+    for i, d in enumerate(span):
+        if i < win:
+            continue
+        expect_rows += 1
+        n_w = [sum(cnt[list(span)[j]][b]
+                   for j in range(max(0, i - win), i))
+               for b in range(bins)]
+        t_w = sum(n_w)
+        psi = 0
+        for b in range(bins):
+            pw = (n_w[b] + 1.0) / (t_w + float(bins))
+            pb = (base[b] + 1.0) / (t_base + float(bins))
+            psi += round(round((pw - pb) * math.log(pw / pb), 6)
+                         * 10**6)
+        psi = round(psi / 10**6, 6)
+        key = str(d0 + datetime.timedelta(days=d))
+        r = got[key]
+        assert r.n_win == t_w
+        assert abs(r.psi - psi) < 1e-9, (key, r.psi, psi)
+    assert len(got) == expect_rows
+
+
+@SLOW
 @given(st.lists(st.text(alphabet="abr cé\U0001f642",
                         min_size=0, max_size=40),
                 min_size=1, max_size=12))

@@ -1487,6 +1487,30 @@ def test_all_pairs_baselines_refuse_corpus_scale(spark, monkeypatch):
         small, "vec_id", "embedding", k=1).count() > 0
 
 
+def test_minhash_contamination_refuses_corpus_sized_bench(
+        spark, monkeypatch):
+    """minhash_contamination broadcasts its BENCH side by design (an
+    eval set is MBs); the cap makes that self-enforcing — a caller
+    passing a corpus-sized frame as bench must get a clear error, not
+    a driver OOM. Under the cap it still runs."""
+    import pytest as _pytest
+
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        dedupe_scale,
+    )
+
+    monkeypatch.setattr(dedupe_scale, "BENCH_BROADCAST_CAP", 4)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(6)],
+        "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError, match="bench"):
+        dedupe_scale.minhash_contamination(
+            docs, docs, "doc_id", "text").count()
+    out = dedupe_scale.minhash_contamination(
+        docs, docs.limit(2), "doc_id", "text")
+    assert out.count() > 0
+
+
 def test_ivfsq_ivfbq_entries_injection_parity(spark):
     """Self-search with entries=/coarse= injected from the index
     builders must be row-identical to the default in-plan build —
