@@ -1641,18 +1641,7 @@ def pca_top_component(df: DataFrame, id_col: str, vec_col: str, *,
     windows) regardless of corpus size."""
     c, v, _ = pca_power_state(df, id_col, vec_col, iters=iters,
                               round_to=round_to)
-    dec2 = f"decimal(38,{2 * round_to})"
-    vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
-    vj = v.select("j", F.col("v").alias("vj"))
-    terms = (c.join(F.broadcast(vj), "j")
-              .join(F.broadcast(vi), "i")
-              .select(F.round(F.col("qc").cast("double")
-                              * F.col("vi").cast("double")
-                              * F.col("vj").cast("double"),
-                              2 * round_to).cast(dec2).alias("t"),
-                      F.when(F.col("i") == F.col("j"), F.col("qc"))
-                       .alias("diag")))
-    scal = terms.agg(F.sum("t").alias("e"), F.sum("diag").alias("tr"))
+    scal = _rayleigh(c, v, round_to=round_to)
     e_d = F.col("e").cast("double")
     tr_d = F.col("tr").cast("double")
     # + 0.0 normalizes signed zero on the rounded doubles (a tiny
@@ -1665,6 +1654,89 @@ def pca_top_component(df: DataFrame, id_col: str, vec_col: str, *,
                      F.when(tr_d != 0,
                             F.round(e_d / tr_d, round_to) + F.lit(0.0))
                       .otherwise(F.lit(0.0)).alias("explained_frac")))
+
+
+def _rayleigh(c: DataFrame, v: DataFrame, *,
+              round_to: int = 6) -> DataFrame:
+    """Rayleigh quotient pieces over a quantized matrix and a unit
+    vector: one row (e = v' C v as an exact decimal sum of quantized
+    terms, tr = the matrix trace) — the eigenvalue estimate
+    pca_top_component reports and pca_top2_components deflates
+    with."""
+    dec2 = f"decimal(38,{2 * round_to})"
+    vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v.select("j", F.col("v").alias("vj"))
+    terms = (c.join(F.broadcast(vj), "j")
+              .join(F.broadcast(vi), "i")
+              .select(F.round(F.col("qc").cast("double")
+                              * F.col("vi").cast("double")
+                              * F.col("vj").cast("double"),
+                              2 * round_to).cast(dec2).alias("t"),
+                      F.when(F.col("i") == F.col("j"), F.col("qc"))
+                       .alias("diag")))
+    return terms.agg(F.sum("t").alias("e"), F.sum("diag").alias("tr"))
+
+
+def pca_top2_components(df: DataFrame, id_col: str, vec_col: str, *,
+                        iters: int = PCA_ITERS,
+                        round_to: int = 6) -> DataFrame:
+    """Top TWO principal components by power iteration + Hotelling
+    deflation — the multi-component extension of pca_top_component
+    that answers the follow-up its diagnostic raises (one direction
+    explaining most variance: is the SECOND direction also
+    degenerate, or does the spectrum flatten out?): after the top
+    sweep converges, the quantized covariance deflates entry-wise,
+      C2(i,j) = round(C(i,j) - eigval1 * v1_i * v1_j, 1e-r),
+    and the SAME sweep recurrence runs on C2 from the uniform start —
+    its dominant direction is the original matrix's second component
+    (exact deflation annihilates v1's eigenspace; quantization noise
+    is bounded by 1e-r per entry). Returns 2d rows
+    (component, dim, loading, eigval, explained_frac) with component
+    2's eigenvalue the Rayleigh quotient ON THE DEFLATED matrix
+    (= the second eigenvalue up to the v1-overlap term the deflation
+    removed) and both fractions against the ORIGINAL trace.
+
+    Scale shape: pca_power_state's one corpus pass + two
+    corpus-independent d^2-row sweep chains (the deflated matrix
+    localCheckpoints like the first — the sweeps re-reference it 8
+    times)."""
+    c, v1, _ = pca_power_state(df, id_col, vec_col, iters=iters,
+                               round_to=round_to)
+    dec = f"decimal(18,{round_to})"
+    scal1 = _rayleigh(c, v1, round_to=round_to)
+    e1 = (F.round(F.col("e").cast("double"), round_to) + F.lit(0.0))
+    tr_d = F.col("tr").cast("double")
+
+    vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v1.select("j", F.col("v").alias("vj"))
+    c2 = (c.join(F.broadcast(vj), "j")
+           .join(F.broadcast(vi), "i")
+           .join(F.broadcast(scal1))
+           .select("i", "j",
+                   F.round(F.col("qc").cast("double")
+                           - e1 * F.col("vi").cast("double")
+                                * F.col("vj").cast("double"),
+                           round_to).cast(dec).alias("qc"))
+           .localCheckpoint())
+    v2 = _power_sweeps(c2, iters=iters, round_to=round_to)
+    scal2 = _rayleigh(c2, v2, round_to=round_to)
+
+    def finish(v, scal, comp):
+        e_d = F.col("e").cast("double")
+        return (v.join(F.broadcast(scal))
+                 .join(F.broadcast(scal1.select(tr_d.alias("tr0"))))
+                 .select(F.lit(comp).cast("int").alias("component"),
+                         F.col("j").cast("int").alias("dim"),
+                         F.col("v").cast("double").alias("loading"),
+                         (F.round(e_d, round_to) + F.lit(0.0))
+                          .alias("eigval"),
+                         F.when(F.col("tr0") != 0,
+                                F.round(e_d / F.col("tr0"), round_to)
+                                + F.lit(0.0))
+                          .otherwise(F.lit(0.0))
+                          .alias("explained_frac")))
+
+    return finish(v1, scal1, 1).unionByName(finish(v2, scal2, 2))
 
 
 def pca_power_state(
@@ -1696,7 +1768,6 @@ def pca_power_state(
     from .dedupe_scale import bind_once
 
     dec = f"decimal(18,{round_to})"
-    dec2 = f"decimal(38,{2 * round_to})"
     # decimal(18,r) x decimal(18,r) product type — the linear terms
     # cast to it exactly so both ride one struct schema
     prod_t = f"decimal(37,{2 * round_to})"
@@ -1754,6 +1825,19 @@ def pca_power_state(
     # from repeating even those (tiny) joins in one deep plan
     c = c.localCheckpoint()
 
+    return c, _power_sweeps(c, iters=iters, round_to=round_to), stats
+
+
+def _power_sweeps(c: DataFrame, *, iters: int,
+                  round_to: int = 6) -> DataFrame:
+    """`iters` normalize-quantized power sweeps over a (checkpointed)
+    d^2-row quantized matrix (i, j, qc), from the uniform start
+    1/sqrt(d): v <- round(Cv / |Cv|, 1e-r), each matrix-vector
+    product an exact decimal sum. Returns the d-row (j, v) unit
+    vector. Shared by the top-component pass and the deflated
+    second-component pass (pca_top2_components)."""
+    dec = f"decimal(18,{round_to})"
+    dec2 = f"decimal(38,{2 * round_to})"
     w_all = Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
     # dim spine from the CHECKPOINTED diagonal — not from stats, whose
@@ -1778,7 +1862,7 @@ def pca_power_state(
                      F.when(nm > 0,
                             F.round(F.col("wd") / nm, round_to))
                       .otherwise(F.lit(0.0)).cast(dec).alias("v"))
-    return c, v, stats
+    return v
 
 
 def pca_remove_top(df: DataFrame, id_col: str, vec_col: str, *,

@@ -7829,6 +7829,125 @@ def ann_ivfpq_recall(spark, sf_dir):
                           / F.count(F.lit(1)), 6).alias("recall")))
 
 
+_PQ_RERANK_CAND = 20
+
+_IVFPQ_RERANK_SQL = f"""
+WITH cand AS (
+  WITH {_ivf_trained_cents_sql(_IVFPQ_NCELLS, 2)},
+  {_PQ_COMMON_SQL},
+  {_pq_adc_sql("cb", "")},
+  {_ivfpq_search_sql(_IVFPQ_NPROBE)}
+  SELECT qid AS id, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY approx_dist, neighbor_id) AS rn
+    FROM ppairs) WHERE rn <= {_PQ_RERANK_CAND}),
+rr AS (
+  SELECT c.id, c.neighbor_id,
+         round({_l2sq_sql('a.embedding', 'b.embedding')}, 6) AS dist
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id)
+SELECT id, neighbor_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY dist, neighbor_id) AS rank
+  FROM rr) WHERE rank <= 5
+"""
+
+
+@register("ann_ivfpq_rerank_topk", _IVFPQ_RERANK_SQL)
+def ann_ivfpq_rerank_topk(spark, sf_dir):
+    """Two-stage IVF-PQ serving — the FAISS refine/re-rank pattern
+    (IndexRefineFlat) completing the quantized matrix's serving
+    story next to the binary twin (ann_binary_rerank_topk): the
+    composed IVF-PQ ADC retrieves the top-{c} candidates per query
+    from 16x16 codes, then ONLY those {c} rows join back to the
+    float vectors for an exact squared-L2 re-rank to top-5 — PQ's
+    native metric, so the re-rank corrects pure quantization error.
+    The cheap stage touches codes ~16x smaller than the vectors; the
+    exact stage touches {c} rows per query instead of the corpus.
+    ann_ivfpq_rerank_recall quantifies what the refine buys back
+    over raw ADC ranking (ann_ivfpq_recall).
+
+    Scale shape: stage 1 is the certified salted cell meet over
+    packed codes; stage 2 is two slim id-keyed equi-joins
+    (candidates x vectors) + one per-query window — never an
+    all-pairs float pass.""".format(c=_PQ_RERANK_CAND)
+    e = _t(spark, sf_dir, "embeddings")
+    cand = (similarity.ivfpq_topk(e, "vec_id", "embedding",
+                                  k_neighbors=_PQ_RERANK_CAND,
+                                  n_cells=_IVFPQ_NCELLS,
+                                  nprobe=_IVFPQ_NPROBE, m=_PQ_M,
+                                  k=_PQ_K, coarse_iters=2)
+            .select("id", "neighbor_id"))
+    a = e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("vb"))
+    rr = (cand.join(a, "id").join(b, "neighbor_id")
+              .withColumn("dist",
+                          F.round(similarity.l2sq(F.col("va"),
+                                                  F.col("vb")), 6)))
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(),
+                                         F.col("neighbor_id"))
+    return (rr.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 5)
+              .select("id", "neighbor_id", "dist",
+                      F.col("rank").cast("int").alias("rank")))
+
+
+_IVFPQ_RERANK_RECALL_SQL = f"""
+WITH q AS ({_IVFPQ_RERANK_SQL}),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY round({_l2sq_sql("a.embedding", "b.embedding")}, 6),
+                      b.vec_id) AS rn
+    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+  WHERE rn <= 5)
+SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+       CAST(count(q.id) AS BIGINT) AS hits,
+       round(CAST(count(q.id) AS DOUBLE) / count(*), 6) AS recall
+FROM truth t LEFT JOIN q
+  ON t.id = q.id AND t.neighbor_id = q.neighbor_id
+"""
+
+
+@register("ann_ivfpq_rerank_recall", _IVFPQ_RERANK_RECALL_SQL)
+def ann_ivfpq_rerank_recall(spark, sf_dir):
+    """Recall@5 of the two-stage IVF-PQ pipeline against the exact
+    squared-L2 truth — the number that justifies the refine step:
+    raw ADC ranking loses recall to the 16x16 code budget
+    (ann_ivfpq_recall); widening to {c} candidates and re-ranking
+    the shortlist with exact floats buys most of it back at {c}
+    float distances per query instead of n. One summary row; the
+    truth set is the deliberate brute-force baseline
+    (cap-gated).""".format(c=_PQ_RERANK_CAND)
+    e = _t(spark, sf_dir, "embeddings")
+    topq = (ann_ivfpq_rerank_topk(spark, sf_dir)
+            .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
+    a = spread_for_compute(
+        e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").alias("va")))
+    b = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("vb"))
+    tp = (a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
+           .withColumn("dist", F.round(similarity.l2sq(F.col("va"),
+                                                       F.col("vb")), 6)))
+    tw = Window.partitionBy("id").orderBy(F.col("dist").asc(),
+                                          F.col("neighbor_id"))
+    truth = (tp.withColumn("rn", F.row_number().over(tw))
+               .filter(F.col("rn") <= 5).select("id", "neighbor_id"))
+    j = truth.join(topq, ["id", "neighbor_id"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("truth_pairs"),
+        F.count("hit").alias("hits"),
+        F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6)
+         .alias("recall"))
+
+
 _IVFPQ_BATCH_SQL = f"""
 WITH {_ivf_trained_cents_sql(_IVFPQ_NCELLS, 2)},
 {_PQ_COMMON_SQL},
@@ -10695,13 +10814,7 @@ def text_char_entropy(spark, sf_dir):
     return textstats.char_entropy(d, "doc_id", "text")
 
 
-def _pca_cte_prefix() -> tuple[str, str]:
-    """Shared unrolled power-iteration CTE chain (one (w, x, v) CTE
-    triple per sweep, mirroring similarity.pca_power_state's exact
-    arithmetic — decimal matrix-vector sums, quantized normalize).
-    Returns (prefix, final_v_name); both PCA oracles compose it."""
-    it = similarity.PCA_ITERS
-    parts = ["""
+_PCA_BASE_CTES = """
 WITH ex AS (
   SELECT vec_id AS id, CAST(i AS INT) - 1 AS dim,
          CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6)
@@ -10720,33 +10833,66 @@ c AS (
   SELECT g.i, g.j,
          CAST(round(CAST(gp AS DOUBLE) / nv - mi.mu * mj.mu, 6)
               AS DECIMAL(18,6)) AS qc
-  FROM g JOIN mu mi ON g.i = mi.dim JOIN mu mj ON g.j = mj.dim),
-v0 AS (
+  FROM g JOIN mu mi ON g.i = mi.dim JOIN mu mj ON g.j = mj.dim)"""
+
+
+def _pca_sweep_chain(cov: str, p: str) -> tuple[str, str]:
+    """One unrolled power-iteration CTE chain (a (w, x, v) triple per
+    sweep, mirroring similarity._power_sweeps' exact arithmetic —
+    decimal matrix-vector sums, quantized normalize) over the
+    quantized-matrix CTE `cov`, CTE names prefixed `p` so two chains
+    (top component; deflated second component) compose in one query.
+    Returns (ctes, final_v_name)."""
+    it = similarity.PCA_ITERS
+    parts = [f""",
+{p}v0 AS (
   SELECT dim AS j,
          CAST(round(1.0 / sqrt(CAST(count(*) OVER () AS DOUBLE)), 6)
               AS DECIMAL(18,6)) AS v
   FROM st)"""]
-    prev = "v0"
+    prev = f"{p}v0"
     for k in range(1, it + 1):
         parts.append(f""",
-w{k} AS (
-  SELECT c.i, sum(c.qc * {prev}.v) AS wv
-  FROM c JOIN {prev} ON c.j = {prev}.j GROUP BY c.i),
-x{k} AS (
+{p}w{k} AS (
+  SELECT {cov}.i, sum({cov}.qc * {prev}.v) AS wv
+  FROM {cov} JOIN {prev} ON {cov}.j = {prev}.j GROUP BY {cov}.i),
+{p}x{k} AS (
   SELECT i, CAST(wv AS DOUBLE) AS wd,
          CAST(round(CAST(wv AS DOUBLE) * CAST(wv AS DOUBLE), 12)
               AS DECIMAL(38,12)) AS w2
-  FROM w{k}),
-v{k} AS (
+  FROM {p}w{k}),
+{p}v{k} AS (
   SELECT i AS j,
          CASE WHEN sqrt(CAST(sum(w2) OVER () AS DOUBLE)) > 0
               THEN CAST(round(wd / sqrt(CAST(sum(w2) OVER ()
                                              AS DOUBLE)), 6)
                         AS DECIMAL(18,6))
               ELSE CAST(0.0 AS DECIMAL(18,6)) END AS v
-  FROM x{k})""")
-        prev = f"v{k}"
+  FROM {p}x{k})""")
+        prev = f"{p}v{k}"
     return "".join(parts), prev
+
+
+def _pca_cte_prefix() -> tuple[str, str]:
+    """Base covariance CTEs + the top-component sweep chain
+    (unprefixed names — byte-identical to the pre-refactor SQL).
+    Returns (prefix, final_v_name); the PCA oracles compose it."""
+    chain, prev = _pca_sweep_chain("c", "")
+    return _PCA_BASE_CTES + chain, prev
+
+
+def _rayleigh_sql(cov: str, v: str, t: str, s: str) -> str:
+    """Rayleigh-quotient CTE pair (`t`, `s`) over matrix CTE `cov`
+    and vector CTE `v` — mirrors similarity._rayleigh exactly."""
+    return f""",
+{t} AS (
+  SELECT CAST(round(CAST({cov}.qc AS DOUBLE) * CAST(vi.v AS DOUBLE)
+                    * CAST(vj.v AS DOUBLE), 12)
+              AS DECIMAL(38,12)) AS t,
+         CASE WHEN {cov}.i = {cov}.j THEN {cov}.qc END AS diag
+  FROM {cov} JOIN {v} vj ON {cov}.j = vj.j
+             JOIN {v} vi ON {cov}.i = vi.j),
+{s} AS (SELECT sum(t) AS e, sum(diag) AS tr FROM {t})"""
 
 
 def _pca_sql() -> str:
@@ -10831,6 +10977,61 @@ def emb_remove_top_component(spark, sf_dir):
     projection join."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.pca_remove_top(e, "vec_id", "embedding")
+
+
+def _pca_top2_sql() -> str:
+    prefix, v1 = _pca_cte_prefix()
+    r1 = _rayleigh_sql("c", v1, "t1", "s1")
+    c2 = f""",
+c2 AS (
+  SELECT c.i, c.j,
+         CAST(round(CAST(c.qc AS DOUBLE)
+                    - (round(CAST(s1.e AS DOUBLE), 6) + 0.0)
+                      * CAST(vi.v AS DOUBLE) * CAST(vj.v AS DOUBLE),
+                    6) AS DECIMAL(18,6)) AS qc
+  FROM c JOIN {v1} vj ON c.j = vj.j JOIN {v1} vi ON c.i = vi.j
+  CROSS JOIN s1)"""
+    chain2, v2 = _pca_sweep_chain("c2", "b")
+    r2 = _rayleigh_sql("c2", v2, "t2", "s2")
+    return prefix + r1 + c2 + chain2 + r2 + f"""
+SELECT component, dim, loading, eigval, explained_frac FROM (
+  SELECT 1 AS component, CAST(v.j AS INT) AS dim,
+         CAST(v.v AS DOUBLE) AS loading,
+         round(CAST(s1.e AS DOUBLE), 6) + 0.0 AS eigval,
+         CASE WHEN CAST(s1.tr AS DOUBLE) <> 0
+              THEN round(CAST(s1.e AS DOUBLE)
+                         / CAST(s1.tr AS DOUBLE), 6) + 0.0
+              ELSE 0.0 END AS explained_frac
+  FROM {v1} v CROSS JOIN s1
+  UNION ALL
+  SELECT 2, CAST(v.j AS INT), CAST(v.v AS DOUBLE),
+         round(CAST(s2.e AS DOUBLE), 6) + 0.0,
+         CASE WHEN CAST(s1.tr AS DOUBLE) <> 0
+              THEN round(CAST(s2.e AS DOUBLE)
+                         / CAST(s1.tr AS DOUBLE), 6) + 0.0
+              ELSE 0.0 END
+  FROM {v2} v CROSS JOIN s2 CROSS JOIN s1)
+"""
+
+
+@register("emb_pca_top2_components", _pca_top2_sql())
+def emb_pca_top2_components(spark, sf_dir):
+    """Top TWO principal components by power iteration + Hotelling
+    deflation (similarity.pca_top2_components) — the follow-up the
+    top-component diagnostic raises (is the second direction also
+    degenerate, or does the spectrum flatten?): the quantized
+    covariance deflates entry-wise by eigval1 * v1 v1' and the same
+    unrolled sweep recurrence runs on the deflated matrix; the
+    oracle composes TWO sweep CTE chains plus the mirrored deflation.
+    2d rows (component, dim, loading, eigval, explained_frac), both
+    fractions against the original trace; component 2's eigenvalue
+    is the Rayleigh quotient on the deflated matrix.
+
+    Scale shape: pca_power_state's single corpus pass; the deflation
+    and both sweep chains are corpus-independent d^2-row work (the
+    deflated matrix localCheckpoints like the first)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_top2_components(e, "vec_id", "embedding")
 
 
 _MINHASH_CALIB_SQL = f"""{_MINHASH_CTES},
@@ -11078,3 +11279,102 @@ def quality_logreg_calibration_q(spark, sf_dir):
     map-side combine, bounded spine finishing."""
     d = _t(spark, sf_dir, "documents")
     return textstats.quality_logreg_calibration(d, "text")
+
+
+# ----------------------------------------------------------------------
+# Cross-method decontamination report (round 8) — the pipe_dedup_report
+# pattern applied to the decontamination family.
+# ----------------------------------------------------------------------
+
+_DECONTAM_REPORT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS nt
+  FROM documents WHERE doc_id % 97 <> 0),
+tot AS (SELECT count(*) AS n FROM documents WHERE doc_id % 97 <> 0),
+ng AS ({_DECONTAM_SQL}),
+ng_docs AS (SELECT doc_id FROM ng WHERE contaminated = 1),
+ng_row AS (
+  SELECT 'exact_5gram' AS method,
+         CAST(count(*) AS BIGINT) AS docs_affected,
+         CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_affected
+  FROM ng_docs JOIN toks USING (doc_id)),
+mh AS ({_DECONTAM_MINHASH_SQL}),
+mh_docs AS (SELECT DISTINCT id AS doc_id FROM mh),
+mh_row AS (
+  SELECT 'fuzzy_minhash' AS method,
+         CAST(count(*) AS BIGINT) AS docs_affected,
+         CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_affected
+  FROM mh_docs JOIN toks USING (doc_id)),
+fo_docs AS (
+  SELECT doc_id FROM mh_docs
+  EXCEPT SELECT doc_id FROM ng_docs),
+fo_row AS (
+  SELECT 'fuzzy_only' AS method,
+         CAST(count(*) AS BIGINT) AS docs_affected,
+         CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_affected
+  FROM fo_docs JOIN toks USING (doc_id)),
+uni AS (
+  SELECT * FROM ng_row UNION ALL SELECT * FROM mh_row
+  UNION ALL SELECT * FROM fo_row)
+SELECT method, docs_affected, tokens_affected,
+       round(CAST(docs_affected AS DOUBLE) / (SELECT n FROM tot), 6)
+         AS pct_docs
+FROM uni
+"""
+
+
+@register("pipe_decontam_report", _DECONTAM_REPORT_SQL)
+def pipe_decontam_report(spark, sf_dir):
+    """Cross-method DECONTAMINATION report — the strategy dashboard a
+    corpus engineer reads before committing to an eval-leakage
+    policy: one row per method with uniform accounting over the SAME
+    corpus/bench split (doc_id % 97, the family convention):
+      exact_5gram    corpus docs sharing >= 1 verbatim word 5-gram
+                     with the bench slice (decontam_ngram_overlap),
+                     their full token mass
+      fuzzy_minhash  corpus docs with a >= 0.7-Jaccard bench
+                     near-duplicate (decontam_minhash)
+      fuzzy_only     fuzzy hits with NO verbatim 5-gram hit — the
+                     paraphrased/lightly-edited leakage ONLY the
+                     fuzzy screen catches, i.e. the number that
+                     justifies running it
+    Composes two certified queries (the Bloom prefilter row is
+    deliberately absent: decontam_bloom_prefilter is certified to
+    the SAME oracle as exact_5gram, so its report row would be a
+    duplicate); the oracle nests each method's full certified chain.
+
+    Scale shape: each branch is its own certified shape (bench side
+    broadcast in both); the report adds slim doc-id joins, 1-row
+    aggregates, and a 3-row union."""
+    d = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    ntok = (F.when(F.length(F.trim(txt)) == 0, F.lit(0))
+             .otherwise(F.size(dedupe_scale.words(txt))))
+    toks = (d.filter(F.col("doc_id") % 97 != 0)
+             .select("doc_id", ntok.alias("nt")))
+    total = toks.count()  # metadata-scale, mirrored by the oracle tot
+
+    ng_docs = (decontam_ngram_overlap(spark, sf_dir)
+               .filter(F.col("contaminated") == 1).select("doc_id"))
+    mh_docs = (decontam_minhash(spark, sf_dir)
+               .select(F.col("id").alias("doc_id")).distinct())
+    fo_docs = mh_docs.join(ng_docs, "doc_id", "left_anti")
+
+    def row(docs, method):
+        return (docs.join(toks, "doc_id").agg(
+            F.count(F.lit(1)).alias("docs_affected"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long")
+             .alias("tokens_affected"))
+            .select(F.lit(method).alias("method"),
+                    "docs_affected", "tokens_affected"))
+
+    uni = (row(ng_docs, "exact_5gram")
+           .unionByName(row(mh_docs, "fuzzy_minhash"))
+           .unionByName(row(fo_docs, "fuzzy_only")))
+    return uni.select(
+        "method", "docs_affected", "tokens_affected",
+        F.round(F.col("docs_affected").cast("double") / total, 6)
+         .alias("pct_docs"))

@@ -48,6 +48,19 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # observation for the bin index (the same scalar
                   # shape as evt_active_users' span row)
                   "qa_ks_drift",
+                  # same 1-row extremes broadcast (CvM rides the ks
+                  # binning); the sliding monitor adds the bounded
+                  # day-spine x bin-spine calendar cross join
+                  "qa_cvm_drift", "qa_psi_sliding",
+                  # refine/re-rank rides ann_ivfpq_topk's coarse
+                  # n x n_cells assignment NLJ + the 1-row packed
+                  # codebook broadcast; the recall row adds the
+                  # deliberate brute-force truth baseline (gated)
+                  "ann_ivfpq_rerank_topk", "ann_ivfpq_rerank_recall",
+                  # top-2 PCA: 1-row Rayleigh scalar + d-row
+                  # eigenvector broadcasts onto the d^2 covariance
+                  # (corpus-independent state joins)
+                  "emb_pca_top2_components",
                   # 1-row (eigval, trace) scalar pair broadcast onto
                   # the d-row eigenvector dim — all iteration state is
                   # d^2 + d rows, never the corpus
@@ -170,8 +183,11 @@ PANDAS_OK = {"mm_decode_image", "mm_frame_sample",
              # designed Arrow stages; the fingerprint + band join /
              # dedup window are Spark HOFs / equi-joins
              "mm_audio_fingerprint_pairs", "mm_audio_fingerprint_near_dup",
-             # OSA banded-DP Arrow scorer on blocked candidates
+             # OSA banded-DP Arrow scorer on blocked candidates (the
+             # witness row rides the same scorer, filtered to the
+             # lev == DL subset its oracle can express)
              "j6b_fuzzy_osa_pairs", "j6c_osa_lev_delta",
+             "j6d_osa_witness",
              # pixel decode for perceptual hashing (shaded-BMP synth +
              # luma parse); the dHash itself is a Spark array HOF
              "mm_image_dhash_near_dup", "mm_image_dhash_hamming_pairs",
@@ -317,8 +333,13 @@ GLOBAL_WINDOW_OK = {"w9_group_id", "s11_chunk_assignment",
                     "sketch_histogram_quantiles",
                   # cohort CDFs: cumulative counts over the 32-row bin
                   # spine (fixed bin count regardless of input rows —
-                  # the histogram-quantiles shape)
-                  "qa_ks_drift",
+                  # the histogram-quantiles shape); the CvM screen
+                  # rides the same spine plus its bins-row term sum
+                  "qa_ks_drift", "qa_cvm_drift",
+                  # refine/re-rank: stage 1 is ann_ivfpq_topk's chain
+                  # (<= k-row codebook seeding rank — the same fence);
+                  # the recall row adds the deliberate brute truth
+                  "ann_ivfpq_rerank_topk", "ann_ivfpq_rerank_recall",
                   # grand-total window over the CONTINGENCY table —
                   # |levels(a)| x |levels(b)| rows, category-bounded
                   "qa_chi2_independence",

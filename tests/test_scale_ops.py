@@ -1747,6 +1747,39 @@ def test_pca_top_component_matches_numpy(spark):
     assert all(r.eigval == out[0].eigval for r in out)
 
 
+def test_pca_top2_components_match_numpy(spark):
+    """Both deflation outputs approximate numpy's top two
+    eigenvectors (up to sign), the components are near-orthogonal,
+    and each explained fraction matches eig_i / trace."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(80, 6)
+    base[:, 2] = 3.0 * base[:, 0] + 0.1 * base[:, 2]   # 1st direction
+    base[:, 4] = 2.0 * base[:, 1] + 0.1 * base[:, 4]   # 2nd direction
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = sim.pca_top2_components(df, "vec_id", "embedding").collect()
+    assert len(out) == 12
+    v = {comp: np.zeros(6) for comp in (1, 2)}
+    frac = {}
+    for r in out:
+        v[r.component][r.dim] = r.loading
+        frac[r.component] = r.explained_frac
+
+    xq = np.round(base, 6)
+    c = np.cov(xq, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    for comp, idx in ((1, -1), (2, -2)):
+        assert abs(np.linalg.norm(v[comp]) - 1.0) < 1e-3
+        cos = abs(float(np.dot(v[comp], evecs[:, idx])))
+        assert cos > 0.999, (comp, cos)
+        want = float(evals[idx] / evals.sum())
+        assert abs(frac[comp] - want) < 1e-2, (comp, frac[comp], want)
+    # near-orthogonal: 8 quantized sweeps converge to ~1e-3 overlap
+    assert abs(float(np.dot(v[1], v[2]))) < 1e-2
+
+
 def test_remove_top_component_kills_projection_and_mean(spark):
     """After all-but-the-top, every vector's projection on the
     removed direction is ~0, the per-dim corpus mean is ~0, and the

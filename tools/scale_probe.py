@@ -160,6 +160,19 @@ PROBES = [
     # calibration: in-plan GD training dominates (8 corpus feature
     # passes in one lazy plan) — growth tracks the corpus x iters
     "quality_logreg_calibration",
+    # round 8: the IVF-PQ refine/re-rank serving shape (stage 1 is
+    # the certified cell meet; stage 2 is candidate-bounded float
+    # re-rank — growth tracks the stage-1 search), top-2 PCA by
+    # deflation (one corpus pass + two d^2-row sweep chains), the
+    # sliding-window PSI monitor and the binned CvM screen (both
+    # bounded-grid finishing over one fact-scan agg), and the
+    # cross-method decontamination report (sum of its two certified
+    # branches + slim id joins)
+    "ann_ivfpq_rerank_topk",
+    "emb_pca_top2_components",
+    "qa_psi_sliding",
+    "qa_cvm_drift",
+    "pipe_decontam_report",
 ]
 
 #: executions per (query, sf) cell — min-of-N. Three runs settle the
@@ -408,6 +421,27 @@ def main() -> None:
         "  ~constant. Probe cells also went min-of-3 (REPEATS) so the",
         "  repo's own record settles driver-bench noise adjudications",
         "  (five r6 >1.3x bench moves were all probe-contradicted).",
+        "- Round 8: lineage truncation became the trainers' DEFAULT.",
+        "  train_ivf_codebook / pq_train_codebooks localCheckpoint per",
+        "  Lloyd sweep and on return — the lazy recurrence referenced",
+        "  each iteration's table twice (2^iters subtree blowup, the",
+        "  lang_id lesson) and every CONSUMER reference re-ran the whole",
+        "  corpus-scanning train (residual IVF-PQ inlined it 3x:",
+        "  13.7 s -> ~10.5 s at sf0.1). PCA's covariance build fused",
+        "  into ONE corpus pass (upper-triangle outer products — decimal",
+        "  multiply commutes, so G(j,i) mirrors exactly — with the",
+        "  per-dim linear terms riding the same flatten as j = -1 rows):",
+        "  emb_pca_top_component 10.7 -> 5.9 s, emb_remove_top_component",
+        "  11.4 -> 6.2 s. The IVF-PQ encode/LUT stages went MAP-SIDE",
+        "  (m*k codebook packed into one broadcast row; each row",
+        "  computes its codes / m x k LUT in one HOF pass), deleting",
+        "  the explode(m) -> join -> two collect_list shuffles of",
+        "  candidates x m rows. And decontam_minhash gained the",
+        "  exact-first collapse BIPARTITE (both sides collapse",
+        "  byte-identical shingle sets before banding; lossless, the",
+        "  verify runs once per distinct pair): growth 7.0x -> ~3.5x on",
+        "  this template-heavy corpus. All value-identical (full oracle",
+        "  replica re-green).",
         "",
     ]
     sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
