@@ -189,12 +189,13 @@ _R6_CONFIRMED = frozenset({
 # remaining IVF-PQ compositions of the same packed LUT
 # (ann_ivfpq_recall / index_probe / batch_search) and every consumer
 # of the codebook trainers' localCheckpoints (lineage truncation
-# only). Session 2's four new queries (the IVF-PQ refine/re-rank
+# only). Session 2-3's five new queries (the IVF-PQ refine/re-rank
 # pair, top-2 PCA by deflation, the cross-method decontamination
-# report) ride the unconfirmed-first rule into the window without a
-# _PRIORITY entry. 8 priority + 4 new + j6b = 13 front slots leave
-# 37 rotation slots — stalest-first clears all but 8 of the 45-query
-# r3-stale tail (the leftovers lead r9's rotation).
+# report, MRL truncation recall) ride the unconfirmed-first rule
+# into the window without a _PRIORITY entry. 8 priority + 5 new +
+# j6b = 14 front slots leave 36 rotation slots — stalest-first
+# clears all but 9 of the 45-query r3-stale tail (the leftovers
+# lead r9's rotation).
 _PRIORITY = [
     "j6d_osa_witness", "qa_cvm_drift", "qa_psi_sliding",
     "emb_pca_top_component", "emb_remove_top_component",

@@ -4,7 +4,8 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver-side collect, no output I/O skew).
+no driver-side collect, no output I/O skew), timed as the MIN of 3
+executions, each query in its OWN forked JVM (see below).
 """
 
 from __future__ import annotations
@@ -12,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -80,40 +82,58 @@ HEADLINE = [
 ]
 
 
+def run_one(name: str, sf_dir: str) -> None:
+    """Child mode: time ONE query (min of 3 executions) in a fresh
+    JVM and print {"name": ..., "sec": N}."""
+    from sequencing_integration_pipeline1_0_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(f"bench:{name}")
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers once with a trivial action per
+    # input table, so the first timed run measures the operator and
+    # not one-time file listing / footer decode
+    for t in ("orders", "lineitem", "customer", "documents",
+              "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    fn = qs[name]
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({"name": name, "sec": round(best, 3)}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from sequencing_integration_pipeline1_0_spark.session import get_spark
-    import __spark_entry__ as entrymod
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        run_one(sys.argv[2], sf_dir)
+        return
 
-    spark = get_spark("bench")
-    qs = entrymod.queries()
-
-    # warm the JVM + parquet footers once with a trivial action per
-    # input table, so the first timed query measures the operator and
-    # not one-time file listing / footer decode
-    for t in ("orders", "lineitem", "customer", "documents"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-
-    # best-of-3 per query: a single pass conflates the operator with
-    # whatever else the host is doing (observed 3x swings on identical
-    # code under background load), and r7 showed best-of-2 still lets
-    # one GC pause through (10 of 23 common queries moved >20% with
-    # unchanged plans, all contradicted by the probe's min-of-3).
-    # min-of-3 is the same statistic SCALING.md records, so the two
-    # records adjudicate each other directly.
+    # ONE FORKED JVM PER QUERY (the JMH discipline). A single shared
+    # JVM measures query #25 against a runtime polluted by the 24
+    # before it: every distinct plan megamorphizes the interpreted-
+    # expression call sites and churns the JIT, and measured tails ran
+    # 1.3-1.5x their fresh-JVM wall with NO code change (r7's
+    # "regressions" were exactly this). Per-query min-of-3 inside a
+    # fresh JVM is the same statistic SCALING.md's probe records, so
+    # the two records adjudicate each other directly; the constant
+    # JVM+warmup overhead stays OUTSIDE the timed window.
     times: dict[str, float] = {}
+    here = os.path.abspath(__file__)
     for name in HEADLINE:
-        fn = qs[name]
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+        out = subprocess.run(
+            [sys.executable, here, "--one", name],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        times[name] = json.loads(line)["sec"]
 
     total = round(sum(times.values()), 3)
     print(json.dumps({"metric": "headline_total", "value": total,

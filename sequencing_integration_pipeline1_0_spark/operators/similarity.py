@@ -1948,3 +1948,47 @@ def pca_remove_top(df: DataFrame, id_col: str, vec_col: str, *,
                          .alias("dim", "x_abt"))
                 .select("id", F.col("dim").cast("int").alias("dim"),
                         "x_abt", "proj_r"))
+
+
+def mrl_truncate_recall(df: DataFrame, id_col: str, vec_col: str, *,
+                        divisors: tuple[int, ...] = (2, 4),
+                        k: int = 5, round_to: int = 6) -> DataFrame:
+    """Matryoshka-style truncation recall: for each divisor f, the
+    recall@k of exact cosine search over the PREFIX d/f dimensions
+    against the full-dimension truth — the measurement behind
+    dimension-truncated serving (MRL, Kusupati et al. 2022: if the
+    encoder front-loads information, a prefix slice searches nearly
+    as well at 1/f the memory and FLOPs; if it doesn't, this row
+    says so before anyone ships a truncated index). One row per
+    divisor (divisor, truth_pairs, hits, recall).
+
+    All-pairs BY ROLE (the recall-yardstick class, cap-gated like
+    brute_force_topk): both the truth and each truncated pass are
+    exact self-joins — the production path for a corpus is the
+    composed IVF search over the truncated prefix, which this row's
+    number justifies or vetoes."""
+    _gate_all_pairs_baseline(df, "mrl_truncate_recall",
+                             "ivfpq_topk over the truncated prefix")
+    truth = (brute_force_topk(df, id_col, vec_col, k=k,
+                              round_to=round_to)
+             .select("id", "neighbor_id"))
+    out = None
+    for f in divisors:
+        keep = F.floor(F.size(F.col(vec_col)) / f).cast("int")
+        trunc = df.select(F.col(id_col).alias("__tid"),
+                          F.slice(F.col(vec_col), 1, keep)
+                           .alias("__tv"))
+        topt = (brute_force_topk(trunc, "__tid", "__tv", k=k,
+                                 round_to=round_to)
+                .select("id", "neighbor_id")
+                .withColumn("hit", F.lit(1)))
+        j = truth.join(topt, ["id", "neighbor_id"], "left")
+        row = j.agg(
+            F.count(F.lit(1)).alias("truth_pairs"),
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)),
+                    round_to).alias("recall")) \
+            .select(F.lit(f).cast("int").alias("divisor"),
+                    "truth_pairs", "hits", "recall")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -11378,3 +11378,67 @@ def pipe_decontam_report(spark, sf_dir):
         "method", "docs_affected", "tokens_affected",
         F.round(F.col("docs_affected").cast("double") / total, 6)
          .alias("pct_docs"))
+
+
+def _mrl_sql() -> str:
+    """Matryoshka truncation-recall oracle: full-dim cosine truth vs
+    exact cosine over the prefix d/f dims, one row per divisor —
+    mirrors similarity.mrl_truncate_recall (same rounded cosine, same
+    (cos desc, neighbor) tie-break, floor(d/f) prefix)."""
+    parts = [f"""
+WITH tpairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cs
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+truth AS (
+  SELECT id, neighbor_id FROM (
+    SELECT id, neighbor_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cs DESC, neighbor_id) AS rn
+    FROM tpairs) WHERE rn <= 5)"""]
+    rows = []
+    for f in (2, 4):
+        parts.append(f""",
+tr{f} AS (
+  SELECT vec_id,
+         embedding[1:CAST(floor(len(embedding) / {f}) AS INT)] AS tv
+  FROM embeddings),
+tp{f} AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         {_cos_sql('a.tv', 'b.tv')} AS cs
+  FROM tr{f} a JOIN tr{f} b ON a.vec_id != b.vec_id),
+top{f} AS (
+  SELECT id, neighbor_id FROM (
+    SELECT id, neighbor_id,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY cs DESC, neighbor_id) AS rn
+    FROM tp{f}) WHERE rn <= 5),
+row{f} AS (
+  SELECT {f} AS divisor,
+         CAST(count(*) AS BIGINT) AS truth_pairs,
+         CAST(count(q.id) AS BIGINT) AS hits,
+         round(CAST(count(q.id) AS DOUBLE) / count(*), 6) AS recall
+  FROM truth t LEFT JOIN top{f} q
+    ON t.id = q.id AND t.neighbor_id = q.neighbor_id)""")
+        rows.append(f"SELECT CAST(divisor AS INT) AS divisor, "
+                    f"truth_pairs, hits, recall FROM row{f}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("emb_mrl_truncate_recall", _mrl_sql())
+def emb_mrl_truncate_recall(spark, sf_dir):
+    """Matryoshka truncation recall (similarity.mrl_truncate_recall):
+    recall@5 of exact cosine search over the PREFIX d/2 and d/4
+    dimensions against the full-dimension truth — the embedding-
+    hygiene measurement behind dimension-truncated serving (MRL,
+    Kusupati et al. 2022). A front-loaded encoder keeps recall near 1
+    at half the dims (ship the truncated index: 2x memory/FLOP cut);
+    a flat one doesn't — this row says which BEFORE a truncated index
+    ships. One row per divisor.
+
+    All-pairs BY ROLE (the recall-yardstick class, cap-gated): the
+    production search over a truncated corpus is the composed IVF
+    family applied to the prefix slice; this row justifies or vetoes
+    that move."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.mrl_truncate_recall(e, "vec_id", "embedding")

@@ -57,6 +57,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # codebook broadcast; the recall row adds the
                   # deliberate brute-force truth baseline (gated)
                   "ann_ivfpq_rerank_topk", "ann_ivfpq_rerank_recall",
+                  # MRL truncation recall: full-dim truth + per-divisor
+                  # truncated passes are ALL deliberate cap-gated
+                  # all-pairs yardsticks (the ann_pq_recall role)
+                  "emb_mrl_truncate_recall",
                   # top-2 PCA: 1-row Rayleigh scalar + d-row
                   # eigenvector broadcasts onto the d^2 covariance
                   # (corpus-independent state joins)
