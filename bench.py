@@ -131,9 +131,16 @@ def main() -> None:
             [sys.executable, here, "--one", name],
             capture_output=True, text=True,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir})
-        line = [ln for ln in out.stdout.splitlines()
-                if ln.startswith("{")][-1]
-        times[name] = json.loads(line)["sec"]
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            # surface the child's actual failure instead of an opaque
+            # parse error on its (empty) stdout
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"bench child for {name!r} failed "
+                f"(rc={out.returncode}); stderr tail above")
+        times[name] = json.loads(lines[-1])["sec"]
 
     total = round(sum(times.values()), 3)
     print(json.dumps({"metric": "headline_total", "value": total,

@@ -1962,13 +1962,12 @@ def mrl_truncate_recall(df: DataFrame, id_col: str, vec_col: str, *,
     says so before anyone ships a truncated index). One row per
     divisor (divisor, truth_pairs, hits, recall).
 
-    All-pairs BY ROLE (the recall-yardstick class, cap-gated like
-    brute_force_topk): both the truth and each truncated pass are
-    exact self-joins — the production path for a corpus is the
-    composed IVF search over the truncated prefix, which this row's
-    number justifies or vetoes."""
-    _gate_all_pairs_baseline(df, "mrl_truncate_recall",
-                             "ivfpq_topk over the truncated prefix")
+    All-pairs BY ROLE (the recall-yardstick class): both the truth
+    and each truncated pass are exact self-joins through
+    brute_force_topk, whose cap gate refuses corpus-scale inputs —
+    the production path for a corpus is the composed IVF search over
+    the truncated prefix, which this row's number justifies or
+    vetoes."""
     truth = (brute_force_topk(df, id_col, vec_col, k=k,
                               round_to=round_to)
              .select("id", "neighbor_id"))

@@ -7796,6 +7796,11 @@ def ann_ivfpq_recall(spark, sf_dir):
     (nprobe=8 probes every cell, the PQ-only asymptote of
     ann_pq_recall's seeded row). One row per nprobe."""
     e = _t(spark, sf_dir, "embeddings")
+    # the truth join below is the corpus-broadcast n^2 yardstick
+    # shape — self-enforcing cap (the r6 scope-gate rule)
+    similarity._gate_all_pairs_baseline(
+        e, "ann_ivfpq_recall",
+        "a sampled recall estimate over a fixed query subset")
     sweep_lits = F.array(*[F.lit(v) for v in _IVFPQ_NPROBE_SWEEP])
     pairs = similarity.ivfpq_adc_pairs(
         e, "vec_id", "embedding", n_cells=_IVFPQ_NCELLS,
@@ -7926,6 +7931,12 @@ def ann_ivfpq_rerank_recall(spark, sf_dir):
     truth set is the deliberate brute-force baseline
     (cap-gated).""".format(c=_PQ_RERANK_CAND)
     e = _t(spark, sf_dir, "embeddings")
+    # the truth join below is the corpus-broadcast n^2 yardstick
+    # shape — enforce the cap the docstring claims (the r6
+    # self-enforcing-scope rule)
+    similarity._gate_all_pairs_baseline(
+        e, "ann_ivfpq_rerank_recall",
+        "a sampled recall estimate over a fixed query subset")
     topq = (ann_ivfpq_rerank_topk(spark, sf_dir)
             .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
     a = spread_for_compute(
@@ -10490,7 +10501,11 @@ def dsir_select_topk_q(spark, sf_dir):
         F.coalesce(F.col("lang") == "en", F.lit(False)))
 
 
-_KS_SQL = f"""
+#: shared two-cohort binning + CDF CTE prefix (v, mm, q, spine, cnt,
+#: j, c) — ONE copy consumed by both the KS and the CvM oracle so the
+#: binning rule cannot silently diverge between the two certified
+#: screens (the _PCA_BASE_CTES discipline)
+_KS_CTES = f"""
 WITH v AS (
   SELECT CAST(event_id % 2 AS INT) AS grp, CAST(value AS DOUBLE) AS v
   FROM events WHERE value IS NOT NULL),
@@ -10515,7 +10530,9 @@ c AS (
                / greatest(sum(n_a) OVER (), 1), 6) AS cdf_a,
          round(CAST(sum(n_b) OVER (ORDER BY bin) AS DOUBLE)
                / greatest(sum(n_b) OVER (), 1), 6) AS cdf_b
-  FROM j)
+  FROM j)"""
+
+_KS_SQL = _KS_CTES + """
 SELECT CAST(bin AS INT) AS bin, CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b, cdf_a, cdf_b,
        round(abs(cdf_a - cdf_b), 6) AS ks_dist
@@ -10546,32 +10563,7 @@ def qa_ks_drift(spark, sf_dir):
         "value", "grp")
 
 
-_CVM_SQL = f"""
-WITH v AS (
-  SELECT CAST(event_id % 2 AS INT) AS grp, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL),
-mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
-q AS (
-  SELECT grp,
-         CASE WHEN hi > lo THEN least({qa.KS_BINS - 1},
-             CAST(floor((v - lo) / (hi - lo) * {qa.KS_BINS}) AS INT))
-         ELSE 0 END AS bin
-  FROM v CROSS JOIN mm),
-spine AS (SELECT unnest(range(0, {qa.KS_BINS})) AS bin),
-cnt AS (
-  SELECT bin, sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
-         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b
-  FROM q GROUP BY bin),
-j AS (
-  SELECT spine.bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
-  FROM spine LEFT JOIN cnt USING (bin)),
-c AS (
-  SELECT bin, n_a, n_b,
-         round(CAST(sum(n_a) OVER (ORDER BY bin) AS DOUBLE)
-               / greatest(sum(n_a) OVER (), 1), 6) AS cdf_a,
-         round(CAST(sum(n_b) OVER (ORDER BY bin) AS DOUBLE)
-               / greatest(sum(n_b) OVER (), 1), 6) AS cdf_b
-  FROM j),
+_CVM_SQL = _KS_CTES + """,
 t AS (
   SELECT bin, n_a, n_b, cdf_a, cdf_b,
          CAST(round(CAST(n_a + n_b AS DOUBLE)
@@ -11355,7 +11347,9 @@ def pipe_decontam_report(spark, sf_dir):
              .otherwise(F.size(dedupe_scale.words(txt))))
     toks = (d.filter(F.col("doc_id") % 97 != 0)
              .select("doc_id", ntok.alias("nt")))
-    total = toks.count()  # metadata-scale, mirrored by the oracle tot
+    # corpus total stays IN-PLAN (1-row agg broadcast — the oracle's
+    # scalar subquery), not a driver-side count at build time
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("__n"))
 
     ng_docs = (decontam_ngram_overlap(spark, sf_dir)
                .filter(F.col("contaminated") == 1).select("doc_id"))
@@ -11374,10 +11368,10 @@ def pipe_decontam_report(spark, sf_dir):
     uni = (row(ng_docs, "exact_5gram")
            .unionByName(row(mh_docs, "fuzzy_minhash"))
            .unionByName(row(fo_docs, "fuzzy_only")))
-    return uni.select(
-        "method", "docs_affected", "tokens_affected",
-        F.round(F.col("docs_affected").cast("double") / total, 6)
-         .alias("pct_docs"))
+    return (uni.join(F.broadcast(tot))
+               .select("method", "docs_affected", "tokens_affected",
+                       F.round(F.col("docs_affected").cast("double")
+                               / F.col("__n"), 6).alias("pct_docs")))
 
 
 def _mrl_sql() -> str:

@@ -1480,8 +1480,8 @@ def test_all_pairs_baselines_refuse_corpus_scale(spark, monkeypatch):
                     (similarity.int8_topk, "ivfsq_topk"),
                     (similarity.pq_adc_topk, "ivfpq_topk"),
                     (similarity.binary_topk, "ivfbq_topk"),
-                    (similarity.mrl_truncate_recall,
-                     "ivfpq_topk over the truncated prefix")):
+                    # enforced by the brute_force_topk pass inside
+                    (similarity.mrl_truncate_recall, "ivfpq_topk")):
         with _pytest.raises(ValueError, match=alt):
             fn(big, "vec_id", "embedding")
     # under the cap: plans build and run
