@@ -61,6 +61,9 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # truncated passes are ALL deliberate cap-gated
                   # all-pairs yardsticks (the ann_pq_recall role)
                   "emb_mrl_truncate_recall",
+                  # 1-row corpus-total scalar broadcast onto the 3-row
+                  # method union (the oracle's scalar subquery)
+                  "pipe_decontam_report",
                   # top-2 PCA: 1-row Rayleigh scalar + d-row
                   # eigenvector broadcasts onto the d^2 covariance
                   # (corpus-independent state joins)
