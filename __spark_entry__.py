@@ -173,34 +173,26 @@ _R6_CONFIRMED = frozenset({
     "u1_union_provenance", "j12_dim_lookup", "f3_prefix_strip",
 })
 
-# Round-8 priorities: the three NEW queries (the j6d OSA witness —
-# the certified subset where levenshtein == damerau_levenshtein, on
-# which OSA provably coincides with DuckDB's DL; the binned
-# Cramér-von-Mises integral drift screen; the per-day sliding-window
-# PSI feed monitor) plus every query whose PLAN or ORACLE changed
-# this round: the two PCA rows (fused single-pass upper-triangle
-# Gram + the signed-zero '+ 0.0' normalization MIRRORED IN THE
-# ORACLE — must re-certify), the five IVF-PQ rows riding the
-# map-side packed-LUT rewrite (its two headline searches), and
-# decontam_minhash (bipartite exact-first collapse; oracle
-# unchanged, output-identical by construction — re-certified anyway
-# since the plan is new). NOT re-prioritized (the r7 precedent:
-# values byte-identical on the fixture, selfcheck re-green): the
-# remaining IVF-PQ compositions of the same packed LUT
-# (ann_ivfpq_recall / index_probe / batch_search) and every consumer
-# of the codebook trainers' localCheckpoints (lineage truncation
-# only). Session 2-3's five new queries (the IVF-PQ refine/re-rank
-# pair, top-2 PCA by deflation, the cross-method decontamination
-# report, MRL truncation recall) ride the unconfirmed-first rule
-# into the window without a _PRIORITY entry. 8 priority + 5 new +
-# j6b = 14 front slots leave 36 rotation slots — stalest-first
-# clears all but 9 of the 45-query r3-stale tail (the leftovers
-# lead r9's rotation).
+# Round-9 priorities: FIRST the nine queries whose latest driver-green
+# is still r3 (VERDICT r8 "Next round" 2 — the leftover rotation tail;
+# all nine pass the local sf0.01 replica every round, but the driver
+# record is the official one), THEN every query whose PLAN or ORACLE
+# changed this round: decontam_minhash (bench-side dense-band
+# occupancy cap — oracle unchanged, output lossless above threshold,
+# re-certified because the plan is new), ann_ivfpq_residual_topk
+# (per-(query,cell) packed residual LUT — values must stay
+# hash-identical), and emb_pca_top2_components (deflation-chain
+# checkpointing — lineage truncation only, values identical;
+# re-certified since the sweep re-grouping is a real rewrite). New
+# queries (decontam_semantic and friends) ride the unconfirmed-first
+# rule into the window without a _PRIORITY entry.
 _PRIORITY = [
-    "j6d_osa_witness", "qa_cvm_drift", "qa_psi_sliding",
-    "emb_pca_top_component", "emb_remove_top_component",
-    "ann_ivfpq_residual_topk", "ann_ivfpq_topk",
-    "decontam_minhash",
+    "decontam_bloom_prefilter", "evt_active_users", "evt_funnel_steps",
+    "evt_retention_cohorts", "f21_tweak_gisaid_id", "pipe_sgtf_weekly",
+    "sample_stratified_exact", "st_click_attribution",
+    "w11_conditional_source_dedup",
+    "decontam_minhash", "ann_ivfpq_residual_topk",
+    "emb_pca_top2_components",
 ]
 
 # Green rows in CORRECTNESS_r07.json (49 hash-green; j6b stays
@@ -229,9 +221,34 @@ _R7_CONFIRMED = frozenset({
     "pipe_gap_report", "pipe_dup_triage", "dedup_minhash_lsh",
 })
 
+# Green rows in CORRECTNESS_r08.json (49 hash-green; j6b stays
+# rows-only by design).
+_R8_CONFIRMED = frozenset({
+    "j6d_osa_witness", "qa_cvm_drift", "qa_psi_sliding",
+    "emb_pca_top_component", "emb_remove_top_component",
+    "ann_ivfpq_residual_topk", "ann_ivfpq_topk", "decontam_minhash",
+    "ann_ivfpq_rerank_topk", "ann_ivfpq_rerank_recall",
+    "emb_pca_top2_components", "pipe_decontam_report",
+    "emb_mrl_truncate_recall", "dedup_ngram_jaccard",
+    "dedup_ngram_prefix", "dedup_cluster_canonical",
+    "ann_ivf_trained_topk", "ann_ivf_recall", "w7_custom_order_dedup",
+    "u7_priority_dedup", "f19_initials", "f20_to_json", "t3_ttl_expiry",
+    "p1_select_contract", "u3_distinct_rows", "u6_review_union_running",
+    "t5_new_arrivals", "x_packed_coexplode", "skew_salted_agg",
+    "qa_prematch_flags", "a10b_week_over_week", "decontam_ngram_overlap",
+    "split_leakage_safe", "sample_domain_mix", "pack_token_budget",
+    "pipe_wdrs_qa", "t7_era_fence", "pipe_elr_roster_vars",
+    "qa_match_in_wdrs_keep_na", "pipe_wdrs_qa_summary",
+    "pipe_roster_missing_deleted", "pipe_elr_accessions",
+    "pipe_date_mismatch_triage", "pipe_lab_monitoring",
+    "pipe_missing_lineage_recovery", "st_event_counts_complete",
+    "st_daily_window_counts", "pipe_missing_reason_report",
+    "pipe_filtered_observations_check",
+})
+
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
                      | _R4_CONFIRMED | _R5_CONFIRMED | _R6_CONFIRMED
-                     | _R7_CONFIRMED)
+                     | _R7_CONFIRMED | _R8_CONFIRMED)
 
 # Queries whose behavior changed after their last driver-green row; force
 # them back into the front-50 window even though they are confirmed.
