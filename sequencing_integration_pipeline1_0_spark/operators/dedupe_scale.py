@@ -771,14 +771,23 @@ def minhash_contamination(corpus: DataFrame, bench: DataFrame,
     definition — that asymmetry is the whole design), so candidate
     volume is bounded by DISTINCT-text bench bucket occupancy, not
     corpus^2 — on a template-heavy corpus the pair verify shrinks by
-    the duplication factor. Shingle arrays re-attach per-rep for the
-    exact-Jaccard verify (loss-free above the threshold for pairs
-    sharing a band); members expand back through two slim joins
-    AFTER the threshold, so the verify itself runs once per distinct
-    pair. No bucket cap: that is a self-join lever — here every
-    candidate touches the tiny side. The tiny-side assumption is
-    ENFORCED: a bounded limit+count probe (never a full scan) raises
-    when bench exceeds BENCH_BROADCAST_CAP rows."""
+    the duplication factor. Dense band buckets are further pruned by
+    the LENGTH-RATIO filter from the set-similarity-join literature,
+    applied INSIDE the broadcast band join on a carried set-size
+    column: J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so
+    any pair failing min/max >= threshold cannot reach the
+    threshold and is dropped map-side — LOSSLESS for the thresholded
+    output (the double-precision compare only errs permissive:
+    float64(0.7) < 7/10), and it kills exactly the dense-bucket
+    cross-size pairs that drive superlinear candidate growth.
+    Shingle arrays re-attach per-rep for the exact-Jaccard verify
+    (loss-free above the threshold for pairs sharing a band);
+    members expand back through two slim joins AFTER the threshold,
+    so the verify itself runs once per distinct pair. No bucket cap:
+    that is a self-join lever — here every candidate touches the
+    tiny side. The tiny-side assumption is ENFORCED: a bounded
+    limit+count probe (never a full scan) raises when bench exceeds
+    BENCH_BROADCAST_CAP rows."""
     from pyspark.sql import Window
 
     cap = BENCH_BROADCAST_CAP
@@ -804,14 +813,26 @@ def minhash_contamination(corpus: DataFrame, bench: DataFrame,
                          f"sh_{name}"))
         banded = (reps.withColumn(
                       "sig", minhash_signature(F.col(f"sh_{name}"), k))
-                      .select(f"rep_{name}", F.explode(
+                      .select(f"rep_{name}",
+                              F.size(f"sh_{name}").alias(f"n_{name}"),
+                              F.explode(
                           lsh_bands(F.col("sig"), bands, rows_per_band))
                            .alias("b")))
         return members, reps, banded
 
     cmem, creps, cband = prep(corpus, "id")
     bmem, breps, bband = prep(bench, "bench_id")
+    # length-ratio prune inside the broadcast hash join: J >= t
+    # forces min(|A|,|B|)/max(|A|,|B|) >= t, so the size compare
+    # discards dense-bucket cross-size candidates before they ever
+    # reach the distinct or the array re-attach. The 1e-9 slack
+    # dwarfs any float rounding of t or of t*max, so the prune can
+    # only err PERMISSIVE — the thresholded output is unchanged.
+    size_ok = (F.least("n_id", "n_bench_id").cast("double")
+               >= F.lit(float(threshold) - 1e-9)
+               * F.greatest("n_id", "n_bench_id").cast("double"))
     rep_pairs = (cband.join(F.broadcast(bband), "b")
+                      .filter(size_ok)
                       .select("rep_id", "rep_bench_id")
                       .dropDuplicates(["rep_id", "rep_bench_id"]))
     scored = (rep_pairs
