@@ -79,6 +79,12 @@ HEADLINE = [
     # on top of the quantized search (recall@5 0.233 -> 0.495
     # measured at sf0.01)
     "ann_ivfpq_rerank_topk",
+    # r9: the semantic rung that completes the decontamination ladder
+    # (exact -> Bloom -> fuzzy MinHash -> embedding cells) gets driver
+    # history from day one — its wall time IS the claim that the
+    # embedding screen rides the broadcast-assignment + tiny-bench
+    # meet, not an all-pairs pass
+    "decontam_semantic",
 ]
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedupe_scale import bind_once
 from .skew import spread_for_compute
 
 
@@ -73,6 +74,19 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str, *,
     inputs over ALL_PAIRS_BASELINE_CAP rows."""
     _gate_all_pairs_baseline(df, "brute_force_topk",
                              "ivfpq_topk / ivfsq_topk / ivf_topk")
+    return _brute_force_topk_ungated(df, id_col, vec_col, k=k,
+                                     round_to=round_to, spread=spread)
+
+
+def _brute_force_topk_ungated(df: DataFrame, id_col: str, vec_col: str,
+                              *, k: int = 5, round_to: int = 6,
+                              spread: bool = True) -> DataFrame:
+    """brute_force_topk's pair logic WITHOUT the cap probe — for
+    internal compositions that gate the shared input once up front
+    (mrl_truncate_recall builds 1 + len(divisors) passes over frames
+    of the same row count; per-pass probes were 3 redundant eager
+    jobs per plan build). Never export: the public entry point owns
+    the self-enforcing cap."""
     a = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
            .withColumn("na", norm(F.col("va"))))
     if spread:
@@ -266,6 +280,128 @@ def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
                        F.coalesce("is_dup", F.lit(0)).alias("is_dup")))
 
 
+def semantic_contamination(corpus: DataFrame, bench: DataFrame,
+                           id_col: str, vec_col: str, *,
+                           n_cells: int | None = None,
+                           target_cell_size: int = 128,
+                           min_cells: int = 8,
+                           threshold: float = 0.35,
+                           round_to: int = 6) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space rung
+    of the decontamination ladder (exact n-gram -> Bloom -> fuzzy
+    MinHash -> semantic): eval-set leakage that survives paraphrase
+    beyond shingle reach shows up as a corpus embedding sitting near
+    a bench embedding. Composes dedup_semantic_cells' broadcast-
+    codebook cell assignment with minhash_contamination's BIPARTITE
+    bench-broadcast shape: both sides single-assign to a frozen
+    coarse codebook (the n_cells lowest-id CORPUS vectors — the
+    corpus is the index, the eval set queries it), and every
+    same-cell (corpus, bench) pair is emitted with its measured
+    cosine plus the thresholded `leaked` flag — audit rows, not just
+    the (sparse) hit set, so the hash gate certifies the similarity
+    arithmetic the way dedup_semantic_cells' nn_sim rows do.
+
+    Scale shape: the codebook broadcasts (n_cells rows); both
+    assignments are linear broadcast passes; the candidate meet is a
+    BROADCAST hash join of the corpus assignment against the tiny
+    bench assignment on cell_id, so the corpus never shuffles and
+    candidate volume is corpus x bench / n_cells — bench-cell
+    occupancy, never corpus^2. n_cells = max(min_cells,
+    n_corpus // target_cell_size) is the adaptive default (the
+    SemDeDup lever: per-cell occupancy stays constant as the corpus
+    grows). The tiny-side assumption is ENFORCED with the
+    minhash_contamination gate: a bounded limit+count probe raises
+    when bench exceeds dedupe_scale.BENCH_BROADCAST_CAP rows."""
+    from .dedupe_scale import BENCH_BROADCAST_CAP
+    cap = BENCH_BROADCAST_CAP
+    if bench.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"semantic_contamination broadcasts the bench side of its "
+            f"cell meet and refuses bench inputs over {cap} rows; swap "
+            f"the arguments (the corpus side is never broadcast) or "
+            f"pre-partition the eval set.")
+    cbase = (corpus.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v"))
+                   .withColumn("nv", norm(F.col("v"))))
+    bbase = (bench.select(F.col(id_col).alias("bench_id"),
+                          F.col(vec_col).alias("vb"))
+                  .withColumn("nb", norm(F.col("vb"))))
+    if n_cells is None:
+        n_cells = max(min_cells, cbase.count() // target_cell_size)
+    cents = (cbase.orderBy("id").limit(n_cells)
+                  .select(F.col("id").alias("cell_id"),
+                          F.col("v").alias("cv"),
+                          F.col("nv").alias("ncv")))
+
+    def assign(base, idc, vc, nc):
+        sims = (base.join(F.broadcast(cents))
+                    .withColumn("csim",
+                                F.round(dot(F.col(vc), F.col("cv"))
+                                        / (F.col(nc) * F.col("ncv")),
+                                        round_to)))
+        cw = Window.partitionBy(idc).orderBy(F.col("csim").desc(),
+                                             F.col("cell_id"))
+        return (sims.withColumn("__r", F.row_number().over(cw))
+                    .filter(F.col("__r") == 1)
+                    .select(idc, vc, nc, "cell_id"))
+
+    cidx = assign(cbase, "id", "v", "nv")
+    bidx = assign(bbase, "bench_id", "vb", "nb")
+    return (cidx.join(F.broadcast(bidx), "cell_id")
+                .withColumn("cos_sim",
+                            F.round(dot(F.col("v"), F.col("vb"))
+                                    / (F.col("nv") * F.col("nb")),
+                                    round_to))
+                .select("id", "bench_id", "cos_sim",
+                        (F.col("cos_sim") >= threshold).cast("int")
+                         .alias("leaked")))
+
+
+def semantic_contamination_recall(corpus: DataFrame, bench: DataFrame,
+                                  id_col: str, vec_col: str, *,
+                                  n_cells: int | None = None,
+                                  target_cell_size: int = 128,
+                                  min_cells: int = 8,
+                                  threshold: float = 0.35,
+                                  round_to: int = 6) -> DataFrame:
+    """Truth measurement for semantic_contamination: the exact
+    bipartite all-pairs screen (every corpus x bench cosine — the
+    yardstick the cell restriction is measured against) versus the
+    cell-restricted screen's hit count, as ONE row (n_true,
+    n_cell_hits, recall). recall = 1.0 when the truth set is empty
+    (nothing to miss). All-pairs BY ROLE on the corpus side: refuses
+    corpus inputs over ALL_PAIRS_BASELINE_CAP rows (the bench side
+    is already gated by semantic_contamination itself)."""
+    _gate_all_pairs_baseline(corpus, "semantic_contamination_recall",
+                             "semantic_contamination")
+    cbase = (corpus.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v"))
+                   .withColumn("nv", norm(F.col("v"))))
+    bbase = (bench.select(F.col(id_col).alias("bench_id"),
+                          F.col(vec_col).alias("vb"))
+                  .withColumn("nb", norm(F.col("vb"))))
+    truth = (cbase.join(F.broadcast(bbase))
+                  .withColumn("cos_sim",
+                              F.round(dot(F.col("v"), F.col("vb"))
+                                      / (F.col("nv") * F.col("nb")),
+                                      round_to))
+                  .filter(F.col("cos_sim") >= threshold)
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+    hits = (semantic_contamination(
+                corpus, bench, id_col, vec_col, n_cells=n_cells,
+                target_cell_size=target_cell_size, min_cells=min_cells,
+                threshold=threshold, round_to=round_to)
+            .filter(F.col("leaked") == 1)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cell_hits")))
+    return (truth.join(hits)
+                 .select("n_true", "n_cell_hits",
+                         F.when(F.col("n_true") > 0,
+                                F.round(F.col("n_cell_hits")
+                                        .cast("double")
+                                        / F.col("n_true"), round_to))
+                          .otherwise(F.lit(1.0)).alias("recall")))
+
+
 def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                codebook: DataFrame, *, round_to: int = 6) -> DataFrame:
     """Assign a batch of vectors to an EXISTING codebook's cells —
@@ -428,7 +564,8 @@ def pq_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
     seeds = (df.orderBy(id_col).limit(k)
                .select(F.col(id_col).alias("sid"), F.col(vec_col)))
     seeds = seeds.withColumn(
-        "cid", F.row_number().over(Window.orderBy("sid")) - 1)
+        "cid", F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy("sid")) - 1)
     return (_subvectors(seeds, "cid", vec_col, m, out_id="cid")
             .select("subspace", "cid", F.col("sv").alias("cv")))
 
@@ -532,6 +669,56 @@ def ivfpq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
                          lambda s: s["code"]).alias("codes"))
                     .select(F.col("id").alias("neighbor_id"), "codes"))
     return idxc.join(enc_codes, "neighbor_id")
+
+
+def _adc_score(scored: DataFrame, m: int) -> DataFrame:
+    """Map-side ADC scoring of the packed inverted-list meet: score
+    each matched cell's entries INSIDE one transform() over the
+    packed entry array — per surviving entry, the exact-decimal sum
+    of its m LUT entries, UNROLLED over the m subspaces (m is a
+    plan-time int) — then explode only the slim (neighbor_id,
+    approx_dist) structs. The r8 shape folded with
+    aggregate(zip_with(...)) per candidate (two more interpreted
+    lambda frames plus a per-step decimal cast); the unrolled sum is
+    the same exact decimal arithmetic (decimal addition is exact and
+    scale-6 is preserved, so association cannot change the value;
+    the single final decimal(18,6) cast matches the fold's last
+    step) with one plain expression tree per candidate. Scoring
+    BEFORE the explode matters: the r9 experiment that exploded
+    first and scored in the (codegen'd) post-explode projection
+    measured 35-40% SLOWER at sf0.1 — the generator then copies the
+    row's m x k LUT array into every candidate row, and that
+    materialization dwarfs the interpreter savings. This transform
+    runs once per (query, probed cell) x entry — the hottest loop in
+    every IVF-PQ variant."""
+    def dist(e):
+        # LUT entries arrive as scale-6 LONGS (micros): the exact
+        # decimal(18,6) distances scaled by 10^6 at LUT-build time
+        # (decimal multiply, exact). The candidate sum is then m-1
+        # primitive long adds (exact, < 2^53), and long/1e6 in double
+        # is ONE correctly-rounded IEEE division of the same exact
+        # rational the decimal sum represents — so the double emitted
+        # here is bit-identical to the old decimal-fold cast.
+        terms = [
+            F.element_at(F.element_at(F.col("lut"), j + 1),
+                         F.element_at(e["codes"], j + 1) + F.lit(1))
+            for j in range(m)]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s.cast("double") / F.lit(1000000.0)
+
+    hits = F.transform(
+        F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
+        lambda e: F.struct(
+            e["neighbor_id"].alias("neighbor_id"),
+            dist(e).alias("approx_dist")))
+    return (scored.select("qid", "probe_rank",
+                          F.explode(hits).alias("h"))
+                  .select("qid",
+                          F.col("h.neighbor_id").alias("neighbor_id"),
+                          F.col("h.approx_dist").alias("approx_dist"),
+                          "probe_rank"))
 
 
 def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
@@ -641,11 +828,12 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     sub_q = (F.size("qv") / m).cast("int")
     lut_arr = F.array(*[
         F.transform(F.element_at(F.col("cbm"), j + 1),
-                    lambda cv: F.round(
+                    lambda cv: (F.round(
                         l2sq(F.slice(F.col("qv"),
                                      (F.lit(j) * sub_q + 1).cast("int"),
                                      sub_q), cv),
-                        round_to).cast("decimal(18,6)"))
+                        round_to).cast("decimal(18,6)")
+                        * F.lit(1000000)).cast("long"))
         for j in range(m)])
     lut_q = (qrows.join(F.broadcast(pqcb_p))
                   .select("qid", lut_arr.alias("lut")))
@@ -718,25 +906,10 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                    .join(inv_s.hint("shuffle_hash"),
                          (F.col("probe_cell") == F.col("cell_id"))
                          & (F.col("salt") == F.col("isalt"))))
-    # exact-decimal left fold over the m LUT entries — the same sum
+    # unrolled exact-decimal sum over the m LUT entries — the same
     # SUM(decimal) produced in the exploded shape (decimal add is
-    # exact, so fold order cannot diverge); re-cast each step because
-    # decimal + decimal widens to decimal(19,6)
-    hits = F.transform(
-        F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
-        lambda e: F.struct(
-            e["neighbor_id"].alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(e["codes"], F.col("lut"),
-                           lambda c, l: F.element_at(l, c + F.lit(1))),
-                F.lit(0).cast("decimal(18,6)"),
-                lambda acc, x: (acc + x).cast("decimal(18,6)"))
-             .cast("double").alias("approx_dist")))
-    return (scored.select("qid", "probe_rank",
-                          F.explode(hits).alias("h"))
-                  .select("qid", F.col("h.neighbor_id").alias("neighbor_id"),
-                          F.col("h.approx_dist").alias("approx_dist"),
-                          "probe_rank"))
+    # exact, so association cannot diverge); see _adc_score
+    return _adc_score(scored, m)
 
 
 def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, *,
@@ -938,25 +1111,30 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                             F.round(dot(F.col("v"), F.col("cv"))
                                     / (F.col("nv") * F.col("ncv")),
                                     round_to)))
-    # v and cv ride THROUGH the assignment window so residuals compute
-    # from the carried pair; ranks beyond nprobe feed nothing, so the
-    # checkpointed table keeps n x nprobe rows only
+    # v and cv ride THROUGH the assignment window and the residual is
+    # subtracted BEFORE the checkpoint, so the materialized table
+    # carries ONE d-vector per row (rv) instead of the (v, cv) pair —
+    # half the checkpoint payload, and the subtraction runs once per
+    # row instead of once per downstream consumer (r_idx and r_q both
+    # read crank==1 rows). Ranks beyond nprobe feed nothing, so the
+    # table keeps n x nprobe rows only.
     cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
                                           F.col("cell_id"))
+    resid = F.zip_with("v", "cv", lambda a, b: a.cast("double") - b)
     ranked = (sims.withColumn("crank", F.row_number().over(cw))
                   .filter(F.col("crank") <= max(1, nprobe))
-                  .select("id", "cell_id", "crank", "v", "cv")
+                  .select("id", "cell_id", "crank", resid.alias("rv"))
                   .localCheckpoint())
 
-    resid = F.zip_with("v", "cv", lambda a, b: a.cast("double") - b)
     r_idx = (ranked.filter(F.col("crank") == 1)
                    .select(F.col("id").alias("neighbor_id"), "cell_id",
-                           resid.alias("rv")))
+                           "rv"))
 
     seeds = (r_idx.orderBy("neighbor_id").limit(k)
                   .select(F.col("neighbor_id").alias("sid"), "rv"))
     seeds = seeds.withColumn(
-        "cid", F.row_number().over(Window.orderBy("sid")) - 1)
+        "cid", F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy("sid")) - 1)
     rcb = (_subvectors(seeds, "cid", "rv", m, out_id="cid")
            .select("subspace", "cid", F.col("sv").alias("cv")))
     # ONE broadcast row: cbm[subspace+1][cid+1] = centroid subvector
@@ -971,30 +1149,51 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
 
     sub = (F.size("rv") / m).cast("int")
 
+    # r9: the rv expression arriving here is the zip_with(v, cv)
+    # residual from the upstream projection, and Catalyst collapses
+    # projections — so without binding, EVERY centroid-distance
+    # evaluation inside these interpreted HOF lambdas re-runs the
+    # full d-element residual subtraction (m*k = 32 times per row
+    # instead of once; the VERDICT r8 item-4 cost). bind_once pins
+    # the residual ONCE per row, and a second bind pins each
+    # subspace slice ONCE per subspace (not once per centroid).
+    # Pure evaluation-count change: values are bit-identical.
+    def _per_subspace(rv, body):
+        # NB: the inner lambda must take exactly ONE parameter — a
+        # two-parameter lambda is interpreted by transform() as
+        # (element, index) and the second arg would shadow j.
+        def bound_body(j):
+            return lambda sv: body(j, sv)
+
+        def build(r):
+            return F.array(*[
+                bind_once(F.slice(r, (F.lit(j) * sub + 1).cast("int"),
+                                  sub),
+                          bound_body(j))
+                for j in range(m)])
+        return bind_once(rv, build)
+
     def codes_hof(rv):
         # per subspace: argmin over centroids of the rounded squared
         # L2, tie -> lower cid (array_min's struct order == the
         # min(struct(d, cid)) the join+agg form used)
-        outs = []
-        for j in range(m):
+        def code(j, sv):
             cvs = F.element_at(F.col("cbm"), j + 1)
             idx = F.sequence(F.lit(0), F.size(cvs) - 1)
             prs = F.zip_with(cvs, idx, lambda cv, c: F.struct(
-                F.round(l2sq(F.slice(rv, (F.lit(j) * sub + 1)
-                                     .cast("int"), sub), cv),
-                        round_to).alias("d"),
+                F.round(l2sq(sv, cv), round_to).alias("d"),
                 c.cast("int").alias("cid")))
-            outs.append(F.array_min(prs)["cid"])
-        return F.array(*outs)
+            return F.array_min(prs)["cid"]
+        return _per_subspace(rv, code)
 
     def lut_hof(rv):
-        return F.array(*[
-            F.transform(F.element_at(F.col("cbm"), j + 1),
-                        lambda cv: F.round(
-                            l2sq(F.slice(rv, (F.lit(j) * sub + 1)
-                                         .cast("int"), sub), cv),
-                            round_to).cast("decimal(18,6)"))
-            for j in range(m)])
+        def lut_row(j, sv):
+            return F.transform(
+                F.element_at(F.col("cbm"), j + 1),
+                lambda cv: (F.round(l2sq(sv, cv), round_to)
+                            .cast("decimal(18,6)")
+                            * F.lit(1000000)).cast("long"))
+        return _per_subspace(rv, lut_row)
 
     enc_codes = (r_idx.join(F.broadcast(rcb_p))
                       .select("neighbor_id", "cell_id",
@@ -1006,7 +1205,7 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                  .select(F.col("id").alias("qid"),
                          F.col("cell_id").alias("probe_cell"),
                          F.col("crank").alias("probe_rank"),
-                         resid.alias("rv")))
+                         "rv"))
     lut_pc = (r_q.join(F.broadcast(rcb_p))
                  .select("qid", "probe_cell", "probe_rank",
                          lut_hof(F.col("rv")).alias("lut")))
@@ -1022,22 +1221,7 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                     .join(inv_s.hint("shuffle_hash"),
                           (F.col("probe_cell") == F.col("cell_id"))
                           & (F.col("salt") == F.col("isalt"))))
-    hits = F.transform(
-        F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
-        lambda e: F.struct(
-            e["neighbor_id"].alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(e["codes"], F.col("lut"),
-                           lambda c, l: F.element_at(l, c + F.lit(1))),
-                F.lit(0).cast("decimal(18,6)"),
-                lambda acc, x: (acc + x).cast("decimal(18,6)"))
-             .cast("double").alias("approx_dist")))
-    return (scored.select("qid", "probe_rank",
-                          F.explode(hits).alias("h"))
-                  .select("qid",
-                          F.col("h.neighbor_id").alias("neighbor_id"),
-                          F.col("h.approx_dist").alias("approx_dist"),
-                          "probe_rank"))
+    return _adc_score(scored, m)
 
 
 def ivfpq_residual_topk(df: DataFrame, id_col: str, vec_col: str, *,
@@ -1835,7 +2019,14 @@ def _power_sweeps(c: DataFrame, *, iters: int,
     1/sqrt(d): v <- round(Cv / |Cv|, 1e-r), each matrix-vector
     product an exact decimal sum. Returns the d-row (j, v) unit
     vector. Shared by the top-component pass and the deflated
-    second-component pass (pca_top2_components)."""
+    second-component pass (pca_top2_components).
+
+    The d-row iterate localCheckpoints every 3 sweeps: the unrolled
+    recurrence otherwise stacks iters x (join + agg + 2 windows)
+    into ONE plan per chain (pca_top2's two chains compiled to 138
+    shuffles / 88 joins — planner abuse even with d^2-bounded
+    state). Checkpointing d rows is microseconds and value-neutral;
+    plan depth caps at 3 sweeps."""
     dec = f"decimal(18,{round_to})"
     dec2 = f"decimal(38,{2 * round_to})"
     w_all = Window.partitionBy(F.lit(1)).rowsBetween(
@@ -1849,7 +2040,7 @@ def _power_sweeps(c: DataFrame, *, iters: int,
                           / F.sqrt(F.count(F.lit(1)).over(w_all)
                                     .cast("double")), round_to)
                    .cast(dec).alias("v")))
-    for _ in range(iters):
+    for it in range(iters):
         w = (c.join(F.broadcast(v), "j")
               .groupBy("i")
               .agg(F.sum(F.col("qc") * F.col("v")).alias("wv")))
@@ -1862,6 +2053,12 @@ def _power_sweeps(c: DataFrame, *, iters: int,
                      F.when(nm > 0,
                             F.round(F.col("wd") / nm, round_to))
                       .otherwise(F.lit(0.0)).cast(dec).alias("v"))
+        # the RETURNED iterate checkpoints too: consumers reference
+        # it ~5x (Rayleigh vi/vj, the deflation's vi/vj, the output
+        # projection), and each reference would re-run the whole
+        # final sweep segment otherwise
+        if (it + 1) % 3 == 0 or it + 1 == iters:
+            v = v.localCheckpoint()
     return v
 
 
@@ -1967,9 +2164,13 @@ def mrl_truncate_recall(df: DataFrame, id_col: str, vec_col: str, *,
     brute_force_topk, whose cap gate refuses corpus-scale inputs —
     the production path for a corpus is the composed IVF search over
     the truncated prefix, which this row's number justifies or
-    vetoes."""
-    truth = (brute_force_topk(df, id_col, vec_col, k=k,
-                              round_to=round_to)
+    vetoes. The cap gate probes ONCE on the shared input; the truth
+    and per-divisor passes reuse the ungated pair logic (every pass
+    has exactly the gated frame's row count)."""
+    _gate_all_pairs_baseline(df, "mrl_truncate_recall",
+                             "the composed IVF search over the prefix")
+    truth = (_brute_force_topk_ungated(df, id_col, vec_col, k=k,
+                                       round_to=round_to)
              .select("id", "neighbor_id"))
     out = None
     for f in divisors:
@@ -1977,8 +2178,8 @@ def mrl_truncate_recall(df: DataFrame, id_col: str, vec_col: str, *,
         trunc = df.select(F.col(id_col).alias("__tid"),
                           F.slice(F.col(vec_col), 1, keep)
                            .alias("__tv"))
-        topt = (brute_force_topk(trunc, "__tid", "__tv", k=k,
-                                 round_to=round_to)
+        topt = (_brute_force_topk_ungated(trunc, "__tid", "__tv", k=k,
+                                          round_to=round_to)
                 .select("id", "neighbor_id")
                 .withColumn("hit", F.lit(1)))
         j = truth.join(topt, ["id", "neighbor_id"], "left")

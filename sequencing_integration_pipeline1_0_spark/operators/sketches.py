@@ -310,7 +310,7 @@ def histogram_quantiles(df: DataFrame, col: str, *,
                 .select(bucket.alias("bucket"))
                 .groupBy("bucket")
                 .agg(F.count(F.lit(1)).alias("cnt")))
-    w = Window.orderBy("bucket")
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket")
     cum = (counts.withColumn("cum", F.sum("cnt").over(w))
                  .withColumn("cum_before",
                              F.col("cum") - F.col("cnt")))
@@ -384,7 +384,8 @@ def cms_heavy_hitters(df: DataFrame, text_col: str, *,
     sketch = (rows.groupBy("row_i", "bucket")
                   .agg(F.sum("cnt").alias("c")))
     lw = Window.partitionBy("bkt").orderBy(F.col("cnt").desc(), "word")
-    gw = Window.orderBy(F.col("cnt").desc(), "word")
+    gw = Window.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(),
+                                               "word")
     cand = (wc.withColumn("bkt", F.pmod(F.xxhash64("word"),
                                         F.lit(salt_buckets)))
               .withColumn("lr", F.row_number().over(lw))

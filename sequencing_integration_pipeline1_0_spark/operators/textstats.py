@@ -875,9 +875,10 @@ def bpe_topk_merges(df, text_col: str = "text",
     survive."""
     from pyspark.sql import Window
     c = bpe_pair_counts(df, text_col)
-    w = Window.orderBy(F.col("pair_count").desc(),
-                       F.ascii("left_sym"), F.ascii("right_sym"),
-                       "left_sym", "right_sym")
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("pair_count").desc(),
+        F.ascii("left_sym"), F.ascii("right_sym"),
+        "left_sym", "right_sym")
     return (c.withColumn("rank", F.row_number().over(w).cast("int"))
              .where(F.col("rank") <= k))
 
@@ -1079,8 +1080,8 @@ def bpe_merge_step(df, text_col: str = "text",
                .select(pair.alias("p"), "n")
                .groupBy("p.left_sym", "p.right_sym")
                .agg(F.sum("n").cast("bigint").alias("pair_count")))
-    w = Window.orderBy(F.col("pair_count").desc(), "left_sym",
-                       "right_sym")
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("pair_count").desc(), "left_sym", "right_sym")
     return (c.withColumn("rank", F.row_number().over(w).cast("int"))
              .where(F.col("rank") <= k))
 

@@ -1026,17 +1026,17 @@ def qa_psi_drift(spark, sf_dir):
     pipeline runs on every new crawl batch (PSI < 0.1 stable, > 0.25
     population shift): the corpus splits into two deterministic
     cohorts (doc_id parity, standing in for consecutive snapshots),
-    quality scores bin into {b} equal-width buckets with a full bin
+    quality scores bin into 10 equal-width buckets with a full bin
     spine (absent bins materialized — the Benford discipline), and
     each bin carries its Laplace-smoothed PSI contribution
-    (pA - pB) * ln(pA / pB) with p = (n + 1) / (total + {b}) — the
+    (pA - pB) * ln(pA / pB) with p = (n + 1) / (total + 10) — the
     smoothing makes empty bins finite and is shared exactly by the
     oracle. Joins the QA battery next to qa_benford_prices as the
     second distribution-level check.
 
-    Scale shape: one map-side score+bin pass, two {b}-key aggs with
-    map-side combine, {b}-row finishing arithmetic (bounded window
-    for the totals — no scalar rejoin).""".format(b=_PSI_BINS)
+    Scale shape: one map-side score+bin pass, two 10-key aggs with
+    map-side combine, 10-row finishing arithmetic (bounded window
+    for the totals — no scalar rejoin)."""
     d = _t(spark, sf_dir, "documents")
     bin_col = F.least(F.lit(_PSI_BINS - 1),
                       F.floor(textstats.quality_score("text")
@@ -1355,9 +1355,9 @@ def ann_ivf_sampled_topk(spark, sf_dir):
     """IVF-flat top-5 with SAMPLED training and ADAPTIVE geometry —
     the production-cost variant of ann_ivf_trained_topk, which stays
     as the fixed-geometry recall yardstick: Lloyd (2 iterations) runs
-    over a deterministic {pct}% sample (vec_id % {mod} = 0), so
+    over a deterministic 10% sample (vec_id % 10 = 0), so
     training cost decouples from the search corpus, and the cell
-    count is n // {tgt} (floor {minc}) — the semantic-dedup default
+    count is n // 64 (floor 8) — the semantic-dedup default
     (similarity.semantic_nn_dedup) applied to the ANN family, keeping
     per-cell candidate lists ~constant as n grows instead of linear.
     The oracle models BOTH levers exactly (windowed adaptive seeding,
@@ -1370,8 +1370,7 @@ def ann_ivf_sampled_topk(spark, sf_dir):
     broadcasts); assignment is one broadcast n x n_cells pass; the
     candidate join is the salted cell equi-join; with n_cells ~ n,
     per-cell work is bounded, so the whole search is ~linear in
-    n.""".format(pct=100 // _IVF_SAMPLE_MOD, mod=_IVF_SAMPLE_MOD,
-                 tgt=_IVF_TARGET_CELL, minc=_IVF_MIN_CELLS)
+    n."""
     e = _t(spark, sf_dir, "embeddings")
     sample = e.filter(F.col("vec_id") % _IVF_SAMPLE_MOD == 0)
     # one metadata-scale count — the semantic_nn_dedup precedent
@@ -1854,7 +1853,8 @@ def w9_group_id(spark, sf_dir):
     Identical output, fully parallel scan."""
     o = _t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
     blocks = (o.select("yr").distinct()
-               .select("yr", F.dense_rank().over(Window.orderBy("yr"))
+               .select("yr", F.dense_rank().over(
+                   Window.partitionBy(F.lit(1)).orderBy("yr"))
                               .alias("block_id")))
     return (o.join(F.broadcast(blocks), "yr")
              .select("o_orderkey", "block_id"))
@@ -6142,7 +6142,7 @@ def dedup_substring_acct(spark, sf_dir):
 def dedup_substring_global(spark, sf_dir):
     """Cross-document exact-substring dedup discovery
     (textstats.cross_doc_shared_runs): every maximal run of >=
-    {L} tokens shared VERBATIM between two documents, with 0-based
+    10 tokens shared VERBATIM between two documents, with 0-based
     token offsets on both sides — the Lee et al. 2022 suffix-array
     signal the dedup suite lacked (r5 verdict missing item 1): line-
     level (C4), set-level (MinHash), bit-level (SimHash) and semantic
@@ -6150,9 +6150,8 @@ def dedup_substring_global(spark, sf_dir):
     documents. The Spark side rides 64-bit gram hashes through the
     self-join (gram text never shuffles); the oracle recomputes over
     gram STRINGS, so hash-green certifies both run-merging parity and
-    collision-freeness. gram_cap={cap} bounds per-gram fan-out
-    (max_bucket precedent), mirrored in the oracle.""".format(
-        L=_SUBSTR_MIN_LEN, cap=_SUBSTR_GRAM_CAP)
+    collision-freeness. gram_cap=256 bounds per-gram fan-out
+    (max_bucket precedent), mirrored in the oracle."""
     d = _t(spark, sf_dir, "documents")
     return textstats.cross_doc_shared_runs(
         d, "doc_id", "text", min_len=_SUBSTR_MIN_LEN,
@@ -6188,7 +6187,7 @@ def dedup_substring_rewrite(spark, sf_dir):
     """Cross-document exact-substring dedup, the REWRITE half
     (textstats.substring_rewrite) — emits the deduplicated corpus the
     accounting row budgets: per document, every token covered by a
-    maximal >= {L}-token run shared verbatim with a LOWER-id document
+    maximal >= 10-token run shared verbatim with a LOWER-id document
     is sliced out (keep-first), and the document reassembles from its
     surviving words in order — (doc_id, text, n_words,
     n_removed_words) for every document. Completes the Lee et al.
@@ -6197,9 +6196,8 @@ def dedup_substring_rewrite(spark, sf_dir):
 
     Scale shape: run discovery is the capped slim-hash self-join;
     covered indexes collapse to one per-doc set; the rebuild is a
-    map-side HOF — full text shuffles exactly once. gram_cap={cap}
-    mirrored in the oracle.""".format(
-        L=_SUBSTR_MIN_LEN, cap=_SUBSTR_GRAM_CAP)
+    map-side HOF — full text shuffles exactly once. gram_cap=256
+    mirrored in the oracle."""
     d = _t(spark, sf_dir, "documents")
     return textstats.substring_rewrite(
         d, "doc_id", "text", min_len=_SUBSTR_MIN_LEN,
@@ -7355,18 +7353,18 @@ SELECT id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
 def ann_binary_rerank_topk(spark, sf_dir):
     """Two-stage binary serving — THE production pattern for binary
     embeddings (retrieve wide with 1-bit codes, re-rank narrow with
-    floats): IVF-BQ hamming retrieves the top-{c} candidates per
-    query, then ONLY those {c} rows join back to the float vectors
+    floats): IVF-BQ hamming retrieves the top-20 candidates per
+    query, then ONLY those 20 rows join back to the float vectors
     for an exact-cosine re-rank to top-5. The cheap stage touches
     codes 32x smaller than the vectors; the expensive exact stage
-    touches {c} rows per query instead of the corpus —
+    touches 20 rows per query instead of the corpus —
     ann_binary_rerank_recall quantifies how much of raw binary
     search's recall loss the re-rank buys back.
 
     Scale shape: stage 1 is the certified salted cell meet over 1-bit
     codes; stage 2 is two slim id-keyed equi-joins (candidates x
     vectors) + one per-query window — never an all-pairs float
-    pass.""".format(c=_BQ_RERANK_CAND)
+    pass."""
     e = _t(spark, sf_dir, "embeddings")
     cand = (similarity.ivfbq_topk(e, "vec_id", "embedding",
                                   k_neighbors=_BQ_RERANK_CAND,
@@ -7416,10 +7414,10 @@ def ann_binary_rerank_recall(spark, sf_dir):
     """Recall@5 of the two-stage binary pipeline against the exact
     cosine top-5 — the number that justifies the pattern: raw binary
     hamming loses recall to the 32x compression
-    (ann_binary_recall); widening to {c} candidates and re-ranking
+    (ann_binary_recall); widening to 20 candidates and re-ranking
     with exact floats buys most of it back at a fraction of
     brute-force cost. One summary row; the truth set is the
-    deliberate brute-force baseline.""".format(c=_BQ_RERANK_CAND)
+    deliberate brute-force baseline."""
     e = _t(spark, sf_dir, "embeddings")
     topq = (ann_binary_rerank_topk(spark, sf_dir)
             .select("id", "neighbor_id").withColumn("hit", F.lit(1)))
@@ -7866,19 +7864,19 @@ def ann_ivfpq_rerank_topk(spark, sf_dir):
     """Two-stage IVF-PQ serving — the FAISS refine/re-rank pattern
     (IndexRefineFlat) completing the quantized matrix's serving
     story next to the binary twin (ann_binary_rerank_topk): the
-    composed IVF-PQ ADC retrieves the top-{c} candidates per query
-    from 16x16 codes, then ONLY those {c} rows join back to the
-    float vectors for an exact squared-L2 re-rank to top-5 — PQ's
-    native metric, so the re-rank corrects pure quantization error.
-    The cheap stage touches codes ~16x smaller than the vectors; the
-    exact stage touches {c} rows per query instead of the corpus.
-    ann_ivfpq_rerank_recall quantifies what the refine buys back
-    over raw ADC ranking (ann_ivfpq_recall).
+    composed IVF-PQ ADC retrieves the top-20 candidates per query
+    (_PQ_RERANK_CAND) from 16x16 codes, then ONLY those 20 rows join
+    back to the float vectors for an exact squared-L2 re-rank to
+    top-5 — PQ's native metric, so the re-rank corrects pure
+    quantization error. The cheap stage touches codes ~16x smaller
+    than the vectors; the exact stage touches 20 rows per query
+    instead of the corpus. ann_ivfpq_rerank_recall quantifies what
+    the refine buys back over raw ADC ranking (ann_ivfpq_recall).
 
     Scale shape: stage 1 is the certified salted cell meet over
     packed codes; stage 2 is two slim id-keyed equi-joins
     (candidates x vectors) + one per-query window — never an
-    all-pairs float pass.""".format(c=_PQ_RERANK_CAND)
+    all-pairs float pass."""
     e = _t(spark, sf_dir, "embeddings")
     cand = (similarity.ivfpq_topk(e, "vec_id", "embedding",
                                   k_neighbors=_PQ_RERANK_CAND,
@@ -7925,11 +7923,11 @@ def ann_ivfpq_rerank_recall(spark, sf_dir):
     """Recall@5 of the two-stage IVF-PQ pipeline against the exact
     squared-L2 truth — the number that justifies the refine step:
     raw ADC ranking loses recall to the 16x16 code budget
-    (ann_ivfpq_recall); widening to {c} candidates and re-ranking
-    the shortlist with exact floats buys most of it back at {c}
-    float distances per query instead of n. One summary row; the
-    truth set is the deliberate brute-force baseline
-    (cap-gated).""".format(c=_PQ_RERANK_CAND)
+    (ann_ivfpq_recall); widening to 20 candidates (_PQ_RERANK_CAND)
+    and re-ranking the shortlist with exact floats buys most of it
+    back at 20 float distances per query instead of n. One summary
+    row; the truth set is the deliberate brute-force baseline
+    (cap-gated)."""
     e = _t(spark, sf_dir, "embeddings")
     # the truth join below is the corpus-broadcast n^2 yardstick
     # shape — enforce the cap the docstring claims (the r6
@@ -8036,7 +8034,7 @@ def ann_ivfpq_index_probe(spark, sf_dir):
     inverted-list entries (one broadcast coarse assignment + one
     frozen-codebook encode, linear in the batch — no base re-scan)
     and unioning them into the persisted lists; the inserted vectors
-    then search the appended index (top-5, nprobe={np}). The oracle
+    then search the appended index (top-5, nprobe=4). The oracle
     rebuilds the whole index from scratch under the same frozen
     codebooks and searches it, so the green row is the machine proof
     that append == rebuild for the production index layout — closing
@@ -8047,8 +8045,7 @@ def ann_ivfpq_index_probe(spark, sf_dir):
     Scale shape: the insert path is the two linear batch passes plus
     an entries union (the persisted-list append); the search is
     ivfpq_adc_pairs' salted shuffle-hash cell equi-join + map-side
-    decimal ADC fold, with nothing corpus-sized broadcast.""".format(
-        np=_IVFPQ_NPROBE)
+    decimal ADC fold, with nothing corpus-sized broadcast."""
     e = _t(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") % 10 != 0)
     batch = e.filter(F.col("vec_id") % 10 == 0)
@@ -9311,7 +9308,7 @@ WHERE len(list_filter(range(1, 65), i -> a.dhash[i] <> b.dhash[i]))
 @register("mm_image_dhash_hamming_pairs", _DHASH_HAM_SQL)
 def mm_image_dhash_hamming_pairs(spark, sf_dir):
     """Hamming-tolerant perceptual-hash pairing: every image pair
-    within {ham} bits of dHash distance — catching near-duplicates a
+    within 3 bits of dHash distance — catching near-duplicates a
     pixel defect pushed out of the exact bucket (the fixture plants a
     deterministic dead pixel in every 5th image; 202 of the certified
     pairs are genuine hamming-1 defect variants, the rest exact). The
@@ -9332,7 +9329,7 @@ def mm_image_dhash_hamming_pairs(spark, sf_dir):
     (the rest is the decode chain, inlined once per reference by the
     single-DataFrame contract — two skeleton sides + one per
     membership side; the identical distinct-hash exchanges collapse
-    via ReusedExchange).""".format(ham=_DHASH_HAM_MAX)
+    via ReusedExchange)."""
     d = _t(spark, sf_dir, "documents")
     dec = multimodal.decode_bmp_gray(
         multimodal.synth_shaded_bmp_payload(d, "doc_id"),
@@ -9498,10 +9495,10 @@ def mm_audio_fingerprint_pairs(spark, sf_dir):
     sequence, multimodal.audio_fingerprint_bits) is a map-side array
     HOF. Gain cancels in the energy comparisons — the amplitude
     invariance that buckets loudness variants together — and the
-    planted defect flips at most 2 of the {n} bits, inside the
-    hamming radius {ham}. Pairing rides the certified dHash band
-    skeleton: {bands} bands of {bw} chars over DISTINCT fingerprints
-    (a pair within {ham} bits must agree on a whole band), members
+    planted defect flips at most 2 of the 32 bits, inside the
+    hamming radius 3. Pairing rides the certified dHash band
+    skeleton: 4 bands of 8 chars over DISTINCT fingerprints
+    (a pair within 3 bits must agree on a whole band), members
     expand afterwards. The oracle IS the all-pairs definition over
     the formula-derived fingerprints, so hash-green proves the
     decoder read the samples bit-exactly, the fingerprint is
@@ -9510,9 +9507,7 @@ def mm_audio_fingerprint_pairs(spark, sf_dir):
     Scale shape: decode-once Arrow stage; fingerprinting map-side;
     the quadratic stage runs over vocabulary-bounded distinct
     fingerprints through a (band_id, band) equi-self-join — never
-    over members, nothing corpus-sized broadcast.""".format(
-        n=_AFP_NSL, ham=_AFP_HAM_MAX, bands=_AFP_BANDS,
-        bw=_AFP_NSL // _AFP_BANDS)
+    over members, nothing corpus-sized broadcast."""
     d = _t(spark, sf_dir, "documents")
     dec = multimodal.decode_audio(
         multimodal.synth_fp_audio_payload(d, "doc_id"),
@@ -11436,3 +11431,108 @@ def emb_mrl_truncate_recall(spark, sf_dir):
     that move."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.mrl_truncate_recall(e, "vec_id", "embedding")
+
+
+# ----------------------------------------------------------------------
+# round 9 additions: the semantic rung of the decontamination ladder
+# ----------------------------------------------------------------------
+
+def _semantic_decontam_ctes() -> str:
+    """Shared CTEs of the semantic-decontamination pair: bipartite
+    corpus/bench split (the % 97 convention), the frozen lowest-id
+    CORPUS codebook with the adaptive n_cells formula, and both
+    single-assignments (rounded cosine, ties -> lower cell id) —
+    must stay in lockstep with similarity.semantic_contamination."""
+    def idx(name, src, idc, vc):
+        return f"""{name} AS (
+  SELECT {idc}, {vc}, cell_id FROM (
+    SELECT s.{idc}, s.{vc}, ct.cell_id,
+           row_number() OVER (PARTITION BY s.{idc}
+                              ORDER BY {_cos_sql(f's.{vc}', 'ct.cv')}
+                                DESC, ct.cell_id) AS r
+    FROM {src} s CROSS JOIN cents ct) WHERE r = 1)"""
+    return f"""
+WITH corp AS (
+  SELECT vec_id AS id, embedding AS v FROM embeddings
+  WHERE vec_id % 97 != 0),
+ben AS (
+  SELECT vec_id AS bench_id, embedding AS vb FROM embeddings
+  WHERE vec_id % 97 = 0),
+cents AS (
+  SELECT id AS cell_id, v AS cv FROM corp ORDER BY id
+  LIMIT greatest(8, (SELECT count(*) FROM corp) // 128)),
+{idx('cidx', 'corp', 'id', 'v')},
+{idx('bidx', 'ben', 'bench_id', 'vb')}"""
+
+
+_DECONTAM_SEMANTIC_SQL = f"""{_semantic_decontam_ctes()}
+SELECT c.id, b.bench_id,
+       {_cos_sql('c.v', 'b.vb')} AS cos_sim,
+       CASE WHEN {_cos_sql('c.v', 'b.vb')} >= 0.35
+            THEN 1 ELSE 0 END AS leaked
+FROM cidx c JOIN bidx b ON c.cell_id = b.cell_id
+"""
+
+
+@register("decontam_semantic", _DECONTAM_SEMANTIC_SQL)
+def decontam_semantic(spark, sf_dir):
+    """SEMANTIC benchmark decontamination
+    (similarity.semantic_contamination): eval-set leakage that
+    paraphrase pushed beyond shingle reach — the embedding-space rung
+    that completes the ladder decontam_ngram_overlap (exact),
+    decontam_bloom_prefilter (screen), and decontam_minhash (fuzzy
+    lexical) climb; vec_id % 97 stands in for the benchmark (the
+    family convention). Emits every same-cell (corpus, bench)
+    candidate with its measured cosine and the thresholded `leaked`
+    flag, so the hash gate certifies the similarity arithmetic, not
+    just the sparse hit set (the dedup_semantic_cells discipline).
+
+    Scale shape: frozen lowest-id CORPUS codebook (broadcast,
+    adaptive n_cells = max(8, n // 128) — the SemDeDup occupancy
+    lever, oracle-modeled so the certified config IS the scale
+    config); two linear broadcast assignments; the meet broadcasts
+    the bench assignment, so the corpus never shuffles. Bench-side
+    cap gate enforced (BENCH_BROADCAST_CAP)."""
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 97 == 0)
+    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    return similarity.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.35)
+
+
+_DECONTAM_SEMANTIC_RECALL_SQL = f"""{_semantic_decontam_ctes()},
+truth AS (
+  SELECT count(*) AS n_true FROM corp c CROSS JOIN ben b
+  WHERE {_cos_sql('c.v', 'b.vb')} >= 0.35),
+cellhits AS (
+  SELECT count(*) AS n_cell_hits
+  FROM cidx c JOIN bidx b ON c.cell_id = b.cell_id
+  WHERE {_cos_sql('c.v', 'b.vb')} >= 0.35)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cell_hits AS BIGINT) AS n_cell_hits,
+       CASE WHEN n_true > 0
+            THEN round(CAST(n_cell_hits AS DOUBLE) / n_true, 6)
+            ELSE 1.0 END AS recall
+FROM truth CROSS JOIN cellhits
+"""
+
+
+@register("decontam_semantic_recall", _DECONTAM_SEMANTIC_RECALL_SQL)
+def decontam_semantic_recall(spark, sf_dir):
+    """Truth measurement for decontam_semantic
+    (similarity.semantic_contamination_recall): the exact bipartite
+    all-pairs leak set versus the cell-restricted screen's hits, one
+    row (n_true, n_cell_hits, recall) — the measured price of the
+    cell restriction, the same yardstick discipline as
+    ann_ivf_recall / dedup_minhash_calibration ("measure, don't
+    guess" applied to the screen's own recall).
+
+    All-pairs BY ROLE on the corpus side (cap-gated,
+    ALL_PAIRS_BASELINE_CAP): the production screen is
+    decontam_semantic; this row justifies or vetoes its cell
+    geometry."""
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 97 == 0)
+    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    return similarity.semantic_contamination_recall(
+        corpus, bench, "vec_id", "embedding", threshold=0.35)

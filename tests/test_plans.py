@@ -173,7 +173,17 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # 1-row corpus-size scalar onto the df table (the
                   # tfidf shape); the candidate pairing itself is the
                   # word-keyed equi-join
-                  "sim_tfidf_cosine_topk"}
+                  "sim_tfidf_cosine_topk",
+                  # semantic decontamination: both sides' frozen-
+                  # codebook assignments are the same broadcast
+                  # n x n_cells NLJ as ann_ivf_* (linear in n); the
+                  # candidate meet is a broadcast EQUI-join on cell_id
+                  # against the gated bench side
+                  "decontam_semantic",
+                  # + the deliberate cap-gated bipartite all-pairs
+                  # truth baseline (the ann_ivf_recall shape) and its
+                  # two 1-row count scalars
+                  "decontam_semantic_recall"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.

@@ -1949,3 +1949,81 @@ def test_logreg_calibration_invariants(spark):
             assert r.bin / 10 - 1e-6 <= r.mean_pred <= (r.bin + 1) / 10 + 1e-6
             assert 0.0 <= r.frac_pos <= 1.0
         assert 0.0 <= r.ece_contrib <= r.n_docs / tot + 1e-9
+
+
+def test_semantic_contamination_finds_planted_neighbor(spark):
+    """A corpus embedding sitting near a bench embedding is emitted
+    with leaked=1; an orthogonal one is either outside the bench
+    vector's cell or emitted with leaked=0 — never a false leak."""
+    bench = spark.createDataFrame(
+        [(100, [0.99, 0.1, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),     # planted near-dup of bench
+         (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+         (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r.id: r for r in sim.semantic_contamination(
+        corpus, bench, "vec_id", "embedding",
+        threshold=0.9).collect()}
+    assert out[1].bench_id == 100 and out[1].leaked == 1
+    assert out[1].cos_sim > 0.99
+    assert all(r.leaked == 0 for i, r in out.items() if i != 1)
+
+
+def test_semantic_contamination_refuses_corpus_sized_bench(
+        spark, monkeypatch):
+    """semantic_contamination broadcasts its BENCH side by design;
+    the cap makes that self-enforcing (the minhash_contamination
+    gate). Under the cap it still runs."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(ds, "BENCH_BROADCAST_CAP", 2)
+    e = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="bench"):
+        sim.semantic_contamination(e, e, "vec_id", "embedding").count()
+    assert sim.semantic_contamination(
+        e, e.limit(1), "vec_id", "embedding").count() > 0
+
+
+def test_semantic_contamination_recall_exact_when_cells_align(spark):
+    """With every corpus vector its own cell centroid (tiny corpus),
+    the bench vector lands in its true neighbor's cell, so the
+    cell-restricted screen catches the full truth set: recall = 1.0
+    and the counts agree with the brute-force definition."""
+    bench = spark.createDataFrame(
+        [(100, [0.99, 0.1, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    row = sim.semantic_contamination_recall(
+        corpus, bench, "vec_id", "embedding",
+        threshold=0.9).collect()[0]
+    assert (row.n_true, row.n_cell_hits, row.recall) == (1, 1, 1.0)
+    # empty truth set -> recall defined as 1.0 (nothing to miss)
+    row0 = sim.semantic_contamination_recall(
+        corpus, bench, "vec_id", "embedding",
+        threshold=0.999999).collect()[0]
+    assert (row0.n_true, row0.n_cell_hits, row0.recall) == (0, 0, 1.0)
+
+
+def test_minhash_contamination_length_filter_is_lossless(spark):
+    """The r9 length-ratio prune must keep every pair that can reach
+    the threshold: a 9-of-10-token subset pair (J = 0.9, size ratio
+    0.9) survives; a small-subset pair (J = 0.3, ratio 0.3) is
+    correctly absent — same answer the unpruned verify gave."""
+    words10 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    bench = spark.createDataFrame(
+        [(0, words10)], "doc_id LONG, text STRING")
+    corpus = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),   # J = 9/10
+         (2, "w1 w2 w3")],                     # J = 3/10
+        "doc_id LONG, text STRING")
+    out = {r.id: r.jaccard for r in ds.minhash_contamination(
+        corpus, bench, "doc_id", "text", threshold=0.7).collect()}
+    assert out.get(1) == 0.9
+    assert 2 not in out
