@@ -1884,12 +1884,44 @@ def pca_top2_components(df: DataFrame, id_col: str, vec_col: str, *,
     corpus-independent d^2-row sweep chains (the deflated matrix
     localCheckpoints like the first — the sweeps re-reference it 8
     times)."""
+    v1, scal1, v2, scal2 = _pca_top2_state(df, id_col, vec_col,
+                                           iters=iters,
+                                           round_to=round_to)
+
+    def finish(v, scal, comp):
+        e_d = F.col("e").cast("double")
+        return (v.join(F.broadcast(scal))
+                 .join(F.broadcast(scal1.select(
+                     F.col("tr").cast("double").alias("tr0"))))
+                 .select(F.lit(comp).cast("int").alias("component"),
+                         F.col("j").cast("int").alias("dim"),
+                         F.col("v").cast("double").alias("loading"),
+                         (F.round(e_d, round_to) + F.lit(0.0))
+                          .alias("eigval"),
+                         F.when(F.col("tr0") != 0,
+                                F.round(e_d / F.col("tr0"), round_to)
+                                + F.lit(0.0))
+                          .otherwise(F.lit(0.0))
+                          .alias("explained_frac")))
+
+    return finish(v1, scal1, 1).unionByName(finish(v2, scal2, 2))
+
+
+def _pca_top2_state(df: DataFrame, id_col: str, vec_col: str, *,
+                    iters: int = PCA_ITERS, round_to: int = 6
+                    ) -> tuple[DataFrame, DataFrame,
+                               DataFrame, DataFrame]:
+    """Shared state of the top-2 spectral queries: (v1, scal1, v2,
+    scal2) — the top eigenvector and its Rayleigh pieces (e, tr), the
+    Hotelling-deflated matrix's dominant vector and ITS Rayleigh
+    pieces. pca_top2_components formats the loading rows;
+    pca_isotropy_report reduces the scalars. Deflation discipline
+    documented on pca_top2_components."""
     c, v1, _ = pca_power_state(df, id_col, vec_col, iters=iters,
                                round_to=round_to)
     dec = f"decimal(18,{round_to})"
     scal1 = _rayleigh(c, v1, round_to=round_to)
     e1 = (F.round(F.col("e").cast("double"), round_to) + F.lit(0.0))
-    tr_d = F.col("tr").cast("double")
 
     vi = v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))
     vj = v1.select("j", F.col("v").alias("vj"))
@@ -1904,23 +1936,49 @@ def pca_top2_components(df: DataFrame, id_col: str, vec_col: str, *,
            .localCheckpoint())
     v2 = _power_sweeps(c2, iters=iters, round_to=round_to)
     scal2 = _rayleigh(c2, v2, round_to=round_to)
+    return v1, scal1, v2, scal2
 
-    def finish(v, scal, comp):
-        e_d = F.col("e").cast("double")
-        return (v.join(F.broadcast(scal))
-                 .join(F.broadcast(scal1.select(tr_d.alias("tr0"))))
-                 .select(F.lit(comp).cast("int").alias("component"),
-                         F.col("j").cast("int").alias("dim"),
-                         F.col("v").cast("double").alias("loading"),
-                         (F.round(e_d, round_to) + F.lit(0.0))
-                          .alias("eigval"),
-                         F.when(F.col("tr0") != 0,
-                                F.round(e_d / F.col("tr0"), round_to)
+
+def pca_isotropy_report(df: DataFrame, id_col: str, vec_col: str, *,
+                        iters: int = PCA_ITERS,
+                        round_to: int = 6) -> DataFrame:
+    """One-row ISOTROPY dashboard of the embedding corpus — the
+    go/no-go summary the spectral diagnostics feed (Mu & Viswanath
+    2018's motivation distilled): top two eigenvalues, total
+    variance, each top direction's share, and the second/first
+    spectral ratio. Read: top1_share near 1 = encoder collapse or a
+    leaking feature (run pca_remove_top); spectral_ratio near 1 =
+    the top of the spectrum is flat, so removing one component
+    changes little; both small = healthy isotropic corpus. Columns
+    (eigval1, eigval2, trace_var, top1_share, top2_share,
+    spectral_ratio); eigval2/shares are measured on the deflated
+    matrix like pca_top2_components.
+
+    Scale shape: exactly pca_top2_components' state (one map-side
+    corpus pass, d^2-bounded checkpointed chains); the report adds
+    two 1-row broadcasts and pure scalar arithmetic."""
+    _, scal1, _, scal2 = _pca_top2_state(df, id_col, vec_col,
+                                         iters=iters,
+                                         round_to=round_to)
+    row = (scal1.select(F.col("e").alias("e1"), "tr")
+                .join(F.broadcast(scal2.select(F.col("e")
+                                                .alias("e2")))))
+    e1d = F.col("e1").cast("double")
+    e2d = F.col("e2").cast("double")
+    trd = F.col("tr").cast("double")
+    share = lambda num: (F.when(trd != 0,
+                                F.round(num / trd, round_to)
                                 + F.lit(0.0))
-                          .otherwise(F.lit(0.0))
-                          .alias("explained_frac")))
-
-    return finish(v1, scal1, 1).unionByName(finish(v2, scal2, 2))
+                          .otherwise(F.lit(0.0)))
+    return row.select(
+        (F.round(e1d, round_to) + F.lit(0.0)).alias("eigval1"),
+        (F.round(e2d, round_to) + F.lit(0.0)).alias("eigval2"),
+        (F.round(trd, round_to) + F.lit(0.0)).alias("trace_var"),
+        share(e1d).alias("top1_share"),
+        share(e1d + e2d).alias("top2_share"),
+        F.when(e1d != 0,
+               F.round(e2d / e1d, round_to) + F.lit(0.0))
+         .otherwise(F.lit(0.0)).alias("spectral_ratio"))
 
 
 def pca_power_state(
@@ -2021,45 +2079,80 @@ def _power_sweeps(c: DataFrame, *, iters: int,
     vector. Shared by the top-component pass and the deflated
     second-component pass (pca_top2_components).
 
-    The d-row iterate localCheckpoints every 3 sweeps: the unrolled
-    recurrence otherwise stacks iters x (join + agg + 2 windows)
-    into ONE plan per chain (pca_top2's two chains compiled to 138
-    shuffles / 88 joins — planner abuse even with d^2-bounded
-    state). Checkpointing d rows is microseconds and value-neutral;
-    plan depth caps at 3 sweeps."""
+    r9 shape: the matrix packs into ONE ROW (dims, mat[i][j] — d^2
+    decimals, KBs at any corpus size) and every sweep is pure
+    map-side HOF arithmetic on that row — no join, no groupBy, and
+    no single-partition window per sweep (the r8 form ran
+    iters x (join + agg + 2 unpartitioned windows) = ~24
+    one-partition stages PER QUERY EXECUTION; Spark constant-folds
+    a lit(1) partition key away, so those windows also spammed the
+    'No Partition Defined' warning the logs were full of). Values
+    are bit-identical: decimal multiply/add are exact so the HOF
+    fold equals SUM() regardless of order, and every double step
+    (cast, sqrt, divide, round) keeps the same operands in the same
+    sequence. The 1-row iterate localCheckpoints every 3 sweeps and
+    on return — CollapseProject would otherwise inline each sweep's
+    wv transform into its two consumers (the 2^k expression-tree
+    lesson), and consumers reference the returned vector ~5x."""
     dec = f"decimal(18,{round_to})"
-    dec2 = f"decimal(38,{2 * round_to})"
-    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    # dim spine from the CHECKPOINTED diagonal — not from stats, whose
-    # lineage is another corpus scan
-    v = (c.filter(F.col("i") == F.col("j"))
-          .select(F.col("i").alias("j"))
-          .select("j",
-                  F.round(F.lit(1.0)
-                          / F.sqrt(F.count(F.lit(1)).over(w_all)
-                                    .cast("double")), round_to)
-                   .cast(dec).alias("v")))
+    # fold types keep precision <= 30 so each (a + x) lands at
+    # precision 31 <= 38 and Spark NEVER applies its precision-loss
+    # scale reduction — a decimal(38,2r) + decimal(37,2r) add would
+    # adjust to scale 2r-1 and ROUND, silently diverging from the
+    # exact SUM() the windowed form (and the oracle) computes. The
+    # magnitude bound is generous: quantized covariance entries are
+    # O(variance) and the vector is unit, so every sum here is far
+    # below 10^(30-2r); an overflow would surface as a NULL and a
+    # loud hash mismatch, never a silent rounding.
+    sum_t = f"decimal(30,{2 * round_to})"
+    rows_ = (c.groupBy("i")
+              .agg(F.transform(F.array_sort(F.collect_list(
+                       F.struct("j", "qc"))),
+                   lambda s: s["qc"]).alias("row")))
+    packed = (rows_.groupBy()
+                   .agg(F.array_sort(F.collect_list(
+                            F.struct("i", "row"))).alias("rs"))
+                   .select(F.transform("rs", lambda s: s["i"])
+                            .alias("dims"),
+                           F.transform("rs", lambda s: s["row"])
+                            .alias("mat")))
+    # uniform start: round(1 / sqrt(d), 1e-r) — same count-then-
+    # double cast as the windowed form
+    n_d = F.size("dims").cast("double")
+    v0 = F.transform("dims",
+                     lambda _: F.round(F.lit(1.0) / F.sqrt(n_d),
+                                       round_to).cast(dec))
+    cur = packed.select("dims", "mat", v0.alias("v")).localCheckpoint()
     for it in range(iters):
-        w = (c.join(F.broadcast(v), "j")
-              .groupBy("i")
-              .agg(F.sum(F.col("qc") * F.col("v")).alias("wv")))
-        wd = F.col("wv").cast("double")
-        w = w.select("i", wd.alias("wd"),
-                     F.round(wd * wd, 2 * round_to).cast(dec2)
-                      .alias("w2"))
-        nm = F.sqrt(F.sum("w2").over(w_all).cast("double"))
-        v = w.select(F.col("i").alias("j"),
-                     F.when(nm > 0,
-                            F.round(F.col("wd") / nm, round_to))
-                      .otherwise(F.lit(0.0)).cast(dec).alias("v"))
-        # the RETURNED iterate checkpoints too: consumers reference
-        # it ~5x (Rayleigh vi/vj, the deflation's vi/vj, the output
-        # projection), and each reference would re-run the whole
-        # final sweep segment otherwise
+        # wv_i = SUM_j qc[i][j] * v[j] — exact decimal fold, same
+        # value as the groupBy SUM (decimal addition commutes)
+        wv = F.transform(
+            F.col("mat"),
+            lambda row: F.aggregate(
+                F.zip_with(row, F.col("v"),
+                           lambda q, vv: (q * vv).cast(sum_t)),
+                F.lit(0).cast(sum_t),
+                lambda a, x: (a + x).cast(sum_t)))
+        cur = cur.select("dims", "mat", wv.alias("wv"))
+        w2s = F.aggregate(
+            F.col("wv"), F.lit(0).cast(sum_t),
+            lambda a, x: (a + F.round(x.cast("double")
+                                      * x.cast("double"),
+                                      2 * round_to).cast(sum_t))
+                          .cast(sum_t))
+        cur = cur.select("dims", "mat", "wv", w2s.alias("w2s"))
+        nm = F.sqrt(F.col("w2s").cast("double"))
+        newv = F.transform(
+            F.col("wv"),
+            lambda x: F.when(nm > 0,
+                             F.round(x.cast("double") / nm, round_to))
+                       .otherwise(F.lit(0.0)).cast(dec))
+        cur = cur.select("dims", "mat", newv.alias("v"))
         if (it + 1) % 3 == 0 or it + 1 == iters:
-            v = v.localCheckpoint()
-    return v
+            cur = cur.localCheckpoint()
+    return (cur.select(F.explode(F.arrays_zip("dims", "v")).alias("z"))
+               .select(F.col("z.dims").alias("j"),
+                       F.col("z.v").alias("v")))
 
 
 def pca_remove_top(df: DataFrame, id_col: str, vec_col: str, *,

@@ -5806,6 +5806,52 @@ SELECT vec_id AS id, CAST(cell_id AS BIGINT) AS cell_id FROM (
 """)
 
 
+_EMB_STREAM_DIRS: dict[str, str] = {}
+
+
+def _embeddings_stream(spark, sf_dir):
+    """embeddings.parquet as a file-source stream — the arriving-
+    vectors queue for the streaming index-maintenance twins (same
+    symlink-dir staging as _events_stream; testdata is read-only)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import tempfile
+    stage = _EMB_STREAM_DIRS.get(sf_dir)
+    if stage is None or not os.path.exists(stage):
+        stage = tempfile.mkdtemp(prefix="emb_src_")
+        os.symlink(path, os.path.join(stage, "embeddings.parquet"))
+        _EMB_STREAM_DIRS[sf_dir] = stage
+    schema = spark.read.parquet(path).schema
+    return _st.read_parquet_stream(spark, stage, schema)
+
+
+@register("st_ivf_assign", _IVF_ASSIGN_SQL)
+def st_ivf_assign(spark, sf_dir):
+    """STREAMING IVF cell assignment (streaming.ivf_assign_stream):
+    ivf_assign_batch's arriving batch (vec_id % 10 == 0) delivered as
+    a file-source STREAM and assigned to the frozen corpus-trained
+    codebook per micro-batch — the ingest path of incremental index
+    maintenance, run on arrival instead of nightly. Shares
+    ivf_assign_batch's oracle verbatim: the drained stream must be
+    bit-identical to the batch assignment (Structured Streaming's
+    unified model made checkable, the st_event_counts discipline
+    applied to the ANN family).
+
+    Scale shape: STATELESS — the codebook packs into one broadcast
+    row, each vector picks argmax cosine map-side with an array HOF
+    (no window, no state store, append mode); at 100 TB assignment
+    rides the ingest stream at line rate."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    cb = similarity.train_ivf_codebook(corpus, "vec_id", "embedding",
+                                       n_cells=8, iters=2)
+    stream = (_embeddings_stream(spark, sf_dir)
+              .filter(F.col("vec_id") % 10 == 0))
+    assigned = _st.ivf_assign_stream(stream, cb,
+                                     id_col="vec_id",
+                                     vec_col="embedding")
+    return _st.run_available_now(assigned, "st_ivf_assign", "append")
+
+
 @register("ivf_assign_batch", _IVF_ASSIGN_SQL)
 def ivf_assign_batch(spark, sf_dir):
     """Incremental IVF index maintenance: a codebook k-means-trained
@@ -11536,3 +11582,62 @@ def decontam_semantic_recall(spark, sf_dir):
     corpus = e.filter(F.col("vec_id") % 97 != 0)
     return similarity.semantic_contamination_recall(
         corpus, bench, "vec_id", "embedding", threshold=0.35)
+
+
+def _isotropy_sql() -> str:
+    """Isotropy-report oracle: the two top-2 sweep chains of
+    _pca_top2_sql reduced to one scalar row — identical CTEs, so the
+    report cannot drift from the loading query it summarizes."""
+    prefix, v1 = _pca_cte_prefix()
+    r1 = _rayleigh_sql("c", v1, "t1", "s1")
+    c2 = f""",
+c2 AS (
+  SELECT c.i, c.j,
+         CAST(round(CAST(c.qc AS DOUBLE)
+                    - (round(CAST(s1.e AS DOUBLE), 6) + 0.0)
+                      * CAST(vi.v AS DOUBLE) * CAST(vj.v AS DOUBLE),
+                    6) AS DECIMAL(18,6)) AS qc
+  FROM c JOIN {v1} vj ON c.j = vj.j JOIN {v1} vi ON c.i = vi.j
+  CROSS JOIN s1)"""
+    chain2, v2 = _pca_sweep_chain("c2", "b")
+    r2 = _rayleigh_sql("c2", v2, "t2", "s2")
+    return prefix + r1 + c2 + chain2 + r2 + """
+SELECT round(CAST(s1.e AS DOUBLE), 6) + 0.0 AS eigval1,
+       round(CAST(s2.e AS DOUBLE), 6) + 0.0 AS eigval2,
+       round(CAST(s1.tr AS DOUBLE), 6) + 0.0 AS trace_var,
+       CASE WHEN CAST(s1.tr AS DOUBLE) <> 0
+            THEN round(CAST(s1.e AS DOUBLE)
+                       / CAST(s1.tr AS DOUBLE), 6) + 0.0
+            ELSE 0.0 END AS top1_share,
+       CASE WHEN CAST(s1.tr AS DOUBLE) <> 0
+            THEN round((CAST(s1.e AS DOUBLE) + CAST(s2.e AS DOUBLE))
+                       / CAST(s1.tr AS DOUBLE), 6) + 0.0
+            ELSE 0.0 END AS top2_share,
+       CASE WHEN CAST(s1.e AS DOUBLE) <> 0
+            THEN round(CAST(s2.e AS DOUBLE)
+                       / CAST(s1.e AS DOUBLE), 6) + 0.0
+            ELSE 0.0 END AS spectral_ratio
+FROM s1 CROSS JOIN s2
+"""
+
+
+@register("emb_isotropy_report", _isotropy_sql())
+def emb_isotropy_report(spark, sf_dir):
+    """One-row ISOTROPY dashboard of the embedding corpus
+    (similarity.pca_isotropy_report) — the go/no-go summary the
+    spectral family feeds (Mu & Viswanath 2018 distilled): top two
+    eigenvalues, total variance, their shares, and the
+    second/first spectral ratio. top1_share near 1 = encoder
+    collapse or a leaking feature (run emb_remove_top_component);
+    spectral_ratio near 1 = flat spectrum top, removing one
+    component buys little; both small = healthy isotropic corpus.
+    eigval2 is measured on the Hotelling-deflated matrix, exactly
+    as emb_pca_top2_components reports it.
+
+    Scale shape: exactly the top-2 machinery (one map-side corpus
+    pass, d^2-bounded checkpointed sweep chains); the report adds
+    two 1-row broadcasts and scalar arithmetic. The oracle reuses
+    the top-2 CTE chains verbatim, so summary and loadings cannot
+    drift."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_isotropy_report(e, "vec_id", "embedding")

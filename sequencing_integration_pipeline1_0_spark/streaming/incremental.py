@@ -294,6 +294,44 @@ def hll_estimates_from_registers(regs: DataFrame,
         hll_estimate_expr(s_int, F.col("n_present")).alias("est"))
 
 
+def ivf_assign_stream(stream: DataFrame, codebook: DataFrame,
+                      id_col: str = "id", vec_col: str = "v", *,
+                      round_to: int = 6) -> DataFrame:
+    """STREAMING IVF cell assignment against a frozen coarse codebook
+    — the ingest half of incremental index maintenance run on arrival
+    instead of in nightly batches (the ivf_assign_batch contract as a
+    stream). STATELESS by construction: the codebook packs into ONE
+    static row (cell_id, cv ordered by cell id), the stream-static
+    broadcast join attaches it map-side, and each arriving vector
+    picks argmax cosine per-row with an array HOF — no window, no
+    state store, append mode; at 100 TB this is the shape that rides
+    the ingest path at line rate (assignment state is exactly the
+    broadcast codebook).
+
+    Value parity with similarity.ivf_assign (bit-identical): the same
+    rounded cosine with the same operand order, ties to the LOWER
+    cell id via array_max over (csim, -cell_id) — double negation is
+    exact and IEEE comparison makes -0.0 == 0.0, so the struct order
+    equals the batch window's (csim DESC, cell_id ASC)."""
+    from ..operators.similarity import dot, norm
+
+    cbp = (codebook.groupBy()
+                   .agg(F.array_sort(F.collect_list(
+                            F.struct("cell_id", "cv"))).alias("cb")))
+    v = F.col(vec_col)
+    nv = norm(v)
+    prs = F.transform(
+        F.col("cb"),
+        lambda s: F.struct(
+            F.round(dot(v, s["cv"]) / (nv * norm(s["cv"])), round_to)
+             .alias("csim"),
+            (-s["cell_id"]).alias("negc")))
+    best = F.array_max(prs)
+    return (stream.join(F.broadcast(cbp))
+                  .select(F.col(id_col).alias("id"),
+                          (-best["negc"]).cast("long").alias("cell_id")))
+
+
 def run_available_now(stream: DataFrame, name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drain a stream with trigger(availableNow) into a memory sink and

@@ -183,7 +183,14 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # + the deliberate cap-gated bipartite all-pairs
                   # truth baseline (the ann_ivf_recall shape) and its
                   # two 1-row count scalars
-                  "decontam_semantic_recall"}
+                  "decontam_semantic_recall",
+                  # 1-row Rayleigh-scalar cross join (s1 x s2) — the
+                  # sketch-finisher scalar shape on the PCA state
+                  "emb_isotropy_report",
+                  # stream-static broadcast of the ONE-ROW packed
+                  # codebook onto the arriving stream (the map-side
+                  # assignment join; linear in the batch)
+                  "st_ivf_assign"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.

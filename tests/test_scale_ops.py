@@ -1481,7 +1481,11 @@ def test_all_pairs_baselines_refuse_corpus_scale(spark, monkeypatch):
                     (similarity.pq_adc_topk, "ivfpq_topk"),
                     (similarity.binary_topk, "ivfbq_topk"),
                     # enforced by the brute_force_topk pass inside
-                    (similarity.mrl_truncate_recall, "ivfpq_topk")):
+                    # r9: gates ONCE at the top with its own message
+                    # (the per-pass brute_force_topk probes were 3
+                    # redundant eager jobs per plan build)
+                    (similarity.mrl_truncate_recall,
+                     "composed IVF search over the prefix")):
         with _pytest.raises(ValueError, match=alt):
             fn(big, "vec_id", "embedding")
     # under the cap: plans build and run
@@ -2027,3 +2031,25 @@ def test_minhash_contamination_length_filter_is_lossless(spark):
         corpus, bench, "doc_id", "text", threshold=0.7).collect()}
     assert out.get(1) == 0.9
     assert 2 not in out
+
+
+def test_pca_isotropy_report_dominant_direction(spark):
+    """A corpus stretched along one axis reports a dominant top
+    share and a small spectral ratio; all shares live in [0, 1] and
+    eigval1 >= eigval2 >= 0 (deflated second estimate)."""
+    rows = [(i, [float(x), float(x) * 0.01, 0.0, 0.0])
+            for i, x in enumerate([-3, -1, 1, 3] * 3)]
+    e = spark.createDataFrame(rows,
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    r = sim.pca_isotropy_report(e, "vec_id", "embedding").collect()[0]
+    # the second direction's true variance is ~0 here (the 0.01
+    # component is perfectly correlated with the first), so the
+    # deflated Rayleigh estimate may sit a few 1e-6 BELOW zero —
+    # quantization noise, bounded by 1e-r per covariance entry
+    assert r.eigval1 >= r.eigval2 >= -1e-5
+    # with e2 ~ -0 the cumulative share can sit a hair BELOW top1's
+    assert 0.0 <= r.top1_share <= 1.0
+    assert r.top1_share - 1e-5 <= r.top2_share <= 1.0 + 1e-5
+    assert r.top1_share > 0.99          # variance rides one axis
+    assert -1e-5 <= r.spectral_ratio < 0.05
+    assert abs(r.trace_var * r.top1_share - r.eigval1) < 1e-3

@@ -349,3 +349,35 @@ def test_hll_register_stream_matches_batch_sketch(spark, events_stream_dir,
                    .agg(F.countDistinct("user_id").alias("n")).collect())}
     for day, v in est.items():
         assert abs(v - exact[day]) / exact[day] < 0.30
+
+
+def test_ivf_assign_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming cell assignment against a frozen codebook is
+    row-identical to similarity.ivf_assign on the same batch — the
+    st_ivf_assign parity, pinned here at fixture scale with the
+    codebook trained exactly as the catalog query trains it."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        similarity as sim,
+    )
+    from sequencing_integration_pipeline1_0_spark.plans.catalog import _t
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    cb = sim.train_ivf_codebook(corpus, "vec_id", "embedding",
+                                n_cells=8, iters=2)
+    expected = {(r.id, r.cell_id) for r in
+                sim.ivf_assign(batch, "vec_id", "embedding", cb)
+                   .select("id", F.col("cell_id").cast("long")
+                            .alias("cell_id")).collect()}
+
+    feed = str(tmp_path / "emb_feed")
+    batch.write.mode("overwrite").parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    stream = st.read_parquet_stream(spark, feed, schema)
+    assigned = st.ivf_assign_stream(stream, cb, id_col="vec_id",
+                                    vec_col="embedding")
+    got = {(r.id, r.cell_id) for r in
+           _run_stream(spark, assigned, tmp_path,
+                       "t_ivf_assign_stream").collect()}
+    assert got == expected

@@ -173,6 +173,14 @@ PROBES = [
     "qa_psi_sliding",
     "qa_cvm_drift",
     "pipe_decontam_report",
+    # round 9: the semantic decontamination rung (broadcast-codebook
+    # assignment + tiny-bench cell meet — growth tracks the corpus
+    # assignment scan), the 1-row isotropy dashboard (exactly the
+    # top-2 PCA state), and the stateless streaming IVF assignment
+    # (growth tracks the arriving-batch scan + drain overhead)
+    "decontam_semantic",
+    "emb_isotropy_report",
+    "st_ivf_assign",
 ]
 
 #: executions per (query, sf) cell — min-of-N. Three runs settle the
@@ -442,6 +450,31 @@ def main() -> None:
         "  verify runs once per distinct pair): growth 7.0x -> ~3.5x on",
         "  this template-heavy corpus. All value-identical (full oracle",
         "  replica re-green).",
+        "- Round 9: the IVF-PQ ADC meet UNROLLED its per-candidate fold",
+        "  (aggregate(zip_with) -> a plain m-term sum over scale-6 LONG",
+        "  LUT entries; exact arithmetic, values bit-identical):",
+        "  ann_ivfpq_topk 7.8 -> 5.9 s, residual 9.2 -> 7.4 s, rerank",
+        "  -> 6.8 s at sf0.1. (The tempting alternative — explode the",
+        "  entries first and score in the codegen'd projection —",
+        "  measured 35-40% SLOWER: the generator copies the m x k LUT",
+        "  into every candidate row.) The power sweeps checkpoint their",
+        "  d-row iterate every 3 sweeps AND on return (consumers",
+        "  re-reference it ~5x): emb_pca_top2_components compiled",
+        "  138 exchanges / 88 joins -> 16 / 12 and runs 10.0 -> 6.2 s.",
+        "  And decontam_minhash gained the LOSSLESS length-ratio prune",
+        "  (J >= t forces min/max set sizes >= t, checked inside the",
+        "  broadcast band join). Its growth column needs adjudication,",
+        "  not more pruning: at 10x input the TRUE result set grows",
+        "  ~95x (1,032 -> 98,450 bipartite >= 0.7 pairs on this",
+        "  template-heavy corpus — both sides' near-dup clusters grow,",
+        "  so true cross pairs grow ~quadratically), which floors the",
+        "  runtime ratio; 4.7x wall growth against 95x output growth",
+        "  is strongly SUBLINEAR per result row, and the certified",
+        "  exact-first collapse already makes the verify once-per-",
+        "  distinct-pair. At real scale the output itself is the",
+        "  product to bound (report per-bench-doc hit counts, not the",
+        "  full pair expansion) — the pipe_decontam_report row does",
+        "  exactly that.",
         "",
     ]
     sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
