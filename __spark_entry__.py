@@ -176,16 +176,23 @@ _R6_CONFIRMED = frozenset({
 # Round-9 priorities: FIRST the nine queries whose latest driver-green
 # is still r3 (VERDICT r8 "Next round" 2 — the leftover rotation tail;
 # all nine pass the local sf0.01 replica every round, but the driver
-# record is the official one), THEN every query whose PLAN or ORACLE
-# changed this round: decontam_minhash (bench-side dense-band
-# occupancy cap — oracle unchanged, output lossless above threshold,
-# re-certified because the plan is new), ann_ivfpq_residual_topk
-# (per-(query,cell) packed residual LUT — values must stay
-# hash-identical), and emb_pca_top2_components (deflation-chain
-# checkpointing — lineage truncation only, values identical;
-# re-certified since the sweep re-grouping is a real rewrite). New
-# queries (decontam_semantic and friends) ride the unconfirmed-first
-# rule into the window without a _PRIORITY entry.
+# record is the official one), THEN the three whose PLAN materially
+# changed this round: decontam_minhash (LOSSLESS length-ratio prune
+# inside the broadcast band join — oracle unchanged, output identical
+# by the J >= t => min/max >= t argument, re-certified because the
+# plan is new), ann_ivfpq_residual_topk (unrolled long-LUT ADC meet +
+# bound residual/slice HOFs + slim rv checkpoint — values
+# hash-identical), and emb_pca_top2_components (power sweeps packed
+# into one-row map-side HOF arithmetic; fold accumulators pinned at
+# precision 30 so decimal addition never hits the precision-loss
+# scale reduction — the whole PCA family re-certified at both
+# fixture scales). NOT re-prioritized (r7/r8 precedent — plan-only,
+# byte-identical values, selfcheck re-green): the other IVF-PQ rows
+# riding the same unrolled meet and the other PCA rows riding the
+# packed sweeps. New queries (decontam_semantic/_recall,
+# emb_isotropy_report, st_ivf_assign) ride the unconfirmed-first
+# rule into the window without a _PRIORITY entry: 12 priority + 4
+# new + j6b = 17 front slots leave 33 stalest-first rotation slots.
 _PRIORITY = [
     "decontam_bloom_prefilter", "evt_active_users", "evt_funnel_steps",
     "evt_retention_cohorts", "f21_tweak_gisaid_id", "pipe_sgtf_weekly",
