@@ -5824,6 +5824,51 @@ def _embeddings_stream(spark, sf_dir):
     return _st.read_parquet_stream(spark, stage, schema)
 
 
+_DOC_STREAM_DIRS: dict[str, str] = {}
+
+
+def _documents_stream(spark, sf_dir):
+    """documents.parquet as a file-source stream — the arriving-docs
+    queue for the streaming ingest screens (same symlink staging as
+    _events_stream/_embeddings_stream)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    import tempfile
+    stage = _DOC_STREAM_DIRS.get(sf_dir)
+    if stage is None or not os.path.exists(stage):
+        stage = tempfile.mkdtemp(prefix="docs_src_")
+        os.symlink(path, os.path.join(stage, "documents.parquet"))
+        _DOC_STREAM_DIRS[sf_dir] = stage
+    schema = spark.read.parquet(path).schema
+    return _st.read_parquet_stream(spark, stage, schema)
+
+
+@register("st_decontam_screen", _DECONTAM_SQL)
+def st_decontam_screen(spark, sf_dir):
+    """STREAMING exact-n-gram decontamination screen
+    (streaming.ngram_contamination_stream): the corpus documents
+    delivered as a file-source stream and scored against the frozen
+    eval slice (doc_id % 97) ON INGEST — the decontamination ladder's
+    exact rung moved to the arrival path, so contaminated documents
+    are flagged before they land in the training pool. Shares
+    decontam_ngram_overlap's oracle verbatim: the drained stream must
+    be bit-identical to the batch screen (the st_ivf_assign
+    discipline applied to the decontamination family).
+
+    Scale shape: STATELESS — the bench's distinct 64-bit gram hashes
+    pack into one broadcast row (an eval set is MBs), each arriving
+    doc computes its distinct gram hashes and intersects per-row with
+    a map-side HOF; no explode, no groupBy, no state store, append
+    mode."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    stream = (_documents_stream(spark, sf_dir)
+              .filter(F.col("doc_id") % 97 != 0))
+    screened = _st.ngram_contamination_stream(stream, bench,
+                                              "doc_id", "text", n=5)
+    return _st.run_available_now(screened, "st_decontam_screen",
+                                 "append")
+
+
 @register("st_ivf_assign", _IVF_ASSIGN_SQL)
 def st_ivf_assign(spark, sf_dir):
     """STREAMING IVF cell assignment (streaming.ivf_assign_stream):

@@ -332,6 +332,42 @@ def ivf_assign_stream(stream: DataFrame, codebook: DataFrame,
                           (-best["negc"]).cast("long").alias("cell_id")))
 
 
+def ngram_contamination_stream(stream: DataFrame, bench: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               n: int = 5) -> DataFrame:
+    """STREAMING benchmark decontamination — the exact n-gram screen
+    (textstats.ngram_contamination) run ON INGEST instead of in
+    nightly batches: every arriving corpus document is scored against
+    the frozen eval set before it ever lands in the training pool.
+    STATELESS by construction: the benchmark's distinct 64-bit gram
+    hashes pack into ONE static row, the stream-static broadcast join
+    attaches them map-side, and each document computes its distinct
+    gram hashes and intersects per-row — no explode, no groupBy, no
+    state store, append mode; at 100 TB this rides the ingest stream
+    at line rate with state exactly the (MBs) eval-set hash list.
+
+    Value parity with the batch screen (bit-identical): same
+    ngram_array grams (empty for < n words), same per-doc distinct,
+    same xxhash64 — array_intersect counts exactly the rows the
+    batch's distinct-hash join counts per doc, and every corpus row
+    is emitted (zero-hit docs included, the full decision column)."""
+    from ..operators.textstats import ngram_array
+
+    bg = (bench.select(F.explode(F.array_distinct(
+                           ngram_array(text_col, n))).alias("gram"))
+               .select(F.xxhash64("gram").alias("gram_h")).distinct()
+               .groupBy().agg(F.collect_list("gram_h").alias("bgs")))
+    gh = F.transform(F.array_distinct(ngram_array(text_col, n)),
+                     lambda g: F.xxhash64(g))
+    n_shared = F.size(F.array_intersect(gh, F.col("bgs")))
+    return (stream.join(F.broadcast(bg))
+                  .select(F.col(id_col),
+                          n_shared.cast("long").alias("n_shared_ngrams"),
+                          (n_shared > 0).cast("int")
+                           .alias("contaminated")))
+
+
 def run_available_now(stream: DataFrame, name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drain a stream with trigger(availableNow) into a memory sink and

@@ -190,7 +190,10 @@ NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   # stream-static broadcast of the ONE-ROW packed
                   # codebook onto the arriving stream (the map-side
                   # assignment join; linear in the batch)
-                  "st_ivf_assign"}
+                  "st_ivf_assign",
+                  # same shape: one-row packed bench gram-hash list
+                  # broadcast onto the arriving document stream
+                  "st_decontam_screen"}
 
 #: multimodal decode/frame-sample are Arrow-batched pandas plumbing by
 #: design (binary payloads; SURVEY §7 phase 6) — never row-based.

@@ -381,3 +381,31 @@ def test_ivf_assign_stream_matches_batch(spark, sf_dir, tmp_path):
            _run_stream(spark, assigned, tmp_path,
                        "t_ivf_assign_stream").collect()}
     assert got == expected
+
+
+def test_ngram_contamination_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming ingest screen is row-identical to the batch
+    ngram_contamination on the same corpus/bench split — the
+    st_decontam_screen parity, pinned at fixture scale."""
+    from sequencing_integration_pipeline1_0_spark.operators import (
+        textstats as ts,
+    )
+    from sequencing_integration_pipeline1_0_spark.plans.catalog import _t
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    expected = {(r.doc_id, r.n_shared_ngrams, r.contaminated)
+                for r in ts.ngram_contamination(
+                    corpus, bench, "doc_id", "text", n=5).collect()}
+
+    feed = str(tmp_path / "docs_feed")
+    corpus.write.mode("overwrite").parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    stream = st.read_parquet_stream(spark, feed, schema)
+    screened = st.ngram_contamination_stream(stream, bench,
+                                             "doc_id", "text", n=5)
+    got = {(r.doc_id, r.n_shared_ngrams, r.contaminated)
+           for r in _run_stream(spark, screened, tmp_path,
+                                "t_decontam_stream").collect()}
+    assert got == expected
