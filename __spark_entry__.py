@@ -191,8 +191,9 @@ _R6_CONFIRMED = frozenset({
 # riding the same unrolled meet and the other PCA rows riding the
 # packed sweeps. New queries (decontam_semantic/_recall,
 # emb_isotropy_report, st_ivf_assign) ride the unconfirmed-first
-# rule into the window without a _PRIORITY entry: 12 priority + 4
-# new + j6b = 17 front slots leave 33 stalest-first rotation slots.
+# rule into the window without a _PRIORITY entry: 12 priority + 5
+# new (incl. st_decontam_screen) + j6b = 18 front slots leave 32
+# stalest-first rotation slots.
 _PRIORITY = [
     "decontam_bloom_prefilter", "evt_active_users", "evt_funnel_steps",
     "evt_retention_cohorts", "f21_tweak_gisaid_id", "pipe_sgtf_weekly",
