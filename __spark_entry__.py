@@ -173,34 +173,26 @@ _R6_CONFIRMED = frozenset({
     "u1_union_provenance", "j12_dim_lookup", "f3_prefix_strip",
 })
 
-# Round-9 priorities: FIRST the nine queries whose latest driver-green
-# is still r3 (VERDICT r8 "Next round" 2 — the leftover rotation tail;
-# all nine pass the local sf0.01 replica every round, but the driver
-# record is the official one), THEN the three whose PLAN materially
-# changed this round: decontam_minhash (LOSSLESS length-ratio prune
-# inside the broadcast band join — oracle unchanged, output identical
-# by the J >= t => min/max >= t argument, re-certified because the
-# plan is new), ann_ivfpq_residual_topk (unrolled long-LUT ADC meet +
-# bound residual/slice HOFs + slim rv checkpoint — values
-# hash-identical), and emb_pca_top2_components (power sweeps packed
-# into one-row map-side HOF arithmetic; fold accumulators pinned at
-# precision 30 so decimal addition never hits the precision-loss
-# scale reduction — the whole PCA family re-certified at both
-# fixture scales). NOT re-prioritized (r7/r8 precedent — plan-only,
-# byte-identical values, selfcheck re-green): the other IVF-PQ rows
-# riding the same unrolled meet and the other PCA rows riding the
-# packed sweeps. New queries (decontam_semantic/_recall,
-# emb_isotropy_report, st_ivf_assign) ride the unconfirmed-first
-# rule into the window without a _PRIORITY entry: 12 priority + 5
-# new (incl. st_decontam_screen) + j6b = 18 front slots leave 32
-# stalest-first rotation slots.
+# Round-10 priorities (VERDICT r9 "Next round" 2): the 16 queries
+# whose latest driver-green is still r4 — the stalest cohort in the
+# registry — explicitly first. The new st_keepna_ttl rides the
+# unconfirmed-first rule into the window without a _PRIORITY entry:
+# 16 priority + 1 new + j6b = 18 front slots leave 32 stalest-first
+# rotation slots, which the 42-row r5-green cohort starts filling
+# (the remaining ~10 r5 rows rotate through in r11). NOT
+# re-prioritized (r7/r8 precedent — plan-only changes, byte-identical
+# values, selfcheck re-green at both fixture scales): the PQ/IVF-PQ
+# families riding this round's pack-sort-posexplode seed ranks and
+# the decimal(15,6) LUT-entry bound, and the PCA family riding the
+# explicit NULL-propagation branch in the sweep normalize.
 _PRIORITY = [
-    "decontam_bloom_prefilter", "evt_active_users", "evt_funnel_steps",
-    "evt_retention_cohorts", "f21_tweak_gisaid_id", "pipe_sgtf_weekly",
-    "sample_stratified_exact", "st_click_attribution",
-    "w11_conditional_source_dedup",
-    "decontam_minhash", "ann_ivfpq_residual_topk",
-    "emb_pca_top2_components",
+    "ann_pq_encode", "ann_pq_recall", "ann_pq_topk",
+    "ann_pq_trained_topk", "evt_anomaly_zscore", "ivf_assign_batch",
+    "j6c_osa_lev_delta", "minhash_index_probe",
+    "pipe_incremental_corpus", "repeated_span_fraction",
+    "sample_temperature", "simhash_near_dup_join", "text_fix_mojibake",
+    "text_gopher_rules", "text_remove_repeated_spans",
+    "unigram_doc_score",
 ]
 
 # Green rows in CORRECTNESS_r07.json (49 hash-green; j6b stays
@@ -254,9 +246,33 @@ _R8_CONFIRMED = frozenset({
     "pipe_filtered_observations_check",
 })
 
+# Green rows in CORRECTNESS_r09.json (49 hash-green; j6b stays
+# rows-only by design).
+_R9_CONFIRMED = frozenset({
+    "decontam_bloom_prefilter", "evt_active_users", "evt_funnel_steps",
+    "evt_retention_cohorts", "f21_tweak_gisaid_id", "pipe_sgtf_weekly",
+    "sample_stratified_exact", "st_click_attribution",
+    "w11_conditional_source_dedup", "decontam_minhash",
+    "ann_ivfpq_residual_topk", "emb_pca_top2_components",
+    "st_decontam_screen", "st_ivf_assign", "decontam_semantic",
+    "decontam_semantic_recall", "emb_isotropy_report",
+    "s5_scan_distinct", "p3_compound_filter", "p6_flag_sum_groups",
+    "f1_name_normalize", "f4_accession_synthesize",
+    "f12_multiformat_dates", "f13_date_window_flag", "w1_dedup_first",
+    "w2_singletons", "w4_argmin_per_group", "w6_dup_flag",
+    "j1_left_link", "j4_anti_new_records", "j5_semi",
+    "j6_fuzzy_name_pairs", "j8_range_join", "a1_group_count",
+    "a2_distinct_count", "a4_share_of_total", "a5_rollup_total",
+    "a6_pivot_counts", "a9_latest_per_group", "u2_union_by_name",
+    "t4_snapshot_diff", "t2_watermark", "qa_roster_filters",
+    "dedup_exact_key", "dedup_exact_content_hash", "text_token_stats",
+    "dedup_semantic_cells", "evt_rollup_multigrain",
+    "dedup_lines_global",
+})
+
 _DRIVER_CONFIRMED = (_R1_CONFIRMED | _R2_CONFIRMED | _R3_CONFIRMED
                      | _R4_CONFIRMED | _R5_CONFIRMED | _R6_CONFIRMED
-                     | _R7_CONFIRMED | _R8_CONFIRMED)
+                     | _R7_CONFIRMED | _R8_CONFIRMED | _R9_CONFIRMED)
 
 # Queries whose behavior changed after their last driver-green row; force
 # them back into the front-50 window even though they are confirmed.

@@ -52,16 +52,21 @@ ALL_PAIRS_BASELINE_CAP = 200_000
 
 
 def _gate_all_pairs_baseline(df: DataFrame, op: str,
-                             alternative: str) -> None:
+                             alternative: str) -> int:
     """Fail fast (bounded limit+count probe, never a full scan) when
     an all-pairs baseline is handed more than ALL_PAIRS_BASELINE_CAP
-    rows, naming the composed scale-path alternative."""
+    rows, naming the composed scale-path alternative. Returns the
+    probed row count (exact, since passing means n <= cap) so callers
+    that also need the input size — e.g. an adaptive n_cells — reuse
+    this job instead of running a second count."""
     cap = ALL_PAIRS_BASELINE_CAP
-    if df.limit(cap + 1).count() > cap:
+    n = df.limit(cap + 1).count()
+    if n > cap:
         raise ValueError(
             f"{op} is an all-pairs recall baseline (corpus-broadcast "
             f"n^2 join) and refuses inputs over {cap} rows; use the "
             f"composed {alternative} for a real corpus.")
+    return n
 
 
 def brute_force_topk(df: DataFrame, id_col: str, vec_col: str, *,
@@ -312,22 +317,45 @@ def semantic_contamination(corpus: DataFrame, bench: DataFrame,
     grows). The tiny-side assumption is ENFORCED with the
     minhash_contamination gate: a bounded limit+count probe raises
     when bench exceeds dedupe_scale.BENCH_BROADCAST_CAP rows."""
+    _check_bench_broadcast_cap(bench, "semantic_contamination")
+    if n_cells is None:
+        n_cells = max(min_cells, corpus.count() // target_cell_size)
+    return _semantic_contamination_ungated(
+        corpus, bench, id_col, vec_col, n_cells=n_cells,
+        threshold=threshold, round_to=round_to)
+
+
+def _check_bench_broadcast_cap(bench: DataFrame, op: str) -> None:
+    """The bipartite-contamination family's tiny-side gate: a bounded
+    limit+count probe that raises when the to-be-broadcast bench side
+    exceeds dedupe_scale.BENCH_BROADCAST_CAP rows."""
     from .dedupe_scale import BENCH_BROADCAST_CAP
     cap = BENCH_BROADCAST_CAP
     if bench.limit(cap + 1).count() > cap:
         raise ValueError(
-            f"semantic_contamination broadcasts the bench side of its "
+            f"{op} broadcasts the bench side of its "
             f"cell meet and refuses bench inputs over {cap} rows; swap "
             f"the arguments (the corpus side is never broadcast) or "
             f"pre-partition the eval set.")
+
+
+def _semantic_contamination_ungated(corpus: DataFrame, bench: DataFrame,
+                                    id_col: str, vec_col: str, *,
+                                    n_cells: int,
+                                    threshold: float = 0.35,
+                                    round_to: int = 6) -> DataFrame:
+    """semantic_contamination's plan WITHOUT the bench cap probe and
+    with n_cells already resolved — for composed callers that have
+    run the gates themselves (semantic_contamination_recall probes
+    bench once and reuses its all-pairs gate's corpus count), so the
+    recall row builds with a single gating pass instead of repeating
+    the probe + count the public wrapper runs."""
     cbase = (corpus.select(F.col(id_col).alias("id"),
                            F.col(vec_col).alias("v"))
                    .withColumn("nv", norm(F.col("v"))))
     bbase = (bench.select(F.col(id_col).alias("bench_id"),
                           F.col(vec_col).alias("vb"))
                   .withColumn("nb", norm(F.col("vb"))))
-    if n_cells is None:
-        n_cells = max(min_cells, cbase.count() // target_cell_size)
     cents = (cbase.orderBy("id").limit(n_cells)
                   .select(F.col("id").alias("cell_id"),
                           F.col("v").alias("cv"),
@@ -370,10 +398,17 @@ def semantic_contamination_recall(corpus: DataFrame, bench: DataFrame,
     cell-restricted screen's hit count, as ONE row (n_true,
     n_cell_hits, recall). recall = 1.0 when the truth set is empty
     (nothing to miss). All-pairs BY ROLE on the corpus side: refuses
-    corpus inputs over ALL_PAIRS_BASELINE_CAP rows (the bench side
-    is already gated by semantic_contamination itself)."""
-    _gate_all_pairs_baseline(corpus, "semantic_contamination_recall",
-                             "semantic_contamination")
+    corpus inputs over ALL_PAIRS_BASELINE_CAP rows. ONE gating pass
+    (ADVICE r9): the all-pairs gate's probed count doubles as the
+    adaptive-n_cells numerator, the bench cap probes once for BOTH
+    broadcasts (the truth join's and the screen's — same frame, same
+    cap), and the screen builds through the ungated internal."""
+    n_corpus = _gate_all_pairs_baseline(
+        corpus, "semantic_contamination_recall",
+        "semantic_contamination")
+    _check_bench_broadcast_cap(bench, "semantic_contamination_recall")
+    if n_cells is None:
+        n_cells = max(min_cells, n_corpus // target_cell_size)
     cbase = (corpus.select(F.col(id_col).alias("id"),
                            F.col(vec_col).alias("v"))
                    .withColumn("nv", norm(F.col("v"))))
@@ -387,9 +422,8 @@ def semantic_contamination_recall(corpus: DataFrame, bench: DataFrame,
                                       round_to))
                   .filter(F.col("cos_sim") >= threshold)
                   .agg(F.count(F.lit(1)).cast("long").alias("n_true")))
-    hits = (semantic_contamination(
+    hits = (_semantic_contamination_ungated(
                 corpus, bench, id_col, vec_col, n_cells=n_cells,
-                target_cell_size=target_cell_size, min_cells=min_cells,
                 threshold=threshold, round_to=round_to)
             .filter(F.col("leaked") == 1)
             .agg(F.count(F.lit(1)).cast("long").alias("n_cell_hits")))
@@ -559,13 +593,19 @@ def pq_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
     same way train_ivf_codebook refines the IVF seeds). Returns
     (subspace, cid, cv) with cid in [0, k) by seed id order.
 
-    The row_number over the k seed rows is a global window over <= k
-    rows — the shrink-then-rank exemption (w9's pattern)."""
+    The cid rank over the k seed rows is a pack-sort-posexplode (one
+    k-row agg, no window): array_sort on (sid, vec) structs orders by
+    the unique sid exactly as the old row_number-over-sid did, and
+    posexplode's position IS that rank — bit-identical cids with zero
+    WindowExec single-partition warnings (VERDICT r9 item 7)."""
     seeds = (df.orderBy(id_col).limit(k)
                .select(F.col(id_col).alias("sid"), F.col(vec_col)))
-    seeds = seeds.withColumn(
-        "cid", F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy("sid")) - 1)
+    seeds = (seeds.groupBy()
+                  .agg(F.array_sort(F.collect_list(
+                           F.struct("sid", vec_col))).alias("ss"))
+                  .select(F.posexplode("ss").alias("cid", "s"))
+                  .select(F.col("cid").cast("int").alias("cid"),
+                          F.col(f"s.{vec_col}").alias(vec_col)))
     return (_subvectors(seeds, "cid", vec_col, m, out_id="cid")
             .select("subspace", "cid", F.col("sv").alias("cv")))
 
@@ -693,12 +733,18 @@ def _adc_score(scored: DataFrame, m: int) -> DataFrame:
     every IVF-PQ variant."""
     def dist(e):
         # LUT entries arrive as scale-6 LONGS (micros): the exact
-        # decimal(18,6) distances scaled by 10^6 at LUT-build time
-        # (decimal multiply, exact). The candidate sum is then m-1
-        # primitive long adds (exact, < 2^53), and long/1e6 in double
-        # is ONE correctly-rounded IEEE division of the same exact
-        # rational the decimal sum represents — so the double emitted
-        # here is bit-identical to the old decimal-fold cast.
+        # decimal(15,6) distances scaled by 10^6 at LUT-build time
+        # (decimal multiply, exact). The < 2^53 exactness claim below
+        # is ENFORCED by that build-time cast: decimal(15,6) NULLs
+        # loudly on any |l2sq| >= 10^9, so every entry is < 10^15 and
+        # an m-term sum (m <= 9 at every call site; default 4) stays
+        # < 9*10^15 < 2^53 ~ 9.007*10^15 — never a silent 1-ulp
+        # drift. The
+        # candidate sum is then m-1 primitive long adds (exact), and
+        # long/1e6 in double is ONE correctly-rounded IEEE division
+        # of the same exact rational the decimal sum represents — so
+        # the double emitted here is bit-identical to the old
+        # decimal-fold cast.
         terms = [
             F.element_at(F.element_at(F.col("lut"), j + 1),
                          F.element_at(e["codes"], j + 1) + F.lit(1))
@@ -825,16 +871,31 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                  F.concat(F.lit(f"vector dim not divisible by m={m}: "),
                           F.size(qc).cast("string"))).isNull())
                .select(F.col(id_col).alias("qid"), qc.alias("qv")))
-    sub_q = (F.size("qv") / m).cast("int")
-    lut_arr = F.array(*[
-        F.transform(F.element_at(F.col("cbm"), j + 1),
-                    lambda cv: (F.round(
-                        l2sq(F.slice(F.col("qv"),
-                                     (F.lit(j) * sub_q + 1).cast("int"),
-                                     sub_q), cv),
-                        round_to).cast("decimal(18,6)")
-                        * F.lit(1000000)).cast("long"))
-        for j in range(m)])
+    # r10: the per-query LUT's centroid distances are UNROLLED flat
+    # expressions at a plan-time dimension (one bounded limit-1 probe
+    # job, the r6 cap-probe precedent) instead of sliced
+    # zip_with+aggregate folds — each entry is the plain
+    # left-associated 0.0 + (x-y)^2 + ... chain l2sq()'s sequential
+    # fold runs (identical IEEE add sequence, bit-identical values;
+    # oracle re-green), with no per-element lambda frames and no
+    # per-subspace slice allocation. The residual variant got the
+    # same treatment the same round.
+    sub_q_i = int(df.select((F.size(F.col(vec_col)) / m).cast("int")
+                            .alias("s")).first()["s"])
+
+    def _mk_lut_row(j):
+        def entry(cv):
+            s = F.lit(0.0)
+            for i in range(1, sub_q_i + 1):
+                x = F.element_at(F.col("qv"),
+                                 j * sub_q_i + i).cast("double")
+                y = F.element_at(cv, i).cast("double")
+                s = s + (x - y) * (x - y)
+            return (F.round(s, round_to).cast("decimal(15,6)")
+                    * F.lit(1000000)).cast("long")
+        return F.transform(F.element_at(F.col("cbm"), j + 1), entry)
+
+    lut_arr = F.array(*[_mk_lut_row(j) for j in range(m)])
     lut_q = (qrows.join(F.broadcast(pqcb_p))
                   .select("qid", lut_arr.alias("lut")))
     # Index build: codes live IN the cell's INVERTED LIST — exactly
@@ -1130,11 +1191,17 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                    .select(F.col("id").alias("neighbor_id"), "cell_id",
                            "rv"))
 
+    # seed cid rank = pack-sort-posexplode over the k seed rows (the
+    # pq_codebooks shape — no constant-folded lit(1) window, so no
+    # WindowExec single-partition warning; values bit-identical)
     seeds = (r_idx.orderBy("neighbor_id").limit(k)
                   .select(F.col("neighbor_id").alias("sid"), "rv"))
-    seeds = seeds.withColumn(
-        "cid", F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy("sid")) - 1)
+    seeds = (seeds.groupBy()
+                  .agg(F.array_sort(F.collect_list(
+                           F.struct("sid", "rv"))).alias("ss"))
+                  .select(F.posexplode("ss").alias("cid", "s"))
+                  .select(F.col("cid").cast("int").alias("cid"),
+                          F.col("s.rv").alias("rv")))
     rcb = (_subvectors(seeds, "cid", "rv", m, out_id="cid")
            .select("subspace", "cid", F.col("sv").alias("cv")))
     # ONE broadcast row: cbm[subspace+1][cid+1] = centroid subvector
@@ -1147,57 +1214,59 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                          F.struct("subspace", "cvs"))),
                      lambda s: s["cvs"]).alias("cbm")))
 
-    sub = (F.size("rv") / m).cast("int")
+    # r10 (VERDICT r9 item 5): the codes/LUT centroid distances are
+    # UNROLLED flat expressions at a PLAN-TIME dimension instead of
+    # sliced zip_with+aggregate HOF folds. One bounded build-time
+    # probe (limit-1 job, the r6 cap-probe precedent) pins d; each
+    # per-centroid distance is then a plain left-associated
+    # 0.0 + (x-y)^2 + ... chain over element_at reads of the
+    # CHECKPOINTED rv — the identical IEEE add sequence l2sq()'s
+    # sequential fold runs (bit-identical values; oracle re-green at
+    # both fixture scales), with zero per-element lambda frames, no
+    # per-subspace slice allocation, and no bind_once machinery.
+    # Same element-count lesson as the r9 ADC-meet unroll, applied
+    # to the m*k-per-row LUT/encode stage the r8 note named.
+    d_dim = int(df.select(F.size(F.col(vec_col)).alias("d"))
+                  .first()["d"])
+    if d_dim % m:
+        raise ValueError(
+            f"ivfpq_residual_pairs: dim {d_dim} not divisible by "
+            f"m={m} (the _subvectors contract)")
+    sub_i = d_dim // m
 
-    # r9: the rv expression arriving here is the zip_with(v, cv)
-    # residual from the upstream projection, and Catalyst collapses
-    # projections — so without binding, EVERY centroid-distance
-    # evaluation inside these interpreted HOF lambdas re-runs the
-    # full d-element residual subtraction (m*k = 32 times per row
-    # instead of once; the VERDICT r8 item-4 cost). bind_once pins
-    # the residual ONCE per row, and a second bind pins each
-    # subspace slice ONCE per subspace (not once per centroid).
-    # Pure evaluation-count change: values are bit-identical.
-    def _per_subspace(rv, body):
-        # NB: the inner lambda must take exactly ONE parameter — a
-        # two-parameter lambda is interpreted by transform() as
-        # (element, index) and the second arg would shadow j.
-        def bound_body(j):
-            return lambda sv: body(j, sv)
+    def l2sq_flat(off, cv):
+        # left fold ((0.0 + d1) + d2) + ... — l2sq()'s exact order
+        s = F.lit(0.0)
+        for i in range(1, sub_i + 1):
+            x = F.element_at(F.col("rv"), off + i).cast("double")
+            y = F.element_at(cv, i).cast("double")
+            s = s + (x - y) * (x - y)
+        return s
 
-        def build(r):
-            return F.array(*[
-                bind_once(F.slice(r, (F.lit(j) * sub + 1).cast("int"),
-                                  sub),
-                          bound_body(j))
-                for j in range(m)])
-        return bind_once(rv, build)
-
-    def codes_hof(rv):
+    def mk_code(j):
         # per subspace: argmin over centroids of the rounded squared
         # L2, tie -> lower cid (array_min's struct order == the
         # min(struct(d, cid)) the join+agg form used)
-        def code(j, sv):
-            cvs = F.element_at(F.col("cbm"), j + 1)
-            idx = F.sequence(F.lit(0), F.size(cvs) - 1)
-            prs = F.zip_with(cvs, idx, lambda cv, c: F.struct(
-                F.round(l2sq(sv, cv), round_to).alias("d"),
-                c.cast("int").alias("cid")))
-            return F.array_min(prs)["cid"]
-        return _per_subspace(rv, code)
+        cvs = F.element_at(F.col("cbm"), j + 1)
+        idx = F.sequence(F.lit(0), F.size(cvs) - 1)
+        prs = F.zip_with(cvs, idx, lambda cv, c: F.struct(
+            F.round(l2sq_flat(j * sub_i, cv), round_to).alias("d"),
+            c.cast("int").alias("cid")))
+        return F.array_min(prs)["cid"]
 
-    def lut_hof(rv):
-        def lut_row(j, sv):
-            return F.transform(
-                F.element_at(F.col("cbm"), j + 1),
-                lambda cv: (F.round(l2sq(sv, cv), round_to)
-                            .cast("decimal(18,6)")
-                            * F.lit(1000000)).cast("long"))
-        return _per_subspace(rv, lut_row)
+    def mk_lut_row(j):
+        # NB: the transform lambda takes exactly ONE parameter — a
+        # two-parameter lambda is interpreted as (element, index).
+        def entry(cv):
+            return (F.round(l2sq_flat(j * sub_i, cv), round_to)
+                     .cast("decimal(15,6)")
+                     * F.lit(1000000)).cast("long")
+        return F.transform(F.element_at(F.col("cbm"), j + 1), entry)
 
     enc_codes = (r_idx.join(F.broadcast(rcb_p))
                       .select("neighbor_id", "cell_id",
-                              codes_hof(F.col("rv")).alias("codes")))
+                              F.array(*[mk_code(j) for j in range(m)])
+                               .alias("codes")))
     inv = (enc_codes.groupBy("cell_id")
                     .agg(F.collect_list(F.struct("neighbor_id", "codes"))
                           .alias("entries")))
@@ -1208,7 +1277,8 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                          "rv"))
     lut_pc = (r_q.join(F.broadcast(rcb_p))
                  .select("qid", "probe_cell", "probe_rank",
-                         lut_hof(F.col("rv")).alias("lut")))
+                         F.array(*[mk_lut_row(j) for j in range(m)])
+                          .alias("lut")))
     inv_s = inv.withColumn(
         "isalt", F.explode(F.array(*[F.lit(r)
                                      for r in range(cell_salt)])))
@@ -2102,8 +2172,11 @@ def _power_sweeps(c: DataFrame, *, iters: int,
     # exact SUM() the windowed form (and the oracle) computes. The
     # magnitude bound is generous: quantized covariance entries are
     # O(variance) and the vector is unit, so every sum here is far
-    # below 10^(30-2r); an overflow would surface as a NULL and a
-    # loud hash mismatch, never a silent rounding.
+    # below 10^(30-2r); an overflow surfaces as a NULL that the
+    # normalize step PROPAGATES (the explicit nm-null branch below —
+    # without it the when(nm > 0) guard would fall through to
+    # otherwise(0.0) and silently zero the iterate), never a silent
+    # rounding.
     sum_t = f"decimal(30,{2 * round_to})"
     rows_ = (c.groupBy("i")
               .agg(F.transform(F.array_sort(F.collect_list(
@@ -2144,7 +2217,9 @@ def _power_sweeps(c: DataFrame, *, iters: int,
         nm = F.sqrt(F.col("w2s").cast("double"))
         newv = F.transform(
             F.col("wv"),
-            lambda x: F.when(nm > 0,
+            lambda x: F.when(nm.isNull(),
+                             F.lit(None).cast("double"))
+                       .when(nm > 0,
                              F.round(x.cast("double") / nm, round_to))
                        .otherwise(F.lit(0.0)).cast(dec))
         cur = cur.select("dims", "mat", newv.alias("v"))

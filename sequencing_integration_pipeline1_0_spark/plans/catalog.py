@@ -2262,7 +2262,7 @@ def f20_to_json(spark, sf_dir):
          .alias("row_json"))
 
 
-@register("t3_ttl_expiry", """
+_T3_TTL_SQL = """
 WITH aged AS (
   SELECT event_id, user_id, value,
          CAST(to_timestamp(epoch_us(ts) / 1000000.0) AS DATE) AS d
@@ -2273,7 +2273,10 @@ SELECT event_id, user_id,
     CASE WHEN value < 1.0 THEN 'low_value' END) AS delete_reason
 FROM aged
 WHERE d < DATE '2024-03-01' - INTERVAL 60 DAY OR value < 1.0
-""")
+"""
+
+
+@register("t3_ttl_expiry", _T3_TTL_SQL)
 def t3_ttl_expiry(spark, sf_dir):
     """T3: retry-queue TTL expiry with united reason annotation
     (keep_na 60-day retention, ref: KEEP_NA...Rmd:699-763). The
@@ -4726,7 +4729,34 @@ def pipe_missing_lineage_recovery(spark, sf_dir):
 
 from ..streaming import incremental as _st  # noqa: E402
 
-_EVENTS_STREAM_DIRS: dict[str, str] = {}
+# (sf_dir, table) -> (staging dir, cached schema). The file source
+# requires a DIRECTORY; we stage a symlink dir (testdata is read-only),
+# one per (sf, table), reused across invocations WITH its schema so a
+# long-lived session neither accumulates temp dirs nor re-runs parquet
+# schema inference per call — and every staged dir is removed at
+# interpreter exit (ADVICE r9).
+_STREAM_STAGE: dict[tuple[str, str], tuple[str, object]] = {}
+
+
+def _staged_stream(spark, sf_dir, fname):
+    """<sf_dir>/<fname> as a file-source stream via a cached,
+    atexit-cleaned symlink staging dir with its schema cached
+    alongside (shared by _events_stream/_embeddings_stream/
+    _documents_stream)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = os.path.join(sf_dir, fname)
+    key = (sf_dir, fname)
+    cached = _STREAM_STAGE.get(key)
+    if cached is None or not os.path.exists(cached[0]):
+        stage = tempfile.mkdtemp(prefix=fname.split(".")[0] + "_src_")
+        os.symlink(path, os.path.join(stage, fname))
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        cached = (stage, spark.read.parquet(path).schema)
+        _STREAM_STAGE[key] = cached
+    return _st.read_parquet_stream(spark, cached[0], cached[1])
 
 
 def _events_stream(spark, sf_dir):
@@ -4735,17 +4765,7 @@ def _events_stream(spark, sf_dir):
     to the TIMESTAMP(NANOS) vs timestamp[us] testdata drift)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    # the file source requires a DIRECTORY; stage a symlink dir next to
-    # nothing we own (testdata is read-only) — one per sf, reused
-    import tempfile
-    stage = _EVENTS_STREAM_DIRS.get(sf_dir)
-    if stage is None or not os.path.exists(stage):
-        stage = tempfile.mkdtemp(prefix="events_src_")
-        os.symlink(path, os.path.join(stage, "events.parquet"))
-        _EVENTS_STREAM_DIRS[sf_dir] = stage
-    schema = spark.read.parquet(path).schema
-    raw = _st.read_parquet_stream(spark, stage, schema)
+    raw = _staged_stream(spark, sf_dir, "events.parquet")
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         et = F.timestamp_micros(F.expr("ts div 1000"))
@@ -5806,40 +5826,18 @@ SELECT vec_id AS id, CAST(cell_id AS BIGINT) AS cell_id FROM (
 """)
 
 
-_EMB_STREAM_DIRS: dict[str, str] = {}
-
-
 def _embeddings_stream(spark, sf_dir):
     """embeddings.parquet as a file-source stream — the arriving-
-    vectors queue for the streaming index-maintenance twins (same
-    symlink-dir staging as _events_stream; testdata is read-only)."""
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    import tempfile
-    stage = _EMB_STREAM_DIRS.get(sf_dir)
-    if stage is None or not os.path.exists(stage):
-        stage = tempfile.mkdtemp(prefix="emb_src_")
-        os.symlink(path, os.path.join(stage, "embeddings.parquet"))
-        _EMB_STREAM_DIRS[sf_dir] = stage
-    schema = spark.read.parquet(path).schema
-    return _st.read_parquet_stream(spark, stage, schema)
-
-
-_DOC_STREAM_DIRS: dict[str, str] = {}
+    vectors queue for the streaming index-maintenance twins (cached
+    symlink-dir staging via _staged_stream; testdata is read-only)."""
+    return _staged_stream(spark, sf_dir, "embeddings.parquet")
 
 
 def _documents_stream(spark, sf_dir):
     """documents.parquet as a file-source stream — the arriving-docs
-    queue for the streaming ingest screens (same symlink staging as
-    _events_stream/_embeddings_stream)."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    import tempfile
-    stage = _DOC_STREAM_DIRS.get(sf_dir)
-    if stage is None or not os.path.exists(stage):
-        stage = tempfile.mkdtemp(prefix="docs_src_")
-        os.symlink(path, os.path.join(stage, "documents.parquet"))
-        _DOC_STREAM_DIRS[sf_dir] = stage
-    schema = spark.read.parquet(path).schema
-    return _st.read_parquet_stream(spark, stage, schema)
+    queue for the streaming ingest screens (cached symlink staging
+    via _staged_stream)."""
+    return _staged_stream(spark, sf_dir, "documents.parquet")
 
 
 @register("st_decontam_screen", _DECONTAM_SQL)
@@ -5895,6 +5893,47 @@ def st_ivf_assign(spark, sf_dir):
                                      id_col="vec_id",
                                      vec_col="embedding")
     return _st.run_available_now(assigned, "st_ivf_assign", "append")
+
+
+@register("st_keepna_ttl", _T3_TTL_SQL)
+def st_keepna_ttl(spark, sf_dir):
+    """STREAMING retry-queue TTL expiry — t3_ttl_expiry's keep_na
+    retention sweep (ref: KEEP_NA...Rmd:699-763, the reference's most
+    stateful pattern) run ON THE ARRIVAL PATH: unmatched rows arrive
+    as a file-source event stream carrying an event-time WATERMARK,
+    and each row is annotated/expired against the retention fence the
+    moment it lands instead of by a nightly sweep. Shares
+    t3_ttl_expiry's oracle VERBATIM (the st_ivf_assign discipline):
+    the drained stream must be bit-identical to the batch sweep.
+
+    Scale shape: STATELESS map-side — the expiry decision is row-local
+    against a fixed cutoff (the negated T7 era fence, same
+    cdc.era_fence expression as the batch), so there is no state
+    store at all; the watermark declares the event-time column for
+    composition with downstream windowed consumers (e.g. feeding
+    st_daily_window_counts) without itself buffering anything. At
+    100 TB the TTL screen rides the ingest stream at line rate.
+
+    Value parity with the batch (bit-identical): event_time is the
+    same epoch-micros instant _t normalizes (UTC session), so its
+    DATE cast equals the batch's timestamp_micros(ts_us) cast; the
+    fence, the low-value predicate, and the concat_ws reason string
+    are the identical expressions."""
+    d = F.col("event_time").cast("date")
+    expired = ~cdc.era_fence(
+        d, start=F.date_sub(F.lit("2024-03-01").cast("date"), 60))
+    low = F.col("value") < 1.0
+    swept = (_events_stream(spark, sf_dir)
+             .withWatermark("event_time", "1 hour")
+             .select("event_id", "user_id",
+                     F.concat_ws(";",
+                                 F.when(expired, "expired_60d"),
+                                 F.when(low, "low_value"))
+                      .alias("delete_reason"),
+                     expired.alias("__e"), low.alias("__l"))
+             .filter(F.col("__e") | F.col("__l"))
+             .drop("__e", "__l"))
+    return _st.run_available_now(swept, "st_keepna_ttl", "append")
 
 
 @register("ivf_assign_batch", _IVF_ASSIGN_SQL)

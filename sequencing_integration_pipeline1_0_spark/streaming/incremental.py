@@ -346,13 +346,27 @@ def ngram_contamination_stream(stream: DataFrame, bench: DataFrame,
     gram hashes and intersects per-row — no explode, no groupBy, no
     state store, append mode; at 100 TB this rides the ingest stream
     at line rate with state exactly the (MBs) eval-set hash list.
+    The tiny-side assumption is ENFORCED with the family's bounded
+    limit+count probe (minhash_contamination / semantic_contamination
+    discipline): an eval set over BENCH_BROADCAST_CAP rows raises
+    the clear family error here instead of failing opaquely at
+    Spark's single-row/array limits when the one-row pack builds.
 
     Value parity with the batch screen (bit-identical): same
     ngram_array grams (empty for < n words), same per-doc distinct,
     same xxhash64 — array_intersect counts exactly the rows the
     batch's distinct-hash join counts per doc, and every corpus row
     is emitted (zero-hit docs included, the full decision column)."""
+    from ..operators.dedupe_scale import BENCH_BROADCAST_CAP
     from ..operators.textstats import ngram_array
+
+    cap = BENCH_BROADCAST_CAP
+    if bench.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"ngram_contamination_stream packs the bench side's gram "
+            f"hashes into one broadcast row and refuses bench inputs "
+            f"over {cap} rows; pre-partition the eval set (the corpus "
+            f"side streams and is never broadcast).")
 
     bg = (bench.select(F.explode(F.array_distinct(
                            ngram_array(text_col, n))).alias("gram"))

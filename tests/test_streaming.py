@@ -409,3 +409,20 @@ def test_ngram_contamination_stream_matches_batch(spark, sf_dir, tmp_path):
            for r in _run_stream(spark, screened, tmp_path,
                                 "t_decontam_stream").collect()}
     assert got == expected
+
+
+def test_keepna_ttl_stream_matches_batch(spark, sf_dir):
+    """The streaming retry-queue TTL sweep is row-identical to the
+    batch t3_ttl_expiry on the same events — the st_keepna_ttl
+    parity (reason strings included), pinned at fixture scale via
+    the catalog entries themselves so the two can never drift."""
+    from sequencing_integration_pipeline1_0_spark.plans import catalog
+
+    expected = {(r.event_id, r.user_id, r.delete_reason)
+                for r in catalog.Q["t3_ttl_expiry"](spark, sf_dir)
+                                 .collect()}
+    got = {(r.event_id, r.user_id, r.delete_reason)
+           for r in catalog.Q["st_keepna_ttl"](spark, sf_dir)
+                            .collect()}
+    assert got == expected
+    assert got  # non-vacuous: the fixture has expirable rows

@@ -47,6 +47,19 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
+    # Capture the JVM's stderr (log4j) for the whole run so the
+    # summary can report an AUDITABLE count of WindowExec
+    # "No Partition Defined" warnings — the single-partition-stage
+    # indicator VERDICT r9 asked to track round-over-round. The
+    # redirect must happen BEFORE the SparkSession launches its JVM
+    # (the JVM inherits fd 2 at fork). Real stderr is restored (and
+    # the captured tail replayed on failure) at the end.
+    import tempfile
+    cap = tempfile.NamedTemporaryFile(mode="w+", prefix="selfcheck_err_",
+                                      suffix=".log", delete=False)
+    real_err = os.dup(2)
+    os.dup2(cap.fileno(), 2)
+
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -106,8 +119,25 @@ def main() -> int:
             continue
         print(f"ok   {name}: rows={len(sdf)} values match")
 
+    os.dup2(real_err, 2)
+    os.close(real_err)
+    try:
+        with open(cap.name) as f:
+            err_text = f.read()
+    except OSError:
+        err_text = ""
+    n_warn = err_text.count(
+        "WARN WindowExec: No Partition Defined for Window operation")
+    if failures:
+        # replay the captured JVM stderr tail so failures keep their
+        # diagnostics despite the redirect
+        sys.stderr.write(err_text[-8000:])
+    else:
+        os.unlink(cap.name)
+
     print(f"\n{ran - len(failures)}/{ran} queries pass"
-          + ("" if not only else f" (of {len(qs)} total)"))
+          + ("" if not only else f" (of {len(qs)} total)")
+          + f"  windowexec_warnings={n_warn}")
     return 1 if failures else 0
 
 
