@@ -10,6 +10,7 @@ Spark job."""
 from __future__ import annotations
 
 import datetime as dt
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -23,6 +24,18 @@ SLOW = settings(max_examples=6, deadline=None,
                 suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 DATES = st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 28))
+
+
+def round6_half_up(x: float) -> float:
+    """Round to 6 dp the way the ENGINE does: Spark's round() (and
+    DuckDB's) takes the double's shortest decimal repr and rounds
+    HALF_UP; Python's round() is banker's (HALF_EVEN) on the true
+    binary value. The two differ exactly at representable 6-dp
+    midpoints — e.g. 1/128 = 0.0078125, which small-integer-ratio
+    references genuinely produce (hypothesis found it in the CvM
+    term (n_bin/N) * gap^2). Reference code must model the engine."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
 
 
 @SLOW
@@ -653,8 +666,8 @@ def test_cvm_binned_matches_python_reference(spark, rows):
     for b in range(8):
         ca += cnt[b][0]
         cb += cnt[b][1]
-        gap = round(ca / ta, 6) - round(cb / tb, 6)
-        terms[b] = round(sum(cnt[b]) / big_n * gap * gap, 6)
+        gap = round6_half_up(ca / ta) - round6_half_up(cb / tb)
+        terms[b] = round6_half_up(sum(cnt[b]) / big_n * gap * gap)
         stat += round(terms[b] * 10**6)
     stat = round(stat / 10**6, 6)
     for b in range(8):
