@@ -147,6 +147,62 @@ def lsh_topk(df: DataFrame, id_col: str, vec_col: str, *,
                  .select("id", "neighbor_id", "cos_sim", "rank"))
 
 
+def _packed_cells(cents: DataFrame) -> DataFrame:
+    """ONE-ROW packed coarse codebook: cells = array<struct<cell_id,
+    cv, ncv>> ordered by cell_id — the broadcastable form of the
+    map-side cell assignment (the ivf_assign_stream shape lifted into
+    every batch IVF path, r10 / guide §2.4). Accepts (cell_id, cv)
+    or (cell_id, cv, ncv); the norm is computed here when absent with
+    the same norm() expression the join form used."""
+    c = cents if "ncv" in cents.columns \
+        else cents.withColumn("ncv", norm(F.col("cv")))
+    return (c.groupBy()
+             .agg(F.array_sort(F.collect_list(
+                      F.struct("cell_id", "cv", "ncv"))).alias("cells")))
+
+
+def _cell_prs(vc: Column, nvc: Column, round_to: int,
+              with_cv: bool = False) -> Column:
+    """array<struct<csim, negid[, ccv]>> over the packed `cells`
+    column: per cell the SAME rounded cosine the join+window form
+    computed (identical operand order: dot(v, cv) / (nv * ncv)), with
+    negid = -cell_id so that struct DESC ordering == the window's
+    (csim DESC, cell_id ASC) — negation of a long id is exact, and the
+    struct comparator's NULL-field-smallest / NaN-greatest semantics
+    match the window sort's NULLS-LAST-desc / NaN-first behavior, so
+    ranks are bit-identical (the ivf_assign_stream parity argument,
+    already oracle-certified by st_ivf_assign sharing
+    ivf_assign_batch's oracle verbatim). with_cv additionally carries
+    the centroid subvector for residual computation; it participates
+    in comparisons only after (csim, negid) ties, which cannot happen
+    (cell_id is unique)."""
+    def entry(c):
+        fields = [
+            F.round(dot(vc, c["cv"]) / (nvc * c["ncv"]), round_to)
+             .alias("csim"),
+            (-c["cell_id"]).alias("negid")]
+        if with_cv:
+            fields.append(c["cv"].alias("ccv"))
+        return F.struct(*fields)
+    return F.transform(F.col("cells"), entry)
+
+
+def _best_cell(vc: Column, nvc: Column, round_to: int) -> Column:
+    """argmax cell as a struct (csim, negid): array_max over the
+    packed sims — crank==1 of the old window, computed MAP-SIDE with
+    no exchange and no per-id sort. cell_id = -result['negid']."""
+    return F.array_max(_cell_prs(vc, nvc, round_to))
+
+
+def _top_cells(vc: Column, nvc: Column, nprobe: int, round_to: int,
+               with_cv: bool = False) -> Column:
+    """The nprobe nearest cells in probe order: sort_array DESC over
+    the packed sims (the exact window ordering, see _cell_prs) then
+    slice — posexplode position + 1 IS the old crank, map-side."""
+    return F.slice(F.sort_array(_cell_prs(vc, nvc, round_to, with_cv),
+                                asc=False), 1, nprobe)
+
+
 def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
                        n_cells: int = 8, iters: int = 2,
                        round_to: int = 6) -> DataFrame:
@@ -179,17 +235,13 @@ def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
     cents = (base.orderBy("id").limit(n_cells)
                  .select(F.col("id").alias("cell_id"), F.col("v").alias("cv")))
     for _ in range(iters):
-        cb = F.broadcast(cents.withColumn("ncv", norm(F.col("cv"))))
-        sims = (base.join(cb)
-                    .withColumn("csim",
-                                F.round(dot(F.col("v"), F.col("cv"))
-                                        / (F.col("nv") * F.col("ncv")),
-                                        round_to)))
-        cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                              F.col("cell_id"))
-        assign = (sims.withColumn("crank", F.row_number().over(cw))
-                      .filter(F.col("crank") == 1)
-                      .select("cell_id", "v"))
+        # r10 (guide §2.4): the assignment argmax runs MAP-SIDE over
+        # the ONE-ROW packed codebook — no n x n_cells exchange, no
+        # per-id window sort; ranks bit-identical (see _cell_prs)
+        assign = (base.join(F.broadcast(_packed_cells(cents)))
+                      .select((-_best_cell(F.col("v"), F.col("nv"),
+                                           round_to)["negid"])
+                              .alias("cell_id"), "v"))
         comp = assign.select("cell_id", F.posexplode("v").alias("pos", "val"))
         q = F.round(F.col("val").cast("double"), round_to).cast("decimal(18,6)")
         means = (comp.groupBy("cell_id", "pos")
@@ -248,14 +300,12 @@ def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
     cents = (base.orderBy("id").limit(n_cells)
                  .select(F.col("id").alias("cell_id"),
                          F.col("v").alias("cv"), F.col("nv").alias("ncv")))
-    sims = (base.join(F.broadcast(cents))
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")), round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell_id"))
-    idx = (sims.withColumn("crank", F.row_number().over(cw))
-               .filter(F.col("crank") == 1)
-               .select("id", "v", "nv", "cell_id"))
+    # r10 (guide §2.4): map-side argmax over the one-row packed
+    # codebook — no n x n_cells exchange, no per-id window sort
+    idx = (base.join(F.broadcast(_packed_cells(cents)))
+               .select("id", "v", "nv",
+                       (-_best_cell(F.col("v"), F.col("nv"),
+                                    round_to)["negid"]).alias("cell_id")))
     b = (idx.select(F.col("id").alias("nn_id"), F.col("v").alias("vb"),
                     F.col("nv").alias("nb"), "cell_id")
             .withColumn("__b", F.pmod(F.xxhash64("nn_id"),
@@ -361,17 +411,16 @@ def _semantic_contamination_ungated(corpus: DataFrame, bench: DataFrame,
                           F.col("v").alias("cv"),
                           F.col("nv").alias("ncv")))
 
+    packed = _packed_cells(cents)
+
     def assign(base, idc, vc, nc):
-        sims = (base.join(F.broadcast(cents))
-                    .withColumn("csim",
-                                F.round(dot(F.col(vc), F.col("cv"))
-                                        / (F.col(nc) * F.col("ncv")),
-                                        round_to)))
-        cw = Window.partitionBy(idc).orderBy(F.col("csim").desc(),
-                                             F.col("cell_id"))
-        return (sims.withColumn("__r", F.row_number().over(cw))
-                    .filter(F.col("__r") == 1)
-                    .select(idc, vc, nc, "cell_id"))
+        # r10 (guide §2.4): map-side argmax over the one-row packed
+        # codebook — no n x n_cells exchange, no per-id window sort
+        return (base.join(F.broadcast(packed))
+                    .select(idc, vc, nc,
+                            (-_best_cell(F.col(vc), F.col(nc),
+                                         round_to)["negid"])
+                            .alias("cell_id")))
 
     cidx = assign(cbase, "id", "v", "nv")
     bidx = assign(bbase, "bench_id", "vb", "nb")
@@ -452,17 +501,14 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     the invariant the parity test pins."""
     base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
-    cb = F.broadcast(codebook.withColumn("ncv", norm(F.col("cv"))))
-    sims = (base.join(cb)
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")),
-                                    round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                          F.col("cell_id"))
-    return (sims.withColumn("__crank", F.row_number().over(cw))
-                .filter(F.col("__crank") == 1)
-                .select("id", "v", "nv", "cell_id"))
+    # r10 (guide §2.4): map-side argmax over the one-row packed
+    # codebook — no n x n_cells exchange, no per-id window sort
+    # (ranks bit-identical, see _cell_prs; this is exactly the
+    # certified ivf_assign_stream shape brought back to the batch op)
+    return (base.join(F.broadcast(_packed_cells(codebook)))
+                .select("id", "v", "nv",
+                        (-_best_cell(F.col("v"), F.col("nv"),
+                                     round_to)["negid"]).alias("cell_id")))
 
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
@@ -517,19 +563,24 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
                      .select(F.col("id").alias("cell_id"),
                              F.col("v").alias("cv"),
                              F.col("nv").alias("ncv")))
-    sims = (base.join(F.broadcast(cents))
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")), round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell_id"))
-    sims = sims.withColumn("crank", F.row_number().over(cw))
-    idx = (sims.filter(F.col("crank") == 1)
+    # r10 (guide §2.4): probe ranks run MAP-SIDE over the one-row
+    # packed codebook (sort_array desc == the window's ordering, see
+    # _cell_prs) — no n x n_cells exchange, no per-id window sort
+    ranked = (base.join(F.broadcast(_packed_cells(cents)))
+                  .select("id", "v", "nv",
+                          F.posexplode(_top_cells(
+                              F.col("v"), F.col("nv"),
+                              max(1, nprobe), round_to)).alias("pos", "s"))
+                  .select("id", "v", "nv",
+                          (-F.col("s.negid")).alias("cell_id"),
+                          (F.col("pos") + 1).alias("crank")))
+    idx = (ranked.filter(F.col("crank") == 1)
                .select(F.col("id").alias("neighbor_id"),
                        F.col("v").alias("vb"), F.col("nv").alias("nb"),
                        "cell_id")
                .withColumn("__b", F.pmod(F.xxhash64("neighbor_id"),
                                          F.lit(salt_buckets))))
-    probe = (sims.filter(F.col("crank") <= nprobe)
+    probe = (ranked.filter(F.col("crank") <= nprobe)
                  .select("id", F.col("v").alias("va"),
                          F.col("nv").alias("na"),
                          F.col("cell_id").alias("probe_cell"))
@@ -690,17 +741,12 @@ def ivfpq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
-    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
-    sims = (base.join(cb)
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")),
-                                    round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                          F.col("cell_id"))
-    idxc = (sims.withColumn("crank", F.row_number().over(cw))
-                .filter(F.col("crank") == 1)
-                .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    # r10 (guide §2.4): map-side argmax over the one-row packed
+    # codebook — no n x n_cells exchange, no per-id window sort
+    idxc = (base.join(F.broadcast(_packed_cells(coarse)))
+                .select(F.col("id").alias("neighbor_id"),
+                        (-_best_cell(F.col("v"), F.col("nv"),
+                                     round_to)["negid"]).alias("cell_id")))
     enc = pq_encode(df, id_col, vec_col, m=m, k=k,
                     round_to=round_to, codebooks=codebooks)
     enc_codes = (enc.groupBy("id")
@@ -821,16 +867,16 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     if coarse is None:
         coarse = train_ivf_codebook(df, id_col, vec_col, n_cells=n_cells,
                                     iters=coarse_iters, round_to=round_to)
-    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
-    sims = (base.join(cb)
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")),
-                                    round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                          F.col("cell_id"))
-    ranked = (sims.withColumn("crank", F.row_number().over(cw))
-                  .select("id", "cell_id", "crank"))
+    # r10 (guide §2.4): coarse ranks run MAP-SIDE over the one-row
+    # packed codebook (sort_array desc == the window's ordering, see
+    # _cell_prs) — no n x n_cells exchange, no per-id window sort
+    ranked = (base.join(F.broadcast(_packed_cells(coarse)))
+                  .select("id",
+                          F.posexplode(_top_cells(
+                              F.col("v"), F.col("nv"),
+                              max(1, nprobe), round_to)).alias("pos", "s"))
+                  .select("id", (-F.col("s.negid")).alias("cell_id"),
+                          (F.col("pos") + 1).alias("crank")))
     idxc = (ranked.filter(F.col("crank") == 1)
                   .select(F.col("id").alias("neighbor_id"), "cell_id"))
     probe = (ranked.filter(F.col("crank") <= nprobe)
@@ -1166,25 +1212,25 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
               .withColumn("nv", norm(F.col("v"))))
     coarse = train_ivf_codebook(df, id_col, vec_col, n_cells=n_cells,
                                 iters=coarse_iters, round_to=round_to)
-    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
-    sims = (base.join(cb)
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")),
-                                    round_to)))
-    # v and cv ride THROUGH the assignment window and the residual is
-    # subtracted BEFORE the checkpoint, so the materialized table
-    # carries ONE d-vector per row (rv) instead of the (v, cv) pair —
-    # half the checkpoint payload, and the subtraction runs once per
-    # row instead of once per downstream consumer (r_idx and r_q both
-    # read crank==1 rows). Ranks beyond nprobe feed nothing, so the
-    # table keeps n x nprobe rows only.
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                          F.col("cell_id"))
-    resid = F.zip_with("v", "cv", lambda a, b: a.cast("double") - b)
-    ranked = (sims.withColumn("crank", F.row_number().over(cw))
-                  .filter(F.col("crank") <= max(1, nprobe))
-                  .select("id", "cell_id", "crank", resid.alias("rv"))
+    # r10 (guide §2.4): coarse ranks run MAP-SIDE over the one-row
+    # packed codebook (sort_array desc == the window's ordering, see
+    # _cell_prs; with_cv carries each probed cell's centroid so the
+    # residual subtracts post-explode) — no n x n_cells exchange, no
+    # per-id window sort. The residual is subtracted BEFORE the
+    # checkpoint, so the materialized table carries ONE d-vector per
+    # row (rv); ranks beyond nprobe feed nothing, so the table keeps
+    # n x nprobe rows only.
+    resid = F.zip_with("v", F.col("s.ccv"),
+                       lambda a, b: a.cast("double") - b)
+    ranked = (base.join(F.broadcast(_packed_cells(coarse)))
+                  .select("id", "v",
+                          F.posexplode(_top_cells(
+                              F.col("v"), F.col("nv"),
+                              max(1, nprobe), round_to,
+                              with_cv=True)).alias("pos", "s"))
+                  .select("id", (-F.col("s.negid")).alias("cell_id"),
+                          (F.col("pos") + 1).alias("crank"),
+                          resid.alias("rv"))
                   .localCheckpoint())
 
     r_idx = (ranked.filter(F.col("crank") == 1)
@@ -1483,17 +1529,12 @@ def ivfbq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
-    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
-    sims = (base.join(cb)
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")),
-                                    round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                          F.col("cell_id"))
-    idxc = (sims.withColumn("crank", F.row_number().over(cw))
-                .filter(F.col("crank") == 1)
-                .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    # r10 (guide §2.4): map-side argmax over the one-row packed
+    # codebook — no n x n_cells exchange, no per-id window sort
+    idxc = (base.join(F.broadcast(_packed_cells(coarse)))
+                .select(F.col("id").alias("neighbor_id"),
+                        (-_best_cell(F.col("v"), F.col("nv"),
+                                     round_to)["negid"]).alias("cell_id")))
     return idxc.join(
         df.select(F.col(id_col).alias("neighbor_id"),
                   sign_bit_array(F.col(vec_col)).alias("bb")),
@@ -1532,16 +1573,15 @@ def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
                                     n_cells=n_cells,
                                     iters=coarse_iters,
                                     round_to=round_to)
-    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
-    sims = (base.join(cb)
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")),
-                                    round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                          F.col("cell_id"))
-    ranked = (sims.withColumn("crank", F.row_number().over(cw))
-                  .select("id", "cell_id", "crank"))
+    # r10 (guide §2.4): coarse ranks run MAP-SIDE over the one-row
+    # packed codebook — no n x n_cells exchange, no per-id window
+    ranked = (base.join(F.broadcast(_packed_cells(coarse)))
+                  .select("id",
+                          F.posexplode(_top_cells(
+                              F.col("v"), F.col("nv"),
+                              max(1, nprobe), round_to)).alias("pos", "s"))
+                  .select("id", (-F.col("s.negid")).alias("cell_id"),
+                          (F.col("pos") + 1).alias("crank")))
     enc = df.select(F.col(id_col).alias("id"),
                     sign_bit_array(F.col(vec_col)).alias("bits"))
     if entries is None:
@@ -1627,17 +1667,12 @@ def ivfsq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
-    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
-    sims = (base.join(cb)
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")),
-                                    round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                          F.col("cell_id"))
-    idxc = (sims.withColumn("crank", F.row_number().over(cw))
-                .filter(F.col("crank") == 1)
-                .select(F.col("id").alias("neighbor_id"), "cell_id"))
+    # r10 (guide §2.4): map-side argmax over the one-row packed
+    # codebook — no n x n_cells exchange, no per-id window sort
+    idxc = (base.join(F.broadcast(_packed_cells(coarse)))
+                .select(F.col("id").alias("neighbor_id"),
+                        (-_best_cell(F.col("v"), F.col("nv"),
+                                     round_to)["negid"]).alias("cell_id")))
     enc = _int8_enc(base)
     return idxc.join(
         enc.select(F.col("id").alias("neighbor_id"),
@@ -1681,16 +1716,15 @@ def ivfsq_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                                     n_cells=n_cells,
                                     iters=coarse_iters,
                                     round_to=round_to)
-    cb = F.broadcast(coarse.withColumn("ncv", norm(F.col("cv"))))
-    sims = (base.join(cb)
-                .withColumn("csim",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("nv") * F.col("ncv")),
-                                    round_to)))
-    cw = Window.partitionBy("id").orderBy(F.col("csim").desc(),
-                                          F.col("cell_id"))
-    ranked = (sims.withColumn("crank", F.row_number().over(cw))
-                  .select("id", "cell_id", "crank"))
+    # r10 (guide §2.4): coarse ranks run MAP-SIDE over the one-row
+    # packed codebook — no n x n_cells exchange, no per-id window
+    ranked = (base.join(F.broadcast(_packed_cells(coarse)))
+                  .select("id",
+                          F.posexplode(_top_cells(
+                              F.col("v"), F.col("nv"),
+                              max(1, nprobe), round_to)).alias("pos", "s"))
+                  .select("id", (-F.col("s.negid")).alias("cell_id"),
+                          (F.col("pos") + 1).alias("crank")))
     enc = _int8_enc(base)
     if entries is None:
         idxc = (ranked.filter(F.col("crank") == 1)
