@@ -608,6 +608,53 @@ def l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _l2sq_flat_sql(vec: str, off: int, cv: str, n: int) -> str:
+    """Generated-SQL form of the unrolled squared-L2 chain: the plain
+    left-associated `0.0D + (x-y)*(x-y) + ...` the r10 LUT/encode
+    unrolls run — SAME parsed tree (CAST/element_at/round in the same
+    order, so bit-identical values), but built as ONE string handed
+    to F.expr instead of thousands of py4j Column calls. Measured:
+    constructing the m x k LUT via Column ops cost 1.7 s of DRIVER
+    time per plan build (inside bench's timed window, every
+    execution); the parsed form costs ~3 ms (guide §1 — the 'compute'
+    was driver-side plan construction, not the cluster)."""
+    terms = []
+    for i in range(1, n + 1):
+        x = f"CAST(element_at({vec}, {off + i}) AS DOUBLE)"
+        y = f"CAST(element_at({cv}, {i}) AS DOUBLE)"
+        terms.append(f"({x} - {y}) * ({x} - {y})")
+    return "0.0D + " + " + ".join(terms)
+
+
+def _lut_rows_sql(vec: str, m: int, sub: int, round_to: int) -> str:
+    """array(transform(cbm[j], cv -> scale-6 long LUT entry) for each
+    subspace j) as one SQL string — the packed per-query LUT build
+    (see _adc_score for the exactness bound on the scaled longs)."""
+    rows = []
+    for j in range(m):
+        chain = _l2sq_flat_sql(vec, j * sub, "cv", sub)
+        rows.append(
+            f"transform(element_at(cbm, {j + 1}), cv -> "
+            f"CAST(CAST(ROUND({chain}, {round_to}) AS DECIMAL(15,6))"
+            f" * 1000000 AS BIGINT))")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def _codes_sql(vec: str, m: int, sub: int, round_to: int) -> str:
+    """array(per-subspace argmin code) as one SQL string: array_min
+    over (rounded d, cid) structs == the min(struct(d, cid)) the
+    join+agg encode used (tie -> lower cid), map-side."""
+    cols = []
+    for j in range(m):
+        cvs = f"element_at(cbm, {j + 1})"
+        chain = _l2sq_flat_sql(vec, j * sub, "cv", sub)
+        cols.append(
+            f"array_min(zip_with({cvs}, sequence(0, size({cvs}) - 1), "
+            f"(cv, c) -> named_struct('d', ROUND({chain}, {round_to}), "
+            f"'cid', CAST(c AS INT))))['cid']")
+    return "array(" + ", ".join(cols) + ")"
+
+
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int,
                 out_id: str = "id") -> DataFrame:
     """Explode vectors into their m contiguous subvectors:
@@ -925,23 +972,13 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     # fold runs (identical IEEE add sequence, bit-identical values;
     # oracle re-green), with no per-element lambda frames and no
     # per-subspace slice allocation. The residual variant got the
-    # same treatment the same round.
+    # same treatment the same round. The tree arrives via ONE
+    # generated-SQL F.expr parse (_l2sq_flat_sql): the Column-built
+    # form spent 1.7 s of driver time per plan build in py4j calls —
+    # paid inside every timed bench execution.
     sub_q_i = int(df.select((F.size(F.col(vec_col)) / m).cast("int")
                             .alias("s")).first()["s"])
-
-    def _mk_lut_row(j):
-        def entry(cv):
-            s = F.lit(0.0)
-            for i in range(1, sub_q_i + 1):
-                x = F.element_at(F.col("qv"),
-                                 j * sub_q_i + i).cast("double")
-                y = F.element_at(cv, i).cast("double")
-                s = s + (x - y) * (x - y)
-            return (F.round(s, round_to).cast("decimal(15,6)")
-                    * F.lit(1000000)).cast("long")
-        return F.transform(F.element_at(F.col("cbm"), j + 1), entry)
-
-    lut_arr = F.array(*[_mk_lut_row(j) for j in range(m)])
+    lut_arr = F.expr(_lut_rows_sql("qv", m, sub_q_i, round_to))
     lut_q = (qrows.join(F.broadcast(pqcb_p))
                   .select("qid", lut_arr.alias("lut")))
     # Index build: codes live IN the cell's INVERTED LIST — exactly
@@ -1280,38 +1317,15 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
             f"m={m} (the _subvectors contract)")
     sub_i = d_dim // m
 
-    def l2sq_flat(off, cv):
-        # left fold ((0.0 + d1) + d2) + ... — l2sq()'s exact order
-        s = F.lit(0.0)
-        for i in range(1, sub_i + 1):
-            x = F.element_at(F.col("rv"), off + i).cast("double")
-            y = F.element_at(cv, i).cast("double")
-            s = s + (x - y) * (x - y)
-        return s
-
-    def mk_code(j):
-        # per subspace: argmin over centroids of the rounded squared
-        # L2, tie -> lower cid (array_min's struct order == the
-        # min(struct(d, cid)) the join+agg form used)
-        cvs = F.element_at(F.col("cbm"), j + 1)
-        idx = F.sequence(F.lit(0), F.size(cvs) - 1)
-        prs = F.zip_with(cvs, idx, lambda cv, c: F.struct(
-            F.round(l2sq_flat(j * sub_i, cv), round_to).alias("d"),
-            c.cast("int").alias("cid")))
-        return F.array_min(prs)["cid"]
-
-    def mk_lut_row(j):
-        # NB: the transform lambda takes exactly ONE parameter — a
-        # two-parameter lambda is interpreted as (element, index).
-        def entry(cv):
-            return (F.round(l2sq_flat(j * sub_i, cv), round_to)
-                     .cast("decimal(15,6)")
-                     * F.lit(1000000)).cast("long")
-        return F.transform(F.element_at(F.col("cbm"), j + 1), entry)
-
+    # codes/LUT trees arrive via ONE generated-SQL F.expr parse each
+    # (_codes_sql/_lut_rows_sql — same parsed ops in the same order,
+    # bit-identical values): the Column-built unrolls spent ~3.5 s of
+    # driver py4j time per plan build here (two m x k x sub sites),
+    # inside every timed bench execution.
     enc_codes = (r_idx.join(F.broadcast(rcb_p))
                       .select("neighbor_id", "cell_id",
-                              F.array(*[mk_code(j) for j in range(m)])
+                              F.expr(_codes_sql("rv", m, sub_i,
+                                                round_to))
                                .alias("codes")))
     inv = (enc_codes.groupBy("cell_id")
                     .agg(F.collect_list(F.struct("neighbor_id", "codes"))
@@ -1323,7 +1337,8 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
                          "rv"))
     lut_pc = (r_q.join(F.broadcast(rcb_p))
                  .select("qid", "probe_cell", "probe_rank",
-                         F.array(*[mk_lut_row(j) for j in range(m)])
+                         F.expr(_lut_rows_sql("rv", m, sub_i,
+                                              round_to))
                           .alias("lut")))
     inv_s = inv.withColumn(
         "isalt", F.explode(F.array(*[F.lit(r)
