@@ -161,46 +161,51 @@ def _packed_cells(cents: DataFrame) -> DataFrame:
                       F.struct("cell_id", "cv", "ncv"))).alias("cells")))
 
 
-def _cell_prs(vc: Column, nvc: Column, round_to: int,
-              with_cv: bool = False) -> Column:
-    """array<struct<csim, negid[, ccv]>> over the packed `cells`
-    column: per cell the SAME rounded cosine the join+window form
-    computed (identical operand order: dot(v, cv) / (nv * ncv)), with
-    negid = -cell_id so that struct DESC ordering == the window's
-    (csim DESC, cell_id ASC) — negation of a long id is exact, and the
-    struct comparator's NULL-field-smallest / NaN-greatest semantics
-    match the window sort's NULLS-LAST-desc / NaN-first behavior, so
-    ranks are bit-identical (the ivf_assign_stream parity argument,
-    already oracle-certified by st_ivf_assign sharing
-    ivf_assign_batch's oracle verbatim). with_cv additionally carries
-    the centroid subvector for residual computation; it participates
-    in comparisons only after (csim, negid) ties, which cannot happen
-    (cell_id is unique)."""
-    def entry(c):
-        fields = [
-            F.round(dot(vc, c["cv"]) / (nvc * c["ncv"]), round_to)
-             .alias("csim"),
-            (-c["cell_id"]).alias("negid")]
-        if with_cv:
-            fields.append(c["cv"].alias("ccv"))
-        return F.struct(*fields)
-    return F.transform(F.col("cells"), entry)
+def _cell_prs(vc: str, nvc: str, round_to: int,
+              with_cv: bool = False) -> str:
+    """SQL for array<struct<csim, negid[, ccv]>> over the packed
+    `cells` column: per cell the SAME rounded cosine the join+window
+    form computed (identical operand order: dot(v, cv) / (nv * ncv)),
+    with negid = -cell_id so that struct DESC ordering == the
+    window's (csim DESC, cell_id ASC) — negation of a long id is
+    exact, and the struct comparator's NULL-field-smallest /
+    NaN-greatest semantics match the window sort's NULLS-LAST-desc /
+    NaN-first behavior, so ranks are bit-identical (the
+    ivf_assign_stream parity argument, already oracle-certified by
+    st_ivf_assign sharing ivf_assign_batch's oracle verbatim).
+    with_cv additionally carries the centroid subvector for residual
+    computation; it participates in comparisons only after
+    (csim, negid) ties, which cannot happen (cell_id is unique).
+
+    vc/nvc are column NAMES and the tree is built as ONE generated-
+    SQL string (r10): the Column-built transform+dot form cost
+    ~0.1 s of driver py4j chatter per call site, several sites per
+    ANN plan, inside every timed bench execution. The parsed
+    aggregate/zip_with ops are dot()'s exact sequential fold."""
+    dotsql = (f"aggregate(zip_with({vc}, c.cv, (x, y) -> "
+              f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+              f"(acc, el) -> acc + el)")
+    ccv = ", 'ccv', c.cv" if with_cv else ""
+    return (f"transform(cells, c -> named_struct("
+            f"'csim', ROUND({dotsql} / ({nvc} * c.ncv), {round_to}), "
+            f"'negid', -c.cell_id{ccv}))")
 
 
-def _best_cell(vc: Column, nvc: Column, round_to: int) -> Column:
+def _best_cell(vc: str, nvc: str, round_to: int) -> Column:
     """argmax cell as a struct (csim, negid): array_max over the
     packed sims — crank==1 of the old window, computed MAP-SIDE with
     no exchange and no per-id sort. cell_id = -result['negid']."""
-    return F.array_max(_cell_prs(vc, nvc, round_to))
+    return F.expr(f"array_max({_cell_prs(vc, nvc, round_to)})")
 
 
-def _top_cells(vc: Column, nvc: Column, nprobe: int, round_to: int,
+def _top_cells(vc: str, nvc: str, nprobe: int, round_to: int,
                with_cv: bool = False) -> Column:
     """The nprobe nearest cells in probe order: sort_array DESC over
     the packed sims (the exact window ordering, see _cell_prs) then
     slice — posexplode position + 1 IS the old crank, map-side."""
-    return F.slice(F.sort_array(_cell_prs(vc, nvc, round_to, with_cv),
-                                asc=False), 1, nprobe)
+    return F.expr(f"slice(sort_array("
+                  f"{_cell_prs(vc, nvc, round_to, with_cv)}, false), "
+                  f"1, {nprobe})")
 
 
 def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
@@ -239,7 +244,7 @@ def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str, *,
         # the ONE-ROW packed codebook — no n x n_cells exchange, no
         # per-id window sort; ranks bit-identical (see _cell_prs)
         assign = (base.join(F.broadcast(_packed_cells(cents)))
-                      .select((-_best_cell(F.col("v"), F.col("nv"),
+                      .select((-_best_cell("v", "nv",
                                            round_to)["negid"])
                               .alias("cell_id"), "v"))
         comp = assign.select("cell_id", F.posexplode("v").alias("pos", "val"))
@@ -304,7 +309,7 @@ def semantic_nn_dedup(df: DataFrame, id_col: str, vec_col: str, *,
     # codebook — no n x n_cells exchange, no per-id window sort
     idx = (base.join(F.broadcast(_packed_cells(cents)))
                .select("id", "v", "nv",
-                       (-_best_cell(F.col("v"), F.col("nv"),
+                       (-_best_cell("v", "nv",
                                     round_to)["negid"]).alias("cell_id")))
     b = (idx.select(F.col("id").alias("nn_id"), F.col("v").alias("vb"),
                     F.col("nv").alias("nb"), "cell_id")
@@ -418,7 +423,7 @@ def _semantic_contamination_ungated(corpus: DataFrame, bench: DataFrame,
         # codebook — no n x n_cells exchange, no per-id window sort
         return (base.join(F.broadcast(packed))
                     .select(idc, vc, nc,
-                            (-_best_cell(F.col(vc), F.col(nc),
+                            (-_best_cell(vc, nc,
                                          round_to)["negid"])
                             .alias("cell_id")))
 
@@ -507,7 +512,7 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     # certified ivf_assign_stream shape brought back to the batch op)
     return (base.join(F.broadcast(_packed_cells(codebook)))
                 .select("id", "v", "nv",
-                        (-_best_cell(F.col("v"), F.col("nv"),
+                        (-_best_cell("v", "nv",
                                      round_to)["negid"]).alias("cell_id")))
 
 
@@ -569,7 +574,7 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, *,
     ranked = (base.join(F.broadcast(_packed_cells(cents)))
                   .select("id", "v", "nv",
                           F.posexplode(_top_cells(
-                              F.col("v"), F.col("nv"),
+                              "v", "nv",
                               max(1, nprobe), round_to)).alias("pos", "s"))
                   .select("id", "v", "nv",
                           (-F.col("s.negid")).alias("cell_id"),
@@ -670,14 +675,19 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int,
         F.size(c) % m == 0,
         F.concat(F.lit(f"vector dim not divisible by m={m}: "),
                  F.size(c).cast("string"))).isNull())
-    sub = (F.size(c) / m).cast("int")
+    # the m slice-structs arrive as ONE generated-SQL parse (r10):
+    # the Column-built listcomp cost ~0.5 s of driver py4j chatter
+    # per plan build at m=16. Same slice arithmetic: sub = CAST(size/
+    # m AS INT) (truncating double division), start = CAST(j*sub+1
+    # AS INT) — identical trees, bit-identical rows.
+    sub_sql = f"CAST(size({vec_col}) / {m} AS INT)"
+    structs = ", ".join(
+        f"named_struct('subspace', {j}, 'sv', slice({vec_col}, "
+        f"CAST({j} * {sub_sql} + 1 AS INT), {sub_sql}))"
+        for j in range(m))
     return (guarded.select(
         F.col(id_col).alias(out_id),
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("subspace"),
-                     F.slice(c, (F.lit(j) * sub + 1).cast("int"), sub)
-                      .alias("sv"))
-            for j in range(m)])).alias("s"))
+        F.explode(F.expr(f"array({structs})")).alias("s"))
         .select(out_id, F.col("s.subspace").alias("subspace"),
                 F.col("s.sv").alias("sv")))
 
@@ -773,6 +783,33 @@ def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, *,
                           .alias("rank")))
 
 
+def _packed_pq_codebooks(codebooks: DataFrame) -> DataFrame:
+    """ONE-ROW packed PQ codebook: cbm[j+1][c+1] = centroid c of
+    subspace j (cid order within subspace, subspace order across) —
+    the broadcastable form _codes_sql/_lut_rows_sql index into."""
+    return (codebooks.groupBy("subspace")
+                     .agg(F.transform(F.array_sort(F.collect_list(
+                              F.struct("cid", "cv"))),
+                          lambda s: s["cv"]).alias("cvs"))
+                     .groupBy()
+                     .agg(F.transform(F.array_sort(F.collect_list(
+                              F.struct("subspace", "cvs"))),
+                          lambda s: s["cvs"]).alias("cbm")))
+
+
+def _probe_dim(df: DataFrame, vec_col: str, m: int, op: str) -> int:
+    """Plan-time vector dimension (one bounded limit-1 job — the r6
+    cap-probe precedent) with the divisibility contract enforced
+    loudly (the ivfpq_residual_pairs rule)."""
+    d_dim = int(df.select(F.size(F.col(vec_col)).alias("d"))
+                  .first()["d"])
+    if d_dim % m:
+        raise ValueError(
+            f"{op}: dim {d_dim} not divisible by m={m} "
+            f"(the _subvectors contract)")
+    return d_dim
+
+
 def ivfpq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
                         coarse: DataFrame, codebooks: DataFrame,
                         m: int = 4, k: int = 8,
@@ -784,24 +821,29 @@ def ivfpq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
     one frozen-codebook encode, both linear in the batch, no base
     re-scan) and unioning them into the persisted lists. Feeding the
     union to ivfpq_adc_pairs(entries=...) searches the appended index;
-    the ann_ivfpq_index_probe oracle proves append == rebuild."""
+    the ann_ivfpq_index_probe oracle proves append == rebuild.
+
+    r10 (guide §2.3/§2.4): cell AND codes are computed in ONE
+    map-side pass over two one-row broadcasts (packed coarse cells +
+    packed PQ codebook) — the map-side _codes_sql argmin is the
+    residual path's certified encode shape (flat chain == l2sq's
+    fold, array_min struct == min(struct(d, cid))). The previous
+    shape ran pq_encode's n x m explode -> broadcast join scoring
+    n x m x k rows -> two aggregations -> an id-keyed join back to
+    the assignment — four exchanges of corpus-keyed rows that this
+    single projection replaces (values bit-identical; oracle
+    re-green)."""
+    sub = _probe_dim(df, vec_col, m, "ivfpq_index_entries") // m
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
-    # r10 (guide §2.4): map-side argmax over the one-row packed
-    # codebook — no n x n_cells exchange, no per-id window sort
-    idxc = (base.join(F.broadcast(_packed_cells(coarse)))
+    return (base.join(F.broadcast(_packed_cells(coarse)))
+                .join(F.broadcast(_packed_pq_codebooks(codebooks)))
                 .select(F.col("id").alias("neighbor_id"),
-                        (-_best_cell(F.col("v"), F.col("nv"),
-                                     round_to)["negid"]).alias("cell_id")))
-    enc = pq_encode(df, id_col, vec_col, m=m, k=k,
-                    round_to=round_to, codebooks=codebooks)
-    enc_codes = (enc.groupBy("id")
-                    .agg(F.transform(F.array_sort(F.collect_list(
-                             F.struct("subspace", "code"))),
-                         lambda s: s["code"]).alias("codes"))
-                    .select(F.col("id").alias("neighbor_id"), "codes"))
-    return idxc.join(enc_codes, "neighbor_id")
+                        (-_best_cell("v", "nv",
+                                     round_to)["negid"]).alias("cell_id"),
+                        F.expr(_codes_sql("v", m, sub, round_to))
+                         .alias("codes")))
 
 
 def _adc_score(scored: DataFrame, m: int) -> DataFrame:
@@ -824,34 +866,27 @@ def _adc_score(scored: DataFrame, m: int) -> DataFrame:
     materialization dwarfs the interpreter savings. This transform
     runs once per (query, probed cell) x entry — the hottest loop in
     every IVF-PQ variant."""
-    def dist(e):
-        # LUT entries arrive as scale-6 LONGS (micros): the exact
-        # decimal(15,6) distances scaled by 10^6 at LUT-build time
-        # (decimal multiply, exact). The < 2^53 exactness claim below
-        # is ENFORCED by that build-time cast: decimal(15,6) NULLs
-        # loudly on any |l2sq| >= 10^9, so every entry is < 10^15 and
-        # an m-term sum (m <= 9 at every call site; default 4) stays
-        # < 9*10^15 < 2^53 ~ 9.007*10^15 — never a silent 1-ulp
-        # drift. The
-        # candidate sum is then m-1 primitive long adds (exact), and
-        # long/1e6 in double is ONE correctly-rounded IEEE division
-        # of the same exact rational the decimal sum represents — so
-        # the double emitted here is bit-identical to the old
-        # decimal-fold cast.
-        terms = [
-            F.element_at(F.element_at(F.col("lut"), j + 1),
-                         F.element_at(e["codes"], j + 1) + F.lit(1))
-            for j in range(m)]
-        s = terms[0]
-        for t in terms[1:]:
-            s = s + t
-        return s.cast("double") / F.lit(1000000.0)
-
-    hits = F.transform(
-        F.filter("entries", lambda e: e["neighbor_id"] != F.col("qid")),
-        lambda e: F.struct(
-            e["neighbor_id"].alias("neighbor_id"),
-            dist(e).alias("approx_dist")))
+    # LUT entries arrive as scale-6 LONGS (micros): the exact
+    # decimal(15,6) distances scaled by 10^6 at LUT-build time
+    # (decimal multiply, exact). The < 2^53 exactness claim below
+    # is ENFORCED by that build-time cast: decimal(15,6) NULLs
+    # loudly on any |l2sq| >= 10^9, so every entry is < 10^15 and
+    # an m-term sum (m <= 9 at every call site; default 4) stays
+    # < 9*10^15 < 2^53 ~ 9.007*10^15 — never a silent 1-ulp
+    # drift. The candidate sum is then m-1 primitive long adds
+    # (exact), and long/1e6 in double is ONE correctly-rounded IEEE
+    # division of the same exact rational the decimal sum represents
+    # — so the double emitted here is bit-identical to the old
+    # decimal-fold cast. The whole hits tree is ONE generated-SQL
+    # parse (r10 — the Column-built form cost ~0.4 s of driver py4j
+    # chatter per plan build).
+    terms = " + ".join(
+        f"element_at(element_at(lut, {j + 1}), "
+        f"element_at(e.codes, {j + 1}) + 1)" for j in range(m))
+    hits = F.expr(
+        "transform(filter(entries, e -> e.neighbor_id != qid), "
+        "e -> named_struct('neighbor_id', e.neighbor_id, "
+        f"'approx_dist', CAST({terms} AS DOUBLE) / 1000000.0D))")
     return (scored.select("qid", "probe_rank",
                           F.explode(hits).alias("h"))
                   .select("qid",
@@ -920,28 +955,16 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     ranked = (base.join(F.broadcast(_packed_cells(coarse)))
                   .select("id",
                           F.posexplode(_top_cells(
-                              F.col("v"), F.col("nv"),
+                              "v", "nv",
                               max(1, nprobe), round_to)).alias("pos", "s"))
                   .select("id", (-F.col("s.negid")).alias("cell_id"),
                           (F.col("pos") + 1).alias("crank")))
-    idxc = (ranked.filter(F.col("crank") == 1)
-                  .select(F.col("id").alias("neighbor_id"), "cell_id"))
     probe = (ranked.filter(F.col("crank") <= nprobe)
                    .select(F.col("id").alias("qid"),
                            F.col("cell_id").alias("probe_cell"),
                            F.col("crank").alias("probe_rank")))
     pqcb = codebooks if codebooks is not None \
         else pq_codebooks(df, id_col, vec_col, m=m, k=k)
-    if entries is None:
-        enc = pq_encode(df, id_col, vec_col, m=m, k=k,
-                        round_to=round_to, codebooks=pqcb)
-        enc_codes = (enc.groupBy("id")
-                        .agg(F.transform(F.array_sort(F.collect_list(
-                                 F.struct("subspace", "code"))),
-                             lambda s: s["code"]).alias("codes"))
-                        .select(F.col("id").alias("neighbor_id"),
-                                "codes"))
-        entries = idxc.join(enc_codes, "neighbor_id")
     # r8: the per-query LUT builds MAP-SIDE — the m*k codebook packs
     # into ONE broadcast row (cbm[j][c] = centroid c of subspace j)
     # and each query row computes its m x k LUT in one HOF pass,
@@ -950,14 +973,27 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     # entries, same code-then-subspace ordering, bit-identical). The
     # dim % m guard matches _subvectors' (assert_true folded into a
     # used filter so Catalyst keeps it).
-    pqcb_p = (pqcb.groupBy("subspace")
-                  .agg(F.transform(F.array_sort(F.collect_list(
-                           F.struct("cid", "cv"))),
-                       lambda s: s["cv"]).alias("cvs"))
-                  .groupBy()
-                  .agg(F.transform(F.array_sort(F.collect_list(
-                           F.struct("subspace", "cvs"))),
-                       lambda s: s["cvs"]).alias("cbm")))
+    pqcb_p = _packed_pq_codebooks(pqcb)
+    sub_q_i = _probe_dim(df, vec_col, m, "ivfpq_adc_pairs") // m
+    if entries is None:
+        # r10 (guide §2.3/§2.4): the index side's cell AND codes are
+        # ONE map-side pass over the two packed one-row broadcasts
+        # (the ivfpq_index_entries shape; argmax == the old ranked
+        # crank==1 by _cell_prs' ordering argument, _codes_sql ==
+        # pq_encode's argmin — bit-identical, oracle re-green). The
+        # previous shape ran pq_encode's explode -> broadcast join ->
+        # two aggregations -> an id-keyed join back to the crank==1
+        # assignment: four corpus-keyed exchanges that this single
+        # projection replaces.
+        entries = (base.join(F.broadcast(_packed_cells(coarse)))
+                       .join(F.broadcast(pqcb_p))
+                       .select(F.col("id").alias("neighbor_id"),
+                               (-_best_cell("v", "nv",
+                                            round_to)["negid"])
+                               .alias("cell_id"),
+                               F.expr(_codes_sql("v", m, sub_q_i,
+                                                 round_to))
+                                .alias("codes")))
     qc = F.col(vec_col)
     qrows = (df.filter(F.assert_true(
                  F.size(qc) % m == 0,
@@ -976,8 +1012,6 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     # generated-SQL F.expr parse (_l2sq_flat_sql): the Column-built
     # form spent 1.7 s of driver time per plan build in py4j calls —
     # paid inside every timed bench execution.
-    sub_q_i = int(df.select((F.size(F.col(vec_col)) / m).cast("int")
-                            .alias("s")).first()["s"])
     lut_arr = F.expr(_lut_rows_sql("qv", m, sub_q_i, round_to))
     lut_q = (qrows.join(F.broadcast(pqcb_p))
                   .select("qid", lut_arr.alias("lut")))
@@ -1262,7 +1296,7 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     ranked = (base.join(F.broadcast(_packed_cells(coarse)))
                   .select("id", "v",
                           F.posexplode(_top_cells(
-                              F.col("v"), F.col("nv"),
+                              "v", "nv",
                               max(1, nprobe), round_to,
                               with_cv=True)).alias("pos", "s"))
                   .select("id", (-F.col("s.negid")).alias("cell_id"),
@@ -1288,14 +1322,7 @@ def ivfpq_residual_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     rcb = (_subvectors(seeds, "cid", "rv", m, out_id="cid")
            .select("subspace", "cid", F.col("sv").alias("cv")))
     # ONE broadcast row: cbm[subspace+1][cid+1] = centroid subvector
-    rcb_p = (rcb.groupBy("subspace")
-                .agg(F.transform(F.array_sort(F.collect_list(
-                         F.struct("cid", "cv"))),
-                     lambda s: s["cv"]).alias("cvs"))
-                .groupBy()
-                .agg(F.transform(F.array_sort(F.collect_list(
-                         F.struct("subspace", "cvs"))),
-                     lambda s: s["cvs"]).alias("cbm")))
+    rcb_p = _packed_pq_codebooks(rcb)
 
     # r10 (VERDICT r9 item 5): the codes/LUT centroid distances are
     # UNROLLED flat expressions at a PLAN-TIME dimension instead of
@@ -1548,7 +1575,7 @@ def ivfbq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
     # codebook — no n x n_cells exchange, no per-id window sort
     idxc = (base.join(F.broadcast(_packed_cells(coarse)))
                 .select(F.col("id").alias("neighbor_id"),
-                        (-_best_cell(F.col("v"), F.col("nv"),
+                        (-_best_cell("v", "nv",
                                      round_to)["negid"]).alias("cell_id")))
     return idxc.join(
         df.select(F.col(id_col).alias("neighbor_id"),
@@ -1593,7 +1620,7 @@ def ivfbq_topk(df: DataFrame, id_col: str, vec_col: str, *,
     ranked = (base.join(F.broadcast(_packed_cells(coarse)))
                   .select("id",
                           F.posexplode(_top_cells(
-                              F.col("v"), F.col("nv"),
+                              "v", "nv",
                               max(1, nprobe), round_to)).alias("pos", "s"))
                   .select("id", (-F.col("s.negid")).alias("cell_id"),
                           (F.col("pos") + 1).alias("crank")))
@@ -1686,7 +1713,7 @@ def ivfsq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
     # codebook — no n x n_cells exchange, no per-id window sort
     idxc = (base.join(F.broadcast(_packed_cells(coarse)))
                 .select(F.col("id").alias("neighbor_id"),
-                        (-_best_cell(F.col("v"), F.col("nv"),
+                        (-_best_cell("v", "nv",
                                      round_to)["negid"]).alias("cell_id")))
     enc = _int8_enc(base)
     return idxc.join(
@@ -1736,7 +1763,7 @@ def ivfsq_pairs(df: DataFrame, id_col: str, vec_col: str, *,
     ranked = (base.join(F.broadcast(_packed_cells(coarse)))
                   .select("id",
                           F.posexplode(_top_cells(
-                              F.col("v"), F.col("nv"),
+                              "v", "nv",
                               max(1, nprobe), round_to)).alias("pos", "s"))
                   .select("id", (-F.col("s.negid")).alias("cell_id"),
                           (F.col("pos") + 1).alias("crank")))
