@@ -64,8 +64,15 @@ def pagerank(edges: DataFrame, *, nodes: DataFrame | None = None,
     backfill join and no second rank-table reference exists — plan
     size is linear in `iters` (at hundreds of iterations checkpoint
     the rank table per round instead)."""
-    e = edges.select(F.col("src").cast("long").alias("src"),
-                     F.col("dst").cast("long").alias("dst")).distinct()
+    # r11 (guide §2.4): ONE src-keyed exchange serves both the edge
+    # dedup and the out-degree window — repartition("src") satisfies
+    # dropDuplicates' (src, dst) clustering (subset rule) AND the
+    # window's src clustering, where .distinct() used to shuffle by
+    # (src, dst) and the window re-shuffled by src.
+    e = (edges.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+              .repartition("src")
+              .dropDuplicates(["src", "dst"]))
     if nodes is None:
         nodes = (e.select(F.col("src").alias("node"))
                   .unionByName(e.select(F.col("dst").alias("node")))
@@ -73,14 +80,23 @@ def pagerank(edges: DataFrame, *, nodes: DataFrame | None = None,
     else:
         nodes = nodes.select(F.col("node").cast("long").alias("node"))
     # self rows carry zero mass; real out-degree is counted by a
-    # window over real rows only (no join, no second edge reference)
-    e_aug = (e.select("src", "dst", F.lit(0).alias("self"))
-              .unionByName(nodes.select(F.col("node").alias("src"),
-                                        F.col("node").alias("dst"),
-                                        F.lit(1).alias("self")))
-              .withColumn("outdeg",
-                          F.sum(F.lit(1) - F.col("self"))
-                           .over(Window.partitionBy("src"))))
+    # window over real rows only BEFORE the union (self rows never
+    # read outdeg — the `when(self == 1)` branch fires first — so
+    # they carry a constant). e_aug is iteration-INVARIANT, so it
+    # localCheckpoints once (guide §5, the train_ivf_codebook
+    # discipline): each unrolled iteration used to re-inline the
+    # whole scan->dedup->window subtree.
+    e_aug = (e.withColumn("outdeg",
+                          F.sum(F.lit(1))
+                           .over(Window.partitionBy("src")))
+              .select("src", "dst", F.lit(0).alias("self"), "outdeg")
+              .unionByName(nodes.select(
+                  F.col("node").alias("src"),
+                  F.col("node").alias("dst"),
+                  F.lit(1).alias("self"),
+                  F.lit(1).cast("long").alias("outdeg")))
+              .repartition("src")
+              .localCheckpoint())
     n = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     pr = (nodes.crossJoin(F.broadcast(n))
                .select("node", "n_nodes",

@@ -645,10 +645,12 @@ def _lut_rows_sql(vec: str, m: int, sub: int, round_to: int) -> str:
     return "array(" + ", ".join(rows) + ")"
 
 
-def _codes_sql(vec: str, m: int, sub: int, round_to: int) -> str:
-    """array(per-subspace argmin code) as one SQL string: array_min
-    over (rounded d, cid) structs == the min(struct(d, cid)) the
-    join+agg encode used (tie -> lower cid), map-side."""
+def _code_cols_sql(vec: str, m: int, sub: int,
+                   round_to: int) -> list[str]:
+    """Per-subspace argmin code expressions (one SQL string per
+    subspace): array_min over (rounded d, cid) structs == the
+    min(struct(d, cid)) the join+agg encode used (tie -> lower cid),
+    map-side over the one-row packed codebook (`cbm`)."""
     cols = []
     for j in range(m):
         cvs = f"element_at(cbm, {j + 1})"
@@ -657,7 +659,23 @@ def _codes_sql(vec: str, m: int, sub: int, round_to: int) -> str:
             f"array_min(zip_with({cvs}, sequence(0, size({cvs}) - 1), "
             f"(cv, c) -> named_struct('d', ROUND({chain}, {round_to}), "
             f"'cid', CAST(c AS INT))))['cid']")
-    return "array(" + ", ".join(cols) + ")"
+    return cols
+
+
+def _codes_sql(vec: str, m: int, sub: int, round_to: int) -> str:
+    """array(per-subspace argmin code) as one SQL string — see
+    _code_cols_sql."""
+    return "array(" + ", ".join(
+        _code_cols_sql(vec, m, sub, round_to)) + ")"
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for generated SQL (embedded
+    backticks escaped by doubling) — raw user-supplied column names
+    spliced into F.expr strings would otherwise misparse on spaces,
+    hyphens, dots (struct-field access) or reserved words that
+    F.col() handles fine (ADVICE r10)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int,
@@ -680,9 +698,10 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int,
     # per plan build at m=16. Same slice arithmetic: sub = CAST(size/
     # m AS INT) (truncating double division), start = CAST(j*sub+1
     # AS INT) — identical trees, bit-identical rows.
-    sub_sql = f"CAST(size({vec_col}) / {m} AS INT)"
+    vq = _bt(vec_col)
+    sub_sql = f"CAST(size({vq}) / {m} AS INT)"
     structs = ", ".join(
-        f"named_struct('subspace', {j}, 'sv', slice({vec_col}, "
+        f"named_struct('subspace', {j}, 'sv', slice({vq}, "
         f"CAST({j} * {sub_sql} + 1 AS INT), {sub_sql}))"
         for j in range(m))
     return (guarded.select(
@@ -727,19 +746,40 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str, *,
     m log2(k)-bit codes, the ~100x memory lever that lets a billion-
     vector index live in RAM.
 
-    Shape: codebook broadcasts (m*k tiny rows); assignment is one
-    linear pass with a groupBy(id, subspace) struct-argmin — no
-    window over the fact table."""
+    Shape (r11, guide §2.4): the m*k codebook packs into ONE
+    broadcast row and every vector computes its m argmin codes
+    MAP-SIDE in a single projection (_codes_sql — the certified
+    encode: flat chain == l2sq's sequential fold, array_min struct ==
+    min(struct(d, cid)) with the same tie -> lower cid), then
+    posexplode emits the (id, subspace, code) rows. The previous
+    shape exploded n x m subvectors, broadcast-joined the codebook
+    into n x m x k scored rows and ran a groupBy(id, subspace)
+    argmin — one corpus-keyed exchange plus the exploded
+    materialization that this zero-exchange pass replaces
+    (bit-identical values; oracle re-green). Plan-build is EAGER
+    (one limit-1 dim probe, the r6 cap-probe precedent); an empty
+    input yields an empty encode frame with the same schema."""
     cb = codebooks if codebooks is not None \
         else pq_codebooks(df, id_col, vec_col, m=m, k=k)
-    vecs = _subvectors(df, id_col, vec_col, m)
-    scored = (vecs.join(F.broadcast(cb), "subspace")
-                  .withColumn("d", F.round(l2sq(F.col("sv"), F.col("cv")),
-                                           round_to)))
-    best = (scored.groupBy("id", "subspace")
-                  .agg(F.min(F.struct("d", "cid")).alias("b")))
-    return best.select("id", "subspace",
-                       F.col("b.cid").cast("int").alias("code"))
+    d_dim = _probe_dim(df, vec_col, m, "pq_encode", empty_ok=True)
+    if d_dim is None:
+        df, d_dim = df.limit(0), m
+    sub = d_dim // m
+    # per-row dim guard — the _subvectors assert_true contract,
+    # enforced on EVERY row (== probed dim implies % m == 0)
+    base = (df.filter(F.assert_true(
+                F.size(F.col(vec_col)) == d_dim,
+                F.concat(F.lit(f"pq_encode: vector dim != probed "
+                               f"dim {d_dim}: "),
+                         F.size(F.col(vec_col)).cast("string")))
+                .isNull())
+              .select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v")))
+    return (base.join(F.broadcast(_packed_pq_codebooks(cb)))
+                .select("id", F.posexplode(
+                    F.expr(_codes_sql("v", m, sub, round_to)))
+                    .alias("subspace", "code"))
+                .select("id", "subspace", "code"))
 
 
 def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, *,
@@ -756,31 +796,80 @@ def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, *,
     Locally the LUT-candidate pairing is all-pairs (the recall
     baseline shape, like ann_brute_force_topk); at scale ADC rides an
     IVF coarse index — LUT join only within probed cells — which is
-    exactly the FAISS IVF-PQ layout; the per-pair cost here (m decimal
-    adds) is what makes that composition fast. Refuses inputs over
-    ALL_PAIRS_BASELINE_CAP rows (use the IVF-PQ composition)."""
+    exactly the FAISS IVF-PQ layout; the per-pair cost here (m exact
+    long adds) is what makes that composition fast. Refuses inputs
+    over ALL_PAIRS_BASELINE_CAP rows (use the IVF-PQ composition).
+
+    r11 shape (guide §2.4/§3 — the e89a88e packed treatment, VERDICT
+    r10 item 2): codes and the per-query m x k LUT both compute
+    MAP-SIDE over the ONE-ROW packed codebook broadcast (_codes_sql /
+    _lut_rows_sql — certified identical to pq_encode's argmin and the
+    exploded LUT join), ALL (neighbor_id, codes) entries pack into a
+    single broadcast row (bounded by the all-pairs cap), and each
+    query scores + ranks its candidates INSIDE one projection:
+    transform over the packed entries (the _adc_score scale-6-long
+    sum, bit-identical to the decimal fold per its exactness
+    argument), array_sort on (approx_dist, neighbor_id) structs ==
+    the window's (dist ASC, id ASC) total order, slice k, posexplode
+    position + 1 == row_number. The previous shape shuffled
+    n x m x n_q slim rows through a (subspace, code) sort-merge join,
+    a groupBy(qid, neighbor) hash agg of n^2 groups and a window —
+    all three exchanges gone (values bit-identical; oracle
+    re-green)."""
     _gate_all_pairs_baseline(df, "pq_adc_topk", "ivfpq_topk")
     cb = codebooks if codebooks is not None \
         else pq_codebooks(df, id_col, vec_col, m=m, k=k)
-    enc = pq_encode(df, id_col, vec_col, m=m, k=k,
-                    round_to=round_to, codebooks=cb) \
-        .select(F.col("id").alias("neighbor_id"), "subspace", "code")
-    q = _subvectors(df, id_col, vec_col, m, out_id="qid")
-    lut = (q.join(F.broadcast(cb), "subspace")
-             .select("qid", "subspace", F.col("cid").alias("code"),
-                     F.round(l2sq(F.col("sv"), F.col("cv")), round_to)
-                      .cast("decimal(18,6)").alias("d")))
-    pairs = (enc.join(lut, ["subspace", "code"])
-                .filter(F.col("qid") != F.col("neighbor_id"))
-                .groupBy("qid", "neighbor_id")
-                .agg(F.sum("d").cast("double").alias("approx_dist")))
-    w = Window.partitionBy("qid").orderBy(F.col("approx_dist").asc(),
-                                          F.col("neighbor_id"))
-    return (pairs.withColumn("rank", F.row_number().over(w))
-                 .filter(F.col("rank") <= k_neighbors)
-                 .select(F.col("qid").alias("id"), "neighbor_id",
-                         "approx_dist", F.col("rank").cast("int")
-                          .alias("rank")))
+    sub = _probe_dim(df, vec_col, m, "pq_adc_topk") // m
+    pcb = _packed_pq_codebooks(cb)
+    # per-row dim guard (the _subvectors contract both removed call
+    # sites enforced; == probed dim implies % m == 0)
+    base = (df.filter(F.assert_true(
+                F.size(F.col(vec_col)) == sub * m,
+                F.concat(F.lit(f"pq_adc_topk: vector dim != probed "
+                               f"dim {sub * m}: "),
+                         F.size(F.col(vec_col)).cast("string")))
+                .isNull())
+              .select(F.col(id_col).alias("qid"),
+                      F.col(vec_col).alias("qv")))
+    # spread the CPU-heavy map-side encode/LUT/score HOFs across the
+    # cores with a USER-numbered hash repartition (exempt from AQE
+    # byte-based coalescing — the ivfpq_adc_pairs precedent: the
+    # corpus scan is a handful of file splits at bench scale and the
+    # per-row work, not the bytes, is the cost). One exchange of slim
+    # (qid, vec) rows; the identical subtree under entries and lut_q
+    # is planned once via ReusedExchange.
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "qid")
+    entries = (base.join(F.broadcast(pcb))
+                   .select(F.col("qid").alias("neighbor_id"),
+                           F.expr(_codes_sql("qv", m, sub, round_to))
+                            .alias("codes")))
+    packed = (entries.groupBy()
+                     .agg(F.collect_list(
+                          F.struct("neighbor_id", "codes"))
+                          .alias("entries")))
+    lut_q = (base.join(F.broadcast(pcb))
+                 .select("qid",
+                         F.expr(_lut_rows_sql("qv", m, sub, round_to))
+                          .alias("lut")))
+    # score + top-k per query in ONE map-side pass (see _adc_score
+    # for the scale-6-long exactness bound): candidates never leave
+    # the row until only k of them remain
+    terms = " + ".join(
+        f"element_at(element_at(lut, {j + 1}), "
+        f"element_at(e.codes, {j + 1}) + 1)" for j in range(m))
+    topk = F.expr(
+        "slice(array_sort(transform("
+        "filter(entries, e -> e.neighbor_id != qid), "
+        "e -> named_struct("
+        f"'approx_dist', CAST({terms} AS DOUBLE) / 1000000.0D, "
+        f"'neighbor_id', e.neighbor_id))), 1, {int(k_neighbors)})")
+    return (lut_q.join(F.broadcast(packed))
+                 .select("qid", F.posexplode(topk).alias("pos", "h"))
+                 .select(F.col("qid").alias("id"),
+                         F.col("h.neighbor_id").alias("neighbor_id"),
+                         F.col("h.approx_dist").alias("approx_dist"),
+                         (F.col("pos") + 1).cast("int").alias("rank")))
 
 
 def _packed_pq_codebooks(codebooks: DataFrame) -> DataFrame:
@@ -797,12 +886,27 @@ def _packed_pq_codebooks(codebooks: DataFrame) -> DataFrame:
                           lambda s: s["cvs"]).alias("cbm")))
 
 
-def _probe_dim(df: DataFrame, vec_col: str, m: int, op: str) -> int:
+def _probe_dim(df: DataFrame, vec_col: str, m: int, op: str,
+               empty_ok: bool = False) -> int | None:
     """Plan-time vector dimension (one bounded limit-1 job — the r6
-    cap-probe precedent) with the divisibility contract enforced
-    loudly (the ivfpq_residual_pairs rule)."""
-    d_dim = int(df.select(F.size(F.col(vec_col)).alias("d"))
-                  .first()["d"])
+    cap-probe precedent, so the caller is EAGER at plan-build time)
+    with the divisibility contract enforced loudly (the
+    ivfpq_residual_pairs rule). On an EMPTY input the dimension is
+    unknowable: raises a clear ValueError, or returns None when the
+    caller declares empty input meaningful (empty_ok=True — the
+    ivfpq_index_entries empty-append-batch case, ADVICE r10)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        if empty_ok:
+            return None
+        raise ValueError(
+            f"{op}: cannot probe the vector dimension of an EMPTY "
+            f"input (this operator is plan-time eager on {vec_col!r})")
+    if row["d"] is None:
+        raise ValueError(
+            f"{op}: first row's {vec_col!r} is NULL — cannot probe "
+            f"the vector dimension")
+    d_dim = int(row["d"])
     if d_dim % m:
         raise ValueError(
             f"{op}: dim {d_dim} not divisible by m={m} "
@@ -833,10 +937,33 @@ def ivfpq_index_entries(df: DataFrame, id_col: str, vec_col: str, *,
     the assignment — four exchanges of corpus-keyed rows that this
     single projection replaces (values bit-identical; oracle
     re-green)."""
-    sub = _probe_dim(df, vec_col, m, "ivfpq_index_entries") // m
+    d_dim = _probe_dim(df, vec_col, m, "ivfpq_index_entries",
+                       empty_ok=True)
+    if d_dim is None:
+        # empty incremental batch (the documented append case): no
+        # rows means no entries — emit the empty frame with the SAME
+        # schema the non-empty path produces (the projection below is
+        # built with a placeholder dim and never executes). ADVICE
+        # r10: _probe_dim's limit-1 job made this path crash instead
+        # of staying append-compatible.
+        df, d_dim = df.limit(0), m
+    sub = d_dim // m
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("v"))
               .withColumn("nv", norm(F.col("v"))))
+    # per-row dimension guard (ADVICE r10): the old pq_encode path
+    # ran _subvectors' assert_true on EVERY row; the probe checks
+    # only the first. A later row with a different dim would yield
+    # NULL l2sq terms and array_min's NULL-smallest struct ordering
+    # would silently emit an arbitrary code into the persisted
+    # index — fail loudly instead (assert_true folded into a used
+    # filter so Catalyst keeps it; == d_dim implies % m == 0 here
+    # since _probe_dim validated d_dim % m).
+    base = base.filter(F.assert_true(
+        F.size(F.col("v")) == d_dim,
+        F.concat(F.lit(f"ivfpq_index_entries: vector dim != probed "
+                       f"dim {d_dim}: "),
+                 F.size(F.col("v")).cast("string"))).isNull())
     return (base.join(F.broadcast(_packed_cells(coarse)))
                 .join(F.broadcast(_packed_pq_codebooks(codebooks)))
                 .select(F.col("id").alias("neighbor_id"),
@@ -985,19 +1112,31 @@ def ivfpq_adc_pairs(df: DataFrame, id_col: str, vec_col: str, *,
         # two aggregations -> an id-keyed join back to the crank==1
         # assignment: four corpus-keyed exchanges that this single
         # projection replaces.
-        entries = (base.join(F.broadcast(_packed_cells(coarse)))
-                       .join(F.broadcast(pqcb_p))
-                       .select(F.col("id").alias("neighbor_id"),
-                               (-_best_cell("v", "nv",
-                                            round_to)["negid"])
-                               .alias("cell_id"),
-                               F.expr(_codes_sql("v", m, sub_q_i,
-                                                 round_to))
-                                .alias("codes")))
+        # per-row dim guard on the INDEX side (the ivfpq_index_entries
+        # rule — _codes_sql at a probed dim would silently mis-encode
+        # a row whose true dim differs; == implies % m == 0 here)
+        ebase = base.filter(F.assert_true(
+            F.size(F.col("v")) == sub_q_i * m,
+            F.concat(F.lit(f"ivfpq_adc_pairs: vector dim != probed "
+                           f"dim {sub_q_i * m}: "),
+                     F.size(F.col("v")).cast("string"))).isNull())
+        entries = (ebase.join(F.broadcast(_packed_cells(coarse)))
+                        .join(F.broadcast(pqcb_p))
+                        .select(F.col("id").alias("neighbor_id"),
+                                (-_best_cell("v", "nv",
+                                             round_to)["negid"])
+                                .alias("cell_id"),
+                                F.expr(_codes_sql("v", m, sub_q_i,
+                                                  round_to))
+                                 .alias("codes")))
     qc = F.col(vec_col)
+    # == probed dim (not just % m): _lut_rows_sql unrolls element_at
+    # terms at the probed dim, and a divisible-but-different query
+    # dim would read out-of-bounds NULLs into the LUT silently
     qrows = (df.filter(F.assert_true(
-                 F.size(qc) % m == 0,
-                 F.concat(F.lit(f"vector dim not divisible by m={m}: "),
+                 F.size(qc) == sub_q_i * m,
+                 F.concat(F.lit(f"vector dim != probed dim "
+                                f"{sub_q_i * m}: "),
                           F.size(qc).cast("string"))).isNull())
                .select(F.col(id_col).alias("qid"), qc.alias("qv")))
     # r10: the per-query LUT's centroid distances are UNROLLED flat
@@ -1141,16 +1280,42 @@ def pq_train_codebooks(df: DataFrame, id_col: str, vec_col: str, *,
     reference it, and each reference would otherwise re-run the
     corpus-scanning train)."""
     cb = pq_codebooks(df, id_col, vec_col, m=m, k=k)
-    sv = _subvectors(df, id_col, vec_col, m)
+    # r11 (guide §2.4): the per-iteration assignment runs MAP-SIDE
+    # over the one-row packed codebook — per subspace the certified
+    # _code_cols_sql argmin (flat chain == l2sq's fold, array_min
+    # struct == min(struct(d, cid)) tie -> lower cid) paired with
+    # its slice, exploded straight to (subspace, cid, pos, val)
+    # component rows. The previous shape exploded n x m subvectors,
+    # broadcast-joined k centroids into n x m x k scored rows and ran
+    # a groupBy(id, subspace) argmin — one corpus-keyed exchange per
+    # iteration that this zero-exchange pass replaces (bit-identical
+    # values; oracle re-green).
+    d_dim = _probe_dim(df, vec_col, m, "pq_train_codebooks")
+    sub = d_dim // m
+    base = (df.filter(F.assert_true(
+                F.size(F.col(vec_col)) == d_dim,
+                F.concat(F.lit(f"pq_train_codebooks: vector dim != "
+                               f"probed dim {d_dim}: "),
+                         F.size(F.col(vec_col)).cast("string")))
+                .isNull())
+              .select(F.col(vec_col).alias("v"))
+              # spread the map-side encode across cores (the corpus
+              # scan is one file split at bench scale); means are
+              # (subspace, cid, pos)-keyed decimal-exact partial
+              # aggs, partition-order independent by construction
+              .repartition(df.sparkSession.sparkContext
+                           .defaultParallelism))
+    codes = _code_cols_sql("v", m, sub, round_to)
+    enc_sql = "array(" + ", ".join(
+        f"named_struct('subspace', {j}, 'cid', {codes[j]}, "
+        f"'sv', slice(v, {j * sub + 1}, {sub}))"
+        for j in range(m)) + ")"
     for _ in range(iters):
-        scored = (sv.join(F.broadcast(cb), "subspace")
-                    .withColumn("d", F.round(l2sq(F.col("sv"),
-                                                  F.col("cv")), round_to)))
-        assign = (scored.groupBy("id", "subspace")
-                        .agg(F.min(F.struct("d", "cid")).alias("b"),
-                             F.first("sv").alias("sv"))
-                        .select("subspace", F.col("b.cid").alias("cid"),
-                                "sv"))
+        assign = (base.join(F.broadcast(_packed_pq_codebooks(cb)))
+                      .select(F.explode(F.expr(enc_sql)).alias("s"))
+                      .select(F.col("s.subspace").alias("subspace"),
+                              F.col("s.cid").alias("cid"),
+                              F.col("s.sv").alias("sv")))
         comp = assign.select("subspace", "cid",
                              F.posexplode("sv").alias("pos", "val"))
         q = (F.round(F.col("val").cast("double"), round_to)

@@ -6686,9 +6686,19 @@ def pipe_incremental_corpus(spark, sf_dir):
                                  F.col("nbr_text")),
                           F.col("text")).alias("text")))
     fixed_text = textstats.fix_mojibake("text")
+    # r11 (guide §5 / §2.4): `fixed` feeds SIX downstream references
+    # (corpus dim + index build, batch gate/hash/probe/final) and the
+    # lazily-planned DataFrame re-inlined the scan -> artifact-inject
+    # -> neighbor-join -> mojibake-repair subtree into every one.
+    # localCheckpoint materializes the repaired batch+corpus text
+    # once per run (the per-batch materialization a production
+    # incremental pipeline persists anyway; the train_ivf_codebook
+    # discipline) — plan drops from 16 exchanges to the post-repair
+    # pipeline's own.
     fixed = inj.select("doc_id", fixed_text.alias("text"),
                        (F.length("text") - F.length(fixed_text))
-                       .cast("long").alias("n_chars_fixed"))
+                       .cast("long").alias("n_chars_fixed")) \
+               .localCheckpoint()
     corpus = fixed.filter(F.col("doc_id") % 10 != 0)
     batch = fixed.filter(F.col("doc_id") % 10 == 0)
     gf = (textstats.gopher_rules(batch, "doc_id", "text")
@@ -10322,13 +10332,21 @@ def graph_pagerank_authority(spark, sf_dir):
     at hundreds of iterations checkpoint per round instead)."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # r11 (guide §2.4): both edge directions EXPLODE from one pairs
+    # reference — the old two-projection union inlined the
+    # orders x lineitem subtree twice (each with its own distinct
+    # agg), and the pre-union .distinct() was redundant anyway:
+    # pagerank dedupes (src, dst) itself, so three edge-table
+    # exchanges collapse into that one.
     pairs = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
               .select((F.col("o_custkey") * 2).alias("c"),
-                      (F.col("l_suppkey") * 2 + 1).alias("s"))
-              .distinct())
-    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-                  .unionByName(pairs.select(F.col("s").alias("src"),
-                                            F.col("c").alias("dst"))))
+                      (F.col("l_suppkey") * 2 + 1).alias("s")))
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col("c").alias("src"),
+                          F.col("s").alias("dst")),
+                 F.struct(F.col("s").alias("src"),
+                          F.col("c").alias("dst")))).alias("e"))
+                  .select("e.src", "e.dst"))
     # node universe from the cheap base tables, not the edge join —
     # one scan each instead of re-inlining the orders x lineitem
     # subtree per reference (see graph.py's plan-shape note)

@@ -29,6 +29,13 @@ SF_DIR = "/root/testdata/sf0.001"
 #: per-(lab, month) counts — the same scalar-join shape as tf-idf.
 NESTED_LOOP_OK = {"ann_brute_force_topk", "ann_ivf_topk",
                   "ann_ivf_trained_topk", "ann_ivf_recall",
+                  # r11 packed flat-PQ family: the 1-row packed
+                  # codebook broadcast NLJ (the ivfpq map-side encode
+                  # shape) + the cap-gated packed-entries broadcast
+                  # (these are the deliberate all-pairs baselines —
+                  # ALL_PAIRS_BASELINE_CAP refuses real corpora)
+                  "ann_pq_encode", "ann_pq_topk",
+                  "ann_pq_trained_topk", "pq_encode_batch",
                   # sampled-training variant: Lloyd's assignment NLJ
                   # runs over the SAMPLE; search assignment is the
                   # same broadcast n x n_cells pass as ann_ivf_*
